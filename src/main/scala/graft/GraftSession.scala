@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * The reference system (beado123/stream_processing_system, "Crane") wires its
+  * cluster by hand: Nimbus assigns spout/boltc/boltl roles over TCP
+  * (`Nimbus.go:628-648`). In our Spark-native engine all of that collapses
+  * into a `SparkSession`; this factory pins the configs that matter for a
+  * local[N] run while staying valid for a real cluster (where
+  * `spark.sql.shuffle.partitions` would be raised or left to AQE).
+  */
+object GraftSession {
+
+  /** Local session tuned for the test/bench environment: single JVM,
+    * `cores` executor threads, AQE on so skewed shuffles re-plan at runtime
+    * exactly as they would on a 1000-executor cluster.
+    */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+            appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

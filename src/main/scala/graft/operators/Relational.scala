@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's operator inventory (SURVEY.md §2) as composable,
+  * codegen-friendly DataFrame transforms.
+  *
+  * Design note for scale: every transform here is declarative — filters and
+  * projections reach the parquet scan via Catalyst pushdown; aggregations
+  * plan as partial/final `HashAggregate` pairs (the reference hand-codes this
+  * split as boltc/boltl, `bolt/bolt.go:544-583`); top-K plans as
+  * `TakeOrderedAndProject` (no global sort — the reference fully sorts then
+  * cuts, `bolt/bolt.go:407-413`, which would not survive 100 TB).
+  */
+object Relational {
+
+  // ---- Filters (§2.2) -----------------------------------------------------
+
+  /** F1 (`bolt/bolt.go:222-232`): drop a line when its FIRST token is longer
+    * than 8 chars and starts with "http" or "2008" (URL/date metadata lines
+    * in the memetracker corpus).
+    */
+  def metadataLineFilter(line: Column): Column = {
+    val tok1 = element_at(split(line, " "), 1)
+    !(length(tok1) > 8 && (tok1.startsWith("http") || tok1.startsWith("2008")))
+  }
+
+  /** F2 (`bolt/bolt.go:348-351`): keep records with non-negative numeric
+    * value (the reddit `score >= 0` predicate; reference parses with Atoi).
+    */
+  def nonNegative(value: Column): Column = value >= 0
+
+  /** F3 (`bolt/bolt.go:477-479`): exact string-equality predicate
+    * (`status == "200"` in nasalog).
+    */
+  def equalsFilter(c: Column, v: String): Column = c === v
+
+  // ---- Projections / scalar transforms (§2.3) -----------------------------
+
+  /** P2 (`bolt/bolt.go:547`): tokenize a line into words on single spaces
+    * (Go `strings.Split(s, " ")` — NOT whitespace-collapsing).
+    */
+  def words(line: Column): Column = split(line, " ")
+
+  /** P1 (`bolt/bolt.go:596-603`): the nasalog route projection —
+    * `{host, route: host ++ url}` with all other columns pruned.
+    */
+  def routeProjection(df: DataFrame, host: String, url: String): DataFrame =
+    df.select(col(host), concat(col(host), col(url)).as("route"))
+
+  // ---- Aggregations (§2.4) ------------------------------------------------
+
+  /** A1+A2 (`bolt/bolt.go:544-583`): word count. The reference's
+    * per-line partial count (boltc) + global merge (boltl) is exactly
+    * Spark's partial/final HashAggregate split — `groupBy.count` plans it
+    * automatically, so one declarative agg replaces both bolts.
+    * Empty tokens (Go split artifacts on trailing spaces) are dropped.
+    */
+  def wordCount(lines: DataFrame, lineCol: String): DataFrame =
+    lines
+      .filter(metadataLineFilter(col(lineCol)))
+      .select(explode(words(col(lineCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** A3/A4 (`bolt/bolt.go:585-594`, `:605-613`): count per group key. */
+  def countPerKey(df: DataFrame, key: String, cntName: String = "cnt"): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as(cntName))
+
+  /** A5 (`bolt/bolt.go:615-625`): distinct-collect per group. The reference
+    * linear-scans a per-host list; we `collect_set` + `sort_array` for a
+    * deterministic, testable output. At 100 TB the string-joined set column
+    * is the pressure point — pair with `approx_count_distinct` when only the
+    * cardinality is needed.
+    */
+  def countAndDistinct(df: DataFrame, key: String, item: String): DataFrame =
+    df.groupBy(key).agg(
+      count(lit(1)).as("cnt"),
+      concat_ws(",", sort_array(collect_set(col(item)))).as("routes"))
+
+  // ---- Top-K (§2.5) -------------------------------------------------------
+
+  /** T1+T2 (`bolt/bolt.go:398-440`): rank by count desc, cut at K, with the
+    * deterministic tie-break (`count DESC, key ASC`) the reference lacks.
+    * `orderBy.limit(k)` plans as TakeOrderedAndProject: each partition keeps
+    * a K-sized heap, the driver merges — O(K) memory regardless of input
+    * size, unlike the reference's full in-memory sort.
+    */
+  def topK(df: DataFrame, k: Int, desc: String, tieBreak: String): DataFrame =
+    df.orderBy(col(desc).desc, col(tieBreak).asc).limit(k)
+}
