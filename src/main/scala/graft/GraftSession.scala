@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Session factory for the graft engine.
+/** Session factory for the graft engine — the single place session config
+  * lives (Verify, Bench and tests all build their sessions here).
   *
   * The reference system (beado123/stream_processing_system, "Crane") wires its
   * cluster by hand: Nimbus assigns spout/boltc/boltl roles over TCP
@@ -16,6 +17,12 @@ object GraftSession {
   /** Local session tuned for the test/bench environment: single JVM,
     * `cores` executor threads, AQE on so skewed shuffles re-plan at runtime
     * exactly as they would on a 1000-executor cluster.
+    *
+    * `nanosAsLong`: the driver's `events.parquet` carries an INT64
+    * TIMESTAMP(NANOS) column which Spark 4.x rejects at scan time
+    * ([PARQUET_TYPE_ILLEGAL]) unless this legacy flag is set; with it the
+    * column surfaces as bigint (nanos since epoch), which no query reads
+    * as a timestamp.
     */
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
             appName: String = "graft"): SparkSession = {
@@ -26,9 +33,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Cores requested via env (driver passes SPARK_GRAFT_CPUS), default 4. */
+  def envCores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
 }

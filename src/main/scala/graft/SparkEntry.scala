@@ -63,7 +63,10 @@ object SparkEntry {
         "u%s - - [01/Jul/1995:00:00:01 -0400] \"GET /e/%s HTTP/1.0\" %s 0",
         col("user_id"),
         col("event_type"),
-        when(col("value") < 100, "404").otherwise("200")).as("line"))
+        // NULL value must land in the non-200 bucket, matching the oracle's
+        // `WHERE value >= 100` (which drops NULLs).
+        when(col("value").isNull || col("value") < 100, "404")
+          .otherwise("200")).as("line"))
       val parsed = LogLines.parseClf(lines, "line")
       Relational.countAndDistinct(
         parsed.filter(col("status") === "200"), key = "host", item = "url")
