@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** Unit tests for the §2 operator library on tiny in-memory frames —
+  * the edge cases VERDICT.md called out: F1 boundary at exactly 8 chars,
+  * F4 malformed-row drop, T1 tie-break, A5 determinism.
+  */
+class RelationalSpec extends SparkTestBase {
+  import TestSpark.spark.implicits._
+
+  // ---- F1 metadata-line filter -------------------------------------------
+
+  test("F1 drops lines whose first token is >8 chars and starts with http/2008") {
+    val df = Seq(
+      "http://example.com/x rest",   // 20 chars, http -> drop
+      "20081231x trailing",          // 9 chars, 2008 -> drop
+      "http8chr keep",               // exactly 8 chars -> KEEP (>8 required)
+      "20081231 keep",               // exactly 8 chars -> KEEP
+      "httpsomethinglong keep",      // drop
+      "hello world",                 // keep
+      "2008 short"                   // 4 chars -> keep
+    ).toDF("line")
+    val kept = df.filter(Relational.metadataLineFilter(col("line")))
+      .as[String].collect().toSet
+    assert(kept == Set("http8chr keep", "20081231 keep", "hello world", "2008 short"))
+  }
+
+  test("F1 keeps long first tokens that do not start with http/2008") {
+    val df = Seq("verylongtoken rest of line").toDF("line")
+    assert(df.filter(Relational.metadataLineFilter(col("line"))).count() == 1)
+  }
+
+  // ---- F2 / F3 ------------------------------------------------------------
+
+  test("F2 non-negative keeps zero, drops negatives and nulls") {
+    val df = Seq(Some(5.0), Some(0.0), Some(-1.0), None).toDF("v")
+    val kept = df.filter(Relational.nonNegative(col("v"))).as[Option[Double]].collect()
+    assert(kept.flatten.sorted.toSeq == Seq(0.0, 5.0))
+  }
+
+  test("F3 equality filter is exact string match") {
+    val df = Seq("200", "2000", "404", "200 ").toDF("s")
+    assert(df.filter(Relational.equalsFilter(col("s"), "200")).count() == 1)
+  }
+
+  // ---- P2 / A1+A2 wordcount ----------------------------------------------
+
+  test("wordCount splits on single spaces and drops empty tokens") {
+    // "a  b" has a double space -> Go strings.Split yields an empty token,
+    // which the reference then counts as a word of length 0; we drop empties.
+    val df = Seq("a  b", "a b", "").toDF("line")
+    val wc = Relational.wordCount(df, "line").as[(String, Long)].collect().toMap
+    assert(wc == Map("a" -> 2L, "b" -> 2L))
+  }
+
+  test("wordCount applies F1 before tokenizing") {
+    val df = Seq("httpverylong a a a", "b b").toDF("line")
+    val wc = Relational.wordCount(df, "line").as[(String, Long)].collect().toMap
+    assert(wc == Map("b" -> 2L))
+  }
+
+  // ---- A3/A4 countPerKey --------------------------------------------------
+
+  test("countPerKey counts rows per group") {
+    val df = Seq("x", "x", "y").toDF("k")
+    val got = Relational.countPerKey(df, "k").as[(String, Long)].collect().toMap
+    assert(got == Map("x" -> 2L, "y" -> 1L))
+  }
+
+  // ---- A5 countAndDistinct ------------------------------------------------
+
+  test("countAndDistinct: count is per-row, routes are sorted distinct") {
+    val df = Seq(("h1", "r2"), ("h1", "r1"), ("h1", "r2"), ("h2", "r9")).toDF("k", "item")
+    val got = Relational.countAndDistinct(df, "k", "item")
+      .orderBy("k").as[(String, Long, String)].collect().toSeq
+    assert(got == Seq(("h1", 3L, "r1,r2"), ("h2", 1L, "r9")))
+  }
+
+  test("countAndDistinct output is deterministic across partitionings") {
+    val rows = (1 to 100).map(i => ("h" + (i % 3), "r" + (i % 7)))
+    val a = Relational.countAndDistinct(rows.toDF("k", "item").repartition(1), "k", "item")
+      .orderBy("k").collect().toSeq
+    val b = Relational.countAndDistinct(rows.toDF("k", "item").repartition(13), "k", "item")
+      .orderBy("k").collect().toSeq
+    assert(a == b)
+  }
+
+  // ---- T1+T2 topK ---------------------------------------------------------
+
+  test("topK breaks count ties by key ascending") {
+    val df = Seq(("u3", 5L), ("u1", 5L), ("u2", 7L), ("u4", 1L)).toDF("user_id", "cnt")
+    val got = Relational.topK(df, 3, desc = "cnt", tieBreak = "user_id")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("u2", 7L), ("u1", 5L), ("u3", 5L)))
+  }
+
+  test("topK with k larger than input returns everything ordered") {
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("user_id", "cnt")
+    val got = Relational.topK(df, 50, "cnt", "user_id").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("b", 2L), ("a", 1L)))
+  }
+
+  test("topK plans as TakeOrderedAndProject, not a global sort") {
+    // Needs an input whose maxRows exceeds k, else Catalyst eliminates the
+    // limit (EliminateLimits) and falls back to a plain sort.
+    val df = spark.range(1000).selectExpr("concat('u', id) as user_id", "id % 7 as cnt")
+    val plan = Relational.topK(df.toDF(), 5, "cnt", "user_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  // ---- P1 route projection ------------------------------------------------
+
+  test("routeProjection concats host+url and prunes other columns") {
+    val df = Seq(("h", "/a", "junk")).toDF("host", "url", "extra")
+    val got = Relational.routeProjection(df, "host", "url")
+    assert(got.columns.toSeq == Seq("host", "route"))
+    assert(got.as[(String, String)].collect().toSeq == Seq(("h", "h/a")))
+  }
+}
