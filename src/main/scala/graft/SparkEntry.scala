@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 import graft.operators.Relational
-import graft.sources.LogLines
+import graft.sources.{CsvSource, LogLines}
 
 /** Driver contract — every implemented operator from SURVEY.md §2 (plus the
   * LLM-data-pipeline extensions) is declared here as a named query over the
@@ -68,9 +69,28 @@ object SparkEntry {
         when(col("value").isNull || col("value") < 100, "404")
           .otherwise("200")).as("line"))
       val parsed = LogLines.parseClf(lines, "line")
-      Relational.countAndDistinct(
-        parsed.filter(col("status") === "200"), key = "host", item = "url")
+      // P1 route projection (`bolt/bolt.go:596-603`): route = host ++ url,
+      // all other parsed columns pruned before the aggregate.
+      val routed = Relational.routeProjection(
+        parsed.filter(col("status") === "200"), "host", "url")
+      Relational.countAndDistinct(routed, key = "host", item = "route")
         .orderBy("host")
+    }),
+
+    // S2/S4 CSV path, in-gate: render events rows to headerless CSV records,
+    // parse them back through the schema'd `from_csv` expression (the same
+    // parser `CsvSource.reddit` uses on files), then run the Q2 pipeline on
+    // the parsed columns. Proves csv-parse(render(x)) == x inside the
+    // correctness gate without needing raw files under the fixture dir.
+    "q2_csv_roundtrip" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val recs = ev.select(concat_ws(",", col("user_id"), col("value")).as("rec"))
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("value", DoubleType)))
+      val parsed = CsvSource.parseCsvColumn(recs, "rec", schema)
+      val counts = Relational.countPerKey(
+        parsed.filter(Relational.nonNegative(col("value"))), "user_id")
+      Relational.topK(counts, 50, desc = "cnt", tieBreak = "user_id")
     }),
 
     // Pricing-summary aggregation (TPC-H Q1 shape): wide scan, 4 sums /
@@ -153,9 +173,13 @@ object SparkEntry {
 
     "q4_log_parse" ->
       """SELECT 'u' || user_id AS host, count(*) AS cnt,
-        |       string_agg(DISTINCT '/e/' || event_type, ',' ORDER BY '/e/' || event_type) AS routes
+        |       string_agg(DISTINCT 'u' || user_id || '/e/' || event_type, ',' ORDER BY 'u' || user_id || '/e/' || event_type) AS routes
         |FROM events WHERE value >= 100
         |GROUP BY host ORDER BY host""".stripMargin,
+
+    "q2_csv_roundtrip" ->
+      """SELECT user_id, count(*) AS cnt FROM events WHERE value >= 0
+        |GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 50""".stripMargin,
 
     "q5_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

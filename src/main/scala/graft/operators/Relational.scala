@@ -49,6 +49,14 @@ object Relational {
   def routeProjection(df: DataFrame, host: String, url: String): DataFrame =
     df.select(col(host), concat(col(host), col(url)).as("route"))
 
+  /** P5 (`bolt/bolt.go:348`, `:574`): string→int cast at use sites. The
+    * reference ignores Atoi errors, leaving 0 (so malformed scores pass the
+    * `>= 0` filter); we follow SQL semantics instead — malformed → NULL →
+    * filtered out — via `try_cast`, because Spark 4's ANSI-mode plain cast
+    * would throw on the first bad record. Documented divergence (SURVEY §7.5).
+    */
+  def toIntOrNull(c: Column): Column = c.try_cast("int")
+
   // ---- Aggregations (§2.4) ------------------------------------------------
 
   /** A1+A2 (`bolt/bolt.go:544-583`): word count. The reference's
