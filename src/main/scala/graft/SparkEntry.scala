@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
-import graft.operators.Relational
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.sources.{CsvSource, LogLines}
 
 /** Driver contract — every implemented operator from SURVEY.md §2 (plus the
@@ -143,6 +143,95 @@ object SparkEntry {
           round(avg("c_acctbal"), 2).as("avg_bal"))
         .orderBy("r_name", "n_name")
     }),
+
+    // ---- LLM-data-pipeline extensions (SURVEY §7.1 north star) ------------
+
+    // Exact dedup: one hash aggregation on the content fingerprint — the
+    // cheapest full-corpus dedup, shuffle on a 32-char key only.
+    "q8_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables(s, dir).documents, "doc_id", "text").orderBy("keep_id")
+    }),
+
+    // Exact 3-gram Jaccard near-dup join via inverted index: shuffle on the
+    // shingle, never an all-pairs cross join (ground truth for q10).
+    "q9_jaccard_dups" -> ((s, dir) => {
+      Dedup.jaccardPairs(Tables(s, dir).documents, "doc_id", "text",
+        n = 3, threshold = 0.3).orderBy("doc_a", "doc_b")
+    }),
+
+    // MinHash (k=12) + banded LSH (4 bands × 3 rows) candidate generation,
+    // then exact-Jaccard verification of candidates only — the scale path:
+    // candidate cost is k rows per document, independent of shingle skew.
+    "q10_minhash_lsh" -> ((s, dir) => {
+      Dedup.minHashDedup(Tables(s, dir).documents, "doc_id", "text",
+        n = 3, k = 12, rowsPerBand = 3, threshold = 0.3).orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash: 32-bit LSH signature per document in a single aggregation
+    // (32 conditional vote-sums riding one shuffle on doc_id).
+    "q11_simhash" -> ((s, dir) => {
+      Dedup.simHash(Tables(s, dir).documents, "doc_id", "text", bits = 32)
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")
+    }),
+
+    // Brute-force cosine top-5: broadcast the 20-query side, stream the
+    // corpus once (BroadcastNestedLoopJoin, corpus never shuffles); per-query
+    // top-k via row_number over #queries partitions. Exact baseline for q13.
+    "q12_knn_brute" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.knnBrute(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+    }),
+
+    // Sign-random-projection LSH ANN: 8 md5-derived ±1 hyperplanes bucket
+    // every vector; candidates are an equi-join on the bucket id — the
+    // sublinear scale path (recall < 1 by construction, verified vs q12).
+    "q13_ann_lsh" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.annTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 3, planes = 8, dim = 64)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+    }),
+
+    // Text analysis: token counting (whitespace + BPE-ish regex), lexical
+    // quality scoring, and three fingerprint flavors — all pure map-side
+    // column expressions (zero shuffle at any scale).
+    "q14_textstats" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      d.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
+        length(col("text")).cast("long").as("len_chars"),
+        round(TextAnalysis.uniqueTokenRatio(col("text")), 4).as("uniq_ratio"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.fingerprint64(col("text")).as("fp64"),
+        TextAnalysis.rollingFingerprint(col("text"), 16).as("rfp"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic: marker-profile ratio per language, argmax with
+    // deterministic tie-break (map-side only; the scoring machinery is the
+    // operator — fixture languages share one synthetic vocabulary).
+    "q15_langid" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val scores = TextAnalysis.LangProfiles
+        .map { case (l, ms) => TextAnalysis.markerRatio(col("text"), ms).as(s"s_$l") }
+      d.select(
+        col("doc_id"),
+        TextAnalysis.predictedLang(col("text")).as("pred_lang"),
+        round(greatest(scores: _*), 4).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal plumbing: documents → binary payload + typed metadata →
+    // per-partition (stubbed) decode → columnar features. The oracle
+    // recomputes the byte-level features from the text, proving the binary
+    // path end-to-end.
+    "q16_media_features" -> ((s, dir) => {
+      Multimodal.mediaFeatures(s, Tables(s, dir).documents).orderBy("doc_id")
+    }),
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names, same
@@ -214,5 +303,167 @@ object SparkEntry {
         |JOIN nation ON r_regionkey = n_regionkey
         |JOIN customer ON n_nationkey = c_nationkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q8_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, md5(lower(trim(text))) AS fp,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY fp ORDER BY keep_id""".stripMargin,
+
+    "q9_jaccard_dups" ->
+      s"""WITH sh AS ($ShinglesCte)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       round(len(list_intersect(a.s, b.s)) /
+         |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s)) /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q10_minhash_lsh" -> minHashOracle,
+
+    "q11_simhash" -> simHashOracle,
+
+    "q12_knn_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 20),
+        |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |             list_dot_product(q.v, e.v) /
+        |             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS c
+        |      FROM q JOIN e ON q.vec_id <> e.vec_id),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+        |      FROM s)
+        |SELECT query_id, neighbor_id, round(c, 4) AS cos FROM r WHERE rk <= 5
+        |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+    "q13_ann_lsh" ->
+      """WITH planes AS (
+        |  SELECT p, CAST(list_transform(range(0, 64), d ->
+        |           CASE WHEN ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1))::BIGINT % 2 = 1
+        |                THEN 1.0 ELSE -1.0 END) AS DOUBLE[]) AS w
+        |  FROM range(0, 8) t(p)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sig AS (SELECT e.vec_id, e.v,
+        |               sum(CASE WHEN list_dot_product(e.v, planes.w) > 0
+        |                        THEN (1::BIGINT << planes.p) ELSE 0 END)::BIGINT AS bucket
+        |        FROM e CROSS JOIN planes GROUP BY e.vec_id, e.v),
+        |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig WHERE vec_id < 20),
+        |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |             list_dot_product(q.qv, c.v) /
+        |             (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS c
+        |      FROM q JOIN sig c ON q.bucket = c.bucket AND q.query_id <> c.vec_id),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+        |      FROM s)
+        |SELECT query_id, neighbor_id, round(c, 4) AS cos FROM r WHERE rk <= 3
+        |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+    "q14_textstats" ->
+      s"""SELECT doc_id,
+         |  len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens,
+         |  len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}'))::BIGINT AS n_bpeish,
+         |  length(text)::BIGINT AS len_chars,
+         |  round(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 4) AS uniq_ratio,
+         |  round(least(CAST(1.0 AS DOUBLE),
+         |              len(list_filter(string_split(text, ' '), w -> w <> '')) / CAST(100.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+         |        + (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))) * CAST(0.5 AS DOUBLE), 4) AS quality,
+         |  md5(lower(trim(text))) AS fp,
+         |  ('0x' || substr(md5(lower(trim(text))), 1, 15))::BIGINT AS fp64,
+         |  CASE WHEN length(text) >= 16
+         |       THEN list_aggregate(list_transform(range(1, length(text) - 14),
+         |                           i -> md5(substr(text, i::INT, 16))), 'min')
+         |       ELSE md5(text) END AS rfp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q15_langid" -> langIdOracle,
+
+    "q16_media_features" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |       length(text)::BIGINT AS size_bytes,
+        |       ((length(text) + 63) // 64)::INTEGER AS n_chunks,
+        |       md5(text) AS checksum,
+        |       (length(text) - length(replace(text, ' ', '')))::BIGINT AS n_space
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
+
+  /** Distinct word-3-gram shingles per document, as DuckDB SQL — the oracle
+    * twin of [[graft.operators.TextAnalysis.shingles]].
+    */
+  private val ShinglesCte: String =
+    """SELECT doc_id,
+      |       list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |         i -> string_split(text, ' ')[i] || '_' ||
+      |              string_split(text, ' ')[i+1] || '_' ||
+      |              string_split(text, ' ')[i+2])) AS s
+      |FROM documents WHERE len(string_split(text, ' ')) >= 3""".stripMargin
+
+  /** Oracle twin of [[graft.operators.Dedup.minHashDedup]] (k=12 seeded md5
+    * minima, 4 bands × 3 rows, exact-Jaccard verification at 0.3) —
+    * signature/band SQL generated so both engines hash identical strings.
+    */
+  private def minHashOracle: String = {
+    val k = 12; val rowsPerBand = 3; val bands = k / rowsPerBand
+    val sigCols = (0 until k).map(i => s"min(md5('$i:' || sg)) AS h$i").mkString(",\n    ")
+    val bandCases = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => s"h${b * rowsPerBand + r}").mkString(" || '|' || ")
+      s"WHEN $b THEN md5($parts)"
+    }.mkString(" ")
+    s"""WITH sh AS ($ShinglesCte),
+       |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM ex GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b.band_idx,
+       |    CASE b.band_idx $bandCases END AS band_hash
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS band_idx) b),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM bands a JOIN bands c
+       |    ON a.band_idx = c.band_idx AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id)
+       |SELECT cand.doc_a, cand.doc_b,
+       |       round(len(list_intersect(x.s, y.s)) /
+       |             (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 4) AS jaccard
+       |FROM cand JOIN sh x ON x.doc_id = cand.doc_a JOIN sh y ON y.doc_id = cand.doc_b
+       |WHERE len(list_intersect(x.s, y.s)) /
+       |      (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Oracle twin of [[graft.operators.Dedup.simHash]] (32 bits) — the 32
+    * per-bit vote sums are generated, mirroring the Spark agg columns.
+    */
+  private def simHashOracle: String = {
+    val bits = 32
+    val votes = (0 until bits)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n    ")
+    val sig = (0 until bits)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |wh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+       |       FROM w WHERE tok <> ''),
+       |sums AS (SELECT doc_id,
+       |    $votes
+       |  FROM wh GROUP BY doc_id)
+       |SELECT doc_id, ($sig)::BIGINT AS simhash
+       |FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle twin of [[graft.operators.TextAnalysis.predictedLang]] — marker
+    * ratios per language, argmax with alphabetical tie-break.
+    */
+  private def langIdOracle: String = {
+    val ratios = TextAnalysis.LangProfiles.map { case (l, ms) =>
+      val set = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), w -> list_contains([$set], w))) / len(string_split(text, ' ')) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.LangProfiles.map(_._1)
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val pred = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+    s"""WITH sc AS (SELECT doc_id,
+       |    $ratios
+       |  FROM documents)
+       |SELECT doc_id, CASE $pred END AS pred_lang, round($best, 4) AS score
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
 }

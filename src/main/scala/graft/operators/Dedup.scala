@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family for LLM-training-data pipelines: exact
+  * (hash-groupBy), n-gram Jaccard (inverted-index join), MinHash + banded
+  * LSH, and SimHash — every variant a shuffle-on-keys plan, never an
+  * all-pairs `crossJoin`.
+  *
+  * Scale notes (the 100 TB contract):
+  *  - [[exact]] is one hash aggregation on a 32-hex-char key — the cheapest
+  *    possible full-corpus dedup; AQE handles fingerprint skew (which only
+  *    occurs when one document is duplicated millions of times — exactly the
+  *    case worth detecting).
+  *  - [[jaccardPairs]] shuffles on the *shingle*, so cost is driven by
+  *    shingle document-frequency, not corpus size squared. It is the exact
+  *    ground-truth operator; hot shingles (boilerplate) are its skew risk —
+  *    that is precisely what [[minHashDedup]] bounds: candidate generation
+  *    touches each document k times (signature rows) regardless of shingle
+  *    popularity, then verifies only bucket-collision pairs.
+  *  - [[simHash]] reduces each document to one 32-bit signature in a single
+  *    aggregation; near-dup detection becomes an equi-join on the signature
+  *    (or its rotations), fully shuffle-bounded.
+  *
+  * Determinism contract: all hashing is `md5` over explicit strings —
+  * reproducible bit-for-bit by the DuckDB oracle (`md5()` is identical), so
+  * even the *approximate* operators hash-match the correctness gate.
+  */
+object Dedup {
+
+  /** Exact dedup: group documents by normalized-content fingerprint, keep
+    * the minimum id as the canonical representative. Output one row per
+    * distinct content: (keep_id, fp, n_copies).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "fp", "n_copies")
+
+  /** Exact n-gram Jaccard similarity join via inverted index: explode each
+    * document's distinct shingles, equi-join on the shingle (never a cross
+    * join), count the intersection per pair, and derive
+    * |A∩B| / (|A| + |B| - |A∩B|). Returns (doc_a, doc_b, jaccard) for pairs
+    * at or above `threshold`, doc_a < doc_b.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = sh.select(col("id"), size(col("sh")).as("nsh"))
+    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+    val common = inv.as("a")
+      .join(inv.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .join(sizes.select(col("id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature: k per-document minima of seeded shingle hashes,
+    * `h_i(doc) = min over shingles of md5("<i>:<shingle>")`. One exploded
+    * pass + one aggregation; the k mins ride the same shuffle. Hex-string
+    * min is a valid MinHash order (uniform over the md5 range).
+    */
+  def minHashSignature(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, k: Int): DataFrame = {
+    val inv = df
+      .select(col(idCol).as("id"), explode(TextAnalysis.shingles(col(textCol), n)).as("s"))
+    val mins = (0 until k).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+    inv.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Banded LSH candidate pairs from a MinHash signature frame: hash each
+    * band of `rowsPerBand` signature slots to one md5, explode to
+    * (id, band_idx, band_hash), and self-equi-join on the band — two
+    * documents become a candidate iff they agree on at least one whole band.
+    */
+  def lshCandidates(sig: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    val bands = k / rowsPerBand
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
+        .as(s"band$b")
+    }
+    val banded = sig.select(col("id") +: bandCols: _*)
+    val long = banded.select(col("id"),
+      posexplode(array((0 until bands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_hash")))
+    long.as("a")
+      .join(long.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signature → banded candidates →
+    * exact-Jaccard verification of candidates only. Output matches
+    * [[jaccardPairs]]'s shape but touches only bucket-collision pairs —
+    * the scale path when the corpus (or a boilerplate shingle) is hot.
+    */
+  def minHashDedup(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, k: Int = 12, rowsPerBand: Int = 3,
+                   threshold: Double = 0.3): DataFrame = {
+    val cand = lshCandidates(minHashSignature(df, idCol, textCol, n, k), k, rowsPerBand)
+    val sh = df
+      .select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    cand
+      .join(sh.select(col("id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("common") / (size(col("sha")) + size(col("shb")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash: 32-bit locality-sensitive signature. Each token votes ±1 on
+    * every bit of its 32-bit hash (first 8 md5 hex chars); the signature
+    * sets bit b iff the bit-b vote sum is positive. One explode + one
+    * aggregation carrying 32 conditional sums — a single shuffle on the
+    * document id, constant state per document.
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String,
+              bits: Int = 32): DataFrame = {
+    val words = df
+      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("id"), conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("h"))
+    val votes = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
+    val sums = words.groupBy("id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until bits)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("id"), sig.as("simhash"))
+  }
+}

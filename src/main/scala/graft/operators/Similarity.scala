@@ -1,0 +1,109 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`): brute-force
+  * cosine top-k as the exact baseline, and a sign-random-projection LSH
+  * bucketed variant as the scale path.
+  *
+  * Scale notes (the 100 TB contract):
+  *  - [[knnBrute]] broadcasts the (small) query set and streams the corpus
+  *    once — a broadcast nested-loop join with NO shuffle of the corpus;
+  *    per-query top-k is a `row_number` window over only query-id partitions
+  *    (cardinality = #queries, not corpus size). This is the right plan even
+  *    at 100 TB *when the query set is small*; it is linear in corpus size.
+  *  - [[annBuckets]] reduces each vector to a b-bit sign signature against
+  *    fixed hyperplanes; candidate generation becomes an equi-join on the
+  *    bucket id — sublinear work per query at the cost of recall. Multi-probe
+  *    (flipping signature bits) would recover recall without rescanning.
+  *
+  * All arithmetic is done in DOUBLE (inputs cast up from float) with
+  * left-to-right array folds, so the DuckDB oracle — same cast, same fold —
+  * reproduces results bit-for-bit. Hyperplanes are derived from md5, not an
+  * RNG, for the same reason.
+  */
+object Similarity {
+
+  /** Dot product of two `array<double>` columns — a sequential left fold
+    * (`aggregate`), bit-reproducible by the oracle's `list_dot_product`.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k cosine neighbors of each query vector. The query side is
+    * broadcast (it must be small — this is the baseline/verification
+    * operator); the corpus is scanned once. Self-pairs excluded. Output:
+    * (query_id, neighbor_id, cos rounded to 4dp), deterministic order.
+    */
+  def knnBrute(corpus: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Deterministic ±1 hyperplanes: plane p, dimension d weighs
+    * +1 iff the first hex digit of md5("<p>_<d>") is odd — the same rule the
+    * oracle evaluates with SQL `md5`, so Spark and DuckDB agree on every
+    * plane without sharing an RNG.
+    */
+  def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dim) { (p, d) =>
+      val hex = md.digest(s"${p}_$d".getBytes(StandardCharsets.UTF_8))
+        .take(1).map(b => f"$b%02x").mkString
+      if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 1) 1.0 else -1.0
+    }
+  }
+
+  /** b-bit sign-random-projection bucket id: bit p is set iff
+    * dot(plane_p, v) > 0. Signs are decided on exact double dot products, so
+    * both engines compute identical buckets.
+    */
+  def signBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (w, p) =>
+      val planeLit = array(w.map(lit): _*)
+      when(dot(vec, planeLit) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Corpus with an LSH bucket column attached (vectors cast to double). */
+  def annBuckets(df: DataFrame, idCol: String, vecCol: String,
+                 planes: Int = 8, dim: Int = 64): DataFrame = {
+    val hp = hyperplanes(planes, dim)
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", signBucket(col("v"), hp))
+  }
+
+  /** LSH-accelerated top-k: candidates are same-bucket vectors only
+    * (equi-join on bucket — never a cross join), ranked by exact cosine.
+    * Lower recall than [[knnBrute]] by construction; that trade is the point.
+    */
+  def annTopK(df: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, planes: Int = 8, dim: Int = 64): DataFrame = {
+    val all = annBuckets(df, idCol, vecCol, planes, dim)
+    val q = queries.select(col(idCol).as("qid")).join(all, col("qid") === col("id"))
+      .select(col("qid").as("query_id"), col("v").as("qv"), col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    all.select(col("id").as("neighbor_id"), col("v").as("cv"), col("bucket"))
+      .join(q, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+}

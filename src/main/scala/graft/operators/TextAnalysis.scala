@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator library for LLM-training-data pipelines: token
+  * counting, shingling, quality scoring, language-ID scoring, and document
+  * fingerprinting — the text-side extensions beyond the reference's
+  * wordcount tokenizer (`bolt/bolt.go:547`).
+  *
+  * Every function here is a pure column expression (no UDFs) so the whole
+  * analysis stays inside whole-stage codegen and scales linearly with the
+  * scan: at 100 TB these are map-side-only operators with zero shuffle.
+  *
+  * Determinism contract: every hash is `md5` over an explicit string so the
+  * DuckDB oracle can reproduce results bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Tokenize on single spaces — the fixture corpus (and the reference's
+    * wordcount, Go `strings.Split(s, " ")`) is single-space joined.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Non-empty whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(filter(tokens(text), w => w =!= ""))
+
+  /** BPE-ish regex tokens: letter runs, digit runs, single non-alnum marks —
+    * the classic pre-tokenizer split (the regex is shared verbatim with the
+    * DuckDB oracle, so keep it engine-portable: character classes and
+    * alternation only).
+    */
+  val BpeishPattern = "[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9 ]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** Word n-gram shingles, '_'-joined, distinct. Documents shorter than n
+    * tokens yield an empty array (guarded: Spark's `sequence(1, k)` with
+    * k < 1 would produce a DESCENDING sequence, not an empty one).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    val hi = size(t) - (n - 1)
+    when(hi >= 1,
+      array_distinct(transform(sequence(lit(1), hi),
+        i => array_join(slice(t, i, lit(n)), "_"))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Ratio of tokens found in `markers` (a tiny per-language stopword /
+    * marker profile) to total tokens — the scoring core of the n-gram
+    * language-ID heuristic. Integer/integer `/` is double division in both
+    * Spark and DuckDB, so the oracle reproduces the exact double.
+    */
+  def markerRatio(text: Column, markers: Seq[String]): Column = {
+    val t = tokens(text)
+    size(filter(t, w => w.isin(markers: _*))) / size(t)
+  }
+
+  /** Per-language marker profiles for the heuristic classifier. On real
+    * corpora these would be frequency-ranked stopwords per language; the
+    * fixture corpus draws all languages from one shared synthetic vocabulary,
+    * so the profiles are disjoint slices of that vocabulary — the scoring
+    * machinery (ratio per profile, argmax with deterministic tie-break) is
+    * the operator under test.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("hash", "merge", "batch", "group", "row"),
+    "en" -> Seq("the", "a", "fast", "slow", "big"),
+    "es" -> Seq("data", "stream", "filter", "sort", "line"),
+    "fr" -> Seq("window", "query", "order", "value", "part"),
+    "zh" -> Seq("table", "join", "scan", "key", "column"),
+  )
+
+  /** Predicted language: argmax marker ratio, ties broken by language code
+    * ascending (profiles are iterated in sorted order, first max wins).
+    */
+  def predictedLang(text: Column): Column = {
+    val scores = LangProfiles.map { case (lang, ms) => lang -> markerRatio(text, ms) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldLeft(lit(null).cast("string")) { case (acc, (lang, s)) =>
+      when(acc.isNull && (s === best), lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Ratio of distinct to total tokens — low values flag boilerplate/spam. */
+  def uniqueTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(array_distinct(t)) / size(t)
+  }
+
+  /** Composite quality score in [0,1]: length saturation (docs under ~100
+    * tokens score proportionally) blended with lexical diversity. The exact
+    * formula is shared with the oracle; weights are pipeline policy.
+    */
+  def qualityScore(text: Column): Column =
+    least(lit(1.0), tokenCount(text) / lit(100.0)) * 0.5 + uniqueTokenRatio(text) * 0.5
+
+  /** Full-content fingerprint (hex md5 of the normalized text). */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** 60-bit numeric fingerprint: first 15 hex chars of the md5, base-16 —
+    * sortable/joinable fixed-width form (15 hex digits keep the value inside
+    * a signed 64-bit long; DuckDB mirrors with `('0x'||substr(md5(x),1,15))::BIGINT`).
+    */
+  def fingerprint64(text: Column): Column =
+    conv(substring(md5(lower(trim(text))), 1, 15), 16, 10).cast("long")
+
+  /** Winnowing-style rolling fingerprint: minimum md5 over the document's
+    * character w-grams. Two documents sharing any w-char run have a chance
+    * of colliding; the min-of-window form is the classic MOSS/winnowing
+    * selection rule reduced to one global window.
+    */
+  def rollingFingerprint(text: Column, w: Int = 16): Column = {
+    val hi = length(text) - (w - 1)
+    when(hi >= 1,
+      array_min(transform(sequence(lit(1), hi), i => md5(text.substr(i, lit(w))))))
+      .otherwise(md5(text))
+  }
+}
