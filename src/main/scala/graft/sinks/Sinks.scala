@@ -1,0 +1,54 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Formatted file sinks K1–K3 (SURVEY §2.9): the reference's terminal bolts
+  * write small, human-readable result files (`bolt/bolt.go:296-310` word
+  * counts, `:398-419` sorted top-50, `:522-541` per-host report). These
+  * sinks format with column expressions and write through Spark's text
+  * writer — distributed up to the final coalesce.
+  *
+  * Determinism: the reference iterates Go maps, so its files are randomly
+  * ordered; every sink here totally orders its output (SURVEY §7.5), which
+  * is what makes golden-file testing possible.
+  *
+  * Scale note: `coalesce(1)` matches the reference's single-local-file
+  * contract and is correct ONLY because every sink input is post-aggregation
+  * / post-top-K (bounded rows). A 100 TB result table would drop the
+  * coalesce and write partitioned files — the formatting pipeline is
+  * unchanged.
+  */
+object Sinks {
+
+  /** K1 (`bolt/bolt.go:296-310`): `word:count` lines, sorted by word. */
+  def writeWordCount(counts: DataFrame, wordCol: String, cntCol: String,
+                     path: String): Unit =
+    counts.orderBy(wordCol)
+      .select(concat_ws(":", col(wordCol), col(cntCol)).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(path)
+
+  /** K2 (`bolt/bolt.go:398-419`): sorted top-K `key:count` lines, count
+    * descending with the deterministic key tie-break the reference lacks.
+    */
+  def writeTopK(counts: DataFrame, keyCol: String, cntCol: String, k: Int,
+                path: String): Unit =
+    counts.orderBy(col(cntCol).desc, col(keyCol).asc).limit(k)
+      .select(concat_ws(":", col(keyCol), col(cntCol)).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(path)
+
+  /** K3 (`bolt/bolt.go:522-541`): the nasalog report — per host, a
+    * `host:count` header line, each distinct route on its own line, then a
+    * `===` separator; hosts sorted, routes sorted within a host.
+    */
+  def writeHostReport(perHost: DataFrame, hostCol: String, cntCol: String,
+                      routesCol: String, path: String): Unit =
+    perHost.orderBy(hostCol)
+      .select(concat(
+        concat_ws(":", col(hostCol), col(cntCol)), lit("\n"),
+        array_join(sort_array(col(routesCol)), "\n"), lit("\n===")).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(path)
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Unit tests for the dedup family on tiny in-memory corpora with
+  * hand-computable expectations.
+  */
+class DedupSpec extends SparkTestBase {
+  import TestSpark.spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "a b c d e"),
+    (1L, "a b c d e"),          // exact duplicate of 0
+    (2L, "a b c d x"),          // near-dup of 0: shares shingles a_b_c, b_c_d
+    (3L, "z y x w v"),          // unrelated
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val out = Dedup.exact(corpus, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((0L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("exact dedup normalizes case and surrounding whitespace") {
+    val df = Seq((0L, "A b C"), (1L, "  a b c "), (2L, "a  b c")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").collect()
+    // 0 and 1 merge (lower+trim); 2 differs (inner double space survives)
+    assert(out.length == 2)
+    assert(out.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("jaccard pairs finds exact and near duplicates, never self-pairs") {
+    val out = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.3)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // docs 0,1: identical shingle sets -> jaccard 1.0
+    // docs 0,2 and 1,2: 2 common of 3+3-2=4 -> 0.5
+    assert(out.toSeq == Seq((0L, 1L, 1.0), (0L, 2L, 0.5), (1L, 2L, 0.5)))
+  }
+
+  test("jaccard respects the threshold") {
+    val out = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 1L)))
+  }
+
+  test("minhash signature is identical for identical shingle sets") {
+    val sig = Dedup.minHashSignature(corpus, "doc_id", "text", n = 3, k = 12)
+      .orderBy("id").collect()
+    val s0 = sig(0).toSeq.drop(1)
+    val s1 = sig(1).toSeq.drop(1)
+    assert(s0 == s1)                       // identical docs -> identical sigs
+    assert(sig(0).toSeq.drop(1) != sig(3).toSeq.drop(1))
+  }
+
+  test("minhash-LSH recovers exact duplicates and filters by verified jaccard") {
+    val out = Dedup.minHashDedup(corpus, "doc_id", "text",
+      n = 3, k = 12, rowsPerBand = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // identical docs always collide on every band; 0.9 threshold drops the 0.5 pairs
+    assert(out.toSeq == Seq((0L, 1L)))
+  }
+
+  test("simhash: identical docs equal, token order irrelevant, signature in 32 bits") {
+    val df = Seq((0L, "a b c"), (1L, "c b a"), (2L, "q r s t u v")).toDF("doc_id", "text")
+    val out = Dedup.simHash(df, "doc_id", "text").orderBy("id").collect()
+      .map(_.getLong(1))
+    assert(out(0) == out(1))               // bag-of-words: order-insensitive
+    assert(out(0) != out(2))
+    assert(out.forall(v => v >= 0 && v <= 0xFFFFFFFFL))
+  }
+
+  test("shingles guard: docs shorter than n yield empty array, not a crash") {
+    val df = Seq((0L, "a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val sh = df.select(TextAnalysis.shingles(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(0).isEmpty && sh(1) == Seq("a_b_c"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+  import TestSpark.spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // closest to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: aligned=1, orthogonal=0, opposite=-1") {
+    val a = array(lit(1.0), lit(0.0))
+    assert(Seq(1).toDF("x").select(Similarity.cosine(a, a)).head.getDouble(0) == 1.0)
+    val b = array(lit(0.0), lit(1.0))
+    assert(Seq(1).toDF("x").select(Similarity.cosine(a, b)).head.getDouble(0) == 0.0)
+    val c = array(lit(-1.0), lit(0.0))
+    assert(Seq(1).toDF("x").select(Similarity.cosine(a, c)).head.getDouble(0) == -1.0)
+  }
+
+  test("knnBrute ranks by cosine desc, excludes self, respects k") {
+    val out = Similarity.knnBrute(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 1L), (0L, 2L)))
+  }
+
+  test("knnBrute plans a broadcast join, not a shuffle of the corpus") {
+    val plan = Similarity.knnBrute(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("hyperplanes are deterministic ±1 and match the md5 derivation") {
+    val hp = Similarity.hyperplanes(2, 4)
+    assert(hp.map(_.toSeq).toSeq ==
+      Similarity.hyperplanes(2, 4).map(_.toSeq).toSeq)  // pure function of (p,d)
+    assert(hp.flatten.forall(v => v == 1.0 || v == -1.0))
+    // spot-check one cell against the documented rule: md5("0_0") first hex digit parity
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = f"${md.digest("0_0".getBytes("UTF-8"))(0)}%02x"
+    val expect = if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 1) 1.0 else -1.0
+    assert(hp(0)(0) == expect)
+  }
+
+  test("annTopK only pairs vectors in the same bucket and ranks within it") {
+    val out = Similarity.annTopK(vecs, vecs, "vec_id", "embedding",
+      k = 3, planes = 4, dim = 3)
+    val buckets = Similarity.annBuckets(vecs, "vec_id", "embedding", planes = 4, dim = 3)
+      .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.collect().foreach { r =>
+      assert(buckets(r.getLong(0)) == buckets(r.getLong(1)), "cross-bucket pair leaked")
+    }
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+  import TestSpark.spark.implicits._
+  import graft.operators.Multimodal
+
+  private val docs = Seq(
+    (0L, "hello world", "en", "src0", 11L),
+    (1L, "a" * 100, "en", "src0", 100L),
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("attachBinary produces binary payload with typed metadata") {
+    val m = Multimodal.attachBinary(docs)
+    assert(m.schema("data").dataType.typeName == "binary")
+    val r = m.orderBy("doc_id").collect()(0)
+    assert(new String(r.getAs[Array[Byte]]("data"), "UTF-8") == "hello world")
+  }
+
+  test("decodeFeatures computes byte-level features per partition") {
+    val out = Multimodal.mediaFeatures(spark, docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("size_bytes") == 11L)
+    assert(out(0).getAs[Int]("n_chunks") == 1)
+    assert(out(0).getAs[Long]("n_space") == 1L)
+    assert(out(1).getAs[Long]("size_bytes") == 100L)
+    assert(out(1).getAs[Int]("n_chunks") == 2)     // ceil(100/64)
+    // checksum equals md5 of the text bytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest("hello world".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(out(0).getAs[String]("checksum") == expect)
+  }
+
+  test("sampleFrames emits every stride-th 64-byte chunk with stable hashes") {
+    val media = Multimodal.attachBinary(docs)
+    val frames = Multimodal.sampleFrames(media, stride = 1)
+      .filter(col("doc_id") === 1).orderBy("frame_idx").collect()
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 1))
+    assert(frames.map(_.getString(2)).distinct.length == 2)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.sinks.Sinks
+
+/** Golden-file tests for the K1–K3 formatted sinks — exact expected file
+  * content, byte for byte (the determinism the reference's map-iteration
+  * output lacks).
+  */
+class SinksSpec extends SparkTestBase {
+  import TestSpark.spark.implicits._
+
+  private def readSingleText(path: String): String = {
+    val part = Files.list(Paths.get(path)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq match {
+      case Seq(p) => p
+      case ps => fail(s"expected exactly one part file, got $ps")
+    }
+    new String(Files.readAllBytes(part), "UTF-8")
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("out").toString
+
+  test("K1 wordcount sink: word:count lines sorted by word") {
+    val out = tmp("k1")
+    Sinks.writeWordCount(Seq(("be", 4L), ("or", 2L), ("not", 1L)).toDF("word", "cnt"),
+      "word", "cnt", out)
+    assert(readSingleText(out) == "be:4\nnot:1\nor:2\n")
+  }
+
+  test("K2 top-K sink: count desc, key tie-break, cut at K") {
+    val out = tmp("k2")
+    val counts = Seq(("u1", 5L), ("u3", 7L), ("u2", 5L), ("u4", 1L)).toDF("user", "cnt")
+    Sinks.writeTopK(counts, "user", "cnt", k = 3, out)
+    assert(readSingleText(out) == "u3:7\nu1:5\nu2:5\n")
+  }
+
+  test("K3 host report: header, sorted routes, === separator, hosts sorted") {
+    val out = tmp("k3")
+    val perHost = Seq(
+      ("hostB", 2L, Seq("hostB/x")),
+      ("hostA", 3L, Seq("hostA/b", "hostA/a")),
+    ).toDF("host", "cnt", "routes")
+    Sinks.writeHostReport(perHost, "host", "cnt", "routes", out)
+    assert(readSingleText(out) ==
+      "hostA:3\nhostA/a\nhostA/b\n===\nhostB:2\nhostB/x\n===\n")
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkTestBase {
+  import TestSpark.spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c).collect()(0).get(0).asInstanceOf[T]
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    assert(one[Int](TextAnalysis.tokenCount(col("t")), "a bb  ccc") == 3)
+    // "don't stop123!" -> don / ' / t / stop / 123 / !
+    assert(one[Int](TextAnalysis.bpeishTokenCount(col("t")), "don't stop123!") == 6)
+  }
+
+  test("shingles produce n-grams joined with underscores, distinct") {
+    val out = Seq("a b a b").toDF("t")
+      .select(TextAnalysis.shingles(col("t"), 2)).collect()(0).getSeq[String](0)
+    assert(out == Seq("a_b", "b_a"))
+  }
+
+  test("unique token ratio and quality score") {
+    assert(one[Double](TextAnalysis.uniqueTokenRatio(col("t")), "a a b b") == 0.5)
+    // 4 tokens -> length term 0.04*0.5; uniq 0.5*0.5 -> 0.27
+    assert(math.abs(one[Double](TextAnalysis.qualityScore(col("t")), "a a b b") - 0.27) < 1e-9)
+  }
+
+  test("language-ID picks the profile with the highest marker ratio") {
+    // 2 'de' markers (hash, merge) vs 1 'en' marker (the)
+    assert(one[String](TextAnalysis.predictedLang(col("t")), "hash merge the x") == "de")
+    // all-zero scores tie -> alphabetically first profile wins (de)
+    assert(one[String](TextAnalysis.predictedLang(col("t")), "qq ww") == "de")
+  }
+
+  test("fingerprints: md5 normalization and 60-bit numeric form") {
+    val fp = one[String](TextAnalysis.fingerprint(col("t")), "  Hello ")
+    assert(fp == one[String](TextAnalysis.fingerprint(col("t")), "hello"))
+    val fp64 = one[Long](TextAnalysis.fingerprint64(col("t")), "hello")
+    assert(fp64 > 0 && fp64.toHexString == fp.take(15).dropWhile(_ == '0'))
+  }
+
+  test("rolling fingerprint: min over char windows; short text falls back to full md5") {
+    val long = "abcdefghijklmnopqrstuvwxyz"
+    val rfp = one[String](TextAnalysis.rollingFingerprint(col("t"), 16), long)
+    // must equal the min of all 11 window md5s, computed independently
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = (0 to long.length - 16)
+      .map(i => md.digest(long.substring(i, i + 16).getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString).min
+    assert(rfp == expect)
+    val short = "tiny"
+    assert(one[String](TextAnalysis.rollingFingerprint(col("t"), 16), short) ==
+      md.digest(short.getBytes("UTF-8")).map(b => f"$b%02x").mkString)
+  }
+}
