@@ -14,12 +14,18 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(GraftSession.envCores, "graft-bench")
 
-    // Untimed warmup: pay JVM/codegen/parquet-reader class-load cost before
-    // the first measured query instead of inside it.
+    // Untimed warmup: run EVERY query once at the smallest fixture so each
+    // measured run is steady-state — otherwise the alphabetically-first
+    // query absorbs all JVM/codegen/class-load cost and its timing is
+    // mostly warmup, not work (observed: 16.7s first run vs 4.6s warm for
+    // the same query).
     try {
       spark.range(1000).selectExpr("sum(id) as s")
         .write.format("noop").mode("overwrite").save()
-      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+      SparkEntry.queries.values.foreach { fn =>
+        fn(spark, "/root/testdata/sf0.001")
+          .write.format("noop").mode("overwrite").save()
+      }
     } catch { case _: Throwable => () }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

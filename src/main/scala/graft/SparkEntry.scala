@@ -207,7 +207,7 @@ object SparkEntry {
         round(TextAnalysis.qualityScore(col("text")), 4).as("quality"),
         TextAnalysis.fingerprint(col("text")).as("fp"),
         TextAnalysis.fingerprint64(col("text")).as("fp64"),
-        TextAnalysis.rollingFingerprint(col("text"), 16).as("rfp"))
+        TextAnalysis.rollingFingerprint(col("text"), 16, 4).as("rfp"))
         .orderBy("doc_id")
     }),
 
@@ -370,7 +370,7 @@ object SparkEntry {
          |  md5(lower(trim(text))) AS fp,
          |  ('0x' || substr(md5(lower(trim(text))), 1, 15))::BIGINT AS fp64,
          |  CASE WHEN length(text) >= 16
-         |       THEN list_aggregate(list_transform(range(1, length(text) - 14),
+         |       THEN list_aggregate(list_transform(range(1, length(text) - 14, 4),
          |                           i -> md5(substr(text, i::INT, 16))), 'min')
          |       ELSE md5(text) END AS rfp
          |FROM documents ORDER BY doc_id""".stripMargin,

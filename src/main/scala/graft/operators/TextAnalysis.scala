@@ -39,8 +39,14 @@ object TextAnalysis {
     * tokens yield an empty array (guarded: Spark's `sequence(1, k)` with
     * k < 1 would produce a DESCENDING sequence, not an empty one).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** [[shingles]] over an already-tokenized array column — callers that
+    * need shingles more than once should project the token array first so
+    * the split happens one time (see [[graft.operators.Dedup]]).
+    */
+  def shinglesFromTokens(t: Column, n: Int): Column = {
     val hi = size(t) - (n - 1)
     when(hi >= 1,
       array_distinct(transform(sequence(lit(1), hi),
@@ -108,14 +114,18 @@ object TextAnalysis {
     conv(substring(md5(lower(trim(text))), 1, 15), 16, 10).cast("long")
 
   /** Winnowing-style rolling fingerprint: minimum md5 over the document's
-    * character w-grams. Two documents sharing any w-char run have a chance
-    * of colliding; the min-of-window form is the classic MOSS/winnowing
-    * selection rule reduced to one global window.
+    * character w-grams sampled every `stride` positions. Two documents
+    * sharing a long w-char run have a chance of colliding; the min-of-window
+    * form is the classic MOSS/winnowing selection rule reduced to one global
+    * window. `stride` trades collision sensitivity for hash count (stride 4
+    * hashes a quarter of the windows — measured 4× cheaper, and at 100 TB
+    * this is the dominant per-document cost of the text-stats pass).
     */
-  def rollingFingerprint(text: Column, w: Int = 16): Column = {
+  def rollingFingerprint(text: Column, w: Int = 16, stride: Int = 4): Column = {
     val hi = length(text) - (w - 1)
     when(hi >= 1,
-      array_min(transform(sequence(lit(1), hi), i => md5(text.substr(i, lit(w))))))
+      array_min(transform(sequence(lit(1), hi, lit(stride)),
+        i => md5(text.substr(i, lit(w))))))
       .otherwise(md5(text))
   }
 }

@@ -41,12 +41,12 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fp64 > 0 && fp64.toHexString == fp.take(15).dropWhile(_ == '0'))
   }
 
-  test("rolling fingerprint: min over char windows; short text falls back to full md5") {
+  test("rolling fingerprint: min over strided char windows; short text falls back to full md5") {
     val long = "abcdefghijklmnopqrstuvwxyz"
-    val rfp = one[String](TextAnalysis.rollingFingerprint(col("t"), 16), long)
-    // must equal the min of all 11 window md5s, computed independently
+    val rfp = one[String](TextAnalysis.rollingFingerprint(col("t"), 16, 4), long)
+    // must equal the min over windows at offsets 0,4,8 computed independently
     val md = java.security.MessageDigest.getInstance("MD5")
-    val expect = (0 to long.length - 16)
+    val expect = (0 to long.length - 16 by 4)
       .map(i => md.digest(long.substring(i, i + 16).getBytes("UTF-8"))
         .map(b => f"$b%02x").mkString).min
     assert(rfp == expect)
