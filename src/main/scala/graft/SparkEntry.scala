@@ -232,6 +232,25 @@ object SparkEntry {
     "q16_media_features" -> ((s, dir) => {
       Multimodal.mediaFeatures(s, Tables(s, dir).documents).orderBy("doc_id")
     }),
+
+    // Embedding-cosine near-dup over the whole corpus: sign-LSH buckets +
+    // SHUFFLE_HASH self-join + exact-cosine verification — the all-pairs
+    // problem bounded to |bucket|² work per bucket.
+    "q17_embed_dedup" -> ((s, dir) => {
+      Similarity.nearDupPairs(Tables(s, dir).embeddings, "vec_id", "embedding",
+        threshold = 0.35, planes = 8, dim = 64).orderBy("vec_a", "vec_b")
+    }),
+
+    // A5 hardened for scale: nasalog-style per-key route analysis with
+    // BOUNDED per-key output — exact distinct count + only the first 10
+    // sorted routes, instead of q3's unbounded collect_set string.
+    "q18_routes_capped" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      Relational.countAndDistinctCapped(
+        ev.filter(Relational.equalsFilter(col("event_type"), "click")),
+        key = "user_id", item = "props", cap = 10)
+        .orderBy("user_id")
+    }),
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names, same
@@ -384,6 +403,31 @@ object SparkEntry {
         |       md5(text) AS checksum,
         |       (length(text) - length(replace(text, ' ', '')))::BIGINT AS n_space
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q17_embed_dedup" ->
+      """WITH planes AS (
+        |  SELECT p, CAST(list_transform(range(0, 64), d ->
+        |           CASE WHEN ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1))::BIGINT % 2 = 1
+        |                THEN 1.0 ELSE -1.0 END) AS DOUBLE[]) AS w
+        |  FROM range(0, 8) t(p)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sig AS (SELECT e.vec_id, e.v,
+        |               sum(CASE WHEN list_dot_product(e.v, planes.w) > 0
+        |                        THEN (1::BIGINT << planes.p) ELSE 0 END)::BIGINT AS bucket
+        |        FROM e CROSS JOIN planes GROUP BY e.vec_id, e.v),
+        |s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |             list_dot_product(a.v, b.v) /
+        |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+        |      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(c, 4) AS cos FROM s WHERE c >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q18_routes_capped" ->
+      """SELECT user_id, count(*) AS cnt,
+        |       count(DISTINCT props) AS n_routes,
+        |       array_to_string(list_sort(list(DISTINCT props))[1:10], ',') AS routes_top
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 
   /** Distinct word-3-gram shingles per document, as DuckDB SQL — the oracle

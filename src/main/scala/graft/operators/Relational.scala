@@ -88,6 +88,38 @@ object Relational {
       count(lit(1)).as("cnt"),
       concat_ws(",", sort_array(collect_set(col(item)))).as("routes"))
 
+  /** A5 hardened for 100 TB (VERDICT round-1 #9): [[countAndDistinct]]'s
+    * unbounded per-key set is the scale hazard — a hot key builds a giant
+    * row. This variant bounds per-key state: exact distinct count (itself a
+    * shuffle-heavy but bounded agg) plus only the first `cap` distinct items
+    * in sorted order. Callers that need only cardinality at extreme scale
+    * should use [[approxDistinctPerKey]] (HLL sketch, constant state).
+    */
+  def countAndDistinctCapped(df: DataFrame, key: String, item: String,
+                             cap: Int = 10): DataFrame =
+    df.groupBy(key).agg(
+      count(lit(1)).as("cnt"),
+      countDistinct(col(item)).as("n_routes"),
+      concat_ws(",", slice(sort_array(collect_set(col(item))), 1, cap)).as("routes_top"))
+
+  /** A5 sketch variant: approximate distinct-count per key with constant
+    * per-key state (HyperLogLog++). Not oracle-comparable across engines
+    * (sketches differ) — accuracy is asserted in unit tests instead.
+    */
+  def approxDistinctPerKey(df: DataFrame, key: String, item: String,
+                           rsd: Double = 0.05): DataFrame =
+    df.groupBy(key).agg(
+      count(lit(1)).as("cnt"),
+      approx_count_distinct(col(item), rsd).as("approx_routes"))
+
+  /** S7 (`spout/spout.go:198-203`): explicit round-robin redistribution —
+    * Spark's RoundRobinPartitioning. The reference cycles tuples over boltc
+    * workers for load balance; here it rebalances skewed inputs before an
+    * expensive map-side stage (decode, shingling).
+    */
+  def roundRobin(df: DataFrame, partitions: Int): DataFrame =
+    df.repartition(partitions)
+
   // ---- Top-K (§2.5) -------------------------------------------------------
 
   /** T1+T2 (`bolt/bolt.go:398-440`): rank by count desc, cut at K, with the

@@ -88,6 +88,25 @@ object Similarity {
       .withColumn("bucket", signBucket(col("v"), hp))
   }
 
+  /** Embedding-cosine near-dup join over the WHOLE corpus: bucket every
+    * vector with sign-LSH, self-equi-join on the bucket (SHUFFLE_HASH — the
+    * bucket key is near-uniform by construction), verify candidates with
+    * exact cosine. The all-pairs problem becomes |bucket|²-bounded work per
+    * bucket: the embedding flavor of MinHash-LSH dedup, with the same
+    * recall-for-scale trade (only same-bucket near-dups are found).
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, planes: Int = 8, dim: Int = 64): DataFrame = {
+    val b = annBuckets(df, idCol, vecCol, planes, dim)
+    b.as("a")
+      .join(b.as("b").hint("SHUFFLE_HASH"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** LSH-accelerated top-k: candidates are same-bucket vectors only
     * (equi-join on bucket — never a cross join), ranked by exact cosine.
     * Lower recall than [[knnBrute]] by construction; that trade is the point.

@@ -20,9 +20,19 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object BoundedStream {
 
-  /** Unbounded text-line source over a directory (S1 as a stream). */
-  def textStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.text(dir).withColumnRenamed("value", "line")
+  /** Unbounded text-line source over a directory (S1 as a stream).
+    *
+    * `maxFilesPerTrigger` is the admission-control knob (S6): the reference
+    * rate-limits by sleeping 100µs per tuple (`spout/spout.go:294`); the
+    * Spark-native form caps how much input each micro-batch admits, which
+    * bounds batch latency and state-growth rate instead of throughput.
+    */
+  def textStream(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.text(dir).withColumnRenamed("value", "line")
+  }
 
   /** Run `transform` over a streaming frame to completion of all currently
     * available input (the END-marker analog), collecting results in an
