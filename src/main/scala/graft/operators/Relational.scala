@@ -112,6 +112,27 @@ object Relational {
       count(lit(1)).as("cnt"),
       approx_count_distinct(col(item), rsd).as("approx_routes"))
 
+  /** A5 under key skew: two-stage salted aggregation. Stage 1 groups by
+    * (key, salt) where the salt is derived from the ITEM's hash — so one hot
+    * key fans out over `salts` reducers, while each distinct item still
+    * lands on exactly one salt (sets stay disjoint; no re-dedup needed at
+    * merge). Stage 2 merges partials per key. Output is identical to
+    * [[countAndDistinct]] (tested); the plan trades one extra shuffle for
+    * bounded per-reducer state under a hot key — the standard 100 TB
+    * skew-mitigation shape when AQE's skew handling isn't enough.
+    */
+  def countAndDistinctSalted(df: DataFrame, key: String, item: String,
+                             salts: Int = 8): DataFrame = {
+    val partial = df
+      .withColumn("_salt", pmod(hash(col(item)), lit(salts)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("pcnt"), collect_set(col(item)).as("pset"))
+    partial.groupBy(key)
+      .agg(
+        sum("pcnt").as("cnt"),
+        concat_ws(",", sort_array(flatten(collect_list(col("pset"))))).as("routes"))
+  }
+
   /** S7 (`spout/spout.go:198-203`): explicit round-robin redistribution —
     * Spark's RoundRobinPartitioning. The reference cycles tuples over boltc
     * workers for load balance; here it rebalances skewed inputs before an

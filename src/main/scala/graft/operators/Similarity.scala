@@ -35,9 +35,19 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** Cosine similarity in double precision. */
+  /** Cosine similarity in double precision, composed from built-ins. Kept as
+    * the reference implementation; the operators below use the fused native
+    * expression [[graft.functions.CosineSim]], which computes the identical
+    * left-to-right double sums in one codegen'd array pass (tested equal).
+    */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** The codegen'd cosine ([[graft.functions.CosineSim]]); requires
+    * `CosineSim.ensureRegistered(spark)`, which each operator below does.
+    */
+  def cosineFast(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
 
   /** Exact top-k cosine neighbors of each query vector. The query side is
     * broadcast (it must be small — this is the baseline/verification
@@ -46,11 +56,12 @@ object Similarity {
     */
   def knnBrute(corpus: DataFrame, queries: DataFrame,
                idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.CosineSim.ensureRegistered(corpus.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosineFast(col("qv"), col("cv")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
@@ -97,11 +108,12 @@ object Similarity {
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, planes: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.CosineSim.ensureRegistered(df.sparkSession)
     val b = annBuckets(df, idCol, vecCol, planes, dim)
     b.as("a")
       .join(b.as("b").hint("SHUFFLE_HASH"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .withColumn("cos", cosineFast(col("a.v"), col("b.v")))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
         round(col("cos"), 4).as("cos"))
@@ -113,6 +125,7 @@ object Similarity {
     */
   def annTopK(df: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, planes: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.CosineSim.ensureRegistered(df.sparkSession)
     val all = annBuckets(df, idCol, vecCol, planes, dim)
     val q = queries.select(col(idCol).as("qid")).join(all, col("qid") === col("id"))
       .select(col("qid").as("query_id"), col("v").as("qv"), col("bucket"))
@@ -120,7 +133,7 @@ object Similarity {
     all.select(col("id").as("neighbor_id"), col("v").as("cv"), col("bucket"))
       .join(q, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosineFast(col("qv"), col("cv")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))

@@ -35,6 +35,18 @@ class CappedDistinctSpec extends SparkTestBase {
     }
   }
 
+  test("salted distinct-collect equals the unsalted aggregation exactly") {
+    val rnd = new scala.util.Random(7)
+    val big = (0 until 5000).map { _ =>
+      (s"h${rnd.nextInt(3)}", s"r${rnd.nextInt(40)}")   // hot keys, few items
+    }.toDF("host", "route")
+    val plain = Relational.countAndDistinct(big, "host", "route")
+      .orderBy("host").collect().map(_.toSeq)
+    val salted = Relational.countAndDistinctSalted(big, "host", "route", salts = 8)
+      .orderBy("host").collect().map(_.toSeq)
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("nearDupPairs finds same-bucket high-cosine pairs, excludes low-cosine") {
     // two near-identical vectors + one orthogonal
     val vecs = Seq(
