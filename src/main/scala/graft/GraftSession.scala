@@ -29,6 +29,10 @@ object GraftSession {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // Engine extensions: native functions land in every session built
+      // here (operators also self-register lazily, so foreign sessions —
+      // e.g. the driver's own — still work).
+      .withExtensions(graft.functions.GraftExtensions.inject)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

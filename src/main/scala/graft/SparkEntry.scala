@@ -447,9 +447,12 @@ object SparkEntry {
     */
   private def minHashOracle: String = {
     val k = 12; val rowsPerBand = 3; val bands = k / rowsPerBand
-    val sigCols = (0 until k).map(i => s"min(md5('$i:' || sg)) AS h$i").mkString(",\n    ")
+    val sigCols = Dedup.hashConsts(k).zipWithIndex.map { case ((a, b), i) =>
+      s"min((('0x' || substr(md5(sg), 1, 7))::BIGINT * $a + $b) % ${Dedup.HashP}) AS h$i"
+    }.mkString(",\n    ")
     val bandCases = (0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => s"h${b * rowsPerBand + r}").mkString(" || '|' || ")
+      val parts = (0 until rowsPerBand)
+        .map(r => s"h${b * rowsPerBand + r}::VARCHAR").mkString(" || '|' || ")
       s"WHEN $b THEN md5($parts)"
     }.mkString(" ")
     s"""WITH sh AS ($ShinglesCte),

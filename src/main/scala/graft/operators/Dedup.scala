@@ -79,10 +79,27 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** MinHash signature: k per-document minima of seeded shingle hashes,
-    * `h_i(doc) = min over shingles of md5("<i>:<shingle>")`. One exploded
-    * pass + one aggregation; the k mins ride the same shuffle. Hex-string
-    * min is a valid MinHash order (uniform over the md5 range).
+  /** Universal-hash family for MinHash: `h_i(x) = (a_i·x + b_i) mod P` over
+    * a 28-bit md5-derived base hash. One md5 per shingle instead of k — the
+    * md5 is the expensive part of signature computation — with the k
+    * permutations coming from integer arithmetic. Products stay < 2^56, so
+    * the same literals evaluate identically in Spark (Java long) and DuckDB
+    * (checked BIGINT). Constants are md5-derived in Scala and inlined into
+    * the oracle SQL, so both engines share them by construction.
+    */
+  private[graft] val HashP: Long = 2147483647L // 2^31 - 1 (prime)
+  private[graft] def hashConsts(k: Int): Seq[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def c28(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16)
+    }
+    (0 until k).map(i => (c28(s"a$i") | 1L, c28(s"b$i"))) // a odd ⇒ nonzero
+  }
+
+  /** MinHash signature: k per-document minima of universally-hashed
+    * shingles. One exploded pass + one aggregation; the k mins ride the
+    * same shuffle.
     */
   def minHashSignature(df: DataFrame, idCol: String, textCol: String,
                        n: Int, k: Int): DataFrame =
@@ -90,8 +107,12 @@ object Dedup {
 
   /** [[minHashSignature]] over a pre-built (id, sh) shingle frame. */
   private def signatureOf(sh: DataFrame, k: Int): DataFrame = {
+    val base = conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long")
     val inv = sh.select(col("id"), explode(col("sh")).as("s"))
-    val mins = (0 until k).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+      .select(col("id"), base.as("h"))
+    val mins = hashConsts(k).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % HashP).as(s"h$i")
+    }
     inv.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
