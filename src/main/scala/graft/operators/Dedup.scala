@@ -49,6 +49,18 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "fp", "n_copies")
 
+  /** Exact dedup for streams: keep the first occurrence of each key across
+    * micro-batches, with state BOUNDED by the watermark —
+    * `dropDuplicatesWithinWatermark` evicts a seen-key entry once the
+    * watermark passes its event time plus `delay`, so a forever-running
+    * ingest pipeline holds state only for the duplicate-arrival horizon
+    * (plain `dropDuplicates` on a stream would keep every key forever).
+    */
+  def streamingExact(df: DataFrame, eventTimeCol: String, delay: String,
+                     keyCols: Seq[String]): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Exact n-gram Jaccard similarity join via inverted index: explode each
     * document's distinct shingles, equi-join on the shingle (never a cross
     * join), count the intersection per pair, and derive
