@@ -251,6 +251,32 @@ object SparkEntry {
         key = "user_id", item = "props", cap = 10)
         .orderBy("user_id")
     }),
+
+    // Event-time tumbling windows (§2.7) in the correctness gate: daily
+    // count + revenue per event type. The nanos ts column becomes a
+    // timestamp via integer `div` (a double division would lose precision
+    // at 1.7e18 nanos); window('1 day') aligns to epoch days under the UTC
+    // session.
+    "q19_event_windows" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      ev.select(timestamp_seconds(expr("ts div 1000000000")).as("t"),
+          col("event_type"), col("value"))
+        .groupBy(window(col("t"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+        .select(col("w.start").cast("long").as("day_start"), col("event_type"),
+          col("cnt"), col("total"))
+        .orderBy("day_start", "event_type")
+    }),
+
+    // IVF ANN (the inverted-file scale path, complementary to q13's LSH):
+    // deterministic sampled codebook, map-side cell assignment (no corpus
+    // shuffle), probe 2 cells per query, exact-cosine rank within cells.
+    "q20_ivf_ann" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 3, nprobe = 2, centStep = 25)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+    }),
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names, same
@@ -428,6 +454,44 @@ object SparkEntry {
         |       array_to_string(list_sort(list(DISTINCT props))[1:10], ',') AS routes_top
         |FROM events WHERE event_type = 'click'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // DuckDB reads the nanos parquet column as TIMESTAMP (micros); epoch_us
+    // floors the same instant, so second-level floor equals Spark's
+    // `ts div 1e9` on the raw nanos.
+    "q19_event_windows" ->
+      """SELECT (epoch_us(ts) // 1000000) // 86400 * 86400 AS day_start,
+        |       event_type, count(*) AS cnt, round(sum(value), 2) AS total
+        |FROM events
+        |GROUP BY day_start, event_type
+        |ORDER BY day_start, event_type""".stripMargin,
+
+    "q20_ivf_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+        |asg AS (SELECT id, v, cell FROM (
+        |    SELECT e.vec_id AS id, e.v, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, c.cv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS rk
+        |    FROM e CROSS JOIN cents c) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |probes AS (SELECT query_id, qv, cell FROM (
+        |    SELECT q.query_id, q.qv, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |             list_dot_product(q.qv, c.cv) /
+        |             (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS prk
+        |    FROM q CROSS JOIN cents c) WHERE prk <= 2),
+        |s AS (SELECT p.query_id, a.id AS neighbor_id,
+        |             list_dot_product(p.qv, a.v) /
+        |             (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS c
+        |      FROM probes p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.id),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+        |      FROM s)
+        |SELECT query_id, neighbor_id, round(c, 4) AS cos FROM r WHERE rk <= 3
+        |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
   )
 
   /** Distinct word-3-gram shingles per document, as DuckDB SQL — the oracle

@@ -119,6 +119,69 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** IVF-style coarse quantizer: centroids are the vectors whose id is a
+    * multiple of `centStep` (a deterministic sample — a trained k-means
+    * codebook would slot in identically), collected to the driver (the
+    * codebook is a model: tiny, broadcast by value). Each corpus vector is
+    * assigned MAP-SIDE to its highest-cosine centroid via an array of
+    * codegen'd cosine expressions — `array_position(arr, array_max(arr))`
+    * gives first-max, i.e. ties break toward the lower centroid index — so
+    * assignment adds NO shuffle of the corpus.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroids: Seq[(Long, Array[Double])]): DataFrame = {
+    graft.functions.CosineSim.ensureRegistered(df.sparkSession)
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val cosArr = array(centroids.map { case (_, cv) =>
+      cosineFast(col("v"), array(cv.map(lit): _*))
+    }: _*)
+    val cellIds = array(centroids.map { case (cid, _) => lit(cid) }: _*)
+    v.withColumn("carr", cosArr)
+      .withColumn("cell", element_at(cellIds, array_position(col("carr"), array_max(col("carr"))).cast("int")))
+      .select(col("id"), col("v"), col("cell"))
+  }
+
+  /** The deterministic codebook: every `centStep`-th vector. */
+  def sampleCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      centStep: Int): Seq[(Long, Array[Double])] =
+    df.filter(col(idCol) % centStep === 0)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+
+  /** IVF top-k: probe the `nprobe` highest-cosine cells per query, rank
+    * same-cell candidates by exact cosine. Corpus work: one map-side
+    * assignment pass + an equi-join on the cell id — the inverted-file
+    * shape, complementary to the sign-LSH variant ([[annTopK]]).
+    */
+  def ivfTopK(df: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nprobe: Int = 2, centStep: Int = 25): DataFrame = {
+    graft.functions.CosineSim.ensureRegistered(df.sparkSession)
+    val cents = sampleCentroids(df, idCol, vecCol, centStep)
+    val assigned = ivfAssign(df, idCol, vecCol, cents)
+    val centDf = {
+      val sp = df.sparkSession
+      import sp.implicits._
+      cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("pcos").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("pcos", cosineFast(col("qv"), col("cv")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid").as("cell"))
+    val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned.select(col("id").as("neighbor_id"), col("v"), col("cell"))
+      .join(broadcast(probes), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineFast(col("qv"), col("v")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** LSH-accelerated top-k: candidates are same-bucket vectors only
     * (equi-join on bucket — never a cross join), ranked by exact cosine.
     * Lower recall than [[knnBrute]] by construction; that trade is the point.

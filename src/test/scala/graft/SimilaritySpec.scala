@@ -46,6 +46,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(hp(0)(0) == expect)
   }
 
+  test("ivfTopK: map-side cell assignment, probed cells only, exact rank within") {
+    // 8 vectors, centroids at ids 0 and 4 (centStep=4): two clean clusters
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.1f)), (2L, Array(0.98f, 0.2f)),
+      (3L, Array(0.97f, 0.3f)),
+      (4L, Array(0.0f, 1.0f)), (5L, Array(0.1f, 0.99f)), (6L, Array(0.2f, 0.98f)),
+      (7L, Array(0.3f, 0.97f)),
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.sampleCentroids(vs, "vec_id", "embedding", 4)
+    assert(cents.map(_._1) == Seq(0L, 4L))
+    val assigned = Similarity.ivfAssign(vs, "vec_id", "embedding", cents)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 4L))
+    // with nprobe=2 both cells are probed -> exact top-2 for query 0
+    val out = Similarity.ivfTopK(vs, vs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 2, nprobe = 2, centStep = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 1L), (0L, 2L)))
+  }
+
   test("annTopK only pairs vectors in the same bucket and ranks within it") {
     val out = Similarity.annTopK(vecs, vecs, "vec_id", "embedding",
       k = 3, planes = 4, dim = 3)
