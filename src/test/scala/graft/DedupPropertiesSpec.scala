@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Randomized (seeded) equivalence properties for the dedup family: the
+  * distributed operators vs an in-memory Scala reference computation on
+  * generated corpora — the merge-correctness evidence unit examples can't
+  * give.
+  */
+class DedupPropertiesSpec extends SparkTestBase {
+  import TestSpark.spark.implicits._
+
+  private def corpus(seed: Int, docs: Int, vocab: Int, len: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until docs).map { i =>
+      val base = (0 until len).map(_ => s"w${rnd.nextInt(vocab)}").mkString(" ")
+      (i.toLong, base)
+    }
+  }
+
+  private def shinglesOf(text: String, n: Int): Set[String] =
+    text.split(" ").sliding(n).filter(_.length == n).map(_.mkString("_")).toSet
+
+  private def bruteJaccard(docs: Seq[(Long, String)], n: Int, t: Double): Set[(Long, Long)] = {
+    val sh = docs.map { case (id, s) => id -> shinglesOf(s, n) }.filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      inter = (sa intersect sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= t
+    } yield (a, b)).toSet
+  }
+
+  test("jaccardPairs equals the in-memory reference on random corpora (5 seeded trials)") {
+    for (seed <- 1 to 5) {
+      val docs = corpus(seed, docs = 60, vocab = 12, len = 15)
+      val expect = bruteJaccard(docs, n = 3, t = 0.2)
+      val got = Dedup.jaccardPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, threshold = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expect, s"seed $seed: got ${got.size}, expected ${expect.size}")
+    }
+  }
+
+  test("minHashDedup output is a subset of exact pairs and catches all exact duplicates") {
+    for (seed <- 1 to 3) {
+      val base = corpus(seed, docs = 40, vocab = 10, len = 20)
+      // plant exact duplicates: ids 1000+ are copies of the first 5 docs
+      val docs = base ++ base.take(5).map { case (id, s) => (id + 1000, s) }
+      val exact = bruteJaccard(docs, n = 3, t = 0.3)
+      val lsh = Dedup.minHashDedup(docs.toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, k = 12, rowsPerBand = 3, threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lsh.subsetOf(exact), s"seed $seed: LSH produced a non-exact pair")
+      base.take(5).foreach { case (id, _) =>
+        assert(lsh.contains((id, id + 1000)),
+          s"seed $seed: exact duplicate ($id,${id + 1000}) missed — identical docs always band-collide")
+      }
+    }
+  }
+
+  test("simhash of near-identical docs is closer in hamming distance than random docs") {
+    val rnd = new scala.util.Random(11)
+    val a = (0 until 60).map(_ => s"w${rnd.nextInt(15)}").mkString(" ")
+    val nearA = a.split(" ").updated(3, "CHANGED").mkString(" ")  // 1 of 60 tokens
+    val other = (0 until 60).map(_ => s"x${rnd.nextInt(15)}").mkString(" ")
+    val sigs = Dedup.simHash(
+      Seq((0L, a), (1L, nearA), (2L, other)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .orderBy("id").collect().map(_.getLong(1))
+    def hamming(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(sigs(0), sigs(1)) < hamming(sigs(0), sigs(2)),
+      s"near-dup hamming ${hamming(sigs(0), sigs(1))} !< unrelated ${hamming(sigs(0), sigs(2))}")
+  }
+}
