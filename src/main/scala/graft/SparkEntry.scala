@@ -277,6 +277,17 @@ object SparkEntry {
         k = 3, nprobe = 2, centStep = 25)
         .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
     }),
+
+    // Prefix-filtered Jaccard join (SSJoin): provably lossless candidate
+    // pruning — indexes only each document's canonical-order prefix
+    // (|S|-⌈t·|S|⌉+1 elements), then verifies candidates on full sets with
+    // the codegen'd two-pointer intersection. Run at its design point, a
+    // HIGH threshold (0.6 ⇒ 40% prefix ⇒ ~6× fewer candidate pairs);
+    // ground truth is the same brute-force oracle shape as q9.
+    "q21_jaccard_prefix" -> ((s, dir) => {
+      Dedup.jaccardPairsPrefix(Tables(s, dir).documents, "doc_id", "text",
+        n = 3, threshold = 0.6).orderBy("doc_a", "doc_b")
+    }),
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names, same
@@ -365,6 +376,18 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q10_minhash_lsh" -> minHashOracle,
+
+    // Brute-force ground truth at 0.6 — the prefix filter must not change
+    // the output.
+    "q21_jaccard_prefix" ->
+      s"""WITH sh AS ($ShinglesCte)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       round(len(list_intersect(a.s, b.s)) /
+         |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s)) /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q11_simhash" -> simHashOracle,
 

@@ -23,5 +23,9 @@ object GraftExtensions {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_common"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_common"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1))))
   }
 }

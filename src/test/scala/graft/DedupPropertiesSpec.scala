@@ -42,6 +42,19 @@ class DedupPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("prefix-filtered jaccard equals unfiltered jaccard exactly (lossless pruning)") {
+    for (seed <- 1 to 5) {
+      val docs = corpus(seed, docs = 60, vocab = 12, len = 15)
+      val full = Dedup.jaccardPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, threshold = 0.25)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pruned = Dedup.jaccardPairsPrefix(docs.toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, threshold = 0.25)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pruned == full, s"seed $seed: prefix filter changed the output")
+    }
+  }
+
   test("minHashDedup output is a subset of exact pairs and catches all exact duplicates") {
     for (seed <- 1 to 3) {
       val base = corpus(seed, docs = 40, vocab = 10, len = 20)
