@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   * Determinism contract: all hashing is `md5` over explicit strings —
   * reproducible bit-for-bit by the DuckDB oracle (`md5()` is identical), so
   * even the *approximate* operators hash-match the correctness gate.
+  *
+  * Cache lifecycle: the similarity joins persist their shingle frame (it
+  * feeds 2-3 plan branches and Catalyst does not reuse non-exchange
+  * subtrees). The returned frames are lazy, so the operators cannot
+  * unpersist themselves; callers running many pipelines in one session
+  * should `spark.catalog.clearCache()` between runs (Bench/Verify do).
   */
 object Dedup {
 
@@ -95,36 +101,59 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** [[jaccardPairs]] with PREFIX FILTERING (Chaudhuri/Bayardo SSJoin):
-    * sort each document's shingles in one global canonical order (md5 — a
-    * uniform stand-in for the rare-first document-frequency order), and
-    * index only the first `|S| - ⌈t·|S|⌉ + 1` shingles. Any pair with
-    * Jaccard ≥ t has overlap ≥ ⌈t·max(|A|,|B|)⌉, which cannot fit entirely
-    * outside both prefixes — so candidate generation over prefixes loses
-    * nothing, while the inverted index (and its join) shrinks by ~t of its
-    * rows and the candidate pair count quadratically with it. Candidates
-    * are then verified on the FULL shingle sets; output is identical to
-    * [[jaccardPairs]] (same ground-truth oracle, property-tested equal).
+  /** [[jaccardPairs]] with PREFIX FILTERING (Chaudhuri/Bayardo SSJoin, plus
+    * PPJoin's length and position filters), NUMERIC end-to-end: every shingle
+    * is hashed ONCE to a 60-bit long (first 15 md5 hex digits — the same
+    * `fp64` rule as [[TextAnalysis.fingerprint64]]), and everything
+    * downstream — canonical sort, prefix slice, inverted-index join,
+    * verification intersect — operates on 8-byte longs, never the shingle
+    * strings (the round-4 fat-string form shuffled 32+ decoration bytes per
+    * element and was slower than the unfiltered join).
+    *
+    * Candidate pruning, all lossless for Jaccard ≥ t:
+    *  - prefix: index only the first `|S| - ⌈t·|S|⌉ + 1` shingles in the
+    *    global hash order — a qualifying pair shares at least one prefix
+    *    element;
+    *  - length: J(A,B) ≤ min/max of the set sizes, so require
+    *    `t·|A| ≤ |B| ∧ t·|B| ≤ |A|` inside the join;
+    *  - position: a match at prefix positions (i, j) caps the overlap at
+    *    `1 + min(|A|-1-i, |B|-1-j)`, which must reach the equivalent-overlap
+    *    bound `⌈t/(1+t)·(|A|+|B|)⌉`; for the FIRST shared element this cap is
+    *    exact-from-above, so dropping rows that fail it never drops a
+    *    qualifying pair.
+    * Duplicate candidates collapse in a count aggregate (a pair can match at
+    * most prefix-length times), not a `distinct()` over a wider row.
+    *
+    * Hash note: distinct shingles collide in 60 bits with probability
+    * ~|S|²/2⁶¹ per document (≪1e-12 at realistic shingle counts); a
+    * collision would undercount one pair's union size. Output is otherwise
+    * identical to [[jaccardPairs]] (same ground-truth oracle,
+    * property-tested equal).
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.3): DataFrame = {
     val sh = shingleFrame(df, idCol, textCol, n).filter(size(col("sh")) > 0)
+      .select(col("id"), array_sort(transform(col("sh"),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // decorate-sort-undecorate: one md5 per element, then the default
-    // string sort — a comparator lambda would recompute md5 per COMPARISON
-    // (measured 8× slower). md5 hex is 32 chars, so the original shingle
-    // starts at position 34 of "md5:shingle".
-    val keyed = array_sort(transform(col("sh"), s => concat_ws(":", md5(s), s)))
     val prefixLen = (size(col("sh")) - ceil(size(col("sh")) * threshold) + 1).cast("int")
     val prefixes = sh
-      .select(col("id"),
-        explode(slice(keyed, lit(1), prefixLen)).as("ks"))
-      .select(col("id"), col("ks").substr(lit(34), length(col("ks"))).as("s"))
+      .select(col("id"), size(col("sh")).as("nsh"),
+        posexplode(slice(col("sh"), lit(1), prefixLen)).as(Seq("pos", "h")))
+    // Equivalent-overlap bound: |A∩B| ≥ t/(1+t)·(|A|+|B|) ⇔ J ≥ t.
+    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("a.nsh") + col("b.nsh")))
     val cand = prefixes.as("a")
       .join(prefixes.as("b").hint("SHUFFLE_HASH"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          // length filter: size ratio below t can't reach Jaccard t
+          col("a.nsh") * threshold <= col("b.nsh") &&
+          col("b.nsh") * threshold <= col("a.nsh") &&
+          // position filter: suffix lengths after this match must allow α
+          lit(1) + least(col("a.nsh") - 1 - col("a.pos"),
+            col("b.nsh") - 1 - col("b.pos")) >= alpha)
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("n_matches"))
+      .select("doc_a", "doc_b")
     verifyPairs(cand, sh, threshold)
   }
 
@@ -216,8 +245,11 @@ object Dedup {
     // The shingle frame feeds three plan branches (signature + both sides
     // of the verification join); persist it so shingling runs once — the
     // same materialize-the-shingles step a 100 TB run would make explicit
-    // (persist here, a checkpointed table there). Freed by the context
-    // cleaner once the plan's RDDs are collected.
+    // (persist here, a checkpointed table there). NOTE: CacheManager holds
+    // the InMemoryRelation until an explicit unpersist, and this operator
+    // returns a LAZY frame, so it cannot unpersist before the caller's
+    // action; long-lived sessions should call `spark.catalog.clearCache()`
+    // between pipeline runs (Bench/Verify do).
     val sh = shingleFrame(df, idCol, textCol, n).filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(signatureOf(sh, k), k, rowsPerBand)
