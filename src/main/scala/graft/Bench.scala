@@ -8,39 +8,68 @@ package graft
   * sink evaluates every output column of every row (full pipeline cost) and
   * discards the bytes — the closest local analog of writing to a real sink.
   * A query that throws is reported in an `"errors"` map, NOT as a timing.
+  *
+  * Timing protocol (this box shows ±2× run-to-run variance on single runs):
+  *  - an untimed warmup of every query at the smallest fixture first, so no
+  *    measured run pays JVM/codegen/class-load cost;
+  *  - then `Runs` timed executions per query, reporting the MEDIAN in
+  *    `queries` (what the driver reads) plus per-query min/max spread;
+  *  - `spark.catalog.clearCache()` between executions, so every run re-does
+  *    its own persist work instead of reading a previous run's cache.
   */
 object Bench {
+  private val Runs = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(GraftSession.envCores, "graft-bench")
 
-    // Untimed warmup: run EVERY query once at the smallest fixture so each
-    // measured run is steady-state — otherwise the alphabetically-first
-    // query absorbs all JVM/codegen/class-load cost and its timing is
-    // mostly warmup, not work (observed: 16.7s first run vs 4.6s warm for
-    // the same query).
-    try {
-      spark.range(1000).selectExpr("sum(id) as s")
+    // Warmup fixture: the smallest sibling of the configured dir if present
+    // (warmup should be cheap), else the configured dir itself.
+    val warmDir = {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
+      if (sibling.isDirectory) sibling.getPath else sfDir
+    }
+    def runOnce(name: String, dir: String): Unit = {
+      SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      SparkEntry.queries.values.foreach { fn =>
-        fn(spark, "/root/testdata/sf0.001")
-          .write.format("noop").mode("overwrite").save()
-      }
-    } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Per-query try/catch: one broken query must not skip warmup for the
+    // rest (its real error is reported from the timed run below).
+    names.foreach { name =>
+      try runOnce(name, warmDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name skipped: ${e.getMessage}")
+      }
+    }
+
+    val medians = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val spreads = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.take(1).mkString.take(200)
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      var failed = false
+      (1 to Runs).foreach { _ =>
+        if (!failed) {
+          val t0 = System.nanoTime()
+          try {
+            runOnce(name, sfDir)
+            times += (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              failed = true
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.take(1).mkString.take(200)
+          }
+        }
+      }
+      if (!failed) {
+        val s = times.sorted
+        medians(name) = s(s.length / 2)
+        spreads(name) = (s.head, s.last)
       }
     }
 
@@ -50,10 +79,12 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val qs = medians.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val mins = spreads.map { case (k, (lo, _)) => s"${jstr(k)}:$lo" }.mkString("{", ",", "}")
+    val maxs = spreads.map { case (k, (_, hi)) => s"${jstr(k)}:$hi" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"failed":${errors.size},"sf":${jstr(sfDir)}}""")
+    val total = medians.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"queries_min":$mins,"queries_max":$maxs,"errors":$es,"failed":${errors.size},"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   *    at 100 TB *when the query set is small*; it is linear in corpus size.
   *  - [[annBuckets]] reduces each vector to a b-bit sign signature against
   *    fixed hyperplanes; candidate generation becomes an equi-join on the
-  *    bucket id — sublinear work per query at the cost of recall. Multi-probe
-  *    (flipping signature bits) would recover recall without rescanning.
+  *    bucket id — sublinear work per query at the cost of recall. Multi-probe (the
+  *    `probes` knob on [[annTopK]]: also search Hamming-1-neighbor buckets)
+  *    buys recall back without rescanning or re-indexing the corpus.
   *
   * All arithmetic is done in DOUBLE (inputs cast up from float) with
   * left-to-right array folds, so the DuckDB oracle — same cast, same fold —
@@ -53,15 +54,29 @@ object Similarity {
     * broadcast (it must be small — this is the baseline/verification
     * operator); the corpus is scanned once. Self-pairs excluded. Output:
     * (query_id, neighbor_id, cos rounded to 4dp), deterministic order.
+    *
+    * Ranking is TWO-STAGE so no task ever holds a query's full candidate
+    * set: a first `row_number` over (query_id, scan-partition id) keeps k
+    * per partition — cutting the candidate stream from |corpus| rows per
+    * query to #partitions × k — and only those survivors reach the final
+    * per-query window. Top-k of the union of per-partition top-k's is the
+    * global top-k (any row with global rank ≤ k has partition rank ≤ k),
+    * and the order key (cos desc, neighbor_id asc) is total, so the result
+    * is deterministic and identical to the single-window form.
     */
   def knnBrute(corpus: DataFrame, queries: DataFrame,
                idCol: String, vecCol: String, k: Int): DataFrame = {
     graft.functions.CosineSim.ensureRegistered(corpus.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    val wPart = Window.partitionBy("query_id", "scan_pid")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosineFast(col("qv"), col("cv")))
+      .withColumn("scan_pid", spark_partition_id())
+      .withColumn("prk", row_number().over(wPart))
+      .filter(col("prk") <= k)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
@@ -130,6 +145,7 @@ object Similarity {
     */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 centroids: Seq[(Long, Array[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "ivfAssign needs at least one centroid")
     graft.functions.CosineSim.ensureRegistered(df.sparkSession)
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val cosArr = array(centroids.map { case (_, cv) =>
@@ -141,14 +157,29 @@ object Similarity {
       .select(col("id"), col("v"), col("cell"))
   }
 
-  /** The deterministic codebook: every `centStep`-th vector. */
+  /** The deterministic codebook: every `centStep`-th vector, CAPPED at
+    * `maxCentroids` (lowest ids win — `orderBy` + `limit` plans as
+    * TakeOrderedAndProject, so only the cap ever reaches the driver). The
+    * cap is what keeps the codebook a *model*: driver memory and the
+    * per-row assignment cost are bounded by `maxCentroids · dim` no matter
+    * how large the corpus grows — without it a 100× corpus would collect
+    * 100× more vectors. Throws on an empty codebook (no id divisible by
+    * `centStep`) rather than silently assigning every vector a null cell.
+    */
   def sampleCentroids(df: DataFrame, idCol: String, vecCol: String,
-                      centStep: Int): Seq[(Long, Array[Double])] =
-    df.filter(col(idCol) % centStep === 0)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+                      centStep: Int, maxCentroids: Int = 4096): Seq[(Long, Array[Double])] = {
+    val cents = df.filter(col(idCol) % centStep === 0)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).cast("array<double>"))
+      .orderBy("cid")
+      .limit(maxCentroids)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1).toSeq
+      .toSeq
+    require(cents.nonEmpty,
+      s"IVF codebook is empty: no $idCol divisible by $centStep — " +
+        "lower centStep or check the id column")
+    cents
+  }
 
   /** IVF top-k: probe the `nprobe` highest-cosine cells per query, rank
     * same-cell candidates by exact cosine. Corpus work: one map-side
@@ -156,9 +187,10 @@ object Similarity {
     * shape, complementary to the sign-LSH variant ([[annTopK]]).
     */
   def ivfTopK(df: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nprobe: Int = 2, centStep: Int = 25): DataFrame = {
+              k: Int, nprobe: Int = 2, centStep: Int = 25,
+              maxCentroids: Int = 4096): DataFrame = {
     graft.functions.CosineSim.ensureRegistered(df.sparkSession)
-    val cents = sampleCentroids(df, idCol, vecCol, centStep)
+    val cents = sampleCentroids(df, idCol, vecCol, centStep, maxCentroids)
     val assigned = ivfAssign(df, idCol, vecCol, cents)
     val centDf = {
       val sp = df.sparkSession
@@ -184,14 +216,32 @@ object Similarity {
 
   /** LSH-accelerated top-k: candidates are same-bucket vectors only
     * (equi-join on bucket — never a cross join), ranked by exact cosine.
-    * Lower recall than [[knnBrute]] by construction; that trade is the point.
+    * Lower recall than [[knnBrute]] by construction; that trade is the
+    * point, and `probes` is the recall knob: with `probes = p > 0` each
+    * query ALSO searches the p Hamming-nearest buckets (signature with one
+    * bit flipped, lowest planes first) — the standard multi-probe LSH
+    * recovery, p+1× the candidate work for strictly-no-worse recall,
+    * without touching the corpus-side index. A vector lives in exactly one
+    * bucket, so probe fan-out never duplicates a candidate pair.
+    *
+    * Queries are bucketed from their OWN vectors (like [[knnBrute]] uses
+    * the query frame's vectors) — the query frame does not need to be a
+    * subset of the corpus. The final window's input is bounded by bucket
+    * size (×probes), so no partial top-k stage is needed here.
     */
   def annTopK(df: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, planes: Int = 8, dim: Int = 64): DataFrame = {
+              k: Int, planes: Int = 8, dim: Int = 64, probes: Int = 0): DataFrame = {
     graft.functions.CosineSim.ensureRegistered(df.sparkSession)
+    require(probes >= 0 && probes <= planes, s"probes must be in [0, $planes]")
     val all = annBuckets(df, idCol, vecCol, planes, dim)
-    val q = queries.select(col(idCol).as("qid")).join(all, col("qid") === col("id"))
-      .select(col("qid").as("query_id"), col("v").as("qv"), col("bucket"))
+    val qb = annBuckets(queries, idCol, vecCol, planes, dim)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val probeArr = array((0 to probes).map {
+      case 0 => col("bucket")
+      case p => col("bucket").bitwiseXOR(lit(1L << (p - 1)))
+    }: _*)
+    val q = qb.select(col("query_id"), col("qv"),
+      explode(probeArr).as("bucket"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     all.select(col("id").as("neighbor_id"), col("v").as("cv"), col("bucket"))
       .join(q, "bucket")

@@ -49,6 +49,22 @@ class CosineSimSpec extends SparkTestBase {
     df.collect().foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("mismatched array lengths yield NULL, same as the composed form") {
+    CosineSim.ensureRegistered(spark)
+    // codegen path: range source keeps the projection compiled
+    val df = spark.range(1, 4)
+      .select(
+        transform(sequence(lit(0), lit(7)), i => (col("id") + i).cast("double")).as("v"),
+        transform(sequence(lit(0), lit(5)), i => (col("id") + i).cast("double")).as("w"))
+      .select(
+        Similarity.cosine(col("v"), col("w")).as("hof"),
+        Similarity.cosineFast(col("v"), col("w")).as("native"))
+    df.collect().foreach { r =>
+      assert(r.isNullAt(0), "composed cosine should be null on length mismatch")
+      assert(r.isNullAt(1), "native cosine should be null on length mismatch")
+    }
+  }
+
   test("interpreted eval path (nullSafeEval) matches as well") {
     val a = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1.0, 2.0, 3.0))
     val b = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(3.0, 2.0, 1.0))

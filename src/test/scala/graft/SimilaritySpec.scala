@@ -76,6 +76,78 @@ class SimilaritySpec extends SparkTestBase {
       assert(buckets(r.getLong(0)) == buckets(r.getLong(1)), "cross-bucket pair leaked")
     }
   }
+
+  test("IVF codebook size is bounded by maxCentroids regardless of corpus size") {
+    def corpus(n: Int) = (0 until n).map(i =>
+      (i.toLong, Array.fill(4)((i % 7).toFloat + 1))).toDF("vec_id", "embedding")
+    val small = Similarity.sampleCentroids(corpus(200), "vec_id", "embedding",
+      centStep = 5, maxCentroids = 8)
+    val doubled = Similarity.sampleCentroids(corpus(400), "vec_id", "embedding",
+      centStep = 5, maxCentroids = 8)
+    assert(small.size == 8 && doubled.size == 8,
+      "codebook must stay at the cap when the corpus doubles")
+    // deterministic: lowest qualifying ids, in order
+    assert(small.map(_._1) == doubled.map(_._1))
+    assert(small.map(_._1) == Seq(0L, 5L, 10L, 15L, 20L, 25L, 30L, 35L))
+  }
+
+  test("empty IVF codebook raises instead of silently returning nothing") {
+    val vs = Seq((1L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.sampleCentroids(vs, "vec_id", "embedding", centStep = 2)
+    }
+    assert(e.getMessage.contains("codebook is empty"))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAssign(vs, "vec_id", "embedding", Seq.empty)
+    }
+  }
+
+  test("knnBrute two-stage ranking equals a single global ranking") {
+    val rnd = new scala.util.Random(3)
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+      .repartition(8) // several scan partitions so the partial stage matters
+    val queries = corpus.filter(col("vec_id") < 5)
+    val got = Similarity.knnBrute(corpus, queries, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // reference: exact top-4 per query computed in memory
+    val vs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expect = (0L until 5L).flatMap { q =>
+      vs.keys.filter(_ != q).toSeq
+        .map(n => (q, n, cos(vs(q), vs(n))))
+        .sortBy { case (_, n, c) => (-c, n) }
+        .take(4)
+        .map { case (a, b, c) => (a, b, math.rint(c * 10000) / 10000) }
+    }.toSet
+    assert(got.toSet == expect)
+  }
+
+  test("multi-probe LSH improves recall@k over single-probe (measured vs exact)") {
+    val rnd = new scala.util.Random(17)
+    val corpus = (0 until 400).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 20)
+    val k = 5
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.knnBrute(corpus, queries, "vec_id", "embedding", k))
+    val single = pairs(Similarity.annTopK(corpus, queries, "vec_id", "embedding",
+      k, planes = 8, dim = 16, probes = 0))
+    val multi = pairs(Similarity.annTopK(corpus, queries, "vec_id", "embedding",
+      k, planes = 8, dim = 16, probes = 8))
+    def recall(got: Set[(Long, Long)]): Double =
+      (got intersect exact).size.toDouble / exact.size
+    val (r1, rp) = (recall(single), recall(multi))
+    info(f"recall@$k single-probe=$r1%.3f multi-probe(8)=$rp%.3f (exact=${exact.size} pairs)")
+    assert(multi.size >= single.size, "multi-probe must not shrink the candidate pool")
+    assert(rp > r1, f"multi-probe recall $rp%.3f must beat single-probe $r1%.3f")
+    assert(rp <= 1.0 && r1 > 0.0)
+  }
 }
 
 class MultimodalSpec extends SparkTestBase {
