@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis, Windowed}
 import graft.sources.{CsvSource, LogLines}
+import graft.streaming.BoundedStream
 
 /** Driver contract — every implemented operator from SURVEY.md §2 (plus the
   * LLM-data-pipeline extensions) is declared here as a named query over the
@@ -253,16 +254,17 @@ object SparkEntry {
     }),
 
     // Event-time tumbling windows (§2.7) in the correctness gate: daily
-    // count + revenue per event type. The nanos ts column becomes a
-    // timestamp via integer `div` (a double division would lose precision
-    // at 1.7e18 nanos); window('1 day') aligns to epoch days under the UTC
-    // session.
+    // count + revenue per event type, through the library operator
+    // (`Windowed.tumblingAgg` — the same code path the streaming tests
+    // exercise). The nanos ts column becomes a timestamp via integer `div`
+    // (a double division would lose precision at 1.7e18 nanos);
+    // window('1 day') aligns to epoch days under the UTC session.
     "q19_event_windows" -> ((s, dir) => {
       val ev = Tables(s, dir).events
-      ev.select(timestamp_seconds(expr("ts div 1000000000")).as("t"),
+        .select(timestamp_seconds(expr("ts div 1000000000")).as("t"),
           col("event_type"), col("value"))
-        .groupBy(window(col("t"), "1 day").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+      Windowed.tumblingAgg(ev, "t", "event_type", "1 day", "1 hour",
+          Seq(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total")))
         .select(col("w.start").cast("long").as("day_start"), col("event_type"),
           col("cnt"), col("total"))
         .orderBy("day_start", "event_type")
@@ -288,7 +290,58 @@ object SparkEntry {
       Dedup.jaccardPairsPrefix(Tables(s, dir).documents, "doc_id", "text",
         n = 3, threshold = 0.6).orderBy("doc_a", "doc_b")
     }),
+
+    // Gap-based sessionization (the behavioral-analytics operator the
+    // reference's nasalog "sessions" app gestures at): per-user sessions
+    // that close 24h after their last event. The oracle derives the same
+    // sessions with lag + a cumulative gap-count — the classic SQL islands
+    // construction — proving session_window's merge semantics.
+    "q22_sessions" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(timestamp_seconds(expr("ts div 1000000000")).as("t"),
+          col("user_id"), col("value"))
+      Windowed.sessionize(ev, "t", "user_id", "24 hours", "1 hour",
+          Seq(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total")))
+        .select(col("w.start").cast("long").as("session_start"),
+          col("w.end").cast("long").as("session_end"),
+          col("user_id"), col("n_events"), col("total"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // §2.8 under the oracle hash: the q1 wordcount pipeline executed as a
+    // BOUNDED STREAM — AvailableNow over the same parquet, complete-mode
+    // memory sink — must produce the identical frame the batch plan does.
+    // This puts the streaming runtime itself (source offsets, state store,
+    // final-state emission) inside the correctness gate, not just ScalaTest.
+    "q23_stream_parity" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      // the fixture table is a single parquet FILE; the file stream source
+      // needs a directory-rooted listing, so address it via a glob (the
+      // source then treats the parent dir as the stream root)
+      val src = s.readStream.schema(schema).parquet(s"$dir/documents*.parquet")
+      val name = s"q23_sink_${StreamRunSeq.incrementAndGet()}"
+      val ckpt = java.nio.file.Files.createTempDirectory("q23-ckpt").toString
+      BoundedStream.runAvailableNow(s, src,
+        df => Relational.wordCount(df, "text"), ckpt, name)
+        .orderBy("word")
+    }),
+
+    // Multi-probe LSH ANN: same index as q13, but each query also searches
+    // its 2 Hamming-nearest buckets — the recall knob, gated against a
+    // DuckDB oracle that probes the identical XOR'd buckets.
+    "q24_ann_multiprobe" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.annTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 3, planes = 8, dim = 64, probes = 2)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+    }),
   )
+
+  /** Monotonic suffix for streaming-query names/sinks — a query function can
+    * run several times in one session (bench warmup + 3 timed runs) and
+    * memory-sink names must not collide.
+    */
+  private val StreamRunSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** DuckDB-equivalent SQL per query (same tables, same column names, same
     * ordering) — the driver hash-compares values after sorting columns by
@@ -487,6 +540,63 @@ object SparkEntry {
         |FROM events
         |GROUP BY day_start, event_type
         |ORDER BY day_start, event_type""".stripMargin,
+
+    // Sessions as SQL islands: a session break is a gap ≥ 24h (session_window
+    // merges while the gap is STRICTLY under the duration), sessions are
+    // numbered by a cumulative break-count, and each closes 24h after its
+    // last event.
+    "q22_sessions" ->
+      """WITH e AS (SELECT user_id, (epoch_us(ts) // 1000000) AS sec, value FROM events),
+        |x AS (SELECT user_id, sec, value,
+        |        CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
+        |               OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) >= 86400
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT user_id, sec, value,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM x)
+        |SELECT min(sec) AS session_start, max(sec) + 86400 AS session_end,
+        |       user_id, count(*) AS n_events, round(sum(value), 2) AS total
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // Same ground truth as q1 — the streaming execution must not change it.
+    "q23_stream_parity" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |      FROM documents
+        |      WHERE NOT (length(string_split(text, ' ')[1]) > 8
+        |                 AND (string_split(text, ' ')[1] LIKE 'http%'
+        |                      OR string_split(text, ' ')[1] LIKE '2008%')))
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    // q13's oracle with the probe fan-out: each query searches its own
+    // bucket plus the two Hamming-1 buckets (bits 0 and 1 flipped).
+    "q24_ann_multiprobe" ->
+      """WITH planes AS (
+        |  SELECT p, CAST(list_transform(range(0, 64), d ->
+        |           CASE WHEN ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1))::BIGINT % 2 = 1
+        |                THEN 1.0 ELSE -1.0 END) AS DOUBLE[]) AS w
+        |  FROM range(0, 8) t(p)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sig AS (SELECT e.vec_id, e.v,
+        |               sum(CASE WHEN list_dot_product(e.v, planes.w) > 0
+        |                        THEN (1::BIGINT << planes.p) ELSE 0 END)::BIGINT AS bucket
+        |        FROM e CROSS JOIN planes GROUP BY e.vec_id, e.v),
+        |q AS (SELECT vec_id AS query_id, v AS qv,
+        |             unnest([bucket, xor(bucket, 1), xor(bucket, 2)]) AS bucket
+        |      FROM sig WHERE vec_id < 20),
+        |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |             list_dot_product(q.qv, c.v) /
+        |             (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS c
+        |      FROM q JOIN sig c ON q.bucket = c.bucket AND q.query_id <> c.vec_id),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+        |      FROM s)
+        |SELECT query_id, neighbor_id, round(c, 4) AS cos FROM r WHERE rk <= 3
+        |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
 
     "q20_ivf_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-time windowed aggregation with watermarking (SURVEY §2.7/§2.8).
@@ -19,15 +19,40 @@ import org.apache.spark.sql.functions._
   */
 object Windowed {
 
+  /** Generic event-time tumbling-window aggregation: any agg columns over
+    * (window, key), watermarked when streaming. The window struct stays in
+    * the output as `w` (start/end) for the caller to project.
+    */
+  def tumblingAgg(df: DataFrame, tsCol: String, keyCol: String,
+                  width: String, delay: String, aggs: Seq[Column]): DataFrame = {
+    val src = if (df.isStreaming) df.withWatermark(tsCol, delay) else df
+    src.groupBy(window(col(tsCol), width).as("w"), col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Tumbling-window count per key: one row per (window, key) with bounded
     * streaming state (watermark `delay` behind max observed event time).
     */
   def tumblingCount(df: DataFrame, tsCol: String, keyCol: String,
-                    width: String, delay: String): DataFrame = {
+                    width: String, delay: String): DataFrame =
+    tumblingAgg(df, tsCol, keyCol, width, delay, Seq(count(lit(1)).as("cnt")))
+      .select(col("w.start").as("w_start"), col(keyCol), col("cnt"))
+
+  /** GAP-BASED SESSION WINDOWS: events for one key merge into a session
+    * while each arrives within `gap` of the previous one; the session closes
+    * `gap` after its last event (so `w.end = last event + gap`). Built on
+    * `session_window`, Spark's native dynamic-gap window: in streaming,
+    * state for a session is dropped once the watermark passes its end —
+    * bounded state for a forever-running behavioral stream, where the
+    * per-key map the reference keeps (`bolt/bolt.go:28-34`) would grow
+    * without bound. On a batch frame the same expression is an ordinary
+    * grouping (the oracle twin is lag + cumulative gap-count).
+    */
+  def sessionize(df: DataFrame, tsCol: String, keyCol: String,
+                 gap: String, delay: String, aggs: Seq[Column]): DataFrame = {
     val src = if (df.isStreaming) df.withWatermark(tsCol, delay) else df
-    src.groupBy(window(col(tsCol), width).as("w"), col(keyCol))
-      .count()
-      .select(col("w.start").as("w_start"), col(keyCol), col("count").as("cnt"))
+    src.groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Sliding-window sum of a numeric column per key. */

@@ -74,6 +74,59 @@ class WindowedSpec extends SparkTestBase {
       ("2026-01-01 10:10:00.0", 4.0)))
   }
 
+  test("session windows merge within the gap, close gap after the last event") {
+    // gap 5 min: a = {10:00,10:01} then {10:11}; b = {10:02},{10:12},{10:21}
+    val out = Windowed.sessionize(events.toDF("ts", "k", "v"), "ts", "k",
+      gap = "5 minutes", delay = "5 minutes",
+      Seq(count(lit(1)).as("n"), sum("v").as("sv")))
+      .select(col("w.start"), col("w.end"), col("k"), col("n"), col("sv"))
+      .orderBy("k", "w.start")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+        r.getString(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("2026-01-01 10:00:00.0", "2026-01-01 10:06:00.0", "a", 2L, 3.0),
+      ("2026-01-01 10:11:00.0", "2026-01-01 10:16:00.0", "a", 1L, 4.0),
+      ("2026-01-01 10:02:00.0", "2026-01-01 10:07:00.0", "b", 1L, 3.0),
+      ("2026-01-01 10:12:00.0", "2026-01-01 10:17:00.0", "b", 1L, 5.0),
+      ("2026-01-01 10:21:00.0", "2026-01-01 10:26:00.0", "b", 1L, 6.0)))
+  }
+
+  test("streaming sessionization equals the batch result once the watermark passes") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    // sentinel far in the future pushes the watermark past every real
+    // session so append mode finalizes them all
+    val sentinel = (Timestamp.valueOf("2026-01-01 23:00:00"), "zzz", 0.0)
+    val agg = Windowed.sessionize(
+      mem.toDF().toDF("ts", "k", "v"), "ts", "k", "5 minutes", "1 minute",
+      Seq(count(lit(1)).as("n"), sum("v").as("sv")))
+      .select(col("w.start").as("w_start"), col("k"), col("n"), col("sv"))
+    val q = agg.writeStream.format("memory").queryName("sess_eq")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("sess-ckpt").toString)
+      .start()
+    mem.addData(events.take(3))
+    q.processAllAvailable()
+    mem.addData(events.drop(3) :+ sentinel)
+    q.processAllAvailable()
+    // one more empty-ish commit so the watermark from the sentinel batch evicts
+    mem.addData(Seq.empty[(Timestamp, String, Double)])
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sess_eq").filter(col("k") =!= "zzz")
+      .orderBy("k", "w_start")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = Windowed.sessionize(events.toDF("ts", "k", "v"), "ts", "k",
+      "5 minutes", "1 minute", Seq(count(lit(1)).as("n"), sum("v").as("sv")))
+      .select(col("w.start").as("w_start"), col("k"), col("n"), col("sv"))
+      .orderBy("k", "w_start")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq == batch.toSeq && batch.nonEmpty)
+  }
+
   test("S6: maxFilesPerTrigger bounds each micro-batch; all input still drains") {
     val in = Files.createTempDirectory("rate-in").toString
     (0 until 4).foreach { i =>
