@@ -39,6 +39,36 @@ class StatefulSpec extends SparkTestBase {
     assert(latest == Map("a" -> 5L, "b" -> 1L, "c" -> 5L))
   }
 
+  test("transformWithState running counts fold across micro-batches (RocksDB store)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(Stateful.TransformWithStateConf._1)
+    spark.conf.set(Stateful.TransformWithStateConf._1, Stateful.TransformWithStateConf._2)
+    try {
+      val mem = MemoryStream[(String, Long)]
+      val q = Stateful.runningCountsTWS(mem.toDS())
+        .writeStream.format("memory").queryName("rc_tws")
+        .outputMode(Stateful.RunningCountsMode)
+        .option("checkpointLocation", Files.createTempDirectory("rctws-ckpt").toString)
+        .start()
+      mem.addData(("a", 2L), ("b", 1L))
+      q.processAllAvailable()
+      assert(spark.table("rc_tws").as[(String, Long)].collect().toMap ==
+        Map("a" -> 2L, "b" -> 1L))
+      mem.addData(("a", 3L), ("c", 5L))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("rc_tws").as[(String, Long)].collect()
+      val latest = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, vs) => k -> vs.maxBy(_._2)._1._2 }
+      assert(latest == Map("a" -> 5L, "b" -> 1L, "c" -> 5L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(Stateful.TransformWithStateConf._1, v)
+        case None => spark.conf.unset(Stateful.TransformWithStateConf._1)
+      }
+    }
+  }
+
   test("running counts work on a batch Dataset too (single fold)") {
     val out = Stateful.runningCounts(
       Seq(("x", 1L), ("x", 4L), ("y", 2L)).toDS())
