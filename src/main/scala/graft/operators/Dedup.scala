@@ -44,11 +44,25 @@ object Dedup {
   private def shingleFrame(df: DataFrame, idCol: String, textCol: String,
                            n: Int): DataFrame =
     df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("t"))
-      // sorted ONCE per document (vectorized) so pair verification can use
-      // the codegen'd two-pointer graft_common instead of per-pair
-      // array_intersect hash sets; sets are unchanged, only element order
-      .select(col("id"),
-        array_sort(TextAnalysis.shinglesFromTokens(col("t"), n)).as("sh"))
+      .select(col("id"), TextAnalysis.shinglesFromTokens(col("t"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** [[shingleFrame]] with every shingle hashed ONCE to a 60-bit long
+    * (first 15 md5 hex digits — [[TextAnalysis.fingerprint64]]'s rule) and
+    * the array sorted ascending. This is the frame the similarity joins run
+    * on: the inverted index explodes 8-byte longs instead of shingle
+    * strings, pair verification two-pointer-merges long arrays
+    * (`graft_common`'s long overload), and the MinHash base hash is the top
+    * 28 bits of the same value (`h >> 32` ≡ parsing the first 7 md5 hex
+    * digits) — one md5 per shingle pays for candidate generation AND
+    * verification. Distinct shingles collide in 60 bits with probability
+    * ~|S|²/2⁶¹ per document; a collision undercounts one union size by one.
+    */
+  private def hashedShingleFrame(df: DataFrame, idCol: String, textCol: String,
+                                 n: Int): DataFrame =
+    shingleFrame(df, idCol, textCol, n)
+      .select(col("id"), array_sort(transform(col("sh"),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("sh"))
 
   /** Exact dedup: group documents by normalized-content fingerprint, keep
     * the minimum id as the canonical representative. Output one row per
@@ -79,7 +93,7 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val sh = shingleFrame(df, idCol, textCol, n).filter(size(col("sh")) > 0)
+    val sh = shingleFrame(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.select(col("id"), size(col("sh")).as("nsh"))
     val inv = sh.select(col("id"), explode(col("sh")).as("s"))
@@ -132,9 +146,7 @@ object Dedup {
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val sh = shingleFrame(df, idCol, textCol, n).filter(size(col("sh")) > 0)
-      .select(col("id"), array_sort(transform(col("sh"),
-        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("sh"))
+    val sh = hashedShingleFrame(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixLen = (size(col("sh")) - ceil(size(col("sh")) * threshold) + 1).cast("int")
     val prefixes = sh
@@ -198,13 +210,16 @@ object Dedup {
     */
   def minHashSignature(df: DataFrame, idCol: String, textCol: String,
                        n: Int, k: Int): DataFrame =
-    signatureOf(shingleFrame(df, idCol, textCol, n), k)
+    signatureOfHashed(hashedShingleFrame(df, idCol, textCol, n), k)
 
-  /** [[minHashSignature]] over a pre-built (id, sh) shingle frame. */
-  private def signatureOf(sh: DataFrame, k: Int): DataFrame = {
-    val base = conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long")
-    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), base.as("h"))
+  /** [[minHashSignature]] over a pre-built HASHED (id, sh: array<long>)
+    * shingle frame: the 28-bit base hash is the top bits of the 60-bit
+    * element (`>> 32` ≡ `conv(substr(md5(shingle),1,7),16,10)` — the rule
+    * the oracle evaluates in SQL), so no second md5 pass is needed.
+    */
+  private def signatureOfHashed(shl: DataFrame, k: Int): DataFrame = {
+    val inv = shl.select(col("id"), explode(col("sh")).as("h64"))
+      .select(col("id"), shiftright(col("h64"), 32).as("h"))
     val mins = hashConsts(k).zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % HashP).as(s"h$i")
     }
@@ -242,17 +257,17 @@ object Dedup {
   def minHashDedup(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 12, rowsPerBand: Int = 3,
                    threshold: Double = 0.3): DataFrame = {
-    // The shingle frame feeds three plan branches (signature + both sides
-    // of the verification join); persist it so shingling runs once — the
-    // same materialize-the-shingles step a 100 TB run would make explicit
-    // (persist here, a checkpointed table there). NOTE: CacheManager holds
-    // the InMemoryRelation until an explicit unpersist, and this operator
-    // returns a LAZY frame, so it cannot unpersist before the caller's
-    // action; long-lived sessions should call `spark.catalog.clearCache()`
-    // between pipeline runs (Bench/Verify do).
-    val sh = shingleFrame(df, idCol, textCol, n).filter(size(col("sh")) > 0)
+    // The HASHED shingle frame feeds three plan branches (signature + both
+    // sides of the verification join); persist it so shingling+hashing run
+    // once — the same materialize-the-shingles step a 100 TB run would make
+    // explicit (persist here, a checkpointed table there). NOTE:
+    // CacheManager holds the InMemoryRelation until an explicit unpersist,
+    // and this operator returns a LAZY frame, so it cannot unpersist before
+    // the caller's action; long-lived sessions should call
+    // `spark.catalog.clearCache()` between pipeline runs (Bench/Verify do).
+    val sh = hashedShingleFrame(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = lshCandidates(signatureOf(sh, k), k, rowsPerBand)
+    val cand = lshCandidates(signatureOfHashed(sh, k), k, rowsPerBand)
     verifyPairs(cand, sh, threshold)
   }
 
