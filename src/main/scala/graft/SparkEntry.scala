@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis, Windowed}
+import graft.operators.{Dedup, Multimodal, Relational, Sampling, Similarity, TextAnalysis, Windowed}
 import graft.sources.{CsvSource, LogLines}
 import graft.streaming.BoundedStream
 
@@ -335,6 +335,30 @@ object SparkEntry {
         k = 3, planes = 8, dim = 64, probes = 2)
         .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
     }),
+
+    // Duplicate-GROUP resolution: near-dup PAIRS (q9's join) → connected
+    // components → one canonical keep-id per duplicate cluster. The Spark
+    // side iterates min-label propagation with pointer jumping; the oracle
+    // is a recursive-CTE transitive closure — completely different
+    // algorithms, same fixpoint.
+    "q25_dedup_groups" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(Tables(s, dir).documents, "doc_id", "text",
+        n = 3, threshold = 0.3)
+      Dedup.canonicalIds(pairs, "doc_a", "doc_b").orderBy("doc_id")
+    }),
+
+    // Deterministic train/val/test split: assignment is a pure md5-bucket
+    // function of doc_id (reproducible across runs/engines — rerunning a
+    // pipeline must never move a document from test into train). Gate
+    // compares per-split count + id range + id checksum.
+    "q26_hash_split" -> ((s, dir) => {
+      Sampling.hashSplit(Tables(s, dir).documents, "doc_id",
+          trainPct = 80, valPct = 10)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"), sum("doc_id").as("id_sum"))
+        .orderBy("split")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -597,6 +621,37 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, neighbor_id, round(c, 4) AS cos FROM r WHERE rk <= 3
         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+    // Connected components as a recursive transitive closure over the q9
+    // pair graph: canon(u) = min(u, every node reachable from u).
+    "q25_dedup_groups" ->
+      s"""WITH RECURSIVE sh AS ($ShinglesCte),
+         |pairs AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s)) /
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3),
+         |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS doc_id, least(u, min(v)) AS canon_id
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // sum(BIGINT) is HUGEINT in DuckDB — cast back so schemas agree.
+    "q26_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+        |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |             CASE WHEN bucket < 80 THEN 'train'
+        |                  WHEN bucket < 90 THEN 'val'
+        |                  ELSE 'test' END AS split
+        |      FROM b)
+        |SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |       sum(doc_id)::BIGINT AS id_sum
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
     "q20_ivf_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -271,6 +271,65 @@ object Dedup {
     verifyPairs(cand, sh, threshold)
   }
 
+  /** Duplicate-GROUP resolution: the similarity joins emit PAIRS, but a
+    * dedup pipeline needs each document mapped to ONE canonical
+    * representative — i.e. connected components over the near-dup graph
+    * (A≈B, B≈C ⇒ {A,B,C} keep min id), which no single join can express.
+    *
+    * Distributed min-label propagation with POINTER JUMPING: each round
+    * takes the min label over {self} ∪ neighbors (one hop), then replaces
+    * every label with its label's label (one jump). The jump halves the
+    * label-forest depth per round, so convergence is O(log diameter)
+    * rounds, not O(diameter) — a 10⁶-long duplicate chain resolves in ~20
+    * rounds. Each round is two shuffles on node/label; `localCheckpoint`
+    * truncates lineage per round (a 100 TB run would use reliable
+    * `checkpoint` to survive executor loss mid-iteration). Termination is
+    * an exact changed-label count — one cheap action per round.
+    *
+    * Input: (aCol, bCol) pair frame. Output: (doc_id, canon_id) for every
+    * document that appears in a pair, canon_id = min id of its component.
+    * Documents with no near-dup are absent (they keep themselves).
+    */
+  def canonicalIds(pairs: DataFrame, aCol: String = "doc_a",
+                   bCol: String = "doc_b", maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    // symmetric closure PLUS self-loops: the self-loop makes the one-hop
+    // aggregation below take min over {self} ∪ neighbors in a single join —
+    // no per-iteration union (unioning a checkpointed frame with a frame
+    // derived from it trips constraint rewriting in Spark 4.1)
+    val nodes = edges.select(col("u")).union(edges.select(col("v")))
+      .distinct().select(col("u").as("node"))
+    val sym = edges
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .union(nodes.select(col("node").as("u"), col("node").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val hop = sym
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .select(col("u").as("node"), col("label"))
+        .groupBy("node").agg(min("label").as("label"))
+      // pointer jump: label := label(label) — labels only decrease, and
+      // every label is itself a node, so the self-join always resolves
+      val jumped = hop.as("x")
+        .join(hop.select(col("node").as("jn"), col("label").as("jl")).as("y"),
+          col("x.label") === col("jn"), "left")
+        .select(col("x.node").as("node"),
+          coalesce(col("jl"), col("x.label")).as("label"))
+        .localCheckpoint(true)
+      changed = jumped.as("n")
+        .join(labels.select(col("node"), col("label").as("old")).as("o"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = jumped
+      iter += 1
+    }
+    sym.unpersist(false)
+    labels.select(col("node").as("doc_id"), col("label").as("canon_id"))
+  }
+
   /** SimHash: 32-bit locality-sensitive signature. Each token votes ±1 on
     * every bit of its 32-bit hash (first 8 md5 hex chars); the signature
     * sets bit b iff the bit-b vote sum is positive. One explode + one

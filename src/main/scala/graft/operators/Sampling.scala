@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting for training-data pipelines: every
+  * assignment is a pure function of the row's id (md5 bucket), so splits
+  * are REPRODUCIBLE across runs, engines, and re-orderings of the input —
+  * the property a training pipeline needs (re-running the pipeline must
+  * not move a document from test into train) and an RNG-based
+  * `randomSplit` cannot give. Map-side only: zero shuffle at any scale.
+  *
+  * The bucket rule is the engine-portable md5 idiom (the DuckDB oracle
+  * evaluates the identical expression): first 15 md5 hex digits of the id
+  * string, base-16, mod 100 — uniform over [0,100) for any id type.
+  */
+object Sampling {
+
+  /** Percentile bucket in [0,100) derived from the id column. */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") % 100
+
+  /** Train/val/test assignment: `trainPct`% → "train", next `valPct`% →
+    * "val", rest → "test", decided by [[hashBucket]].
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split: train=$trainPct% val=$valPct%")
+    val b = hashBucket(col(idCol))
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Deterministic ~`pct`% sample: keep rows whose bucket falls under
+    * `pct`. Unlike `df.sample`, membership is stable across runs and
+    * growing datasets (a row's fate never changes as neighbors arrive).
+    */
+  def deterministicSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.filter(hashBucket(col(idCol)) < pct)
+
+  /** Per-stratum deterministic sampling: `pcts` maps stratum value →
+    * keep-percentage (strata not in the map are dropped). The per-row
+    * decision is still a pure function of the id — one map-side pass, no
+    * shuffle, no `sampleBy` RNG.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       pcts: Map[String, Int]): DataFrame = {
+    val b = hashBucket(col(idCol))
+    val keep = pcts.foldLeft(lit(false)) { case (acc, (stratum, pct)) =>
+      acc || (col(strataCol) === stratum && b < pct)
+    }
+    df.filter(keep)
+  }
+}

@@ -72,6 +72,38 @@ class DedupPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("canonicalIds equals in-memory union-find on random graphs (5 seeded trials)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 120
+      val edges = (0 until 90).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // in-memory union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expect = nodes.map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.canonicalIds(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"seed $seed: components differ")
+    }
+  }
+
+  test("canonicalIds resolves a long chain (pointer jumping, not O(diameter))") {
+    // a 200-link path: one-hop-only propagation would need 200 rounds and
+    // hit the 50-round cap; pointer jumping must converge well within it
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val got = Dedup.canonicalIds(chain.toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 201 && got.forall(_._2 == 0L),
+      "every node of the chain must resolve to the minimum id")
+  }
+
   test("simhash of near-identical docs is closer in hamming distance than random docs") {
     val rnd = new scala.util.Random(11)
     val a = (0 until 60).map(_ => s"w${rnd.nextInt(15)}").mkString(" ")

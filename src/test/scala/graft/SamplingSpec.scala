@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Deterministic splits/samples: pure functions of the id — stable across
+  * runs, re-orderings, and dataset growth (the training-pipeline contract
+  * `randomSplit` can't give).
+  */
+class SamplingSpec extends SparkTestBase {
+  import TestSpark.spark.implicits._
+
+  private val ids = (0L until 2000L).toDF("id")
+
+  test("hashSplit is exhaustive, disjoint, and roughly proportioned") {
+    val counts = Sampling.hashSplit(ids, "id", trainPct = 80, valPct = 10)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // md5 buckets are uniform; at n=2000 allow generous tolerance
+    assert(counts("train") > 1500 && counts("train") < 1700, counts.toString)
+    assert(counts("val") > 120 && counts("val") < 280, counts.toString)
+  }
+
+  test("assignment is stable under re-partitioning and row order") {
+    val a = Sampling.hashSplit(ids, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.hashSplit(ids.repartition(13).orderBy(col("id").desc), "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("a row's fate never changes when the dataset grows") {
+    val small = Sampling.deterministicSample(ids.filter(col("id") < 500), "id", 20)
+      .collect().map(_.getLong(0)).toSet
+    val large = Sampling.deterministicSample(ids, "id", 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(small == large.filter(_ < 500))
+  }
+
+  test("stratifiedSample keeps pct per stratum and drops unknown strata") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 50, "de" -> 10))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("en") > 200 && out("en") < 300, out.toString)   // ~250 of 500
+    assert(out("de") > 20 && out("de") < 80, out.toString)     // ~50 of 500
+    val none = Sampling.stratifiedSample(df, "id", "lang", Map("fr" -> 100))
+    assert(none.count() == 0)
+  }
+
+  test("split is map-side only: no Exchange in the plan") {
+    val plan = Sampling.hashSplit(ids, "id").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
