@@ -41,6 +41,11 @@ object GraftSession {
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // long-lived sessions run many queries in one JVM; shuffle files and
+      // broadcast blocks are reclaimed by the ContextCleaner only when the
+      // driver GCs, so trigger one periodically (default is 30min — far
+      // too lazy for a bench/pipeline session that submits hundreds of jobs)
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
