@@ -347,6 +347,15 @@ object SparkEntry {
       Dedup.canonicalIds(pairs, "doc_a", "doc_b").orderBy("doc_id")
     }),
 
+    // TF-IDF top-3 terms per document: corpus statistics (document
+    // frequency, corpus size) joined back into per-row scoring — smoothed
+    // idf, deterministic tie-break, double arithmetic shared with the
+    // oracle bit-for-bit.
+    "q27_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTerms(Tables(s, dir).documents, "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+    }),
+
     // Deterministic train/val/test split: assignment is a pure md5-bucket
     // function of doc_id (reproducible across runs/engines — rerunning a
     // pipeline must never move a document from test into train). Gate
@@ -638,6 +647,22 @@ object SparkEntry {
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS doc_id, least(u, min(v)) AS canon_id
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    "q27_tfidf" ->
+      """WITH tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |t AS (SELECT doc_id, term FROM tt WHERE term <> ''),
+        |pd AS (SELECT doc_id, term, count(*) AS cnt FROM t GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, sum(cnt)::BIGINT AS ntok FROM pd GROUP BY doc_id),
+        |dfq AS (SELECT term, count(*) AS df FROM pd GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT pd.doc_id, pd.term,
+        |             (pd.cnt / dl.ntok) * ln((n.n_docs + 1.0) / (dfq.df + 1)) AS tfidf
+        |      FROM pd JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        |      FROM s)
+        |SELECT doc_id, term, round(tfidf, 6) AS tfidf FROM r WHERE rk <= 3
+        |ORDER BY doc_id, tfidf DESC, term""".stripMargin,
 
     // sum(BIGINT) is HUGEINT in DuckDB — cast back so schemas agree.
     "q26_hash_split" ->

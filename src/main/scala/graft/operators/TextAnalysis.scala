@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operator library for LLM-training-data pipelines: token
@@ -112,6 +113,42 @@ object TextAnalysis {
     */
   def fingerprint64(text: Column): Column =
     conv(substring(md5(lower(trim(text))), 1, 15), 16, 10).cast("long")
+
+  /** TF-IDF top-k terms per document — the corpus-statistic + per-row
+    * scoring pattern (term salience for quality filtering / keyword
+    * extraction). Three aggregations that all shuffle on bounded keys:
+    * per-(doc,term) counts, per-doc token totals, per-term document
+    * frequency; the corpus size is the single scalar pulled to the driver
+    * (one count — a constant, not data). Smoothed IDF `ln((N+1)/(df+1))`;
+    * ties broken by term ascending, so output order is total. All
+    * arithmetic is double division + libm `ln` — bit-reproducible by the
+    * DuckDB oracle.
+    *
+    * Scale: the (doc,term) frame is the corpus token multiset deduplicated
+    * per doc — the same order of magnitude as the tokenized corpus, all
+    * map-side combined; the top-k window partitions by doc_id with at most
+    * distinct-terms-per-doc rows each, never a corpus-wide partition.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val n = df.count() // corpus size for IDF smoothing (scalar, driver-safe)
+    val terms = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val perDoc = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docLen = perDoc.groupBy("doc_id").agg(sum("cnt").as("ntok"))
+    val dfreq = perDoc.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    perDoc
+      .join(docLen, "doc_id")
+      .join(dfreq, "term")
+      .withColumn("tfidf",
+        (col("cnt") / col("ntok")) * log((lit(n) + 1.0) / (col("df") + 1)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), round(col("tfidf"), 6).as("tfidf"))
+  }
 
   /** Winnowing-style rolling fingerprint: minimum md5 over the document's
     * character w-grams sampled every `stride` positions. Two documents

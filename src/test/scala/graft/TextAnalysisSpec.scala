@@ -41,6 +41,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fp64 > 0 && fp64.toHexString == fp.take(15).dropWhile(_ == '0'))
   }
 
+  test("tfidf: rare terms outrank common ones, k respected, deterministic ties") {
+    import TestSpark.spark.implicits._
+    // "common" appears in every doc (idf→low); each doc has one unique term
+    val docs = Seq(
+      (0L, "common rare0 common common"),
+      (1L, "common rare1 common"),
+      (2L, "common rare2"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "term").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // every doc keeps at most k terms and its unique term scores highest
+    assert(out.groupBy(_._1).forall(_._2.length <= 2))
+    for (d <- 0 to 2) {
+      val terms = out.filter(_._1 == d)
+      val top = terms.maxBy(_._3)
+      assert(top._2 == s"rare$d", s"doc $d: expected rare$d on top, got $terms")
+      // smoothed idf of the everywhere-term: ln(4/4)=0 -> tfidf 0
+      assert(terms.filter(_._2 == "common").forall(_._3 == 0.0))
+    }
+  }
+
   test("rolling fingerprint: min over strided char windows; short text falls back to full md5") {
     val long = "abcdefghijklmnopqrstuvwxyz"
     val rfp = one[String](TextAnalysis.rollingFingerprint(col("t"), 16, 4), long)
