@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
-import graft.operators.{Dedup, Multimodal, Relational, Sampling, Similarity, TextAnalysis, Windowed}
+import graft.operators.{AsOf, Dedup, Multimodal, Relational, Sampling, Similarity, TextAnalysis, Windowed}
 import graft.sources.{CsvSource, LogLines}
 import graft.streaming.BoundedStream
 
@@ -347,6 +347,26 @@ object SparkEntry {
       Dedup.canonicalIds(pairs, "doc_a", "doc_b").orderBy("doc_id")
     }),
 
+    // AS-OF JOIN: attribute each 'view' event to the user's most recent
+    // prior-or-simultaneous 'click' value — the point-in-time join Spark
+    // has no native operator for, planned as union-tag + one carry-forward
+    // window (single shuffle, no inequality-join explosion). Oracle is
+    // DuckDB's native ASOF LEFT JOIN: two unrelated implementations, same
+    // rows.
+    "q28_asof_join" -> ((s, dir) => {
+      val e = Tables(s, dir).events
+        .select(col("user_id"), expr("ts div 1000000000").as("sec"),
+          col("event_type"), col("value"))
+      // value IS NOT NULL on the right side: a null payload means "absent"
+      // to the carry-forward window but "match with null" to SQL ASOF —
+      // exclude them so both semantics agree (documented in AsOf.scala)
+      val views = e.filter(col("event_type") === "view").select("user_id", "sec")
+      val clicks = e.filter(col("event_type") === "click" && col("value").isNotNull)
+        .groupBy("user_id", "sec").agg(max("value").as("click_value"))
+      AsOf.joinAsOf(views, clicks, "user_id", "sec", "sec", Seq("click_value"))
+        .orderBy("user_id", "sec", "click_value")
+    }),
+
     // TF-IDF top-3 terms per document: corpus statistics (document
     // frequency, corpus size) joined back into per-row scoring — smoothed
     // idf, deterministic tie-break, double arithmetic shared with the
@@ -647,6 +667,16 @@ object SparkEntry {
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS doc_id, least(u, min(v)) AS canon_id
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    "q28_asof_join" ->
+      """WITH e AS (SELECT user_id, (epoch_us(ts) // 1000000) AS sec, event_type, value FROM events),
+        |l AS (SELECT user_id, sec FROM e WHERE event_type = 'view'),
+        |r AS (SELECT user_id, sec, max(value) AS click_value
+        |      FROM e WHERE event_type = 'click' AND value IS NOT NULL
+        |      GROUP BY user_id, sec)
+        |SELECT l.user_id, l.sec, r.click_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.sec >= r.sec
+        |ORDER BY l.user_id, l.sec, r.click_value""".stripMargin,
 
     "q27_tfidf" ->
       """WITH tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
