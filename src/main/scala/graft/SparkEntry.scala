@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
-import graft.operators.{AsOf, Dedup, Multimodal, Relational, Sampling, Similarity, TextAnalysis, Windowed}
+import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Relational, Sampling, Similarity, TextAnalysis, Windowed}
 import graft.sources.{CsvSource, LogLines}
 import graft.streaming.BoundedStream
 
@@ -347,6 +347,30 @@ object SparkEntry {
       Dedup.canonicalIds(pairs, "doc_a", "doc_b").orderBy("doc_id")
     }),
 
+    // RANGE JOIN: which purchases happened inside an error-burst window?
+    // Incident windows are GLOBAL 30-min-gap sessions over error events
+    // (session_window with no key); purchases are matched by interval
+    // containment through the bucketed equi-join (RangeJoin — never a
+    // nested-loop cross product), then aggregated per window.
+    "q29_range_join" -> ((s, dir) => {
+      val e = Tables(s, dir).events
+        .select(col("user_id"), expr("ts div 1000000000").as("sec"),
+          timestamp_seconds(expr("ts div 1000000000")).as("t"),
+          col("event_type"), col("value"))
+      val incidents = e.filter(col("event_type") === "error")
+        .groupBy(session_window(col("t"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_errors"))
+        .select(col("w.start").cast("long").as("w_start"),
+          col("w.end").cast("long").as("w_end"), col("n_errors"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("sec"), col("value"))
+      RangeJoin.pointsInIntervals(purchases, "sec", incidents,
+          "w_start", "w_end", bucketSeconds = 3600)
+        .groupBy("w_start", "w_end", "n_errors")
+        .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 2).as("total"))
+        .orderBy("w_start")
+    }),
+
     // AS-OF JOIN: attribute each 'view' event to the user's most recent
     // prior-or-simultaneous 'click' value — the point-in-time join Spark
     // has no native operator for, planned as union-tag + one carry-forward
@@ -594,15 +618,16 @@ object SparkEntry {
         |GROUP BY day_start, event_type
         |ORDER BY day_start, event_type""".stripMargin,
 
-    // Sessions as SQL islands: a session break is a gap ≥ 24h (session_window
-    // merges while the gap is STRICTLY under the duration), sessions are
-    // numbered by a cumulative break-count, and each closes 24h after its
-    // last event.
+    // Sessions as SQL islands: a session break is a gap STRICTLY over 24h —
+    // session_window merges INCLUSIVELY (an event exactly `gap` after the
+    // previous one still joins the session; verified empirically, and the
+    // q29 incident windows hit a real tie). Sessions are numbered by a
+    // cumulative break-count; each closes 24h after its last event.
     "q22_sessions" ->
       """WITH e AS (SELECT user_id, (epoch_us(ts) // 1000000) AS sec, value FROM events),
         |x AS (SELECT user_id, sec, value,
         |        CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
-        |               OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) >= 86400
+        |               OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 86400
         |             THEN 1 ELSE 0 END AS brk
         |      FROM e),
         |s AS (SELECT user_id, sec, value,
@@ -667,6 +692,29 @@ object SparkEntry {
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS doc_id, least(u, min(v)) AS canon_id
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // Incident windows via the same islands construction as q22 (global,
+    // no key); containment is a plain inequality join — DuckDB's optimizer
+    // handles the small fixture, while the Spark side proves the bucketed
+    // equi-join plan.
+    "q29_range_join" ->
+      """WITH e AS (SELECT user_id, (epoch_us(ts) // 1000000) AS sec, event_type, value FROM events),
+        |err AS (SELECT sec FROM e WHERE event_type = 'error'),
+        |x AS (SELECT sec, CASE WHEN lag(sec) OVER (ORDER BY sec) IS NULL
+        |               OR sec - lag(sec) OVER (ORDER BY sec) > 1800
+        |             THEN 1 ELSE 0 END AS brk FROM err),
+        |s AS (SELECT sec, sum(brk) OVER (ORDER BY sec
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM x),
+        |w AS (SELECT min(sec) AS w_start, max(sec) + 1800 AS w_end,
+        |             count(*) AS n_errors
+        |      FROM s GROUP BY sid),
+        |p AS (SELECT sec, value FROM e WHERE event_type = 'purchase')
+        |SELECT w.w_start, w.w_end, w.n_errors,
+        |       count(*) AS n_purchases, round(sum(p.value), 2) AS total
+        |FROM p JOIN w ON p.sec >= w.w_start AND p.sec < w.w_end
+        |GROUP BY w.w_start, w.w_end, w.n_errors
+        |ORDER BY w_start""".stripMargin,
 
     "q28_asof_join" ->
       """WITH e AS (SELECT user_id, (epoch_us(ts) // 1000000) AS sec, event_type, value FROM events),

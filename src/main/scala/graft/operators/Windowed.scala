@@ -39,7 +39,9 @@ object Windowed {
       .select(col("w.start").as("w_start"), col(keyCol), col("cnt"))
 
   /** GAP-BASED SESSION WINDOWS: events for one key merge into a session
-    * while each arrives within `gap` of the previous one; the session closes
+    * while each arrives within `gap` of the previous one — INCLUSIVELY: an
+    * event landing exactly `gap` after the previous still extends the
+    * session (Spark merges windows whose bounds touch). The session closes
     * `gap` after its last event (so `w.end = last event + gap`). Built on
     * `session_window`, Spark's native dynamic-gap window: in streaming,
     * state for a session is dropped once the watermark passes its end —
