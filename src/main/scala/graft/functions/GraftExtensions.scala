@@ -27,5 +27,9 @@ object GraftExtensions {
       FunctionIdentifier("graft_common"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_common"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingles64"),
+      new ExpressionInfo(classOf[HashedShingles].getName, "graft_shingles64"),
+      (exprs: Seq[Expression]) => HashedShingles(exprs.head, exprs(1))))
   }
 }

@@ -35,19 +35,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** (id, sh) shingle frame with the token split materialized ONCE: the
-    * split and the shingle transform live in separate projections, which
-    * Catalyst keeps apart (CollapseProject refuses to inline a non-cheap
-    * expression referenced multiple times), so each document is tokenized a
-    * single time however many times the shingle expression reads it.
-    */
-  private def shingleFrame(df: DataFrame, idCol: String, textCol: String,
-                           n: Int): DataFrame =
-    df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("t"))
-      .select(col("id"), TextAnalysis.shinglesFromTokens(col("t"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-
-  /** [[shingleFrame]] with every shingle hashed ONCE to a 60-bit long
+  /** (id, sh) frame with every shingle hashed ONCE to a 60-bit long
     * (first 15 md5 hex digits — [[TextAnalysis.fingerprint64]]'s rule) and
     * the array sorted ascending. This is the frame the similarity joins run
     * on: the inverted index explodes 8-byte longs instead of shingle
@@ -57,12 +45,21 @@ object Dedup {
     * digits) — one md5 per shingle pays for candidate generation AND
     * verification. Distinct shingles collide in 60 bits with probability
     * ~|S|²/2⁶¹ per document; a collision undercounts one union size by one.
+    *
+    * Computed by the fused native expression
+    * [[graft.functions.HashedShingles]] (`graft_shingles64`): the composable
+    * tokenize→shingle→md5→sort chain is five `CodegenFallback` higher-order
+    * functions, and it dominated the map side of every similarity query
+    * (equality with the composable form is property-tested in
+    * HashedShinglesSpec).
     */
   private def hashedShingleFrame(df: DataFrame, idCol: String, textCol: String,
-                                 n: Int): DataFrame =
-    shingleFrame(df, idCol, textCol, n)
-      .select(col("id"), array_sort(transform(col("sh"),
-        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("sh"))
+                                 n: Int): DataFrame = {
+    graft.functions.HashedShingles.ensureRegistered(df.sparkSession)
+    df.select(col(idCol).as("id"),
+        call_function("graft_shingles64", col(textCol), lit(n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+  }
 
   /** Exact dedup: group documents by normalized-content fingerprint, keep
     * the minimum id as the canonical representative. Output one row per
@@ -93,7 +90,10 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val sh = shingleFrame(df, idCol, textCol, n)
+    // hashed frame: the inverted index shuffles 8-byte longs, not shingle
+    // strings — same pair counts (a 60-bit collision inside one document is
+    // the only divergence, p ≈ |S|²/2⁶¹)
+    val sh = hashedShingleFrame(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.select(col("id"), size(col("sh")).as("nsh"))
     val inv = sh.select(col("id"), explode(col("sh")).as("s"))
