@@ -217,12 +217,19 @@ object SparkEntry {
     // operator — fixture languages share one synthetic vocabulary).
     "q15_langid" -> ((s, dir) => {
       val d = Tables(s, dir).documents
-      val scores = TextAnalysis.LangProfiles
-        .map { case (l, ms) => TextAnalysis.markerRatio(col("text"), ms).as(s"s_$l") }
-      d.select(
+      // staged: one tokenize, then one ratio column per profile, then the
+      // argmax over plain column refs — the inlined form re-derives every
+      // ratio tree at every tie-break level of the case-when
+      val langs = TextAnalysis.LangProfiles.map(_._1)
+      val scored = d
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+        .select(col("doc_id") +: TextAnalysis.LangProfiles.map { case (l, ms) =>
+          TextAnalysis.markerRatioFromTokens(col("t"), ms).as(s"s_$l") }: _*)
+      scored.select(
         col("doc_id"),
-        TextAnalysis.predictedLang(col("text")).as("pred_lang"),
-        round(greatest(scores: _*), 4).as("score"))
+        TextAnalysis.predictedLangFromScores(langs.map(l => l -> col(s"s_$l")))
+          .as("pred_lang"),
+        round(greatest(langs.map(l => col(s"s_$l")): _*), 4).as("score"))
         .orderBy("doc_id")
     }),
 

@@ -31,5 +31,9 @@ object GraftExtensions {
       FunctionIdentifier("graft_shingles64"),
       new ExpressionInfo(classOf[HashedShingles].getName, "graft_shingles64"),
       (exprs: Seq[Expression]) => HashedShingles(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_rollfp"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_rollfp"),
+      (exprs: Seq[Expression]) => RollingFingerprint(exprs.head, exprs(1), exprs(2))))
   }
 }

@@ -307,8 +307,12 @@ object Dedup {
       .union(edges.select(col("v").as("u"), col("u").as("v")))
       .union(nodes.select(col("node").as("u"), col("node").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Initial labels are the lazy identity over nodes — no eager
+    // checkpoint, no initial sum action: round 1's single job materializes
+    // edges/nodes/sym caches and the first propagation together (every pair
+    // strictly lowers one label, so round 1 can never already be the
+    // fixpoint and the identity sum never needs computing).
     var labels = nodes.select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
     // Convergence witness: every node's label is non-increasing (hop takes
     // min over a set containing it; jump replaces it with its label's
     // label, which the hop already lowered), so Σ labels strictly decreases
@@ -316,8 +320,8 @@ object Dedup {
     // joining old vs new. decimal(38,0) so huge ids can't overflow the sum.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prev = labelSum(labels)
-    var converged = prev == null // empty pair frame: nothing to resolve
+    var prev: java.math.BigDecimal = null
+    var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val hop = sym
@@ -333,7 +337,9 @@ object Dedup {
           coalesce(col("jl"), col("x.label")).as("label"))
         .localCheckpoint(false) // lazy: the labelSum action materializes it
       val cur = labelSum(jumped)
-      converged = cur.compareTo(prev) == 0
+      // null sum = empty pair frame (nothing to resolve); otherwise compare
+      // against the previous round (round 1 has nothing to compare to)
+      converged = cur == null || (prev != null && cur.compareTo(prev) == 0)
       labels = jumped
       prev = cur
       iter += 1

@@ -60,10 +60,15 @@ object TextAnalysis {
     * language-ID heuristic. Integer/integer `/` is double division in both
     * Spark and DuckDB, so the oracle reproduces the exact double.
     */
-  def markerRatio(text: Column, markers: Seq[String]): Column = {
-    val t = tokens(text)
+  def markerRatio(text: Column, markers: Seq[String]): Column =
+    markerRatioFromTokens(tokens(text), markers)
+
+  /** [[markerRatio]] over an already-tokenized array column — callers
+    * scoring several profiles should project the token array once (see
+    * q15: one split feeds all five profile ratios).
+    */
+  def markerRatioFromTokens(t: Column, markers: Seq[String]): Column =
     size(filter(t, w => w.isin(markers: _*))) / size(t)
-  }
 
   /** Per-language marker profiles for the heuristic classifier. On real
     * corpora these would be frequency-ranked stopwords per language; the
@@ -82,9 +87,20 @@ object TextAnalysis {
 
   /** Predicted language: argmax marker ratio, ties broken by language code
     * ascending (profiles are iterated in sorted order, first max wins).
+    *
+    * Callers scoring many documents should compute the per-profile ratio
+    * COLUMNS in their own projection and pass them to
+    * [[predictedLangFromScores]] — inlining the ratio trees here makes the
+    * case-when tree re-derive every ratio at every tie-break level, and the
+    * resulting expression blow-up costs more in Catalyst passes than the
+    * scan itself (measured on q15).
     */
-  def predictedLang(text: Column): Column = {
-    val scores = LangProfiles.map { case (lang, ms) => lang -> markerRatio(text, ms) }
+  def predictedLang(text: Column): Column =
+    predictedLangFromScores(
+      LangProfiles.map { case (lang, ms) => lang -> markerRatio(text, ms) })
+
+  /** Argmax over named score columns, ties broken by name ascending. */
+  def predictedLangFromScores(scores: Seq[(String, Column)]): Column = {
     val best = greatest(scores.map(_._2): _*)
     scores.foldLeft(lit(null).cast("string")) { case (acc, (lang, s)) =>
       when(acc.isNull && (s === best), lit(lang)).otherwise(acc)
@@ -157,12 +173,17 @@ object TextAnalysis {
     * window. `stride` trades collision sensitivity for hash count (stride 4
     * hashes a quarter of the windows — measured 4× cheaper, and at 100 TB
     * this is the dominant per-document cost of the text-stats pass).
+    *
+    * Fused native expression ([[graft.functions.RollingFingerprint]]): the
+    * composable `array_min(transform(sequence(...), i => md5(substr(...))))`
+    * chain runs interpreted (HOFs are `CodegenFallback`) and materializes
+    * every window's hex string before taking the min; the fused form keeps
+    * one running minimum digest (equality property-tested in
+    * TextAnalysisSpec).
     */
   def rollingFingerprint(text: Column, w: Int = 16, stride: Int = 4): Column = {
-    val hi = length(text) - (w - 1)
-    when(hi >= 1,
-      array_min(transform(sequence(lit(1), hi, lit(stride)),
-        i => md5(text.substr(i, lit(w))))))
-      .otherwise(md5(text))
+    graft.functions.RollingFingerprint.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_rollfp", text, lit(w), lit(stride))
   }
 }

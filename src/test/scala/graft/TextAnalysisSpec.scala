@@ -76,4 +76,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(one[String](TextAnalysis.rollingFingerprint(col("t"), 16), short) ==
       md.digest(short.getBytes("UTF-8")).map(b => f"$b%02x").mkString)
   }
+
+  test("fused rolling fingerprint equals the composable chain on fixture docs") {
+    import TestSpark.spark.implicits._
+    // the pre-fusion reference implementation, kept verbatim
+    def composable(text: org.apache.spark.sql.Column, w: Int, stride: Int) = {
+      val hi = length(text) - (w - 1)
+      when(hi >= 1,
+        array_min(transform(sequence(lit(1), hi, lit(stride)),
+          i => md5(text.substr(i, lit(w))))))
+        .otherwise(md5(text))
+    }
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).limit(200)
+      .union(Seq("", "exactly sixteen.", "short", "café über straße — unicode windows")
+        .toDF("text"))
+    Seq((16, 4), (16, 1), (8, 3)).foreach { case (w, s) =>
+      val rows = docs.select(
+        TextAnalysis.rollingFingerprint(col("text"), w, s).as("fused"),
+        composable(col("text"), w, s).as("ref")).collect()
+      rows.foreach(r => assert(r.getString(0) == r.getString(1),
+        s"w=$w stride=$s: ${r.getString(0)} != ${r.getString(1)}"))
+    }
+  }
 }
