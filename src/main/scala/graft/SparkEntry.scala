@@ -419,6 +419,17 @@ object SparkEntry {
           max("doc_id").as("max_id"), sum("doc_id").as("id_sum"))
         .orderBy("split")
     }),
+
+    // Token-window chunking: 32-token chunks, 8 tokens of overlap — the
+    // pre-training/RAG segmentation step. The gate compares chunk
+    // fingerprints, so the whole chunk text is under the hash.
+    "q30_chunks" -> ((s, dir) => {
+      TextAnalysis.chunkByTokens(Tables(s, dir).documents, "doc_id", "text",
+          chunkSize = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          col("n_toks"), md5(col("chunk")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -762,6 +773,22 @@ object SparkEntry {
         |SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
         |       sum(doc_id)::BIGINT AS id_sum
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    // Chunking: 32-token windows, stride 24 (overlap 8). DuckDB list
+    // slicing is 1-based inclusive and end-clamped, same as Spark `slice`;
+    // generate_series is stop-inclusive, same as Spark `sequence`.
+    "q30_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |             unnest(generate_series(1, greatest(len(toks) - 8, 1), 24)) AS start
+        |      FROM t)
+        |SELECT doc_id,
+        |       ((start - 1) / 24)::BIGINT AS chunk_idx,
+        |       start::BIGINT AS start_tok,
+        |       len(toks[start : start + 31])::BIGINT AS n_toks,
+        |       md5(array_to_string(toks[start : start + 31], ' ')) AS chunk_fp
+        |FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q20_ivf_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

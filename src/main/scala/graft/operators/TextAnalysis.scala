@@ -130,6 +130,38 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     conv(substring(md5(lower(trim(text))), 1, 15), 16, 10).cast("long")
 
+  /** Token-window chunking: split each document into fixed-size token
+    * windows with `overlap` tokens of context carried between consecutive
+    * chunks — the standard pre-training / RAG segmentation step. Chunk i
+    * starts at token `1 + i·(chunkSize - overlap)`; start positions run
+    * while `start ≤ max(#tokens - overlap, 1)`, so the final chunk may be
+    * short and every document (even an empty one) yields at least one
+    * chunk. Output: (doc_id, chunk_idx, start_tok, n_toks, chunk).
+    *
+    * Scale: map-side only — one `explode` with fan-out #tokens/stride, no
+    * shuffle; chunks stay co-partitioned with their source document, so a
+    * downstream per-chunk transform (tokenize, embed, filter) pipelines
+    * inside the same stage. At 100 TB the output is input-proportional
+    * (×(1 + overlap/stride) bytes), never quadratic.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got overlap=$overlap chunkSize=$chunkSize")
+    val stride = chunkSize - overlap
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), greatest(size(col("t")) - overlap, lit(1)),
+          lit(stride))).as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / stride).cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start_tok"),
+        slice(col("t"), col("start"), lit(chunkSize)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("ctoks")).cast("long").as("n_toks"),
+        array_join(col("ctoks"), " ").as("chunk"))
+  }
+
   /** TF-IDF top-k terms per document — the corpus-statistic + per-row
     * scoring pattern (term salience for quality filtering / keyword
     * extraction). Three aggregations that all shuffle on bounded keys:

@@ -77,6 +77,28 @@ class TextAnalysisSpec extends SparkTestBase {
       md.digest(short.getBytes("UTF-8")).map(b => f"$b%02x").mkString)
   }
 
+  test("token chunking: overlapping windows, short tail, min one chunk per doc") {
+    import TestSpark.spark.implicits._
+    val df = Seq((1L, "a b c d e f g h"), (2L, "x y"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkByTokens(df, "doc_id", "text",
+        chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      // starts run while start <= max(8-1, 1): 1, 4, 7 — last chunk short,
+      // consecutive chunks share 1 token
+      (1L, 0L, 1L, 4L, "a b c d"),
+      (1L, 1L, 4L, 4L, "d e f g"),
+      (1L, 2L, 7L, 2L, "g h"),
+      (2L, 0L, 1L, 2L, "x y"),     // shorter than chunkSize: one whole-doc chunk
+      (3L, 0L, 1L, 1L, "")))       // empty text -> one empty-token chunk
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkByTokens(df, "doc_id", "text", chunkSize = 4, overlap = 4)
+    }
+  }
+
   test("fused rolling fingerprint equals the composable chain on fixture docs") {
     import TestSpark.spark.implicits._
     // the pre-fusion reference implementation, kept verbatim
