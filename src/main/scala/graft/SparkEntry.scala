@@ -354,6 +354,22 @@ object SparkEntry {
       Dedup.canonicalIds(pairs, "doc_a", "doc_b").orderBy("doc_id")
     }),
 
+    // DEDUP APPLY: the end-to-end product of the near-dup pipeline —
+    // detect pairs, resolve duplicate groups, DROP every non-canonical
+    // member, and fingerprint the surviving corpus. The apply step is one
+    // anti-join on doc_id (broadcast while the drop list is small, shuffle
+    // anti-join at scale — both skew-free: doc_id is unique).
+    "q31_dedup_apply" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.3)
+      val dropped = Dedup.canonicalIds(pairs, "doc_a", "doc_b")
+        .filter(col("doc_id") =!= col("canon_id"))
+      docs.join(dropped.select("doc_id"), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+          sum(length(col("text")).cast("long")).as("len_sum"))
+    }),
+
     // RANGE JOIN: which purchases happened inside an error-burst window?
     // Incident windows are GLOBAL 30-min-gap sessions over error events
     // (session_window with no key); purchases are matched by interval
@@ -710,6 +726,28 @@ object SparkEntry {
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS doc_id, least(u, min(v)) AS canon_id
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // Same transitive closure as q25, then the apply: drop non-canonical
+    // members, fingerprint what survives.
+    "q31_dedup_apply" ->
+      s"""WITH RECURSIVE sh AS ($ShinglesCte),
+         |pairs AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s)) /
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3),
+         |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |canon AS (SELECT u AS doc_id, least(u, min(v)) AS canon_id
+         |          FROM reach GROUP BY u),
+         |dropped AS (SELECT doc_id FROM canon WHERE doc_id <> canon_id)
+         |SELECT count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum,
+         |       sum(length(text))::BIGINT AS len_sum
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
 
     // Incident windows via the same islands construction as q22 (global,
     // no key); containment is a plain inequality join — DuckDB's optimizer
