@@ -436,6 +436,18 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // Split-drift profile: per-split EXACT quality quantiles — the
+    // distributional check that val/test resemble train after a hash
+    // split. Spark's exact percentile and DuckDB's quantile_cont share the
+    // p·(n-1) interpolation rule, so the profile sits under the hash.
+    "q32_split_quality" -> ((s, dir) => {
+      val d = Sampling.hashSplit(Tables(s, dir).documents, "doc_id",
+          trainPct = 80, valPct = 10)
+        .select(col("split"), TextAnalysis.qualityScore(col("text")).as("q"))
+      Sampling.quantileProfile(d, "split", "q", Seq(0.25, 0.5, 0.75, 0.9))
+        .orderBy("split")
+    }),
+
     // Token-window chunking: 32-token chunks, 8 tokens of overlap — the
     // pre-training/RAG segmentation step. The gate compares chunk
     // fingerprints, so the whole chunk text is under the hash.
@@ -810,6 +822,26 @@ object SparkEntry {
         |      FROM b)
         |SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
         |       sum(doc_id)::BIGINT AS id_sum
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    // The q26 bucket CTE + q14's (unrounded) quality formula, profiled
+    // with quantile_cont — the same p·(n-1) interpolation Spark's exact
+    // percentile uses.
+    "q32_split_quality" ->
+      """WITH b AS (SELECT doc_id, text,
+        |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+        |           FROM documents),
+        |s AS (SELECT CASE WHEN bucket < 80 THEN 'train'
+        |                  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |             least(CAST(1.0 AS DOUBLE),
+        |                   len(list_filter(string_split(text, ' '), w -> w <> '')) / CAST(100.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+        |             + (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))) * CAST(0.5 AS DOUBLE) AS q
+        |      FROM b)
+        |SELECT split, count(*) AS n,
+        |       round(quantile_cont(q, 0.25), 6) AS p25,
+        |       round(quantile_cont(q, 0.50), 6) AS p50,
+        |       round(quantile_cont(q, 0.75), 6) AS p75,
+        |       round(quantile_cont(q, 0.90), 6) AS p90
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
     // Chunking: 32-token windows, stride 24 (overlap 8). DuckDB list

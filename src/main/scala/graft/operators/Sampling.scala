@@ -54,4 +54,36 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** Per-group EXACT quantile profile — the distribution-drift check a
+    * split pipeline runs after [[hashSplit]] (is val/test distributionally
+    * similar to train on a quality metric?). One aggregation; Spark's exact
+    * `percentile` uses the standard `p·(n-1)` linear interpolation, the
+    * same rule as DuckDB's `quantile_cont`, so the profile is
+    * oracle-comparable bit-for-bit.
+    *
+    * Scale: exact percentile state is the per-group value multiset — fine
+    * for bounded metrics (quality scores), wrong for unbounded-cardinality
+    * columns at extreme scale; [[quantileProfileApprox]] is the same call
+    * shape with a bounded-memory sketch for that case.
+    */
+  def quantileProfile(df: DataFrame, keyCol: String, valCol: String,
+                      ps: Seq[Double]): DataFrame =
+    df.groupBy(keyCol).agg(
+      count(lit(1)).as("n"),
+      ps.map(p => round(percentile(col(valCol), lit(p)), 6)
+        .as(s"p${(p * 100).round}")): _*)
+
+  /** [[quantileProfile]] with `approx_percentile` (KLL-style sketch,
+    * `accuracy` controls error vs memory): constant per-group state, the
+    * form to use when the value column has unbounded cardinality. Not
+    * oracle-comparable (sketches are engine-specific); accuracy is
+    * asserted against the exact form in SamplingSpec.
+    */
+  def quantileProfileApprox(df: DataFrame, keyCol: String, valCol: String,
+                            ps: Seq[Double], accuracy: Int = 10000): DataFrame =
+    df.groupBy(keyCol).agg(
+      count(lit(1)).as("n"),
+      ps.map(p => round(approx_percentile(col(valCol), lit(p), lit(accuracy)), 6)
+        .as(s"p${(p * 100).round}")): _*)
 }

@@ -54,4 +54,22 @@ class SamplingSpec extends SparkTestBase {
     val plan = Sampling.hashSplit(ids, "id").queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("exact quantile profile: hand-computed interpolation, approx within tolerance") {
+    // group a: values 1..5 -> p50 = 3.0, p75 = 0.75*(5-1)=rank 3 -> 4.0
+    //          p25 = rank 1 -> 2.0, p90 = rank 3.6 -> 4.6
+    val df = ((1 to 5).map(v => ("a", v.toDouble)) ++
+      (1 to 100).map(v => ("b", v.toDouble))).toDF("k", "v")
+    val exact = Sampling.quantileProfile(df, "k", "v", Seq(0.25, 0.5, 0.75, 0.9))
+      .orderBy("k").collect()
+    assert(exact(0).getLong(1) == 5L)
+    assert((2 to 5).map(exact(0).getDouble) == Seq(2.0, 3.0, 4.0, 4.6))
+    // approx (sketch) must track exact within 2 positions on the 100-value group
+    val approx = Sampling.quantileProfileApprox(df, "k", "v", Seq(0.25, 0.5, 0.75, 0.9))
+      .orderBy("k").collect()
+    (2 to 5).foreach { i =>
+      assert(math.abs(approx(1).getDouble(i) - exact(1).getDouble(i)) <= 2.0,
+        s"col $i: approx=${approx(1).getDouble(i)} exact=${exact(1).getDouble(i)}")
+    }
+  }
 }
