@@ -199,16 +199,21 @@ object SparkEntry {
     // column expressions (zero shuffle at any scale).
     "q14_textstats" -> ((s, dir) => {
       val d = Tables(s, dir).documents
-      d.select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
-        length(col("text")).cast("long").as("len_chars"),
-        round(TextAnalysis.uniqueTokenRatio(col("text")), 4).as("uniq_ratio"),
-        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"),
-        TextAnalysis.fingerprint(col("text")).as("fp"),
-        TextAnalysis.fingerprint64(col("text")).as("fp64"),
-        TextAnalysis.rollingFingerprint(col("text"), 16, 4).as("rfp"))
+      // staged: tokenize once, derive every token statistic from the
+      // projected array (same restructure as q15 — the inlined form
+      // re-splits the text per statistic)
+      d.select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("t"))
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCountFromTokens(col("t")).cast("long").as("n_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
+          length(col("text")).cast("long").as("len_chars"),
+          round(TextAnalysis.uniqueTokenRatioFromTokens(col("t")), 4).as("uniq_ratio"),
+          round(TextAnalysis.qualityScoreFromTokens(col("t")), 4).as("quality"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.fingerprint64(col("text")).as("fp64"),
+          TextAnalysis.rollingFingerprint(col("text"), 16, 4).as("rfp"))
         .orderBy("doc_id")
     }),
 

@@ -25,7 +25,11 @@ object TextAnalysis {
 
   /** Non-empty whitespace token count. */
   def tokenCount(text: Column): Column =
-    size(filter(tokens(text), w => w =!= ""))
+    tokenCountFromTokens(tokens(text))
+
+  /** [[tokenCount]] over an already-tokenized array column. */
+  def tokenCountFromTokens(t: Column): Column =
+    size(filter(t, w => w =!= ""))
 
   /** BPE-ish regex tokens: letter runs, digit runs, single non-alnum marks —
     * the classic pre-tokenizer split (the regex is shared verbatim with the
@@ -108,17 +112,27 @@ object TextAnalysis {
   }
 
   /** Ratio of distinct to total tokens — low values flag boilerplate/spam. */
-  def uniqueTokenRatio(text: Column): Column = {
-    val t = tokens(text)
+  def uniqueTokenRatio(text: Column): Column =
+    uniqueTokenRatioFromTokens(tokens(text))
+
+  /** [[uniqueTokenRatio]] over an already-tokenized array column. */
+  def uniqueTokenRatioFromTokens(t: Column): Column =
     size(array_distinct(t)) / size(t)
-  }
 
   /** Composite quality score in [0,1]: length saturation (docs under ~100
     * tokens score proportionally) blended with lexical diversity. The exact
     * formula is shared with the oracle; weights are pipeline policy.
     */
   def qualityScore(text: Column): Column =
-    least(lit(1.0), tokenCount(text) / lit(100.0)) * 0.5 + uniqueTokenRatio(text) * 0.5
+    qualityScoreFromTokens(tokens(text))
+
+  /** [[qualityScore]] over an already-tokenized array column — callers
+    * computing several token statistics should project the token array
+    * once (see q14/q15: one split feeds every stat).
+    */
+  def qualityScoreFromTokens(t: Column): Column =
+    least(lit(1.0), tokenCountFromTokens(t) / lit(100.0)) * 0.5 +
+      uniqueTokenRatioFromTokens(t) * 0.5
 
   /** Full-content fingerprint (hex md5 of the normalized text). */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
