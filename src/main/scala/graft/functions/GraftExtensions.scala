@@ -35,5 +35,9 @@ object GraftExtensions {
       FunctionIdentifier("graft_rollfp"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_rollfp"),
       (exprs: Seq[Expression]) => RollingFingerprint(exprs.head, exprs(1), exprs(2))))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head, exprs(1))))
   }
 }

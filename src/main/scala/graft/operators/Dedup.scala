@@ -216,14 +216,19 @@ object Dedup {
     * shingle frame: the 28-bit base hash is the top bits of the 60-bit
     * element (`>> 32` ≡ `conv(substr(md5(shingle),1,7),16,10)` — the rule
     * the oracle evaluates in SQL), so no second md5 pass is needed.
+    *
+    * The signature is computed PER ROW by the fused
+    * [[graft.functions.MinHashSig]] expression — no explode, no groupBy, no
+    * exchange: the MinHash pipeline's only shuffle is the band-bucket join
+    * (the composable explode + k-min-aggregate form paid a ×|shingles| row
+    * blow-up plus a shuffle for a value a map-side loop produces; equality
+    * is property-tested in DedupSpec).
     */
   private def signatureOfHashed(shl: DataFrame, k: Int): DataFrame = {
-    val inv = shl.select(col("id"), explode(col("sh")).as("h64"))
-      .select(col("id"), shiftright(col("h64"), 32).as("h"))
-    val mins = hashConsts(k).zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % HashP).as(s"h$i")
-    }
-    inv.groupBy("id").agg(mins.head, mins.tail: _*)
+    graft.functions.MinHashSig.ensureRegistered(shl.sparkSession)
+    shl.select(col("id"), call_function("graft_minhash", col("sh"), lit(k)).as("mh"))
+      .select(col("id") +:
+        (0 until k).map(i => element_at(col("mh"), i + 1).as(s"h$i")): _*)
   }
 
   /** Banded LSH candidate pairs from a MinHash signature frame: hash each

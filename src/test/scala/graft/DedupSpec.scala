@@ -78,4 +78,37 @@ class DedupSpec extends SparkTestBase {
       .collect().map(_.getSeq[String](0))
     assert(sh(0).isEmpty && sh(1) == Seq("a_b_c"))
   }
+
+  test("fused minhash signature equals the explode + k-min aggregation on fixture docs") {
+    val spark = TestSpark.spark
+    val k = 12
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    val fused = Dedup.minHashSignature(docs, "doc_id", "text", n = 3, k = k)
+    // the pre-fusion reference plan, kept verbatim: hashed shingles via the
+    // composable chain, explode, k universal-hash minima through a groupBy
+    val shRef = docs.select(col("doc_id").as("id"),
+        array_sort(transform(TextAnalysis.shingles(col("text"), 3),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inv = shRef.select(col("id"), explode(col("sh")).as("h64"))
+      .select(col("id"), shiftright(col("h64"), 32).as("h"))
+    val mins = Dedup.hashConsts(k).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % Dedup.HashP).as(s"h$i")
+    }
+    val ref = inv.groupBy("id").agg(mins.head, mins.tail: _*)
+    val joined = fused.as("f").join(ref.as("r"), col("f.id") === col("r.id"))
+    assert(joined.count() == shRef.count())
+    val mismatched = (0 until k).map(i =>
+        joined.filter(col(s"f.h$i") =!= col(s"r.h$i")).count()).sum
+    assert(mismatched == 0)
+    // and the fused signature frame plans with NO exchange: per-row map
+    // only (asserted without the test's limit — GlobalLimit adds its own
+    // SinglePartition exchange)
+    val plan = Dedup.minHashSignature(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "doc_id", "text", n = 3, k = k)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
