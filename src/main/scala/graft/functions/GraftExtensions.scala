@@ -39,5 +39,9 @@ object GraftExtensions {
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (exprs: Seq[Expression]) => MinHashSig(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => SimHashSig(exprs.head)))
   }
 }

@@ -356,22 +356,21 @@ object Dedup {
 
   /** SimHash: 32-bit locality-sensitive signature. Each token votes ±1 on
     * every bit of its 32-bit hash (first 8 md5 hex chars); the signature
-    * sets bit b iff the bit-b vote sum is positive. One explode + one
-    * aggregation carrying 32 conditional sums — a single shuffle on the
-    * document id, constant state per document.
+    * sets bit b iff the bit-b vote sum is positive.
+    *
+    * Computed PER ROW by the fused [[graft.functions.SimHashSig]]
+    * expression — zero exchanges (the composable form exploded the tokens
+    * and shuffled 32 vote-sums per document for a value one map-side loop
+    * produces; equality is property-tested in DedupSpec). Documents with no
+    * non-empty token are dropped, matching the aggregate form, which
+    * emitted no group for them.
     */
   def simHash(df: DataFrame, idCol: String, textCol: String,
               bits: Int = 32): DataFrame = {
-    val words = df
-      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("w"))
-      .filter(col("w") =!= "")
-      .select(col("id"), conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("h"))
-    val votes = (0 until bits).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
-    val sums = words.groupBy("id").agg(votes.head, votes.tail: _*)
-    val sig = (0 until bits)
-      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    sums.select(col("id"), sig.as("simhash"))
+    require(bits == 32, s"the fused SimHash kernel is 32-bit, got $bits")
+    graft.functions.SimHashSig.ensureRegistered(df.sparkSession)
+    df.select(col(idCol).as("id"),
+        call_function("graft_simhash", col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 }

@@ -79,6 +79,36 @@ class DedupSpec extends SparkTestBase {
     assert(sh(0).isEmpty && sh(1) == Seq("a_b_c"))
   }
 
+  test("fused simhash equals the explode + 32-vote-sum aggregation on fixture docs") {
+    val spark = TestSpark.spark
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(200)
+      .union(Seq((99991L, "   "), (99992L, "one token")).toDF("doc_id", "text"))
+    val fused = Dedup.simHash(docs, "doc_id", "text")
+    // the pre-fusion reference plan, kept verbatim
+    val words = docs
+      .select(col("doc_id").as("id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("id"), conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("h"))
+    val votes = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
+    val sums = words.groupBy("id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until 32)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val ref = sums.select(col("id"), sig.as("simhash"))
+    assert(fused.count() == ref.count()) // all-space doc dropped by BOTH
+    assert(fused.as("f").join(ref.as("r"),
+      col("f.id") === col("r.id") && col("f.simhash") === col("r.simhash"))
+      .count() == ref.count())
+    // per-row kernel: no exchange in the signature plan
+    val plan = Dedup.simHash(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("fused minhash signature equals the explode + k-min aggregation on fixture docs") {
     val spark = TestSpark.spark
     val k = 12
