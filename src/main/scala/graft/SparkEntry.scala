@@ -441,6 +441,17 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // Repetition quality signals (Gopher-rules shape): fraction of bigram
+    // occurrences taken by the most frequent bigram + distinct fraction —
+    // the boilerplate/template detectors of a quality-filtering pass.
+    "q33_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(Tables(s, dir).documents, "doc_id", "text",
+          n = 2)
+        .select(col("doc_id"), round(col("top_frac"), 6).as("top_frac"),
+          round(col("uniq_frac"), 6).as("uniq_frac"), col("n_grams"))
+        .orderBy("doc_id")
+    }),
+
     // Split-drift profile: per-split EXACT quality quantiles — the
     // distributional check that val/test resemble train after a hash
     // split. Spark's exact percentile and DuckDB's quantile_cont share the
@@ -828,6 +839,22 @@ object SparkEntry {
         |SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
         |       sum(doc_id)::BIGINT AS id_sum
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    // Bigram multiset per doc (DuckDB range() is stop-exclusive — for n=2,
+    // range(1, len) gives starts 1..len-1, matching Spark's inclusive
+    // sequence(1, len-1)); HUGEINT sums cast to double before division.
+    "q33_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |             unnest(list_transform(range(1, len(toks)),
+        |                    i -> array_to_string(toks[i : i + 1], '_'))) AS g
+        |      FROM t),
+        |c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY doc_id, g)
+        |SELECT doc_id,
+        |       round(max(cnt)::DOUBLE / sum(cnt)::DOUBLE, 6) AS top_frac,
+        |       round(count(*)::DOUBLE / sum(cnt)::DOUBLE, 6) AS uniq_frac,
+        |       sum(cnt)::BIGINT AS n_grams
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // The q26 bucket CTE + q14's (unrounded) quality formula, profiled
     // with quantile_cont — the same p·(n-1) interpolation Spark's exact

@@ -59,6 +59,42 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Non-distinct word n-grams, '_'-joined, over a token array — the
+    * MULTISET form repetition statistics need ([[shinglesFromTokens]]
+    * dedups, which is right for set similarity and wrong for counting
+    * repeats).
+    */
+  def ngrams(t: Column, n: Int): Column = {
+    val hi = size(t) - (n - 1)
+    when(hi >= 1,
+      transform(sequence(lit(1), hi), i => array_join(slice(t, i, lit(n)), "_")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Repetition quality signals (the Gopher-rules shape): per document,
+    * the fraction of n-gram occurrences taken by the single most frequent
+    * n-gram (`top_frac` — boilerplate/spam is high) and the fraction of
+    * occurrences that are distinct (`uniq_frac` — templated text is low),
+    * plus the occurrence count. Documents shorter than n tokens yield no
+    * row.
+    *
+    * Scale: two aggregations on bounded keys — (doc, gram) then doc —
+    * both map-side combined; state per group is three numbers. All
+    * arithmetic is long/long → double division, reproduced bit-for-bit by
+    * the oracle.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), explode(ngrams(col("t"), n)).as("g"))
+    grams.groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg((max("cnt") / sum("cnt")).as("top_frac"),
+        (count(lit(1)) / sum("cnt")).as("uniq_frac"),
+        sum("cnt").cast("long").as("n_grams"))
+  }
+
   /** Ratio of tokens found in `markers` (a tiny per-language stopword /
     * marker profile) to total tokens — the scoring core of the n-gram
     * language-ID heuristic. Integer/integer `/` is double division in both

@@ -99,6 +99,19 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("repetition stats: hand-computed fractions, short docs yield no row") {
+    import TestSpark.spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a"),   // bigrams a_b, b_a, a_b, b_a: top 2/4, uniq 2/4
+      (2L, "x y z"),       // bigrams x_y, y_z: top 1/2, uniq 2/2
+      (3L, "solo"),        // no bigrams -> dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 0.5, 0.5, 4L), (2L, 0.5, 1.0, 2L)))
+  }
+
   test("fused rolling fingerprint equals the composable chain on fixture docs") {
     import TestSpark.spark.implicits._
     // the pre-fusion reference implementation, kept verbatim
