@@ -459,7 +459,8 @@ object SparkEntry {
     "q32_split_quality" -> ((s, dir) => {
       val d = Sampling.hashSplit(Tables(s, dir).documents, "doc_id",
           trainPct = 80, valPct = 10)
-        .select(col("split"), TextAnalysis.qualityScore(col("text")).as("q"))
+        .select(col("split"), TextAnalysis.tokens(col("text")).as("t"))
+        .select(col("split"), TextAnalysis.qualityScoreFromTokens(col("t")).as("q"))
       Sampling.quantileProfile(d, "split", "q", Seq(0.25, 0.5, 0.75, 0.9))
         .orderBy("split")
     }),

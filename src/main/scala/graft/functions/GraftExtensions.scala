@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -11,37 +11,52 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - programmatically: `SparkSession.builder().withExtensions(GraftExtensions.inject)`
   *    (what [[graft.GraftSession]] does);
   *  - by config: `spark.sql.extensions=graft.functions.GraftExtensions` on
-  *    any cluster, no code changes — the standard deployment path.
+  *    any cluster, no code changes — the standard deployment path
+  *    (`ExtensionsSpec` exercises the reflective class contract).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = GraftExtensions.inject(e)
 }
 
 object GraftExtensions {
-  def inject(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
-    e.injectFunction((
-      FunctionIdentifier("graft_common"),
-      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_common"),
-      (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1))))
-    e.injectFunction((
-      FunctionIdentifier("graft_shingles64"),
-      new ExpressionInfo(classOf[HashedShingles].getName, "graft_shingles64"),
-      (exprs: Seq[Expression]) => HashedShingles(exprs.head, exprs(1))))
-    e.injectFunction((
-      FunctionIdentifier("graft_rollfp"),
-      new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_rollfp"),
-      (exprs: Seq[Expression]) => RollingFingerprint(exprs.head, exprs(1), exprs(2))))
-    e.injectFunction((
-      FunctionIdentifier("graft_minhash"),
-      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
-      (exprs: Seq[Expression]) => MinHashSig(exprs.head, exprs(1))))
-    e.injectFunction((
-      FunctionIdentifier("graft_simhash"),
-      new ExpressionInfo(classOf[SimHashSig].getName, "graft_simhash"),
-      (exprs: Seq[Expression]) => SimHashSig(exprs.head)))
+
+  /** The single registration table: both the extensions inject and the
+    * per-operator lazy registration (for foreign sessions) read it, so a
+    * new function is added in exactly one place.
+    */
+  private val functions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine", classOf[CosineSim],
+      e => CosineSim(e.head, e(1))),
+    ("graft_common", classOf[SortedIntersectCount],
+      e => SortedIntersectCount(e.head, e(1))),
+    ("graft_shingles64", classOf[HashedShingles],
+      e => HashedShingles(e.head, e(1))),
+    ("graft_rollfp", classOf[RollingFingerprint],
+      e => RollingFingerprint(e.head, e(1), e(2))),
+    ("graft_minhash", classOf[MinHashSig],
+      e => MinHashSig(e.head, e(1))),
+    ("graft_simhash", classOf[SimHashSig],
+      e => SimHashSig(e.head, e(1))),
+  )
+
+  def inject(e: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, cls, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name), builder))
+    }
+
+  /** Idempotent per-session registration of one table entry — operators
+    * call this so sessions NOT built with the extensions (e.g. a driver's
+    * own) still resolve the function lazily.
+    */
+  def ensureRegistered(spark: SparkSession, name: String): Unit = {
+    val ident = FunctionIdentifier(name)
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(ident)) {
+      val (_, cls, builder) = functions.find(_._1 == name).getOrElse(
+        throw new IllegalArgumentException(s"unknown graft function: $name"))
+      registry.registerFunction(ident,
+        new ExpressionInfo(cls.getName, name), builder)
+    }
   }
 }

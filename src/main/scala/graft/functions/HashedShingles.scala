@@ -4,9 +4,8 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -115,14 +114,6 @@ object HashedShingles {
       if (w == m) arr else java.util.Arrays.copyOf(arr, w))
   }
 
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val ident = FunctionIdentifier("graft_shingles64")
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(ident)) {
-      registry.registerFunction(
-        ident,
-        new ExpressionInfo(classOf[HashedShingles].getName, "graft_shingles64"),
-        (exprs: Seq[Expression]) => HashedShingles(exprs.head, exprs(1)))
-    }
-  }
+  def ensureRegistered(spark: SparkSession): Unit =
+    GraftExtensions.ensureRegistered(spark, "graft_shingles64")
 }

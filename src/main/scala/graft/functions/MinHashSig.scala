@@ -1,9 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -30,10 +29,13 @@ case class MinHashSig(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), IntegerType) if right.foldable =>
+      // containsNull must be false: compute() reads primitive getLong, so a
+      // null slot would silently hash as 0 ([[HashedShingles]] output — the
+      // intended input — is null-free by construction)
+      case (ArrayType(LongType, false), IntegerType) if right.foldable =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"graft_minhash expects (array<long>, foldable int), got " +
+        s"graft_minhash expects (array<long> without nulls, foldable int), got " +
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
     }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -86,14 +88,6 @@ object MinHashSig {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val ident = FunctionIdentifier("graft_minhash")
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(ident)) {
-      registry.registerFunction(
-        ident,
-        new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
-        (exprs: Seq[Expression]) => MinHashSig(exprs.head, exprs(1)))
-    }
-  }
+  def ensureRegistered(spark: SparkSession): Unit =
+    GraftExtensions.ensureRegistered(spark, "graft_minhash")
 }

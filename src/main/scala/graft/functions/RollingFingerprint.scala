@@ -3,9 +3,8 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -66,6 +65,9 @@ object RollingFingerprint {
 
   /** Called from generated code; thread-safe (per-thread digest). */
   def compute(text: UTF8String, w: Int, stride: Int): UTF8String = {
+    // fail fast like the composable form's sequence(1, hi, step) did — a
+    // non-positive stride would otherwise spin the window loop forever
+    require(w >= 1 && stride >= 1, s"need w >= 1 and stride >= 1, got w=$w stride=$stride")
     val md = digests.get()
     val hi = text.numChars() - (w - 1)
     var best: Array[Byte] = null
@@ -101,14 +103,6 @@ object RollingFingerprint {
     false
   }
 
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val ident = FunctionIdentifier("graft_rollfp")
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(ident)) {
-      registry.registerFunction(
-        ident,
-        new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_rollfp"),
-        (exprs: Seq[Expression]) => RollingFingerprint(exprs.head, exprs(1), exprs(2)))
-    }
-  }
+  def ensureRegistered(spark: SparkSession): Unit =
+    GraftExtensions.ensureRegistered(spark, "graft_rollfp")
 }

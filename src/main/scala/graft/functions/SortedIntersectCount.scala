@@ -1,9 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
@@ -95,14 +94,6 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 }
 
 object SortedIntersectCount {
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val ident = FunctionIdentifier("graft_common")
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(ident)) {
-      registry.registerFunction(
-        ident,
-        new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_common"),
-        (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1)))
-    }
-  }
+  def ensureRegistered(spark: SparkSession): Unit =
+    GraftExtensions.ensureRegistered(spark, "graft_common")
 }

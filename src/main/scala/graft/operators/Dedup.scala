@@ -91,8 +91,10 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.3): DataFrame = {
     // hashed frame: the inverted index shuffles 8-byte longs, not shingle
-    // strings — same pair counts (a 60-bit collision inside one document is
-    // the only divergence, p ≈ |S|²/2⁶¹)
+    // strings — same pair counts up to 60-bit collisions: a within-document
+    // collision undercounts one set size, a CROSS-document collision
+    // (distinct shingles of A and B hashing equal) overcounts one
+    // intersection; both are p ≈ |S|²/2⁶¹ per pair
     val sh = hashedShingleFrame(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.select(col("id"), size(col("sh")).as("nsh"))
@@ -360,17 +362,16 @@ object Dedup {
     *
     * Computed PER ROW by the fused [[graft.functions.SimHashSig]]
     * expression — zero exchanges (the composable form exploded the tokens
-    * and shuffled 32 vote-sums per document for a value one map-side loop
-    * produces; equality is property-tested in DedupSpec). Documents with no
-    * non-empty token are dropped, matching the aggregate form, which
-    * emitted no group for them.
+    * and shuffled `bits` vote-sums per document for a value one map-side
+    * loop produces; equality is property-tested in DedupSpec). Documents
+    * with no non-empty token are dropped, matching the aggregate form,
+    * which emitted no group for them.
     */
   def simHash(df: DataFrame, idCol: String, textCol: String,
               bits: Int = 32): DataFrame = {
-    require(bits == 32, s"the fused SimHash kernel is 32-bit, got $bits")
     graft.functions.SimHashSig.ensureRegistered(df.sparkSession)
     df.select(col(idCol).as("id"),
-        call_function("graft_simhash", col(textCol)).as("simhash"))
+        call_function("graft_simhash", col(textCol), lit(bits)).as("simhash"))
       .filter(col("simhash").isNotNull)
   }
 }

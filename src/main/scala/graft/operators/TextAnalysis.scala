@@ -51,13 +51,8 @@ object TextAnalysis {
     * need shingles more than once should project the token array first so
     * the split happens one time (see [[graft.operators.Dedup]]).
     */
-  def shinglesFromTokens(t: Column, n: Int): Column = {
-    val hi = size(t) - (n - 1)
-    when(hi >= 1,
-      array_distinct(transform(sequence(lit(1), hi),
-        i => array_join(slice(t, i, lit(n)), "_"))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shinglesFromTokens(t: Column, n: Int): Column =
+    array_distinct(ngrams(t, n))
 
   /** Non-distinct word n-grams, '_'-joined, over a token array — the
     * MULTISET form repetition statistics need ([[shinglesFromTokens]]

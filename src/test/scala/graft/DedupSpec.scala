@@ -107,6 +107,11 @@ class DedupSpec extends SparkTestBase {
         "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+    // narrower widths stay supported: a 8-bit signature fits in 8 bits and
+    // is the low byte's votes only
+    val narrow = Dedup.simHash(corpus, "doc_id", "text", bits = 8)
+      .collect().map(_.getLong(1))
+    assert(narrow.forall(s => s >= 0 && s < 256))
   }
 
   test("fused minhash signature equals the explode + k-min aggregation on fixture docs") {

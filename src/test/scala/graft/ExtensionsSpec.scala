@@ -35,7 +35,7 @@ class ExtensionsSpec extends AnyFunSuite {
                size(graft_shingles64('a b c d', 3))                    AS n_sh,
                graft_rollfp('abcdefghijklmnopqrstuvwxyz', 16, 4)       AS rfp,
                size(graft_minhash(graft_shingles64('a b c d', 3), 12)) AS n_mh,
-               graft_simhash('a b c')                                  AS sim
+               graft_simhash('a b c', 32)                              AS sim
       """).head()
       assert(row.getDouble(0) == 1.0)
       assert(row.getInt(1) == 2)
