@@ -465,6 +465,35 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // Set-operation surface (§2.6) under the gate: semi-join allowlist
+    // filter — clicks by users who ever purchased — counted per user. The
+    // allowlist is a distinct projection, so the semi-join is
+    // broadcast-able at any corpus scale where the user dimension is
+    // bounded; Catalyst plans left_semi, which emits each click at most
+    // once (an inner join would duplicate per purchase).
+    "q35_semi_filter" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val allow = ev.filter(Relational.equalsFilter(col("event_type"), "purchase"))
+        .select("user_id").distinct()
+      val kept = Relational.semiJoin(
+        ev.filter(Relational.equalsFilter(col("event_type"), "click")),
+        allow, Seq("user_id"))
+      Relational.countPerKey(kept, "user_id").orderBy("user_id")
+    }),
+
+    // Train/eval decontamination: the standard 13-gram contamination rule —
+    // which train-split documents share a 13-gram with the held-out test
+    // split? Corpus side is map-side shingle hashing; the eval gram set is
+    // DISTINCT + broadcast, so the corpus never shuffles to meet it.
+    "q34_decontam" -> ((s, dir) => {
+      val split = Sampling.hashSplit(Tables(s, dir).documents, "doc_id",
+        trainPct = 80, valPct = 10)
+      Dedup.contaminatedDocs(
+        split.filter(col("split") === "train"), "doc_id", "text",
+        split.filter(col("split") === "test"), "text", n = 13)
+        .orderBy("doc_id")
+    }),
+
     // Token-window chunking: 32-token chunks, 8 tokens of overlap — the
     // pre-training/RAG segmentation step. The gate compares chunk
     // fingerprints, so the whole chunk text is under the hash.
@@ -877,6 +906,30 @@ object SparkEntry {
         |       round(quantile_cont(q, 0.90), 6) AS p90
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
+    "q35_semi_filter" ->
+      """SELECT user_id, count(*) AS cnt
+        |FROM events
+        |WHERE event_type = 'click'
+        |  AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q26's bucket split + n-gram overlap between the splits. The hashed
+    // 13-gram expression is generated from the same rule the fused
+    // graft_shingles64 kernel implements (join-with-'_', first 15 md5 hex
+    // digits), so both engines compare identical 60-bit longs.
+    "q34_decontam" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+         |           FROM documents),
+         |toks AS (SELECT doc_id, bucket, string_split(text, ' ') AS t FROM b),
+         |sh AS (SELECT doc_id, bucket, ${hashedShinglesSql(13)} AS h
+         |       FROM toks WHERE len(t) >= 13),
+         |esh AS (SELECT DISTINCT h FROM sh WHERE bucket >= 90),
+         |csh AS (SELECT doc_id, h FROM sh WHERE bucket < 80)
+         |SELECT c.doc_id, count(*) AS n_overlap, min(c.h) AS example_h
+         |FROM csh c JOIN esh USING (h)
+         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
     // Chunking: 32-token windows, stride 24 (overlap 8). DuckDB list
     // slicing is 1-based inclusive and end-clamped, same as Spark `slice`;
     // generate_series is stop-inclusive, same as Spark `sequence`.
@@ -921,6 +974,20 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, round(c, 4) AS cos FROM r WHERE rk <= 3
         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
   )
+
+  /** DuckDB expression for the distinct HASHED word n-gram shingles of a
+    * token list `t` — the oracle twin of `graft_shingles64` for arbitrary n
+    * (tokens joined with '_', first 15 md5 hex digits as a base-16 BIGINT,
+    * deduped). DuckDB `range` is stop-exclusive, so `range(1, len-(n-2))`
+    * yields 1-based starts 1..len-n+1, matching the kernel's len-n+1
+    * windows.
+    */
+  private def hashedShinglesSql(n: Int): String = {
+    val terms = (0 until n)
+      .map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || '_' || ")
+    s"unnest(list_distinct(list_transform(range(1, len(t) - ${n - 2}), " +
+      s"i -> ('0x' || substr(md5($terms), 1, 15))::BIGINT)))"
+  }
 
   /** Distinct word-3-gram shingles per document, as DuckDB SQL — the oracle
     * twin of [[graft.operators.TextAnalysis.shingles]].

@@ -356,6 +356,45 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("canon_id"))
   }
 
+  /** Train/eval DECONTAMINATION — the dedup family's asymmetric twin: which
+    * corpus documents share at least one word n-gram with a held-out
+    * evaluation set? The standard contamination rule (n = 13, the 13-gram
+    * overlap check used across LLM training-data reports) is the default.
+    *
+    * Output: (doc_id, n_overlap, example_h) per CONTAMINATED corpus
+    * document — the count of its distinct n-grams that appear anywhere in
+    * the eval set, plus the smallest 60-bit gram hash as a stable example
+    * witness. Clean documents are absent (a 100 TB corpus is mostly clean;
+    * emitting only violations keeps the output proportional to the
+    * contamination, not the corpus).
+    *
+    * Scale shape: the corpus side is map-side only — fused shingle hashing
+    * ([[graft.functions.HashedShingles]]) then explode; the eval side (eval
+    * sets are thousands of documents, not billions) collapses to a DISTINCT
+    * 8-byte-hash set and BROADCASTS, so the corpus never shuffles to meet
+    * it. The only exchange is the final groupBy on the (rare) contaminated
+    * doc ids. For an eval set too large to broadcast, pass
+    * `broadcastEval = false` to fall back to a shuffle equi-join on the
+    * gram hash — same output, same no-all-pairs bound.
+    */
+  def contaminatedDocs(corpus: DataFrame, corpusId: String, corpusText: String,
+                       evalSet: DataFrame, evalTextCol: String,
+                       n: Int = 13, broadcastEval: Boolean = true): DataFrame = {
+    graft.functions.HashedShingles.ensureRegistered(corpus.sparkSession)
+    val evalGrams = evalSet
+      .select(explode(
+        call_function("graft_shingles64", col(evalTextCol), lit(n))).as("h"))
+      .distinct()
+    val corpusGrams = hashedShingleFrame(corpus, corpusId, corpusText, n)
+      .select(col("id").as("doc_id"), explode(col("sh")).as("h"))
+    val hits = corpusGrams.join(
+      if (broadcastEval) broadcast(evalGrams) else evalGrams, "h")
+    // corpus shingles are distinct per document and the eval side is a
+    // distinct set, so count(*) = |distinct corpus grams ∩ eval grams|
+    hits.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"), min(col("h")).as("example_h"))
+  }
+
   /** SimHash: 32-bit locality-sensitive signature. Each token votes ±1 on
     * every bit of its 32-bit hash (first 8 md5 hex chars); the signature
     * sets bit b iff the bit-b vote sum is positive.

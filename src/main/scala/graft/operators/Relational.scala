@@ -141,6 +141,47 @@ object Relational {
   def roundRobin(df: DataFrame, partitions: Int): DataFrame =
     df.repartition(partitions)
 
+  // ---- Set operations (§2.6) ----------------------------------------------
+  // The reference composes these implicitly (stream merge = union, dedup
+  // passes = anti-join); SURVEY §2.6 asks for them as a declared public
+  // surface. All are thin declarative forms — Catalyst plans union as a
+  // no-shuffle concatenation, distinct/except/intersect as hash
+  // aggregates/joins on the full row, and semi/anti as real join strategies
+  // (broadcast when one side is small, shuffled hash otherwise), so each
+  // inherits AQE skew handling and pushdown for free.
+
+  /** Multiset union (SQL UNION ALL), matched BY NAME — positional `union`
+    * silently mis-binds when two pipelines emit columns in different
+    * orders. No shuffle: partitions of both inputs are concatenated.
+    */
+  def unionAll(a: DataFrame, b: DataFrame): DataFrame = a.unionByName(b)
+
+  /** Set union (SQL UNION): [[unionAll]] plus one distinct hash aggregate
+    * over the full row — the only shuffle, on the row hash.
+    */
+  def unionDistinct(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
+  /** Set difference (SQL EXCEPT): rows of `a` absent from `b`, deduped. */
+  def exceptRows(a: DataFrame, b: DataFrame): DataFrame = a.except(b)
+
+  /** Set intersection (SQL INTERSECT): rows present in both, deduped. */
+  def intersectRows(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
+
+  /** Semi-join filter: rows of `df` whose `on` key appears in `keys` —
+    * the allowlist filter. Only `df`'s columns survive, each input row at
+    * most once (unlike an inner join, which duplicates per match).
+    */
+  def semiJoin(df: DataFrame, keys: DataFrame, on: Seq[String]): DataFrame =
+    df.join(keys, on, "left_semi")
+
+  /** Anti-join filter: rows of `df` whose `on` key does NOT appear in
+    * `keys` — the blocklist / "apply the drop list" filter (q31's dedup
+    * apply step is exactly this shape).
+    */
+  def antiJoin(df: DataFrame, keys: DataFrame, on: Seq[String]): DataFrame =
+    df.join(keys, on, "left_anti")
+
   // ---- Top-K (§2.5) -------------------------------------------------------
 
   /** T1+T2 (`bolt/bolt.go:398-440`): rank by count desc, cut at K, with the

@@ -146,4 +146,42 @@ class DedupSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  // 13 tokens — exactly one 13-gram of its own, present wherever planted
+  private val plantedPara =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike"
+
+  test("decontamination catches a planted eval paragraph and only that") {
+    val corpus = Seq(
+      (0L, s"some leading words $plantedPara and then a trailing sentence"),
+      (1L, "a long unrelated document containing thirteen plus tokens but " +
+        "none of them forming any overlapping gram with the evaluation set"),
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, s"question intro $plantedPara answer outro"))
+      .toDF("eval_id", "text")
+    val out = Dedup.contaminatedDocs(corpus, "doc_id", "text", eval, "text",
+      n = 13).collect()
+    // doc 0 is flagged (the planted paragraph yields shared 13-grams:
+    // every window spanning it within both texts); doc 1 is clean
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L))
+    assert(out.head.getLong(1) >= 1L)
+  }
+
+  test("decontamination shuffle fallback equals the broadcast form") {
+    val corpus = Seq(
+      (0L, s"x y $plantedPara z w"),
+      (1L, s"$plantedPara tail words here"),
+      (2L, "nothing shared with the eval set in this document at all really"),
+    ).toDF("doc_id", "text")
+    val eval = Seq((0L, plantedPara)).toDF("eid", "text")
+    val b = Dedup.contaminatedDocs(corpus, "doc_id", "text", eval, "text",
+      n = 13, broadcastEval = true).orderBy("doc_id").collect().toSeq
+    val s = Dedup.contaminatedDocs(corpus, "doc_id", "text", eval, "text",
+      n = 13, broadcastEval = false).orderBy("doc_id").collect().toSeq
+    assert(b == s)
+    assert(b.map(_.getLong(0)) == Seq(0L, 1L))
+    // the eval paragraph alone has exactly one 13-gram; each corpus doc
+    // shares exactly that one
+    assert(b.map(_.getLong(1)) == Seq(1L, 1L))
+  }
 }

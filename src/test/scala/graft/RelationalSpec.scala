@@ -119,4 +119,38 @@ class RelationalSpec extends SparkTestBase {
     assert(got.columns.toSeq == Seq("host", "route"))
     assert(got.as[(String, String)].collect().toSeq == Seq(("h", "h/a")))
   }
+
+  // ---- Set operations (§2.6) ---------------------------------------------
+
+  private def ab = Seq((1L, "x"), (2L, "y"), (2L, "y")).toDF("id", "v")
+  private def cd = Seq((2L, "y"), (3L, "z")).toDF("id", "v")
+
+  test("unionAll keeps duplicates and matches by name, not position") {
+    val swapped = cd.select(col("v"), col("id")) // column order reversed
+    val got = Relational.unionAll(ab, swapped).orderBy("id", "v").collect()
+    assert(got.length == 5)
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 2L, 2L, 3L))
+  }
+
+  test("unionDistinct / exceptRows / intersectRows have SQL set semantics") {
+    assert(Relational.unionDistinct(ab, cd).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // EXCEPT dedupes: (2,y) appears twice in ab but is removed entirely
+    assert(Relational.exceptRows(ab, cd).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    assert(Relational.intersectRows(ab, cd).collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("semiJoin keeps each matching row once; antiJoin is its complement") {
+    val events = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("id", "p")
+    // allowlist with a DUPLICATE key — a semi join must not duplicate output
+    val allow = Seq(Tuple1(1L), Tuple1(1L), Tuple1(2L)).toDF("id")
+    val semi = Relational.semiJoin(events, allow, Seq("id"))
+      .orderBy("id", "p").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(semi.toSeq == Seq((1L, "a"), (1L, "b"), (2L, "c")))
+    val anti = Relational.antiJoin(events, allow, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(anti.toSeq == Seq((3L, "d")))
+  }
 }
