@@ -14,8 +14,11 @@ package graft
   *    measured run pays JVM/codegen/class-load cost;
   *  - then `Runs` timed executions per query, reporting the MEDIAN in
   *    `queries` (what the driver reads) plus per-query min/max spread;
-  *  - `spark.catalog.clearCache()` between executions, so every run re-does
-  *    its own persist work instead of reading a previous run's cache.
+  *  - `spark.catalog.clearCache()` between executions — OUTSIDE the timed
+  *    window (teardown of the previous run's cache is not the next run's
+  *    cost) — so every run re-does its own persist work instead of reading
+  *    a previous run's cache; streaming queries' leftovers (memory-sink
+  *    view, checkpoint dir) are likewise dropped between runs, untimed.
   */
 object Bench {
   private val Runs = 3
@@ -30,10 +33,15 @@ object Bench {
       val sibling = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
       if (sibling.isDirectory) sibling.getPath else sfDir
     }
-    def runOnce(name: String, dir: String): Unit = {
+    def runOnce(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
+    // Untimed between-run teardown: cache entries from the run's persists,
+    // plus any streaming artifacts (q23's memory-sink view + checkpoint
+    // dir, which clearCache alone would leave accumulating).
+    def cleanup(): Unit = {
       spark.catalog.clearCache()
+      SparkEntry.cleanupStreamArtifacts(spark)
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -44,6 +52,7 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name skipped: ${e.getMessage}")
       }
+      cleanup()
     }
 
     val medians = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -64,6 +73,7 @@ object Bench {
               errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
                 .linesIterator.take(1).mkString.take(200)
           }
+          cleanup() // outside the nanoTime window: teardown is not query cost
         }
       }
       if (!failed) {

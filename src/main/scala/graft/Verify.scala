@@ -15,8 +15,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operators that persist (Dedup/Similarity) can't unpersist their own
-      // lazy frames; drop them here so 20+ queries don't accumulate caches
+      // lazy frames; drop them here so 20+ queries don't accumulate caches,
+      // and drain streaming leftovers (q23's memory sink + checkpoint dir)
       spark.catalog.clearCache()
+      SparkEntry.cleanupStreamArtifacts(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

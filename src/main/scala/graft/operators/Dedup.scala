@@ -150,18 +150,28 @@ object Dedup {
                          n: Int = 3, threshold: Double = 0.3): DataFrame = {
     val sh = hashedShingleFrame(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prefixLen = (size(col("sh")) - ceil(size(col("sh")) * threshold) + 1).cast("int")
+    // Every pruning bound below subtracts a tiny epsilon before its ceil /
+    // comparison: at an exact J == t boundary, a 1-ulp UPWARD rounding of
+    // nsh·t or t/(1+t)·(na+nb) would otherwise shorten a prefix / raise α /
+    // fail the length filter and silently drop a qualifying pair that the
+    // exact [[jaccardPairs]] (and the oracle) emit. The epsilon only ever
+    // LOOSENS a bound (a few extra candidates, re-verified exactly), never
+    // tightens one — losslessness is preserved by construction.
+    val eps = 1e-9
+    val prefixLen =
+      (size(col("sh")) - ceil(size(col("sh")) * threshold - eps) + 1).cast("int")
     val prefixes = sh
       .select(col("id"), size(col("sh")).as("nsh"),
         posexplode(slice(col("sh"), lit(1), prefixLen)).as(Seq("pos", "h")))
     // Equivalent-overlap bound: |A∩B| ≥ t/(1+t)·(|A|+|B|) ⇔ J ≥ t.
-    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("a.nsh") + col("b.nsh")))
+    val alpha =
+      ceil(lit(threshold / (1 + threshold)) * (col("a.nsh") + col("b.nsh")) - eps)
     val cand = prefixes.as("a")
       .join(prefixes.as("b").hint("SHUFFLE_HASH"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           // length filter: size ratio below t can't reach Jaccard t
-          col("a.nsh") * threshold <= col("b.nsh") &&
-          col("b.nsh") * threshold <= col("a.nsh") &&
+          col("a.nsh") * threshold <= col("b.nsh") + eps &&
+          col("b.nsh") * threshold <= col("a.nsh") + eps &&
           // position filter: suffix lengths after this match must allow α
           lit(1) + least(col("a.nsh") - 1 - col("a.pos"),
             col("b.nsh") - 1 - col("b.pos")) >= alpha)
@@ -351,6 +361,15 @@ object Dedup {
       prev = cur
       iter += 1
     }
+    if (!converged)
+      // Unconverged labels mean canon_id may not be the component minimum —
+      // a downstream keep/drop (q31's apply) would then keep the wrong
+      // documents. Surface it loudly; with pointer jumping, hitting 50
+      // rounds means a component diameter ~2^50, i.e. something is wrong
+      // with the input, not the iteration budget.
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"canonicalIds stopped at maxIters=$maxIters WITHOUT reaching " +
+          "the label fixpoint; canon_id values may not be component minima")
     sym.unpersist(false)
     edges.unpersist(false)
     labels.select(col("node").as("doc_id"), col("label").as("canon_id"))

@@ -31,7 +31,13 @@ object RangeJoin {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val b = lit(bucketSeconds)
     val p = points.withColumn("__pb", floor(col(tCol) / b))
-    val i = intervals.withColumn("__pb",
+    // Empty/inverted intervals ([start,end) with end <= start) contain no
+    // point BY DEFINITION — drop them before exploding: Spark's `sequence`
+    // auto-steps -1 for stop < start, so a badly negative-length interval
+    // would otherwise fan out into a huge DESCENDING bucket list (correct
+    // output, since the exact predicate filters everything, but
+    // unbounded work).
+    val i = intervals.filter(col(endCol) > col(startCol)).withColumn("__pb",
       explode(sequence(floor(col(startCol) / b), floor((col(endCol) - 1) / b))))
     p.join(i.hint("SHUFFLE_HASH"),
         p("__pb") === i("__pb") &&

@@ -258,9 +258,19 @@ object TextAnalysis {
     * one running minimum digest (equality property-tested in
     * TextAnalysisSpec).
     */
-  def rollingFingerprint(text: Column, w: Int = 16, stride: Int = 4): Column = {
-    graft.functions.RollingFingerprint.ensureRegistered(
-      org.apache.spark.sql.SparkSession.active)
+  def rollingFingerprint(text: Column, w: Int = 16, stride: Int = 4): Column =
+    rollingFingerprint(org.apache.spark.sql.SparkSession.active, text, w, stride)
+
+  /** [[rollingFingerprint]] with an EXPLICIT session — the form for
+    * multi-session JVMs: the convenience overload registers `graft_rollfp`
+    * on `SparkSession.active` at Column-construction time, which may not be
+    * the session that later analyzes the plan (every other ensureRegistered
+    * call site takes the session from the DataFrame it operates on; a bare
+    * Column has none to offer, so callers must pass it).
+    */
+  def rollingFingerprint(spark: org.apache.spark.sql.SparkSession, text: Column,
+                         w: Int, stride: Int): Column = {
+    graft.functions.RollingFingerprint.ensureRegistered(spark)
     call_function("graft_rollfp", text, lit(w), lit(stride))
   }
 }

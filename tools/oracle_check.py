@@ -43,11 +43,17 @@ for name in sorted(oracle):
     else:
         if [str(d) for d in spark_df.dtypes] != [str(d) for d in ora_df.dtypes]:
             print(f"WARN {name}: dtypes {list(spark_df.dtypes)} vs {list(ora_df.dtypes)}")
+        def neq(x, y):
+            # NaN == NaN here: the driver's hash compare stringifies values,
+            # so two NaNs (or two NULLs) on matching rows are equal
+            if x != x and y != y:
+                return False
+            return x != y
         diff_cols = []
         for c in spark_df.columns:
             a, b = spark_df[c].tolist(), ora_df[c].tolist()
-            if a != b:
-                bad = next(i for i in range(len(a)) if a[i] != b[i])
+            bad = next((i for i in range(len(a)) if neq(a[i], b[i])), None)
+            if bad is not None:
                 diff_cols.append((c, bad, a[bad], b[bad]))
         if diff_cols:
             c, i, x, y = diff_cols[0]
