@@ -51,4 +51,41 @@ class AsOfSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoop"), plan)
     assert("hashpartitioning\\(sym".r.findAllIn(plan).length >= 1, plan)
   }
+
+  test("bucketed variant equals the per-key window on every edge case") {
+    for (span <- Seq(1L, 7L, 16L, 1000L)) { // incl. span > whole time range
+      val a = AsOf.joinAsOf(trades, quotes, "sym", "tt", "qt", Seq("px"))
+        .orderBy("sym", "tt").collect().toSeq
+      val b = AsOf.joinAsOfBucketed(trades, quotes, "sym", "tt", "qt",
+        Seq("px"), bucketSpan = span).orderBy("sym", "tt").collect().toSeq
+      assert(a == b, s"span=$span")
+    }
+  }
+
+  test("bucketed variant spreads a hot key over many tasks") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // one key holds 95% of all rows, spanning time 0..9999
+    val hotL = (0 until 9500).map(i => ("hot", i.toLong, i.toLong))
+    val coldL = (0 until 500).map(i => (s"c${i % 20}", i.toLong, i.toLong))
+    val left = (hotL ++ coldL).toDF("k", "t", "v")
+    val right = (0 until 100).map(i => ("hot", i * 100L, i * 1.0)).toDF("k", "rt", "px")
+    val bucketed = AsOf.joinAsOfBucketed(left, right, "k", "t", "rt",
+      Seq("px"), bucketSpan = 500)
+    // correctness: identical to the per-key-window form
+    val expect = AsOf.joinAsOf(left, right, "k", "t", "rt", Seq("px"))
+      .orderBy("k", "t").collect().toSeq
+    assert(bucketed.orderBy("k", "t").collect().toSeq == expect)
+    // skew: the big-side window partitions on (key, bucket) — the hot key's
+    // 9500 rows land in 20 window partitions, not one task. Assert on the
+    // plan (the window spec must include the bucket column)...
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(k"), plan)
+    assert("hashpartitioning\\(k#\\d+, __bk".r.findAllIn(plan).nonEmpty, plan)
+    // ...and empirically: no (key, bucket) window partition holds more than
+    // 10% of the data (the hot key's densest bucket is 500/10000 + rights)
+    val maxPart = left.select(col("k"), floor(col("t") / 500).as("bk"))
+      .groupBy("k", "bk").count().agg(max("count")).head.getLong(0)
+    assert(maxPart <= 1000, s"densest (key,bucket) holds $maxPart rows")
+  }
 }
