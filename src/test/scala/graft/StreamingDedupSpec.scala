@@ -5,9 +5,12 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.operators.Dedup
+import graft.streaming.{Stateful, StreamingMinHash}
 
 /** Streaming exact dedup: first occurrence wins across micro-batches,
-  * duplicate-tracking state bounded by the watermark.
+  * duplicate-tracking state bounded by the watermark. Streaming FUZZY
+  * (MinHash) dedup: pair stream across micro-batches equals the batch
+  * pipeline on the union of the batches.
   */
 class StreamingDedupSpec extends SparkTestBase {
   import TestSpark.spark.implicits._
@@ -36,5 +39,42 @@ class StreamingDedupSpec extends SparkTestBase {
     val out = spark.table("sd").as[(Timestamp, String, String)].collect()
       .map(r => r._2 -> r._3).toMap
     assert(out == Map("A" -> "first-A", "B" -> "first-B", "C" -> "first-C"))
+  }
+
+  test("streaming minhash pairs across micro-batches equal the batch pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(Stateful.TransformWithStateConf._1)
+    spark.conf.set(Stateful.TransformWithStateConf._1, Stateful.TransformWithStateConf._2)
+    try {
+      // fixture documents (they contain engineered near-dups), split into
+      // three micro-batches — pairs must surface regardless of whether the
+      // two members arrive together or batches apart
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      val batches = docs.grouped((docs.size + 2) / 3).toSeq
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingMinHash.minHashPairs(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, k = 12, rowsPerBand = 3, threshold = 0.3)
+        .writeStream.format("memory").queryName("smh").outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory("smh-ckpt").toString)
+        .start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      val streamed = spark.table("smh").as[(Long, Long, Double)]
+        .collect().toSeq.sorted
+      val batch = Dedup.minHashDedup(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n = 3, k = 12, rowsPerBand = 3, threshold = 0.3)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      assert(batch.nonEmpty, "fixture should contain near-dups")
+      assert(streamed == batch)
+      // exactly-once: no pair emitted twice even when members share >1 band
+      assert(streamed.map(p => (p._1, p._2)).distinct.size == streamed.size)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(Stateful.TransformWithStateConf._1, v)
+        case None => spark.conf.unset(Stateful.TransformWithStateConf._1)
+      }
+    }
   }
 }
