@@ -30,10 +30,27 @@ import org.apache.spark.sql.functions._
   * Cache lifecycle: the similarity joins persist their shingle frame (it
   * feeds 2-3 plan branches and Catalyst does not reuse non-exchange
   * subtrees). The returned frames are lazy, so the operators cannot
-  * unpersist themselves; callers running many pipelines in one session
-  * should `spark.catalog.clearCache()` between runs (Bench/Verify do).
+  * unpersist themselves. Long-lived sessions should run each pipeline
+  * inside [[withShingleCache]], which unpersists exactly the caches the
+  * scope created; the blunt alternative is a global
+  * `spark.catalog.clearCache()` between runs (what Bench/Verify do — they
+  * own their whole session).
   */
 object Dedup {
+
+  /** Scoped cache lifecycle for a dedup/similarity pipeline: run the
+    * pipeline's ACTIONS inside; every shingle/index frame the operators
+    * persisted in the scope is unpersisted on exit — nothing else in the
+    * session is evicted. Delegates to [[CacheScope.withCaches]] (one scope
+    * covers the whole operator family, TF-IDF included).
+    *
+    * {{{
+    * val pairs = Dedup.withShingleCache {
+    *   Dedup.minHashDedup(docs, "doc_id", "text").collect()
+    * } // shingle cache released here
+    * }}}
+    */
+  def withShingleCache[T](body: => T): T = CacheScope.withCaches(body)
 
   /** (id, sh) frame with every shingle hashed ONCE to a 60-bit long
     * (first 15 md5 hex digits — [[TextAnalysis.fingerprint64]]'s rule) and
@@ -95,8 +112,7 @@ object Dedup {
     // collision undercounts one set size, a CROSS-document collision
     // (distinct shingles of A and B hashing equal) overcounts one
     // intersection; both are p ≈ |S|²/2⁶¹ per pair
-    val sh = hashedShingleFrame(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = CacheScope.persisted(hashedShingleFrame(df, idCol, textCol, n))
     val sizes = sh.select(col("id"), size(col("sh")).as("nsh"))
     val inv = sh.select(col("id"), explode(col("sh")).as("s"))
     // SHUFFLE_HASH: the self-join key (the shingle) is high-cardinality and
@@ -148,8 +164,7 @@ object Dedup {
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val sh = hashedShingleFrame(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = CacheScope.persisted(hashedShingleFrame(df, idCol, textCol, n))
     // Every pruning bound below subtracts a tiny epsilon before its ceil /
     // comparison: at an exact J == t boundary, a 1-ulp UPWARD rounding of
     // nsh·t or t/(1+t)·(na+nb) would otherwise shorten a prefix / raise α /
@@ -282,8 +297,7 @@ object Dedup {
     // and this operator returns a LAZY frame, so it cannot unpersist before
     // the caller's action; long-lived sessions should call
     // `spark.catalog.clearCache()` between pipeline runs (Bench/Verify do).
-    val sh = hashedShingleFrame(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = CacheScope.persisted(hashedShingleFrame(df, idCol, textCol, n))
     val cand = lshCandidates(signatureOfHashed(sh, k), k, rowsPerBand)
     verifyPairs(cand, sh, threshold)
   }

@@ -228,8 +228,8 @@ object TextAnalysis {
     val terms = df
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
-    val perDoc = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDoc = CacheScope.persisted(
+      terms.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt")))
     val docLen = perDoc.groupBy("doc_id").agg(sum("cnt").as("ntok"))
     val dfreq = perDoc.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)

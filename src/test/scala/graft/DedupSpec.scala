@@ -147,6 +147,39 @@ class DedupSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("withShingleCache releases operator caches on scope exit, keeps others") {
+    val spark = TestSpark.spark
+    spark.catalog.clearCache()
+    // an UNRELATED cache the scope must not evict (clearCache would)
+    val unrelated = corpus.persist()
+    unrelated.count()
+    try {
+      val nPairs = Dedup.withShingleCache {
+        val n = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3,
+          threshold = 0.3).count()
+        // inside the scope: the operator's shingle frame is materialized
+        assert(spark.sparkContext.getPersistentRDDs.size >= 2)
+        n
+      }
+      assert(nPairs == 3)
+      // after the scope: only the unrelated cache remains (exit unpersists
+      // blocking, so the release is immediately observable)
+      assert(spark.sparkContext.getPersistentRDDs.size == 1)
+      // nesting: the inner scope's minHashDedup persists the SAME canonical
+      // shingle plan the outer jaccardPairs cached — CacheManager shares
+      // one entry, so the inner exit must NOT evict it out from under the
+      // outer scope (the refcount-by-plan rule); the outer exit releases it
+      Dedup.withShingleCache {
+        Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.3).count()
+        Dedup.withShingleCache {
+          Dedup.minHashDedup(corpus, "doc_id", "text").count()
+        }
+        assert(spark.sparkContext.getPersistentRDDs.size == 2)
+      }
+      assert(spark.sparkContext.getPersistentRDDs.size == 1)
+    } finally unrelated.unpersist(true)
+  }
+
   // 13 tokens — exactly one 13-gram of its own, present wherever planted
   private val plantedPara =
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike"
