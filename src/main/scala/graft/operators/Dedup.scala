@@ -320,14 +320,33 @@ object Dedup {
     * Input: (aCol, bCol) pair frame. Output: (doc_id, canon_id) for every
     * document that appears in a pair, canon_id = min id of its component.
     * Documents with no near-dup are absent (they keep themselves).
+    *
+    * SMALL-GRAPH FAST PATH: when the edge list fits under `driverEdgeCap`
+    * (counted first — one cheap action on the persisted edges), the
+    * components are solved by an in-memory union-find on the driver: one
+    * collect of (u, v) longs, zero iteration jobs. This is the same
+    * bounded-driver-scalar pattern as the IVF codebook cap — the
+    * DUPLICATE-PAIR graph is orders of magnitude smaller than the corpus
+    * (most documents have no near-dup), so even a 100 TB corpus usually
+    * produces an edge list of millions, not billions; the default cap
+    * (2²² edges ≈ 64 MB) keeps the driver safe, and anything larger takes
+    * the distributed pointer-jumping loop below. `driverEdgeCap = 0`
+    * forces the loop (tests use this to cover both paths).
     */
   def canonicalIds(pairs: DataFrame, aCol: String = "doc_a",
-                   bCol: String = "doc_b", maxIters: Int = 50): DataFrame = {
+                   bCol: String = "doc_b", maxIters: Int = 50,
+                   driverEdgeCap: Long = 1L << 22): DataFrame = {
     // The pair frame is usually the output of an expensive similarity join
     // and fans out into THREE union branches below — persist it so the
     // join runs once, not three times (measured 3× the q9 cost without).
     val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (edges.count() <= driverEdgeCap) {
+      val out = unionFindLocal(pairs.sparkSession,
+        edges.collect().map(r => (r.getLong(0), r.getLong(1))))
+      edges.unpersist(false)
+      return out
+    }
     // symmetric closure PLUS self-loops: the self-loop makes the one-hop
     // aggregation below take min over {self} ∪ neighbors in a single join —
     // no per-iteration union (unioning a checkpointed frame with a frame
@@ -387,6 +406,42 @@ object Dedup {
     sym.unpersist(false)
     edges.unpersist(false)
     labels.select(col("node").as("doc_id"), col("label").as("canon_id"))
+  }
+
+  /** Driver-side union-find over a collected edge list — the
+    * [[canonicalIds]] fast path. Union-by-min-root (the larger root always
+    * attaches under the smaller) keeps every root the minimum id of its
+    * component, so `find` IS the canon_id; path compression makes the whole
+    * pass effectively linear. The result ships back as a parallelized frame
+    * (not a LocalRelation — millions of rows inlined into a plan would
+    * bloat every downstream optimization pass).
+    */
+  private def unionFindLocal(spark: org.apache.spark.sql.SparkSession,
+                             es: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val ru = find(u); val rv = find(v)
+      if (ru < rv) parent(rv) = ru
+      else if (rv < ru) parent(ru) = rv
+    }
+    val rows = parent.keysIterator
+      .map(n => org.apache.spark.sql.Row(n, find(n))).toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("canon_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val slices = math.max(1, math.min(32, rows.length / 500000))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, slices), schema)
   }
 
   /** Train/eval DECONTAMINATION — the dedup family's asymmetric twin: which

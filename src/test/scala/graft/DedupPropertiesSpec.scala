@@ -88,17 +88,25 @@ class DedupPropertiesSpec extends SparkTestBase {
       }
       val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
       val expect = nodes.map(v => v -> find(v.toInt).toLong).toMap
-      val got = Dedup.canonicalIds(edges.toDF("doc_a", "doc_b"))
+      // both execution paths must agree with the reference: the driver
+      // union-find fast path (default cap) and the distributed
+      // pointer-jumping loop (cap 0 forces it)
+      val fast = Dedup.canonicalIds(edges.toDF("doc_a", "doc_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expect, s"seed $seed: components differ")
+      assert(fast == expect, s"seed $seed: fast-path components differ")
+      val loop = Dedup.canonicalIds(edges.toDF("doc_a", "doc_b"),
+          driverEdgeCap = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(loop == expect, s"seed $seed: loop-path components differ")
     }
   }
 
   test("canonicalIds resolves a long chain (pointer jumping, not O(diameter))") {
-    // a 200-link path: one-hop-only propagation would need 200 rounds and
-    // hit the 50-round cap; pointer jumping must converge well within it
+    // a 200-link path through the DISTRIBUTED loop (cap 0): one-hop-only
+    // propagation would need 200 rounds and hit the 50-round cap; pointer
+    // jumping must converge well within it
     val chain = (0L until 200L).map(i => (i, i + 1))
-    val got = Dedup.canonicalIds(chain.toDF("doc_a", "doc_b"))
+    val got = Dedup.canonicalIds(chain.toDF("doc_a", "doc_b"), driverEdgeCap = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length == 201 && got.forall(_._2 == 0L),
       "every node of the chain must resolve to the minimum id")
