@@ -104,9 +104,29 @@ object Dedup {
     * join), count the intersection per pair, and derive
     * |A∩B| / (|A| + |B| - |A∩B|). Returns (doc_a, doc_b, jaccard) for pairs
     * at or above `threshold`, doc_a < doc_b.
+    *
+    * HOT-SHINGLE GUARD: a shingle in f documents contributes f²/2 join
+    * rows, and the plain inverted index puts them all in ONE join-key
+    * partition — a boilerplate shingle in 50% of the corpus is a quadratic
+    * straggler. Postings are therefore split by document frequency:
+    *  - df ≤ `hotDf`: the normal inverted-index equi-join;
+    *  - df > `hotDf`: a BLOCKED self-join — each posting gets a block id
+    *    `hash(id) mod hotBlocks`, the probe side replicates to every
+    *    block, and the join key becomes (shingle, block), spreading the
+    *    shingle's f² work over `hotBlocks` tasks (max task ~ f²/blocks)
+    *    at the price of replicating only the hot postings `hotBlocks`×.
+    * Both joins emit raw (doc_a, doc_b) match rows into ONE count
+    * aggregate, so every posting pair is counted exactly once and the
+    * output is bit-identical to the unguarded join (tested both ways).
+    * The df pass is one map-combined count per shingle; the hot list is
+    * bounded by |postings|/hotDf entries, hence broadcastable. Pairs whose
+    * shared shingles are ALL hot (identical boilerplate documents) still
+    * surface — through the blocked join, where their quadratic output is
+    * inherent to the answer, not to the plan.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.3): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.3,
+                   hotDf: Long = 4096, hotBlocks: Int = 16): DataFrame = {
     // hashed frame: the inverted index shuffles 8-byte longs, not shingle
     // strings — same pair counts up to 60-bit collisions: a within-document
     // collision undercounts one set size, a CROSS-document collision
@@ -115,15 +135,30 @@ object Dedup {
     val sh = CacheScope.persisted(hashedShingleFrame(df, idCol, textCol, n))
     val sizes = sh.select(col("id"), size(col("sh")).as("nsh"))
     val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+    val hot = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > hotDf).select(col("s"), lit(true).as("__hot"))
+    val tagged = inv.join(broadcast(hot), Seq("s"), "left")
+    val cold = tagged.filter(col("__hot").isNull).select("id", "s")
+    val hotPost = tagged.filter(col("__hot").isNotNull)
+      .select(col("id"), col("s"), pmod(hash(col("id")), lit(hotBlocks)).as("blk"))
     // SHUFFLE_HASH: the self-join key (the shingle) is high-cardinality and
-    // near-uniform, so a hashed build beats sorting both 500k-row sides
-    // (measured 2.6× on the bench corpus). Per-partition build must fit in
-    // memory — with a heavy-tailed shingle distribution at extreme scale,
-    // drop the hint and let sort-merge spill, or pre-filter stop-shingles.
-    val common = inv.as("a")
-      .join(inv.as("b").hint("SHUFFLE_HASH"),
+    // near-uniform once hot keys are routed away, so a hashed build beats
+    // sorting both 500k-row sides (measured 2.6× on the bench corpus).
+    val coldRows = cold.as("a")
+      .join(cold.as("b").hint("SHUFFLE_HASH"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+    // blocked hot join: probe replicated to each block, build keeps its
+    // own block — every unordered posting pair meets in exactly one
+    // (shingle, block) partition
+    val hotRows = hotPost
+      .withColumn("tb", explode(sequence(lit(0), lit(hotBlocks - 1)))).as("a")
+      .join(hotPost.as("b").hint("SHUFFLE_HASH"),
+        col("a.s") === col("b.s") && col("a.tb") === col("b.blk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+    val common = coldRows.union(hotRows)
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
     common
       .join(sizes.select(col("id").as("doc_a"), col("nsh").as("na")), "doc_a")

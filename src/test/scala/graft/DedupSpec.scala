@@ -147,6 +147,47 @@ class DedupSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("hot-shingle guard: blocked routing leaves the output bit-identical") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // a 12-token boilerplate sentence in 50% of docs (its 10 shingles are
+    // hot) plus short unique tails: boilerplate pairs share ~10 of ~18
+    // shingles (J ≈ 0.38), driven entirely by the HOT shingles
+    val boiler = "all rights reserved contact us for details terms apply see legal page"
+    val docs = (0 until 60).map { i =>
+      val tail = (0 until 8).map(_ => s"w${rnd.nextInt(400)}").mkString(" ")
+      (i.toLong, if (i % 2 == 0) s"$boiler $tail" else tail)
+    }.toDF("doc_id", "text")
+    val guarded = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.3, hotDf = 5, hotBlocks = 4)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val unguarded = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.3, hotDf = Long.MaxValue)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(guarded == unguarded)
+    assert(guarded.nonEmpty, "boilerplate-heavy docs should pair up")
+  }
+
+  test("hot-shingle guard: pairs sharing ONLY hot shingles still surface") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // identical boilerplate documents + one unique token each: every shared
+    // shingle exceeds the df cap, so the cold index alone would MISS every
+    // pair — the blocked hot join must find them, exactly
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"this exact template repeats in every single document u$i"))
+      .toDF("doc_id", "text")
+    val guarded = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, hotDf = 3, hotBlocks = 4)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val unguarded = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, hotDf = Long.MaxValue)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(guarded == unguarded)
+    assert(guarded.size == 20 * 19 / 2, "all template pairs must be found")
+  }
+
   test("withShingleCache releases operator caches on scope exit, keeps others") {
     val spark = TestSpark.spark
     spark.catalog.clearCache()
