@@ -118,15 +118,34 @@ object Dedup {
     * Both joins emit raw (doc_a, doc_b) match rows into ONE count
     * aggregate, so every posting pair is counted exactly once and the
     * output is bit-identical to the unguarded join (tested both ways).
-    * The df pass is one map-combined count per shingle; the hot list is
-    * bounded by |postings|/hotDf entries, hence broadcastable. Pairs whose
-    * shared shingles are ALL hot (identical boilerplate documents) still
-    * surface — through the blocked join, where their quadratic output is
-    * inherent to the answer, not to the plan.
+    * Pairs whose shared shingles are ALL hot (identical boilerplate
+    * documents) still surface — through the blocked join, where their
+    * quadratic output is inherent to the answer, not to the plan.
+    *
+    * Detection is SAMPLED (`hotSampleFraction`, default 2%): an exact df
+    * count would shuffle every distinct shingle (measured ~25% on the
+    * whole query), while a genuinely quadratic shingle — df in the tens
+    * of thousands and up — is flagged from a small sample with
+    * near-certainty. The cutoff sits at a 4× margin under `hotDf`, so
+    * over-flagging warm shingles (harmless: the blocked join is exact) is
+    * preferred to missing hot ones; a borderline miss degrades the task
+    * bound by at most that margin, never to unbounded. Routing never
+    * affects the OUTPUT, only the plan.
+    *
+    * The hot list is pulled to the DRIVER and inlined as an `InSet`
+    * predicate rather than tag-joined: the split filters then run
+    * map-side inside codegen, and with no hot shingles at all (the common
+    * corpus) the hot branch constant-folds to an empty relation, leaving
+    * the plan identical to the unguarded join (a broadcast tag join, the
+    * first implementation, re-evaluated under every self-join branch and
+    * cost ~25% even when the list was empty). Driver safety: the list is
+    * bounded by 4·|postings|/hotDf entries (sampled count over cutoff) —
+    * the same bounded-scalar contract as the IVF codebook cap.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.3,
-                   hotDf: Long = 4096, hotBlocks: Int = 16): DataFrame = {
+                   hotDf: Long = 4096, hotBlocks: Int = 16,
+                   hotSampleFraction: Double = 0.02): DataFrame = {
     // hashed frame: the inverted index shuffles 8-byte longs, not shingle
     // strings — same pair counts up to 60-bit collisions: a within-document
     // collision undercounts one set size, a CROSS-document collision
@@ -135,11 +154,14 @@ object Dedup {
     val sh = CacheScope.persisted(hashedShingleFrame(df, idCol, textCol, n))
     val sizes = sh.select(col("id"), size(col("sh")).as("nsh"))
     val inv = sh.select(col("id"), explode(col("sh")).as("s"))
-    val hot = inv.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > hotDf).select(col("s"), lit(true).as("__hot"))
-    val tagged = inv.join(broadcast(hot), Seq("s"), "left")
-    val cold = tagged.filter(col("__hot").isNull).select("id", "s")
-    val hotPost = tagged.filter(col("__hot").isNotNull)
+    val cutoff = math.max(1.0, hotDf * hotSampleFraction / 4)
+    val hotSet = inv.sample(withReplacement = false, hotSampleFraction, seed = 42L)
+      .groupBy("s").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > cutoff)
+      .select("s").collect().map(_.getLong(0)).toSeq
+    val isHot = col("s").isin(hotSet: _*) // InSet: O(1) map-side membership
+    val cold = inv.filter(!isHot)
+    val hotPost = inv.filter(isHot)
       .select(col("id"), col("s"), pmod(hash(col("id")), lit(hotBlocks)).as("blk"))
     // SHUFFLE_HASH: the self-join key (the shingle) is high-cardinality and
     // near-uniform once hot keys are routed away, so a hashed build beats

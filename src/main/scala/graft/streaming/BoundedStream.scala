@@ -39,6 +39,13 @@ object BoundedStream {
     * in-memory table. Aggregating pipelines use "complete" mode — the
     * terminal-bolt semantics (final state emitted once, at END).
     *
+    * GATE/TEST HARNESS ONLY: a complete-mode MEMORY sink materializes the
+    * full result table on the driver EVERY micro-batch — fine for the
+    * correctness gate's bounded vocabulary, wrong for production. The
+    * scale path is [[runAvailableNowToParquet]] (or [[runForeachBatch]]
+    * with a real sink): results land distributed, the driver holds
+    * nothing.
+    *
     * The checkpoint carries source offsets + operator state: re-invoking
     * with the same checkpoint after new files arrive processes ONLY the new
     * files and folds them into the existing state — the fault-tolerance
@@ -57,6 +64,23 @@ object BoundedStream {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /** The SCALE form of [[runAvailableNow]]: drain to EOF with the final
+    * state written to parquet — each batch's rows land distributed across
+    * executors (foreachBatch + overwrite for complete-mode aggregates;
+    * the last batch's overwrite is the final state), and the returned
+    * frame re-reads the files, so the driver never materializes the
+    * result. Same checkpoint-resume semantics as the memory-sink form.
+    */
+  def runAvailableNowToParquet(spark: SparkSession, source: DataFrame,
+                               transform: DataFrame => DataFrame,
+                               checkpoint: String, outDir: String,
+                               outputMode: String = "complete"): DataFrame = {
+    runForeachBatch(source, transform, checkpoint, outputMode) { (batch, _) =>
+      batch.write.mode("overwrite").parquet(outDir)
+    }
+    spark.read.parquet(outDir)
   }
 
   /** Same drain-to-EOF execution, but delivering each micro-batch to a

@@ -81,6 +81,19 @@ class BoundedStreamSpec extends SparkTestBase {
     assert(second == batch)
   }
 
+  test("parquet-sink drain equals the memory-sink form and batch (scale path)") {
+    val in = tmpDir("graft-pq-in")
+    writeLines(in, "a.txt", Seq("to be or not", "to be"))
+    writeLines(in, "b.txt", Seq("be be", "or not or"))
+    val batch = wordcount(spark.read.text(in).withColumnRenamed("value", "line"))
+      .orderBy("word").collect().map(r => (r.getString(0), r.getLong(1)))
+    val viaParquet = BoundedStream.runAvailableNowToParquet(
+      spark, BoundedStream.textStream(spark, in), wordcount,
+      tmpDir("graft-pq-ckpt"), tmpDir("graft-pq-out"))
+      .orderBy("word").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(viaParquet.toSeq == batch.toSeq && batch.nonEmpty)
+  }
+
   test("foreachBatch adapts a batch sink to the bounded stream") {
     val in = tmpDir("graft-feb-in")
     writeLines(in, "a.txt", Seq("k k j"))

@@ -160,7 +160,7 @@ class DedupSpec extends SparkTestBase {
       (i.toLong, if (i % 2 == 0) s"$boiler $tail" else tail)
     }.toDF("doc_id", "text")
     val guarded = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
-        threshold = 0.3, hotDf = 5, hotBlocks = 4)
+        threshold = 0.3, hotDf = 5, hotBlocks = 4, hotSampleFraction = 1.0)
       .orderBy("doc_a", "doc_b").collect().toSeq
     val unguarded = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
         threshold = 0.3, hotDf = Long.MaxValue)
@@ -179,7 +179,7 @@ class DedupSpec extends SparkTestBase {
       (i.toLong, s"this exact template repeats in every single document u$i"))
       .toDF("doc_id", "text")
     val guarded = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
-        threshold = 0.5, hotDf = 3, hotBlocks = 4)
+        threshold = 0.5, hotDf = 3, hotBlocks = 4, hotSampleFraction = 1.0)
       .orderBy("doc_a", "doc_b").collect().toSeq
     val unguarded = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
         threshold = 0.5, hotDf = Long.MaxValue)
