@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Relational, Sampling, Similarity, TextAnalysis, Windowed}
-import graft.sources.{CsvSource, LogLines}
+import graft.sources.{CsvSource, JsonSource, LogLines}
 import graft.streaming.BoundedStream
 
 /** Driver contract — every implemented operator from SURVEY.md §2 (plus the
@@ -495,6 +495,49 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PII redaction (the compliance pass): the fixture text carries no
+    // PII, so deterministic email/IP spans are synthesized from doc_id,
+    // then counted and redacted — one map-side select, zero shuffle. The
+    // gate hashes the counts plus the redacted-text fingerprint, so the
+    // whole redaction output is under the oracle hash.
+    "q36_pii_redact" -> ((s, dir) => {
+      val pii = Tables(s, dir).documents.select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com from 10.1."),
+          (col("doc_id") % 32).cast("string"), lit(".7 end")).as("ptext"))
+      TextAnalysis.piiReport(pii, "doc_id", "ptext")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"),
+          md5(col("redacted")).as("red_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // C4/Gopher heuristic quality rules: per-document keep/drop flags from
+    // token count, mean word length, symbol density, terminal punctuation,
+    // and boilerplate markers — the cheap gate a web corpus passes before
+    // anything expensive. Pure column expressions, zero shuffle.
+    "q37_quality_rules" -> ((s, dir) => {
+      TextAnalysis.qualityRules(Tables(s, dir).documents, "doc_id", "text",
+          minTokens = 10, maxTokens = 1000)
+        .orderBy("doc_id")
+    }),
+
+    // JSON-lines path, in-gate (the S2/S4 pattern for the third raw
+    // format): render events rows to JSONL, parse back through the
+    // schema'd from_json expression (same parser JsonSource.jsonl uses on
+    // files), run the Q2 pipeline on the parsed columns. Proves
+    // json-parse(render(x)) == x inside the correctness gate.
+    "q38_json_roundtrip" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val recs = ev.select(
+        to_json(struct(col("user_id"), col("value"))).as("rec"))
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("value", DoubleType)))
+      val parsed = JsonSource.parseJsonColumn(recs, "rec", schema)
+      val counts = Relational.countPerKey(
+        parsed.filter(Relational.nonNegative(col("value"))), "user_id")
+      Relational.topK(counts, 50, desc = "cnt", tieBreak = "user_id")
+    }),
+
     // Token-window chunking: 32-token chunks, 8 tokens of overlap — the
     // pre-training/RAG segmentation step. The gate compares chunk
     // fingerprints, so the whole chunk text is under the hash.
@@ -940,6 +983,46 @@ object SparkEntry {
         |WHERE event_type = 'click'
         |  AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Same PII synthesis, counting, and two-stage replace (emails first,
+    // then IPv4s) — the regexes are shared verbatim from TextAnalysis
+    // (character classes + bounded repeats only, so Java regex and RE2
+    // agree); DuckDB needs the explicit 'g' flag for replace-all.
+    "q36_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    text || ' contact user' || doc_id::VARCHAR ||
+         |    '@mail.example.com from 10.1.' || (doc_id % 32)::VARCHAR ||
+         |    '.7 end' AS ptext
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(ptext, '${TextAnalysis.EmailPattern}'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(ptext, '${TextAnalysis.Ipv4Pattern}'))::BIGINT AS n_ips,
+         |  md5(regexp_replace(regexp_replace(ptext,
+         |      '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+         |      '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g')) AS red_fp
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // Lateral column aliases let keep reference the rounded metrics, the
+    // same values the Spark side's withColumn sees.
+    "q37_quality_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  round(length(replace(text, ' ', '')) / nullif(n_tokens, 0), 4) AS mean_wl,
+        |  round(len(regexp_extract_all(text, '[#{}<>|\\]')) /
+        |        nullif(length(text), 0)::DOUBLE, 6) AS symbol_frac,
+        |  regexp_matches(text, '[.!?"]$') AS ends_terminal,
+        |  contains(text, 'lorem ipsum') AS has_lorem,
+        |  ((n_tokens BETWEEN 10 AND 1000) AND (mean_wl BETWEEN 3.0 AND 10.0)
+        |   AND symbol_frac < 0.1 AND NOT has_lorem) AS keep
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Roundtrip identity: same ground truth as q2 — parsing rendered JSON
+    // must not change the pipeline's answer.
+    "q38_json_roundtrip" ->
+      """SELECT user_id, count(*) AS cnt FROM events WHERE value >= 0
+        |GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 50""".stripMargin,
 
     // q26's bucket split + n-gram overlap between the splits. The hashed
     // 13-gram expression is generated from the same rule the fused

@@ -165,6 +165,81 @@ object TextAnalysis {
     least(lit(1.0), tokenCountFromTokens(t) / lit(100.0)) * 0.5 +
       uniqueTokenRatioFromTokens(t) * 0.5
 
+  /** PII patterns, engine-portable (character classes + bounded repeats
+    * only — no lookaround, so Java regex and DuckDB's RE2 agree): the
+    * pre-training redaction pass every compliance review asks for first.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Redact emails then IPv4s to typed placeholders. Order matters: an
+    * email's numeric domain would otherwise be half-eaten by the IP rule.
+    * Pure map-side `regexp_replace` chain — zero shuffle at any scale, and
+    * the placeholders keep redacted text shingle-able (dedup after
+    * redaction still works).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>")
+
+  /** Per-document PII audit + redaction in ONE map-side pass: hit counts
+    * (what a pipeline reports) alongside the redacted text (what it
+    * applies). Output: (doc_id, n_emails, n_ips, redacted).
+    */
+  def piiReport(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(Ipv4Pattern), lit(0)))
+        .cast("long").as("n_ips"),
+      redactPii(col(textCol)).as("redacted"))
+
+  /** C4/Gopher-style heuristic QUALITY RULES, per document: the
+    * keep/drop gate a web-scale corpus passes through before anything
+    * expensive runs. Emitted per rule (for auditing drop reasons) plus the
+    * conjunction:
+    *  - `n_tokens` in [minTokens, maxTokens] — fragments and megadocs out;
+    *  - `mean_wl` (mean non-space word length) in [3, 10] — the classic
+    *    gibberish/boilerplate band;
+    *  - `symbol_frac` (# { } < > | backslash per char) below 0.1 —
+    *    markup/code soup;
+    *  - `ends_terminal` — document ends in terminal punctuation;
+    *  - no "lorem ipsum".
+    * All pure column expressions over one tokenization — zero shuffle; the
+    * 100 TB shape is scan → flags → filter, fused into the scan stage.
+    * Thresholds are pipeline policy (parameters), the machinery is the
+    * operator. Arithmetic is long/long → double division + `round`,
+    * reproduced bit-for-bit by the oracle.
+    */
+  def qualityRules(df: DataFrame, idCol: String, textCol: String,
+                   minTokens: Int = 5, maxTokens: Int = 100000): DataFrame = {
+    val t = col("__t")
+    val nTok = col("n_tokens")
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), col("__text"),
+        tokenCountFromTokens(t).cast("long").as("n_tokens"))
+      .select(
+        col("doc_id"),
+        nTok,
+        // mean word length = non-space chars / tokens; nullif guards the
+        // empty document (ANSI mode would otherwise throw DIVIDE_BY_ZERO)
+        round(length(regexp_replace(col("__text"), " ", ""))
+          / nullif(nTok, lit(0L)), 4).as("mean_wl"),
+        round(size(regexp_extract_all(col("__text"),
+          lit("[#{}<>|\\\\]"), lit(0)))
+          / nullif(length(col("__text")), lit(0)).cast("double"), 6)
+          .as("symbol_frac"),
+        col("__text").rlike("[.!?\"]$").as("ends_terminal"),
+        col("__text").contains("lorem ipsum").as("has_lorem"))
+      .withColumn("keep",
+        col("n_tokens").between(minTokens, maxTokens) &&
+          col("mean_wl").between(3.0, 10.0) &&
+          col("symbol_frac") < 0.1 &&
+          !col("has_lorem"))
+  }
+
   /** Full-content fingerprint (hex md5 of the normalized text). */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
 

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.operators.Relational
-import graft.sources.{CsvSource, LogLines, TextSource}
+import graft.sources.{CsvSource, JsonSource, LogLines, TextSource}
 
 /** Source-layer tests (S1/S2/S4/S5): the three reference apps run end-to-end
   * from RAW files — text lines, headerless CSV, CLF log lines — written to a
@@ -103,6 +103,40 @@ class SourcesSpec extends SparkTestBase {
     val schema = StructType(Seq(
       StructField("user_id", LongType), StructField("value", DoubleType)))
     val got = CsvSource.parseCsvColumn(df, "rec", schema)
+      .as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 2.5), (2L, -1.0)))
+  }
+
+  // ---- JSONL source ------------------------------------------------------
+
+  test("jsonl reads schema'd lines, drops or quarantines malformed rows") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.jsonl"),
+      Seq("""{"user_id": 1, "value": 2.5}""",
+        """not json at all""",
+        """{"user_id": 2, "value": -1.0}""").mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    // default: malformed rows dropped
+    val clean = JsonSource.jsonl(spark, dir, schema)
+      .as[(Long, Double)].collect().toSet
+    assert(clean == Set((1L, 2.5), (2L, -1.0)))
+    // quarantine form: the raw line is preserved for a dead-letter sink
+    val kept = JsonSource.jsonl(spark, dir, schema, keepCorrupt = true)
+    assert(kept.count() == 3)
+    val corrupt = kept.filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record").collect().map(_.getString(0))
+    assert(corrupt.toSeq == Seq("not json at all"))
+  }
+
+  test("parseJsonColumn round-trips to_json output") {
+    import org.apache.spark.sql.types._
+    val df = Seq((1L, 2.5), (2L, -1.0)).toDF("user_id", "value")
+      .select(to_json(struct(col("user_id"), col("value"))).as("rec"))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val got = JsonSource.parseJsonColumn(df, "rec", schema)
       .as[(Long, Double)].collect().toSet
     assert(got == Set((1L, 2.5), (2L, -1.0)))
   }

@@ -135,4 +135,38 @@ class TextAnalysisSpec extends SparkTestBase {
         s"w=$w stride=$s: ${r.getString(0)} != ${r.getString(1)}"))
     }
   }
+
+  test("redactPii replaces emails and IPv4s, leaves clean text alone") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (0L, "write to alice.smith+x@corp.example.org or 192.168.0.1 today"),
+      (1L, "no pii in this sentence at all."),
+      (2L, "two mails a@b.io c@d.net one ip 10.0.0.255"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiReport(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(3) == "write to <EMAIL> or <IP> today")
+    assert(out(0).getLong(1) == 1 && out(0).getLong(2) == 1)
+    assert(out(1).getString(3) == "no pii in this sentence at all.")
+    assert(out(1).getLong(1) == 0 && out(1).getLong(2) == 0)
+    assert(out(2).getString(3) == "two mails <EMAIL> <EMAIL> one ip <IP>")
+  }
+
+  test("qualityRules flags fragments, symbol soup, and lorem ipsum") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (0L, "this is a perfectly ordinary sentence of reasonable words."),
+      (1L, "too short"),                                   // n_tokens < 5
+      (2L, "{ } < > | { } < > | { } < > | bad markup soup here"), // symbols
+      (3L, "lorem ipsum dolor sit amet consectetur adipiscing elit today."),
+      (4L, "a a a a a a a a a a a a"),                     // mean_wl 1 < 3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityRules(df, "doc_id", "text", minTokens = 5)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(out == Map(0L -> true, 1L -> false, 2L -> false,
+      3L -> false, 4L -> false))
+  }
 }
