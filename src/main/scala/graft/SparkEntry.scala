@@ -548,6 +548,60 @@ object SparkEntry {
           col("n_toks"), md5(col("chunk")).as("chunk_fp"))
         .orderBy("doc_id", "chunk_idx")
     }),
+
+    // Per-source quota cap: at most 10 documents per source, membership a
+    // pure deterministic function of the ids (md5 order) — the "no crawl
+    // source dominates the mix" step. The rank is two-stage so a hot
+    // source never serializes into one task; the gate hashes per-source
+    // membership aggregates.
+    "q39_source_cap" -> ((s, dir) => {
+      Sampling.capPerGroup(Tables(s, dir).documents, "source", "doc_id",
+          k = 10)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"), sum("doc_id").as("id_sum"))
+        .orderBy("source")
+    }),
+
+    // Corpus-unigram-LM surprisal per document (perplexity-bucket quality
+    // signal). Per-(doc,term) contributions round to integer micro-nats so
+    // the per-doc sum is exact 64-bit arithmetic — order-independent,
+    // hash-comparable across engines.
+    "q40_unigram_lm" -> ((s, dir) => {
+      TextAnalysis.unigramSurprisal(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Incremental dedup: odd doc_ids are the arriving "batch", even ids
+    // the already-deduped corpus; which new documents near-duplicate the
+    // corpus? Asymmetric MinHash band join — |batch|·bands against
+    // |corpus|·bands, never corpus².
+    "q41_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Dedup.minHashAgainst(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", n = 3, k = 12, rowsPerBand = 3, threshold = 0.3)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+    // Vocabulary-coverage curve: top-100 tokens with cumulative share of
+    // all occurrences — the vocab-size-selection table. Top-k via
+    // TakeOrderedAndProject; only the 100 survivors enter the
+    // single-partition running-sum window.
+    "q42_vocab_coverage" -> ((s, dir) => {
+      TextAnalysis.vocabCoverage(Tables(s, dir).documents, "text", k = 100)
+        .orderBy("rank")
+    }),
+
+    // Per-source corpus health report: volume, exact-dup redundancy and
+    // mean quality per source in one bounded-key aggregation — the
+    // curator's pre-mixing summary.
+    "q43_corpus_report" -> ((s, dir) => {
+      TextAnalysis.corpusReport(Tables(s, dir).documents, "doc_id", "text",
+          "source")
+        .orderBy("source")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -1041,6 +1095,68 @@ object SparkEntry {
          |FROM csh c JOIN esh USING (h)
          |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
 
+    // sum(BIGINT) is HUGEINT in DuckDB — cast back so schemas agree.
+    "q39_source_cap" ->
+      """WITH r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept, min(doc_id) AS min_id,
+        |       max(doc_id) AS max_id, sum(doc_id)::BIGINT AS id_sum
+        |FROM r WHERE rk <= 10
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Per-(doc,term) surprisal contributions round to integer micro-nats
+    // before the per-doc sum, so the aggregation is exact 64-bit integer
+    // arithmetic (order-independent) in both engines; the expression shapes
+    // (multiplication/division order) mirror the Spark side verbatim.
+    "q40_unigram_lm" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+        |pd AS (SELECT doc_id, term, count(*) AS cnt FROM tt GROUP BY doc_id, term),
+        |tf AS (SELECT term, sum(cnt)::BIGINT AS c FROM pd GROUP BY term),
+        |n AS (SELECT sum(c)::BIGINT AS n_tot FROM tf),
+        |m AS (SELECT pd.doc_id, pd.cnt,
+        |             round(pd.cnt * ln(n.n_tot * 1.0 / tf.c) * 1e6)::BIGINT AS micro
+        |      FROM pd JOIN tf USING (term) CROSS JOIN n),
+        |d AS (SELECT doc_id, sum(cnt)::BIGINT AS ntok,
+        |             sum(micro)::BIGINT AS surprisal_micro
+        |      FROM m GROUP BY doc_id)
+        |SELECT doc_id, ntok, surprisal_micro,
+        |       round(surprisal_micro / 1e6 / ntok, 4) AS nats_per_token
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q41_incremental_dedup" -> minHashAgainstOracle,
+
+    "q42_vocab_coverage" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM t WHERE token <> '' GROUP BY token),
+        |tot AS (SELECT sum(cnt)::BIGINT AS total FROM c),
+        |top AS (SELECT token, cnt,
+        |          row_number() OVER (ORDER BY cnt DESC, token) AS rank
+        |        FROM c QUALIFY rank <= 100),
+        |cum AS (SELECT rank, token, cnt,
+        |          sum(cnt) OVER (ORDER BY rank
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_cnt
+        |        FROM top)
+        |SELECT rank, token, cnt, round(cum_cnt / tot.total, 6) AS coverage
+        |FROM cum CROSS JOIN tot ORDER BY rank""".stripMargin,
+
+    // quality formula shared with q14; mean via exact integer micro-units
+    // (order-independent sum), mirroring the Spark side.
+    "q43_corpus_report" ->
+      """WITH b AS (SELECT source,
+        |    md5(lower(trim(text))) AS fp,
+        |    len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS ntok,
+        |    round((least(CAST(1.0 AS DOUBLE),
+        |             len(list_filter(string_split(text, ' '), w -> w <> '')) / CAST(100.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+        |           + (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))) * CAST(0.5 AS DOUBLE)) * 1e6)::BIGINT AS q_micro
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs, sum(ntok)::BIGINT AS n_tokens,
+        |       count(DISTINCT fp) AS n_unique,
+        |       round(sum(q_micro)::BIGINT / 1e6 / count(*), 4) AS avg_quality
+        |FROM b GROUP BY source ORDER BY source""".stripMargin,
+
     // Chunking: 32-token windows, stride 24 (overlap 8). DuckDB list
     // slicing is 1-based inclusive and end-clamped, same as Spark `slice`;
     // generate_series is stop-inclusive, same as Spark `sequence`.
@@ -1143,6 +1259,44 @@ object SparkEntry {
        |WHERE len(list_intersect(x.s, y.s)) /
        |      (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.3
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Oracle twin of [[graft.operators.Dedup.minHashAgainst]] on the
+    * q41 parity split (even doc_ids = corpus, odd = batch): identical
+    * signature/band SQL to [[minHashOracle]], but the candidate join is
+    * asymmetric — batch bands against corpus bands — and verification
+    * pairs (batch, corpus) shingle sets.
+    */
+  private def minHashAgainstOracle: String = {
+    val k = 12; val rowsPerBand = 3; val bands = k / rowsPerBand
+    val sigCols = Dedup.hashConsts(k).zipWithIndex.map { case ((a, b), i) =>
+      s"min((('0x' || substr(md5(sg), 1, 7))::BIGINT * $a + $b) % ${Dedup.HashP}) AS h$i"
+    }.mkString(",\n    ")
+    val bandCases = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => s"h${b * rowsPerBand + r}::VARCHAR").mkString(" || '|' || ")
+      s"WHEN $b THEN md5($parts)"
+    }.mkString(" ")
+    s"""WITH sh AS ($ShinglesCte),
+       |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM ex GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b.band_idx,
+       |    CASE b.band_idx $bandCases END AS band_hash
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS band_idx) b),
+       |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+       |  FROM bands b JOIN bands c
+       |    ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash
+       |  WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0)
+       |SELECT cand.batch_id, cand.corpus_id,
+       |       round(len(list_intersect(x.s, y.s)) /
+       |             (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 4) AS jaccard
+       |FROM cand JOIN sh x ON x.doc_id = cand.batch_id
+       |          JOIN sh y ON y.doc_id = cand.corpus_id
+       |WHERE len(list_intersect(x.s, y.s)) /
+       |      (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.3
+       |ORDER BY batch_id, corpus_id""".stripMargin
   }
 
   /** Oracle twin of [[graft.operators.Dedup.simHash]] (32 bits) — the 32

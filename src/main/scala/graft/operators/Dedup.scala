@@ -321,14 +321,7 @@ object Dedup {
     * documents become a candidate iff they agree on at least one whole band.
     */
   def lshCandidates(sig: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
-    val bands = k / rowsPerBand
-    val bandCols = (0 until bands).map { b =>
-      md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
-        .as(s"band$b")
-    }
-    val banded = sig.select(col("id") +: bandCols: _*)
-    val long = banded.select(col("id"),
-      posexplode(array((0 until bands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_hash")))
+    val long = bandFrame(sig, k, rowsPerBand)
     long.as("a")
       .join(long.as("b").hint("SHUFFLE_HASH"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -336,6 +329,65 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
+  }
+
+  /** The long-form banded frame behind [[lshCandidates]]: hash each band of
+    * `rowsPerBand` signature slots to one md5 and explode to
+    * (id, band_idx, band_hash) — k/rowsPerBand rows per document.
+    */
+  private def bandFrame(sig: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    val bands = k / rowsPerBand
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
+        .as(s"band$b")
+    }
+    sig.select(col("id") +: bandCols: _*)
+      .select(col("id"),
+        posexplode(array((0 until bands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** INCREMENTAL near-dup detection: which documents of a NEW `batch`
+    * near-duplicate something already in `corpus`? The continuously-
+    * ingesting twin of [[minHashDedup]] — a pipeline that deduped its
+    * corpus once does not re-run the full self-join when a crawl increment
+    * arrives; it checks the increment AGAINST the corpus (batch-internal
+    * duplicates are [[minHashDedup]] on the batch alone, corpus-internal
+    * ones are already resolved).
+    *
+    * Same signature/band machinery as [[minHashDedup]] (per-row fused
+    * signatures, zero exchanges until the join), but the band join is
+    * ASYMMETRIC: batch bands against corpus bands, no self-pairing. Cost is
+    * |batch|·bands + |corpus|·bands join rows, never corpus²; when the
+    * increment is small its banded side falls under the broadcast
+    * threshold and Catalyst/AQE picks a broadcast join — the corpus side
+    * then never shuffles at all (left to the planner rather than hinted:
+    * a backfill-sized "increment" must stay shuffle-joinable).
+    *
+    * Returns (batch_id, corpus_id, jaccard ≥ threshold), one row per
+    * verified cross pair.
+    */
+  def minHashAgainst(corpus: DataFrame, batch: DataFrame,
+                     idCol: String, textCol: String,
+                     n: Int = 3, k: Int = 12, rowsPerBand: Int = 3,
+                     threshold: Double = 0.3): DataFrame = {
+    val shC = CacheScope.persisted(hashedShingleFrame(corpus, idCol, textCol, n))
+    val shB = CacheScope.persisted(hashedShingleFrame(batch, idCol, textCol, n))
+    val cand = bandFrame(signatureOfHashed(shB, k), k, rowsPerBand).as("b")
+      .join(bandFrame(signatureOfHashed(shC, k), k, rowsPerBand).as("c"),
+        col("b.band_idx") === col("c.band_idx") &&
+          col("b.band_hash") === col("c.band_hash"))
+      .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
+      .distinct()
+    graft.functions.SortedIntersectCount.ensureRegistered(cand.sparkSession)
+    cand
+      .join(shB.select(col("id").as("batch_id"), col("sh").as("sha")), "batch_id")
+      .join(shC.select(col("id").as("corpus_id"), col("sh").as("shb")), "corpus_id")
+      .withColumn("common", call_function("graft_common", col("sha"), col("shb")))
+      .withColumn("jaccard",
+        col("common") / (size(col("sha")) + size(col("shb")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Full MinHash-LSH near-dup pipeline: signature → banded candidates →

@@ -74,6 +74,41 @@ object Sampling {
       ps.map(p => round(percentile(col(valCol), lit(p)), 6)
         .as(s"p${(p * 100).round}")): _*)
 
+  /** Per-group quota cap: keep at most `k` rows per `groupCol` value,
+    * chosen DETERMINISTICALLY by md5(id) order (id tiebreak) — the
+    * "at most N documents per domain/source" step a pretraining mix
+    * applies so no single crawl source dominates, with the same
+    * reproducibility contract as [[hashSplit]]: membership is a pure
+    * function of the row ids present, never of partitioning or run order.
+    *
+    * Scale: a single `Window.partitionBy(group)` would serialize a hot
+    * group (one domain with 10⁹ pages) into one task. Instead the rank
+    * runs TWO-STAGE, the same shape as the brute-kNN top-k
+    * ([[Similarity.knnBrute]]): stage 1 ranks within (group, input
+    * partition) — bounded by partition size regardless of group skew —
+    * and keeps k; stage 2 ranks the ≤ k·numPartitions survivors per
+    * group. Top-k of a union is the top-k of per-part top-k's, so the
+    * result is identical to the single-window form (property-tested in
+    * SamplingSpec).
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"cap must be positive: $k")
+    val ord = Seq(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    val w1 = Window.partitionBy(col(groupCol), col("__part")).orderBy(ord: _*)
+    val survivors = df
+      .withColumn("__part", spark_partition_id())
+      .withColumn("__rk", row_number().over(w1))
+      .filter(col("__rk") <= k)
+      .drop("__part", "__rk")
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
+    survivors
+      .withColumn("__rk", row_number().over(w2))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** [[quantileProfile]] with `approx_percentile` (KLL-style sketch,
     * `accuracy` controls error vs memory): constant per-group state, the
     * form to use when the value column has unbounded cardinality. Not

@@ -318,6 +318,104 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), round(col("tfidf"), 6).as("tfidf"))
   }
 
+  /** Corpus-unigram-LM surprisal per document — the cheap language-model
+    * quality signal (a KenLM-shaped score without an external model): the
+    * corpus itself is the unigram model, and a document's score is its
+    * total negative log-likelihood, Σ_tokens ln(N / C(w)) nats, where C(w)
+    * is the token's corpus count and N the corpus token total. Documents
+    * full of corpus-rare tokens (noise, mojibake, another language) score
+    * high; templated boilerplate scores low — the standard
+    * perplexity-bucket filter of a pretraining mix.
+    *
+    * DETERMINISM: a per-doc SUM of doubles is order-dependent (float
+    * addition is not associative), so a cross-engine gate could never hash
+    * it. Each (doc, term) contribution is therefore rounded to integer
+    * MICRO-nats (`round(cnt·ln(N/C)·1e6)` as a long) and the per-doc sum
+    * runs in exact 64-bit integer arithmetic — order-independent, so Spark
+    * and the oracle agree bit-for-bit regardless of partitioning. The
+    * public `nats_per_token` divides the exact micro sum back out.
+    *
+    * Scale: tokenize-explode (map-side), one vocab-keyed agg (bounded by
+    * vocab size, partial-agg combined), one broadcast of the 1-row corpus
+    * total, one join back on term, one doc-keyed agg. No driver scalar at
+    * all — even the corpus total N stays in the plan (q27's `count()` is
+    * the only other pattern, and it is a constant).
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val perDoc = CacheScope.persisted(
+      terms.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt")))
+    val tfreq = perDoc.groupBy("term").agg(sum("cnt").as("c"))
+    val total = tfreq.agg(sum("c").as("n_tot"))
+    perDoc
+      .join(tfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("micro",
+        round(col("cnt") * log(col("n_tot") * lit(1.0) / col("c")) * lit(1e6))
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("ntok"),
+        sum("micro").cast("long").as("surprisal_micro"))
+      .withColumn("nats_per_token",
+        round(col("surprisal_micro") / lit(1e6) / col("ntok"), 4))
+  }
+
+  /** Vocabulary-coverage curve: the top-`k` corpus tokens by frequency with
+    * each prefix's cumulative share of all token occurrences — the table a
+    * tokenizer-training pass reads to pick a vocab size ("the top 30k types
+    * cover 99.5% of tokens"). Deterministic total order: count desc, token
+    * asc.
+    *
+    * Scale: one partial-agg token count, then `orderBy.limit(k)` plans
+    * TakeOrderedAndProject (true top-k, never a full sort), and only the k
+    * survivors enter the single-partition running-sum window — the
+    * unpartitioned window is bounded by k, not by the corpus. Counts
+    * cumulate in exact longs; the only division is the final rounded share.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    val ord = Seq(col("cnt").desc, col("token").asc)
+    val w = Window.orderBy(ord: _*)
+    counts.orderBy(ord: _*).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_cnt", sum("cnt").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("cnt"),
+        round(col("cum_cnt") / col("total"), 6).as("coverage"))
+  }
+
+  /** Per-group corpus health report — the one-page summary a data curator
+    * reads per source/domain before mixing: document and token volume,
+    * exact-duplicate redundancy (docs minus distinct fingerprints), and
+    * mean quality score. Composes [[fingerprint]], [[tokenCount]] and
+    * [[qualityScore]] in a single pass.
+    *
+    * Scale: one map-side projection + one agg keyed by the (bounded)
+    * group column. The mean quality avoids the order-dependent
+    * double-sum hazard the same way [[unigramSurprisal]] does: per-doc
+    * scores round to integer micro-units first, sum exactly, divide once.
+    */
+  def corpusReport(df: DataFrame, idCol: String, textCol: String,
+                   groupCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    df.select(col(groupCol),
+        fingerprint(col(textCol)).as("fp"),
+        tokenCountFromTokens(t).cast("long").as("ntok"),
+        round(qualityScoreFromTokens(t) * lit(1e6)).cast("long").as("q_micro"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").cast("long").as("n_tokens"),
+        countDistinct(col("fp")).as("n_unique"),
+        round(sum("q_micro") / lit(1e6) / count(lit(1)), 4).as("avg_quality"))
+  }
+
   /** Winnowing-style rolling fingerprint: minimum md5 over the document's
     * character w-grams sampled every `stride` positions. Two documents
     * sharing a long w-char run have a chance of colliding; the min-of-window

@@ -63,6 +63,38 @@ class DedupSpec extends SparkTestBase {
     assert(out.toSeq == Seq((0L, 1L)))
   }
 
+  test("minHashAgainst flags batch docs duplicating the corpus, nothing else") {
+    // corpus rows 0,1,3 stay; the "batch" plants one dup of 0 and one fresh doc
+    val base = corpus.filter(col("doc_id") =!= 2)
+    val batch = Seq((10L, "a b c d e"),      // duplicate of corpus doc 0
+                    (11L, "m n o p q r s")   // novel
+      ).toDF("doc_id", "text")
+    val out = Dedup.minHashAgainst(base, batch, "doc_id", "text",
+        n = 3, k = 12, rowsPerBand = 3, threshold = 0.9)
+      .orderBy("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the planted dup hits BOTH identical corpus copies; the novel doc none
+    assert(out.toSeq == Seq((10L, 0L, 1.0), (10L, 1L, 1.0)))
+  }
+
+  test("minHashAgainst equals the self-join dedup restricted to cross pairs") {
+    val all = Seq(
+      (0L, "a b c d e"), (1L, "a b c d x"), (2L, "z y x w v u"),
+      (3L, "a b c d e"), (4L, "z y x w v u"), (5L, "f g h i j k"),
+    ).toDF("doc_id", "text")
+    val even = all.filter(col("doc_id") % 2 === 0)
+    val odd = all.filter(col("doc_id") % 2 === 1)
+    val cross = Dedup.minHashAgainst(even, odd, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => {
+        val (b, c) = (r.getLong(0), r.getLong(1))
+        (math.min(b, c), math.max(b, c), r.getDouble(2))
+      }).toSet
+    val self = Dedup.minHashDedup(all, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 2) != (b % 2) }.toSet
+    assert(cross == self, s"cross=$cross self=$self")
+  }
+
   test("simhash: identical docs equal, token order irrelevant, signature in 32 bits") {
     val df = Seq((0L, "a b c"), (1L, "c b a"), (2L, "q r s t u v")).toDF("doc_id", "text")
     val out = Dedup.simHash(df, "doc_id", "text").orderBy("id").collect()

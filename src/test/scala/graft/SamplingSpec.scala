@@ -55,6 +55,45 @@ class SamplingSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("capPerGroup keeps exactly k per group, deterministically") {
+    // heavily skewed: one group holds 95% of the rows
+    val df = (0L until 2000L)
+      .map(i => (i, if (i < 1900) "hot" else s"g${i % 7}")).toDF("id", "grp")
+    val out = Sampling.capPerGroup(df, "grp", "id", k = 10)
+    val counts = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ <= 10), counts.toString)
+    assert(counts("hot") == 10)
+    // membership equals the single-window reference form
+    val ref = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(md5(col("id").cast("string")).asc, col("id").asc)
+      df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10).drop("rk")
+    }
+    assert(out.select("id").collect().map(_.getLong(0)).toSet ==
+      ref.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("capPerGroup membership is stable under re-partitioning") {
+    val df = (0L until 500L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val a = Sampling.capPerGroup(df, "grp", "id", 7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.capPerGroup(df.repartition(17).orderBy(col("id").desc),
+        "grp", "id", 7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("capPerGroup stage-1 rank never partitions by the group alone") {
+    // the scale contract: the first (skew-exposed) window is keyed by
+    // (group, input partition), so a hot group's rows divide across tasks
+    val df = (0L until 100L).map(i => (i, "onlygroup")).toDF("id", "grp")
+    val plans = Sampling.capPerGroup(df.repartition(8), "grp", "id", 5)
+      .queryExecution.optimizedPlan.toString
+    assert(plans.contains("__part"), plans) // stage-1 key includes partition id
+  }
+
   test("exact quantile profile: hand-computed interpolation, approx within tolerance") {
     // group a: values 1..5 -> p50 = 3.0, p75 = 0.75*(5-1)=rank 3 -> 4.0
     //          p25 = rank 1 -> 2.0, p90 = rank 3.6 -> 4.6

@@ -169,4 +169,55 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out == Map(0L -> true, 1L -> false, 2L -> false,
       3L -> false, 4L -> false))
   }
+
+  test("unigramSurprisal: rare-token docs score higher; micro-nats are exact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // corpus: 'the' appears 7×, 'zyx' once; N = 8 tokens total
+    val df = Seq((0L, "the the the zyx"), (1L, "the the the the")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val Array(r0, r1) = out
+    assert(r0.getLong(1) == 4 && r1.getLong(1) == 4) // ntok
+    // doc0: 3·ln(8/7) + 1·ln(8/1); doc1: 4·ln(8/7)  (micro-nats, rounded)
+    val expected0 = math.round(3 * math.log(8.0 / 7) * 1e6) +
+      math.round(1 * math.log(8.0 / 1) * 1e6)
+    val expected1 = math.round(4.0 * math.log(8.0 / 7) * 1e6)
+    assert(r0.getLong(2) == expected0, out.mkString(","))
+    assert(r1.getLong(2) == expected1, out.mkString(","))
+    assert(r0.getDouble(3) > r1.getDouble(3)) // rare token ⇒ higher surprisal
+    // partitioning must not change the exact integer sums
+    val re = TextAnalysis.unigramSurprisal(df.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(re.map(_.getLong(2)).toSeq == out.map(_.getLong(2)).toSeq)
+  }
+
+  test("vocabCoverage: descending counts, cumulative share reaches 1 at full k") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq("a a a b b c", "a b c d").toDF("text")
+    val out = TextAnalysis.vocabCoverage(df, "text", k = 10)
+      .orderBy("rank").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("a", "b", "c", "d"))
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 3L, 2L, 1L))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(0.4, 0.7, 0.9, 1.0))
+    val top2 = TextAnalysis.vocabCoverage(df, "text", k = 2).collect()
+    assert(top2.length == 2)
+  }
+
+  test("corpusReport: volume, redundancy, and mean quality per source") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (0L, "x y z", "s1"), (1L, "x y z", "s1"), (2L, "p q", "s1"),
+      (3L, "only doc here", "s2"),
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.corpusReport(df, "doc_id", "text", "source")
+      .orderBy("source").collect()
+    val s1 = out(0)
+    assert(s1.getLong(1) == 3 && s1.getLong(2) == 8 && s1.getLong(3) == 2)
+    // quality: 3 tokens -> 0.03·0.5 + 1.0·0.5 = 0.515; 2 tokens -> 0.51
+    assert(math.abs(s1.getDouble(4) - ((0.515 + 0.515 + 0.51) / 3)) < 1e-4)
+    assert(out(1).getLong(1) == 1 && out(1).getLong(3) == 1)
+  }
 }
