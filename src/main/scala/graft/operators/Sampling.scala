@@ -81,30 +81,25 @@ object Sampling {
     * reproducibility contract as [[hashSplit]]: membership is a pure
     * function of the row ids present, never of partitioning or run order.
     *
-    * Scale: a single `Window.partitionBy(group)` would serialize a hot
-    * group (one domain with 10⁹ pages) into one task. Instead the rank
-    * runs TWO-STAGE, the same shape as the brute-kNN top-k
-    * ([[Similarity.knnBrute]]): stage 1 ranks within (group, input
-    * partition) — bounded by partition size regardless of group skew —
-    * and keeps k; stage 2 ranks the ≤ k·numPartitions survivors per
-    * group. Top-k of a union is the top-k of per-part top-k's, so the
-    * result is identical to the single-window form (property-tested in
-    * SamplingSpec).
+    * Scale: a naive per-group rank would serialize a hot group (one
+    * domain with 10⁹ pages) into one task. The `row_number ≤ k` filter
+    * below, however, triggers Spark's rank-limit pushdown
+    * (`WindowGroupLimit`, SPARK-37099): a PARTIAL group-limit runs
+    * map-side before the exchange, so each input partition ships at most
+    * k rows per group, and the final per-group window sees at most
+    * k·numMapPartitions rows — bounded by the plan's width, never by the
+    * group's raw row count. Same skew bound as a hand-written two-stage
+    * top-k, one shuffle of pruned (not full) data. SamplingSpec asserts
+    * the pushdown is present in the physical plan, so a Spark upgrade
+    * that lost it would fail the suite.
     */
   def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
                   k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"cap must be positive: $k")
-    val ord = Seq(md5(col(idCol).cast("string")).asc, col(idCol).asc)
-    val w1 = Window.partitionBy(col(groupCol), col("__part")).orderBy(ord: _*)
-    val survivors = df
-      .withColumn("__part", spark_partition_id())
-      .withColumn("__rk", row_number().over(w1))
-      .filter(col("__rk") <= k)
-      .drop("__part", "__rk")
-    val w2 = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
-    survivors
-      .withColumn("__rk", row_number().over(w2))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .drop("__rk")
   }

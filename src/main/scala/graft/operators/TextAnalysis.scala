@@ -375,10 +375,12 @@ object TextAnalysis {
     * cumulate in exact longs; the only division is the final rounded share.
     */
   def vocabCoverage(df: DataFrame, textCol: String, k: Int): DataFrame = {
-    val counts = df
+    // the count frame feeds TWO plan branches (top-k and the corpus total);
+    // persist it so the tokenize+count pass scans the corpus once
+    val counts = CacheScope.persisted(df
       .select(explode(tokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .groupBy("token").agg(count(lit(1)).as("cnt")))
     val total = counts.agg(sum("cnt").as("total"))
     val ord = Seq(col("cnt").desc, col("token").asc)
     val w = Window.orderBy(ord: _*)

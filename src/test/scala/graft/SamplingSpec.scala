@@ -85,13 +85,15 @@ class SamplingSpec extends SparkTestBase {
     assert(a == b)
   }
 
-  test("capPerGroup stage-1 rank never partitions by the group alone") {
-    // the scale contract: the first (skew-exposed) window is keyed by
-    // (group, input partition), so a hot group's rows divide across tasks
+  test("capPerGroup relies on rank-limit pushdown: partial WindowGroupLimit before the shuffle") {
+    // the scale contract: each map partition ships at most k rows per
+    // group (SPARK-37099), so a hot group never serializes its raw row
+    // count into the final window task
     val df = (0L until 100L).map(i => (i, "onlygroup")).toDF("id", "grp")
-    val plans = Sampling.capPerGroup(df.repartition(8), "grp", "id", 5)
-      .queryExecution.optimizedPlan.toString
-    assert(plans.contains("__part"), plans) // stage-1 key includes partition id
+    val plan = Sampling.capPerGroup(df.repartition(8), "grp", "id", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan) // partial + final
   }
 
   test("exact quantile profile: hand-computed interpolation, approx within tolerance") {
