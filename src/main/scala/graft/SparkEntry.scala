@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
-import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Relational, Sampling, Similarity, TextAnalysis, Windowed}
+import graft.operators.{AsOf, Curation, Dedup, Multimodal, RangeJoin, Relational, Sampling, Similarity, TextAnalysis, Windowed}
 import graft.sources.{CsvSource, JsonSource, LogLines}
 import graft.streaming.BoundedStream
 
@@ -602,6 +602,31 @@ object SparkEntry {
           "source")
         .orderBy("source")
     }),
+
+    // Johnson–Lindenstrauss random projection 64→16 dims (deterministic ±1
+    // planes): the dimensionality-reduction pass before indexing/clustering
+    // an embedding column. Map-side only; the gate hashes every projected
+    // component.
+    "q44_random_projection" -> ((s, dir) => {
+      Similarity.randomProject(Tables(s, dir).embeddings, "vec_id",
+          "embedding", outDims = 16, dim = 64)
+        .select(col("id").as("vec_id"),
+          posexplode(col("proj")).as(Seq("dim_idx", "value")))
+        .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"),
+          round(col("value"), 4).as("val"))
+        .orderBy("vec_id", "dim_idx")
+    }),
+
+    // The END-TO-END curation pipeline under one hash: quality gate →
+    // exact dedup → per-source quota → deterministic split → per-split
+    // document/token yield. The number a pretraining budget is planned
+    // against, reproducible across engines.
+    "q45_token_yield" -> ((s, dir) => {
+      Curation.tokenYield(Tables(s, dir).documents, "doc_id", "text",
+          groupCol = "source", maxPerGroup = 10,
+          minTokens = 10, maxTokens = 1000)
+        .orderBy("split")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -1127,6 +1152,51 @@ object SparkEntry {
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "q41_incremental_dedup" -> minHashAgainstOracle,
+
+    // JL projection: 16 deterministic ±1 planes over 64 dims, scaled by
+    // 1/√16 (the Scala-computed literal is inlined so both engines divide
+    // by the identical double).
+    "q44_random_projection" ->
+      s"""WITH planes AS (
+         |  SELECT p, CAST(list_transform(range(0, 64), d ->
+         |           CASE WHEN ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1))::BIGINT % 2 = 1
+         |                THEN 1.0 ELSE -1.0 END) AS DOUBLE[]) AS w
+         |  FROM range(0, 16) t(p)),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT e.vec_id, planes.p::BIGINT AS dim_idx,
+         |       round(list_dot_product(e.v, planes.w) / ${math.sqrt(16.0)}, 4) AS val
+         |FROM e CROSS JOIN planes
+         |ORDER BY vec_id, dim_idx""".stripMargin,
+
+    // The full curation pipeline (quality gate → exact dedup keep-min-id →
+    // per-source cap 10 → hash split) compressed to per-split yields; rule
+    // formulas shared verbatim with q37/q26/q39.
+    "q45_token_yield" ->
+      """WITH f AS (SELECT doc_id, text, source,
+        |    len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens,
+        |    round(length(replace(text, ' ', '')) /
+        |          nullif(len(list_filter(string_split(text, ' '), w -> w <> '')), 0), 4) AS mean_wl,
+        |    round(len(regexp_extract_all(text, '[#{}<>|\\]')) /
+        |          nullif(length(text), 0)::DOUBLE, 6) AS symbol_frac,
+        |    contains(text, 'lorem ipsum') AS has_lorem
+        |  FROM documents),
+        |k AS (SELECT doc_id, text, source, n_tokens FROM f
+        |      WHERE (n_tokens BETWEEN 10 AND 1000) AND (mean_wl BETWEEN 3.0 AND 10.0)
+        |        AND symbol_frac < 0.1 AND NOT has_lorem),
+        |d AS (SELECT doc_id, source, n_tokens,
+        |        row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+        |      FROM k),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        row_number() OVER (PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        |      FROM d WHERE rn = 1),
+        |s AS (SELECT doc_id, n_tokens,
+        |        CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |             WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+        |             ELSE 'test' END AS split
+        |      FROM c WHERE rk <= 10)
+        |SELECT split, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+        |       sum(doc_id)::BIGINT AS id_sum
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
     "q42_vocab_coverage" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),

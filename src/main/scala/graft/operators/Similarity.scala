@@ -106,6 +106,25 @@ object Similarity {
       when(dot(vec, planeLit) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Johnson–Lindenstrauss random projection to `outDims` dimensions with
+    * the deterministic ±1 plane family of [[hyperplanes]] (an Achlioptas
+    * sign matrix — a valid JL transform): component p of the output is
+    * dot(v, plane_p) / √outDims. The cheap dimensionality-reduction step
+    * before indexing or clustering a 100 TB embedding column: map-side
+    * only, zero shuffle, and deterministic across engines (±1 weights from
+    * md5, exact double dot products — no RNG to share).
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    outDims: Int, dim: Int = 64): DataFrame = {
+    val hp = hyperplanes(outDims, dim)
+    val scale = math.sqrt(outDims.toDouble)
+    val proj = array(hp.toSeq.map { w =>
+      dot(col("v"), array(w.toSeq.map(lit): _*)) / lit(scale)
+    }: _*)
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), proj.as("proj"))
+  }
+
   /** Corpus with an LSH bucket column attached (vectors cast to double). */
   def annBuckets(df: DataFrame, idCol: String, vecCol: String,
                  planes: Int = 8, dim: Int = 64): DataFrame = {

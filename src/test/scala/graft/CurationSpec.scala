@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** The end-to-end curation pipeline: each stage's effect is visible in a
+  * hand-built corpus (quality drop, dedup keep-min-id, per-source cap,
+  * split attach), and the yield accounting matches the curated frame.
+  */
+class CurationSpec extends SparkTestBase {
+  import TestSpark.spark.implicits._
+
+  private val good = "the quick brown fox jumps over the lazy dog again today"
+  private val corpus = (
+    Seq((0L, good, "s1"), (1L, good, "s1"), (2L, good, "s1"),  // dups: keep 0
+        (3L, "too short", "s1"))                               // quality drop
+      ++ (10L until 30L).map(i => (i, s"$good unique marker token number$i", "s2"))
+  ).toDF("doc_id", "text", "source")
+
+  test("curate: drops low-quality, keeps min id per content, caps per source") {
+    val out = Curation.curate(corpus, "doc_id", "text", "source",
+      maxPerGroup = 5, minTokens = 5)
+    val rows = out.select("doc_id", "source", "split").collect()
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(ids.contains(0L) && !ids.contains(1L) && !ids.contains(2L)) // dedup keeps min id
+    assert(!ids.contains(3L))                                          // quality gate
+    val bySource = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySource("s1") == 1 && bySource("s2") == 5, bySource.toString)
+    assert(rows.forall(r => Set("train", "val", "test")(r.getString(2))))
+    // n_tokens column carries the quality pass's count
+    val n = out.filter(col("doc_id") === 0L).select("n_tokens").collect()(0).getLong(0)
+    assert(n == 11, n.toString)
+  }
+
+  test("curate is deterministic under repartitioning") {
+    val a = Curation.curate(corpus, "doc_id", "text", "source", 5, minTokens = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Curation.curate(corpus.repartition(13), "doc_id", "text", "source",
+        5, minTokens = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("tokenYield matches aggregating the curated frame") {
+    val cur = Curation.curate(corpus, "doc_id", "text", "source", 5, minTokens = 5)
+    val expect = cur.groupBy("split")
+      .agg(count(lit(1)), sum("n_tokens"), sum("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = Curation.tokenYield(corpus, "doc_id", "text", "source", 5, minTokens = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+  }
+}

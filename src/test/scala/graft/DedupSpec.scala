@@ -223,21 +223,27 @@ class DedupSpec extends SparkTestBase {
   test("withShingleCache releases operator caches on scope exit, keeps others") {
     val spark = TestSpark.spark
     spark.catalog.clearCache()
+    // all comparisons are RELATIVE to this baseline: a previous suite's
+    // async unpersist landing mid-test must not flake the counts
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    def newIds = spark.sparkContext.getPersistentRDDs.keySet -- before
     // an UNRELATED cache the scope must not evict (clearCache would)
     val unrelated = corpus.persist()
     unrelated.count()
+    val unrelatedIds = newIds
+    assert(unrelatedIds.size == 1, unrelatedIds.toString)
     try {
       val nPairs = Dedup.withShingleCache {
         val n = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3,
           threshold = 0.3).count()
         // inside the scope: the operator's shingle frame is materialized
-        assert(spark.sparkContext.getPersistentRDDs.size >= 2)
+        assert(newIds.size >= 2)
         n
       }
       assert(nPairs == 3)
       // after the scope: only the unrelated cache remains (exit unpersists
       // blocking, so the release is immediately observable)
-      assert(spark.sparkContext.getPersistentRDDs.size == 1)
+      assert(newIds == unrelatedIds, newIds.toString)
       // nesting: the inner scope's minHashDedup persists the SAME canonical
       // shingle plan the outer jaccardPairs cached — CacheManager shares
       // one entry, so the inner exit must NOT evict it out from under the
@@ -247,9 +253,9 @@ class DedupSpec extends SparkTestBase {
         Dedup.withShingleCache {
           Dedup.minHashDedup(corpus, "doc_id", "text").count()
         }
-        assert(spark.sparkContext.getPersistentRDDs.size == 2)
+        assert((newIds -- unrelatedIds).size == 1, newIds.toString)
       }
-      assert(spark.sparkContext.getPersistentRDDs.size == 1)
+      assert(newIds == unrelatedIds, newIds.toString)
     } finally unrelated.unpersist(true)
   }
 

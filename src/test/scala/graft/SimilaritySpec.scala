@@ -46,6 +46,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(hp(0)(0) == expect)
   }
 
+  test("randomProject: components are the scaled plane dot products, map-side only") {
+    val hp = Similarity.hyperplanes(2, 4)
+    val v = Array(1.0, 2.0, 3.0, 4.0)
+    val df = Seq((1L, v)).toDF("id", "vec")
+    val out = Similarity.randomProject(df, "id", "vec", outDims = 2, dim = 4)
+      .collect()(0).getSeq[Double](1)
+    val exp = hp.map(w => w.zip(v).map { case (a, b) => a * b }.sum / math.sqrt(2.0))
+    assert(out.toSeq == exp.toSeq)
+    val plan = Similarity.randomProject(df, "id", "vec", 2, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("randomProject is linear: proj(a+b) = proj(a) + proj(b)") {
+    val a = Array(0.5, -1.0, 2.0, 0.25)
+    val b = Array(1.5, 0.5, -0.5, 1.0)
+    val ab = a.zip(b).map { case (x, y) => x + y }
+    val df = Seq((0L, a), (1L, b), (2L, ab)).toDF("id", "vec")
+    val out = Similarity.randomProject(df, "id", "vec", outDims = 3, dim = 4)
+      .orderBy("id").collect().map(_.getSeq[Double](1))
+    out(0).zip(out(1)).zip(out(2)).foreach { case ((pa, pb), pab) =>
+      assert(math.abs(pa + pb - pab) < 1e-9)
+    }
+  }
+
   test("ivfTopK: map-side cell assignment, probed cells only, exact rank within") {
     // 8 vectors, centroids at ids 0 and 4 (centStep=4): two clean clusters
     val vs = Seq(
