@@ -627,6 +627,21 @@ object SparkEntry {
           minTokens = 10, maxTokens = 1000)
         .orderBy("split")
     }),
+
+    // Token-budget mixing: per-source running-total caps turn mix weights
+    // into an actual corpus (src0 gets 2× the default budget, src1 is
+    // excluded). The cumulative window is preceded by the rank-pushdown
+    // prune, so only budget-bounded rows reach it.
+    "q46_token_mix" -> ((s, dir) => {
+      Sampling.tokenBudgetMix(Tables(s, dir).documents, "doc_id", "text",
+          "source", defaultBudget = 300L,
+          budgets = Map("src0" -> 600L, "src1" -> 0L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("n_tokens"),
+          max("cum_tokens").as("max_cum"), sum("doc_id").as("id_sum"))
+        .orderBy("source")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -1197,6 +1212,25 @@ object SparkEntry {
         |SELECT split, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
         |       sum(doc_id)::BIGINT AS id_sum
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    // the rank prune on the Spark side is answer-preserving (cum ≤ budget
+    // and ≥1 token per doc imply rank ≤ budget), so the oracle states only
+    // the cumulative rule.
+    "q46_token_mix" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |t1 AS (SELECT * FROM t WHERE n_tokens >= 1),
+        |r AS (SELECT doc_id, source, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY source
+        |            ORDER BY md5(doc_id::VARCHAR), doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+        |      FROM t1),
+        |k AS (SELECT * FROM r WHERE cum_tokens <=
+        |        CASE source WHEN 'src0' THEN 600 WHEN 'src1' THEN 0 ELSE 300 END)
+        |SELECT source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+        |       max(cum_tokens) AS max_cum, sum(doc_id)::BIGINT AS id_sum
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     "q42_vocab_coverage" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),

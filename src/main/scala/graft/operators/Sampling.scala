@@ -104,6 +104,53 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Token-budget mixing: keep documents per `groupCol` value, in the same
+    * deterministic md5(id) order as [[capPerGroup]], while the group's
+    * RUNNING token total stays within its budget — "take 5B tokens of
+    * source X, 2B of Y" — the step that turns per-source weights into an
+    * actual pretraining mix. Budgets come from `budgets` (policy), with
+    * `defaultBudget` for unlisted groups. Membership is a pure function of
+    * the ids and texts present: re-running the mix reproduces it exactly.
+    *
+    * Zero-token documents are dropped first (they add nothing to a mix and
+    * would break the prune bound below). Output keeps the input columns
+    * plus `n_tokens` and the group-running `cum_tokens`.
+    *
+    * Scale: a running sum cannot use the rank-limit pushdown (only
+    * rank-like functions qualify), so the window is preceded by a
+    * [[capPerGroup]] PRUNE at k = budget: every kept document carries ≥ 1
+    * token, so `cum_tokens ≤ budget` implies `rank ≤ budget`, and the
+    * pushdown bounds what reaches the cumulative window without changing
+    * the answer. For budgets beyond Int.MaxValue documents the prune
+    * saturates and the group's full (non-zero-token) row set meets the
+    * window — at that scale, pre-thin with [[deterministicSample]] first.
+    */
+  def tokenBudgetMix(df: DataFrame, idCol: String, textCol: String,
+                     groupCol: String, defaultBudget: Long,
+                     budgets: Map[String, Long] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
+      "budgets must be non-negative")
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (g, v)) => when(col(groupCol) === g, lit(v)).otherwise(acc)
+    }
+    val maxBudget = (budgets.values.toSeq :+ defaultBudget).max
+    val pruneK = math.min(maxBudget, Int.MaxValue.toLong).toInt
+    val withTok = df
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .filter(col("n_tokens") >= 1)
+    val pruned =
+      if (pruneK > 0) capPerGroup(withTok, groupCol, idCol, pruneK)
+      else withTok.limit(0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pruned
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** [[quantileProfile]] with `approx_percentile` (KLL-style sketch,
     * `accuracy` controls error vs memory): constant per-group state, the
     * form to use when the value column has unbounded cardinality. Not

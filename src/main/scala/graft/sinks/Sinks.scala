@@ -39,6 +39,22 @@ object Sinks {
       .coalesce(1)
       .write.mode("overwrite").text(path)
 
+  /** Sharded corpus export — the 100 TB-shaped sink the K1–K3 single-file
+    * contract explicitly is not: write a (curated) corpus as parquet,
+    * hive-partitioned by the given columns (`split=train/source=src0/…`),
+    * so a downstream trainer reads one split/source without scanning the
+    * rest (partition pruning at the directory level). No coalesce — each
+    * task writes its own shard; `maxRecordsPerFile` bounds shard size so
+    * one giant partition value cannot produce one giant file.
+    */
+  def writeCorpus(df: DataFrame, path: String, partitionCols: Seq[String],
+                  maxRecordsPerFile: Long = 1000000L): Unit =
+    df.write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+
   /** K3 (`bolt/bolt.go:522-541`): the nasalog report — per host, a
     * `host:count` header line, each distinct route on its own line, then a
     * `===` separator; hosts sorted, routes sorted within a host.

@@ -96,6 +96,37 @@ class SamplingSpec extends SparkTestBase {
     assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan) // partial + final
   }
 
+  test("tokenBudgetMix: running total respects per-group budgets, prefix is deterministic") {
+    val df = (0L until 50L)
+      .map(i => (i, s"g${i % 2}", ("tok " * 10).trim)) // 10 tokens per doc
+      .toDF("id", "grp", "text")
+    val out = Sampling.tokenBudgetMix(df, "id", "text", "grp",
+      defaultBudget = 35L, budgets = Map("g1" -> 100L))
+    val got = out.groupBy("grp")
+      .agg(count(lit(1)).as("n"), max("cum_tokens").as("cum"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 10-token docs: budget 35 fits 3 docs (cum 30), budget 100 fits 10
+    assert(got == Map("g0" -> ((3L, 30L)), "g1" -> ((10L, 100L))), got.toString)
+    // membership is a prefix of the same md5 order capPerGroup uses
+    val capIds = Sampling.capPerGroup(df.filter(col("grp") === "g0"), "grp", "id", 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val mixIds = out.filter(col("grp") === "g0")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(mixIds == capIds)
+    // stable under repartition
+    val re = Sampling.tokenBudgetMix(df.repartition(7), "id", "text", "grp",
+      35L, Map("g1" -> 100L)).select("id").collect().map(_.getLong(0)).toSet
+    assert(re == out.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("tokenBudgetMix: zero budget drops the group; zero-token docs never consume") {
+    val df = Seq((0L, "g", "a b c"), (1L, "g", ""), (2L, "x", "d e")).toDF("id", "grp", "text")
+    val out = Sampling.tokenBudgetMix(df, "id", "text", "grp",
+      defaultBudget = 10L, budgets = Map("x" -> 0L))
+    val ids = out.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L)) // empty doc 1 dropped, group x zeroed out
+  }
+
   test("exact quantile profile: hand-computed interpolation, approx within tolerance") {
     // group a: values 1..5 -> p50 = 3.0, p75 = 0.75*(5-1)=rank 3 -> 4.0
     //          p25 = rank 1 -> 2.0, p90 = rank 3.6 -> 4.6

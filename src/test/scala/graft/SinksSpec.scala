@@ -38,6 +38,29 @@ class SinksSpec extends SparkTestBase {
     assert(readSingleText(out) == "u3:7\nu1:5\nu2:5\n")
   }
 
+  test("corpus export: hive-partitioned layout, lossless roundtrip, partition pruning") {
+    import org.apache.spark.sql.functions._
+    val out = tmp("corpus")
+    val df = Seq(
+      (0L, "alpha text", "train", "s1"), (1L, "beta text", "train", "s2"),
+      (2L, "gamma text", "test", "s1"),
+    ).toDF("doc_id", "text", "split", "source")
+    Sinks.writeCorpus(df, out, Seq("split", "source"))
+    // hive layout: split=<v>/source=<v> directories
+    assert(Files.isDirectory(Paths.get(out, "split=train", "source=s1")))
+    assert(Files.isDirectory(Paths.get(out, "split=test", "source=s1")))
+    // roundtrip is lossless
+    val back = TestSpark.spark.read.parquet(out)
+    assert(back.count() == 3)
+    assert(back.select("doc_id", "text", "split", "source").collect().toSet ==
+      df.collect().toSet)
+    // a split filter prunes at the directory level, not per row
+    val pruned = TestSpark.spark.read.parquet(out).filter(col("split") === "train")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(split"), scan)
+    assert(pruned.count() == 2)
+  }
+
   test("K3 host report: header, sorted routes, === separator, hosts sorted") {
     val out = tmp("k3")
     val perHost = Seq(
