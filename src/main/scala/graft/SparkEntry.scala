@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
-import graft.operators.{AsOf, Curation, Dedup, Multimodal, RangeJoin, Relational, Sampling, Similarity, TextAnalysis, Windowed}
+import graft.operators.{Analytics, AsOf, Curation, Dedup, Multimodal, RangeJoin, Relational, Sampling, Similarity, TextAnalysis, Windowed}
 import graft.sources.{CsvSource, JsonSource, LogLines}
 import graft.streaming.BoundedStream
 
@@ -642,6 +642,82 @@ object SparkEntry {
           max("cum_tokens").as("max_cum"), sum("doc_id").as("id_sum"))
         .orderBy("source")
     }),
+
+    // SemDeDup-style semantic dedup: IVF cell assignment (q20's codebook)
+    // + within-cell cosine vs every lower id — the embedding-space
+    // counterpart of MinHash dedup, catching paraphrases exact/fuzzy text
+    // dedup misses. Only shuffle: the |cell|²-bounded self-join.
+    "q47_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDupes(Tables(s, dir).embeddings, "vec_id",
+          "embedding", threshold = 0.35, centStep = 25)
+        .orderBy("vec_id")
+    }),
+
+    // Hierarchical subtotals (GROUP BY ROLLUP) over the pricing fact —
+    // the grouping-sets surface the reference lacks (SURVEY §2.4). One
+    // Expand + one hash aggregate; subtotal rows shuffle to their own
+    // reducers.
+    "q48_rollup" -> ((s, dir) => {
+      Relational.rollupAgg(Tables(s, dir).lineitem,
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(count(lit(1)).as("n"),
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_price")))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Analytic windows (lag / running total / trailing mean) over each
+    // user's purchase sequence — integer-cents arithmetic end-to-end so
+    // the running sums are exact and order-independent of float folding.
+    "q49_seq_stats" -> ((s, dir) => {
+      val e = Tables(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000000000").as("sec"), col("value"))
+      Analytics.sequenceStats(e, "user_id", "sec", "event_id", "value",
+          movK = 3)
+        .orderBy("user_id", "sec", "event_id")
+    }),
+
+    // Concat-and-chunk sequence packing at 256 tokens per sequence: every
+    // document's placement (first/last sequence + offset) under one hash —
+    // the loader-facing index of the packed corpus.
+    "q50_pack" -> ((s, dir) => {
+      Curation.packSequences(Tables(s, dir).documents, "doc_id", "text",
+          groupCol = "source", seqLen = 256)
+        .orderBy("source", "doc_id")
+    }),
+
+    // STREAM-STREAM interval join under the oracle hash: views and
+    // purchases read as two unbounded streams, joined on user + a 24h
+    // event-time window, drained with AvailableNow — the streamed answer
+    // must equal the batch inequality join (inner joins emit on match;
+    // the generous watermark delay only governs state eviction).
+    "q51_stream_join" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          timestamp_seconds(expr("ts div 1000000000")).as("view_t"))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"),
+          timestamp_seconds(expr("ts div 1000000000")).as("purchase_t"),
+          col("value"))
+      val name = s"q51_sink_${StreamRunSeq.incrementAndGet()}"
+      val ckpt = java.nio.file.Files.createTempDirectory("q51-ckpt").toString
+      StreamArtifacts.add((name, ckpt))
+      BoundedStream.runAvailableNow(s, views,
+        v => graft.streaming.StreamJoin.intervalJoin(v, purchases,
+          "user_id", "p_user", "view_t", "purchase_t",
+          within = "24 hours", watermarkDelay = "30 days"),
+        ckpt, name, outputMode = "append")
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          col("view_t").cast("long").as("view_sec"),
+          col("purchase_t").cast("long").as("purchase_sec"),
+          round(col("value"), 2).as("purchase_value"))
+        .orderBy("user_id", "view_id", "purchase_id")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -1276,6 +1352,87 @@ object SparkEntry {
         |       md5(array_to_string(toks[start : start + 31], ' ')) AS chunk_fp
         |FROM c
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // q20's codebook + assignment CTEs, then within-cell pairs instead of
+    // query probes: a vector is a semantic dup when a LOWER-id cell member
+    // has cosine >= 0.35; dup_of is the smallest such id.
+    "q47_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+        |asg AS (SELECT id, v, cell FROM (
+        |    SELECT e.vec_id AS id, e.v, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, c.cv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS rk
+        |    FROM e CROSS JOIN cents c) WHERE rk = 1),
+        |p AS (SELECT b.id AS vec_id, a.id AS dup_of,
+        |             list_dot_product(a.v, b.v) /
+        |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+        |      FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id),
+        |q AS (SELECT vec_id, dup_of, c,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY dup_of) AS rk
+        |      FROM p WHERE c >= 0.35)
+        |SELECT vec_id, dup_of, round(c, 4) AS cos FROM q WHERE rk = 1
+        |ORDER BY vec_id""".stripMargin,
+
+    // Rolled-up key levels surface as 'ALL' in both engines (fixture keys
+    // are non-null, so coalesce is unambiguous).
+    "q48_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // Integer-cents running totals; the trailing mean divides two exact
+    // window integers, mirroring the Spark expressions verbatim.
+    "q49_seq_stats" ->
+      """WITH e AS (SELECT user_id, event_id, (epoch_us(ts) // 1000000)::BIGINT AS sec,
+        |                  round(value * 100)::BIGINT AS cents
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, event_id, sec,
+        |       sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap_s,
+        |       sum(cents) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS run_cents,
+        |       round((sum(cents) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::DOUBLE /
+        |         (count(*) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) / 100.0, 4) AS mov_avg
+        |FROM e ORDER BY user_id, sec, event_id""".stripMargin,
+
+    // Concat-and-chunk packing at 256: DuckDB's // is the same floor
+    // division as Spark's `div` on the non-negative cumulative totals.
+    "q50_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |t1 AS (SELECT * FROM t WHERE n_tokens >= 1),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |      FROM t1)
+        |SELECT source, doc_id, n_tokens,
+        |       ((cum - n_tokens) // 256)::BIGINT AS seq_first,
+        |       ((cum - 1) // 256)::BIGINT AS seq_last,
+        |       ((cum - n_tokens) % 256)::BIGINT AS seq_offset
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    // The streamed interval join's ground truth is the plain batch
+    // inequality join — the streaming runtime must not change it.
+    "q51_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, (epoch_us(ts) // 1000000)::BIGINT AS sec,
+        |                  event_type, value FROM events),
+        |v AS (SELECT user_id, event_id AS view_id, sec AS view_sec
+        |      FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS p_user, event_id AS purchase_id,
+        |             sec AS purchase_sec, round(value, 2) AS purchase_value
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT user_id, view_id, purchase_id, view_sec, purchase_sec, purchase_value
+        |FROM v JOIN p ON user_id = p_user
+        |  AND purchase_sec >= view_sec AND purchase_sec < view_sec + 86400
+        |ORDER BY user_id, view_id, purchase_id""".stripMargin,
 
     "q20_ivf_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -52,6 +52,47 @@ object Curation {
     Sampling.hashSplit(capped, idCol, trainPct, valPct)
   }
 
+  /** Concat-and-chunk sequence packing: documents are laid end-to-end in
+    * deterministic `idCol` order within each `groupCol` value and chopped
+    * into fixed `seqLen`-token training sequences — the packing a
+    * GPT-style pretraining loader applies (no padding between documents;
+    * a document may straddle a sequence boundary). Output per document:
+    * which sequence its first token lands in (`seq_first`), which its
+    * last token lands in (`seq_last`), and its starting offset within
+    * `seq_first` (`seq_offset`) — the index a loader needs to materialize
+    * any sequence without re-scanning the corpus. Zero-token documents
+    * contribute nothing and are dropped.
+    *
+    * All three outputs derive from one per-group running token total
+    * (exact integer arithmetic), so the packing is reproducible across
+    * engines — the oracle gate (q50) hashes every document's placement.
+    *
+    * Scale shape: packing is inherently sequential WITHIN a group (each
+    * placement depends on every predecessor), so the parallel unit is the
+    * group — one shuffle on `groupCol`, one ordered pass per group. That
+    * is the right contract for a sharded corpus (pack per source/shard,
+    * train across shards); for a single giant group, pre-split it into
+    * deterministic sub-shards ([[Sampling.hashBucket]] on the id) and
+    * pack each — sequences then restart per sub-shard, which training
+    * loaders accept.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    groupCol: String, seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1: $seqLen")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(groupCol), col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("__cum", sum("n_tokens").over(w).cast("long"))
+      // `div`, not `/`: Column `/` is DOUBLE division, which rounds past
+      // 2^53 — a 100 TB corpus's cumulative token count must stay exact.
+      .select(col(groupCol), col(idCol), col("n_tokens"),
+        expr(s"(__cum - n_tokens) div $seqLen").as("seq_first"),
+        expr(s"(__cum - 1) div $seqLen").as("seq_last"),
+        ((col("__cum") - col("n_tokens")) % seqLen).cast("long").as("seq_offset"))
+  }
+
   /** Token-yield accounting over [[curate]]: per split, how many documents
     * and training tokens survive the whole pipeline — the number a
     * pretraining budget is planned against (plus an id checksum so the

@@ -133,6 +133,41 @@ object Relational {
         concat_ws(",", sort_array(flatten(collect_list(col("pset"))))).as("routes"))
   }
 
+  /** Hierarchical subtotals (SQL `GROUP BY ROLLUP`) — the reference has no
+    * grouping sets (SURVEY §2.4 "not present"); this declares them. One
+    * pass produces per-(k1,k2,…) groups plus every prefix subtotal and the
+    * grand total; rolled-up key levels surface as `fill` (default "ALL")
+    * instead of NULL so the output is totally ordered and hash-comparable
+    * (the fixture keys are non-null, so no ambiguity with real NULLs).
+    *
+    * Scale: Spark plans rollup as ONE Expand + hash aggregate — each input
+    * row is replicated once per grouping set (n+1 for n keys) map-side,
+    * then a single shuffle on the expanded keys; subtotal rows hash to
+    * their own reducers, so no single-reducer collapse and partial
+    * aggregation still applies.
+    */
+  def rollupAgg(df: DataFrame, keys: Seq[String], aggs: Seq[Column],
+                fill: String = "ALL"): DataFrame = {
+    require(keys.nonEmpty && aggs.nonEmpty, "rollupAgg needs keys and aggs")
+    val out = df.rollup(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    out.select(keys.map(k =>
+      coalesce(col(k).cast("string"), lit(fill)).as(k))
+      ++ out.columns.drop(keys.length).map(col): _*)
+  }
+
+  /** All-combination subtotals (SQL `GROUP BY CUBE`): like [[rollupAgg]]
+    * but over every subset of the keys (2ⁿ grouping sets — keep n small;
+    * the Expand factor is the cost knob).
+    */
+  def cubeAgg(df: DataFrame, keys: Seq[String], aggs: Seq[Column],
+              fill: String = "ALL"): DataFrame = {
+    require(keys.nonEmpty && aggs.nonEmpty, "cubeAgg needs keys and aggs")
+    val out = df.cube(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    out.select(keys.map(k =>
+      coalesce(col(k).cast("string"), lit(fill)).as(k))
+      ++ out.columns.drop(keys.length).map(col): _*)
+  }
+
   /** S7 (`spout/spout.go:198-203`): explicit round-robin redistribution —
     * Spark's RoundRobinPartitioning. The reference cycles tuples over boltc
     * workers for load balance; here it rebalances skewed inputs before an

@@ -200,6 +200,56 @@ object Similarity {
     cents
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023: cluster the
+    * embedding space, then drop near-identical members within each
+    * cluster): vectors are assigned MAP-SIDE to their IVF cell
+    * ([[ivfAssign]] over the deterministic [[sampleCentroids]] codebook),
+    * and within each cell a vector is a semantic duplicate when some
+    * LOWER-id member has cosine ≥ `threshold` — the greedy
+    * keep-the-earliest rule, deterministic without an RNG or an iterative
+    * clustering fit. Returns the duplicates: (vec_id, dup_of, cos) where
+    * `dup_of` is the SMALLEST qualifying lower id (and `cos` the similarity
+    * to that representative).
+    *
+    * Scale shape: the codebook is a bounded model (≤ maxCentroids,
+    * broadcast); assignment adds no shuffle; the only shuffle is the
+    * within-cell self-equi-join on the cell id, |cell|²-bounded per cell —
+    * never corpus². Cell population concentrates where the data does; a
+    * pathological mega-cell is handled upstream by growing the codebook
+    * (more centroids ⇒ smaller cells), which this API exposes directly.
+    * The per-duplicate arg-min window partitions on vec_id (unique), so it
+    * introduces no skew.
+    */
+  def semanticDupes(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, centStep: Int = 25,
+                    maxCentroids: Int = 4096): DataFrame = {
+    graft.functions.CosineSim.ensureRegistered(df.sparkSession)
+    val cents = sampleCentroids(df, idCol, vecCol, centStep, maxCentroids)
+    val assigned = ivfAssign(df, idCol, vecCol, cents)
+    val w = Window.partitionBy("vec_id").orderBy(col("dup_of").asc)
+    assigned.as("a")
+      .join(assigned.as("b").hint("SHUFFLE_HASH"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .withColumn("cos", cosineFast(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("b.id").as("vec_id"), col("a.id").as("dup_of"), col("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("dup_of"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Apply [[semanticDupes]]: the corpus with semantic duplicates removed
+    * (anti-join on the unique vec_id — skew-free). The keep-the-earliest
+    * rule means the survivors are exactly the greedy representatives.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, centStep: Int = 25,
+                    maxCentroids: Int = 4096): DataFrame = {
+    val dupes = semanticDupes(df, idCol, vecCol, threshold, centStep,
+      maxCentroids).select(col("vec_id").as(idCol))
+    df.join(dupes, Seq(idCol), "left_anti")
+  }
+
   /** IVF top-k: probe the `nprobe` highest-cosine cells per query, rank
     * same-cell candidates by exact cosine. Corpus work: one map-side
     * assignment pass + an equi-join on the cell id — the inverted-file

@@ -41,6 +41,41 @@ class CurationSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("packSequences: placements follow the running total, straddling allowed") {
+    // tokens: 3, 4, 5 in one group at seqLen=4 → cums 3,7,12
+    val docs = Seq(
+      (1L, "a b c", "g"),          // cum 3: seq 0, offset 0..2
+      (2L, "d e f g", "g"),        // cum 7: starts at 3 (seq 0), ends at 6 (seq 1)
+      (3L, "h i j k l", "g"),      // cum 12: starts at 7 (seq 1), ends at 11 (seq 2)
+      (4L, "", "g"),               // zero tokens → dropped
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.packSequences(docs, "doc_id", "text", "source", seqLen = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, 0L, 0L),
+      (2L, 4L, 0L, 1L, 3L),
+      (3L, 5L, 1L, 2L, 3L),
+    ))
+  }
+
+  test("packSequences: groups pack independently and restart at sequence 0") {
+    val docs = Seq((1L, "a b", "g1"), (2L, "c d", "g2")).toDF("doc_id", "text", "source")
+    val out = Curation.packSequences(docs, "doc_id", "text", "source", seqLen = 8)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(5)))
+    assert(out.toSet == Set(("g1", 0L, 0L), ("g2", 0L, 0L)))
+  }
+
+  test("packSequences is deterministic under repartitioning") {
+    val docs = (0L until 50L).map(i => (i, ("tok " * (i % 7 + 1).toInt).trim, s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val a = Curation.packSequences(docs, "doc_id", "text", "source", 16)
+      .orderBy("source", "doc_id").collect().toSeq
+    val b = Curation.packSequences(docs.repartition(11), "doc_id", "text", "source", 16)
+      .orderBy("source", "doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("tokenYield matches aggregating the curated frame") {
     val cur = Curation.curate(corpus, "doc_id", "text", "source", 5, minTokens = 5)
     val expect = cur.groupBy("split")

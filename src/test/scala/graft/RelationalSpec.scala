@@ -153,4 +153,35 @@ class RelationalSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(anti.toSeq == Seq((3L, "d")))
   }
+
+  test("rollupAgg: leaf groups, prefix subtotals, grand total — all consistent") {
+    val df = Seq(("a", "x", 1L), ("a", "x", 2L), ("a", "y", 4L), ("b", "x", 8L))
+      .toDF("k1", "k2", "v")
+    val out = Relational.rollupAgg(df, Seq("k1", "k2"),
+        Seq(count(lit(1)).as("n"), sum("v").as("s")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      ("a", "x", 2L, 3L), ("a", "y", 1L, 4L), ("b", "x", 1L, 8L), // leaves
+      ("a", "ALL", 3L, 7L), ("b", "ALL", 1L, 8L),                 // k1 subtotals
+      ("ALL", "ALL", 4L, 15L)))                                   // grand total
+  }
+
+  test("cubeAgg additionally emits the k2-only grouping set") {
+    val df = Seq(("a", "x", 1L), ("a", "y", 4L), ("b", "x", 8L))
+      .toDF("k1", "k2", "v")
+    val out = Relational.cubeAgg(df, Seq("k1", "k2"), Seq(sum("v").as("s")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out.contains(("ALL", "x", 9L)) && out.contains(("ALL", "y", 4L)))
+    assert(out.contains(("ALL", "ALL", 13L)))
+    assert(out.size == 3 + 2 + 2 + 1) // leaves + k1 + k2 + grand
+  }
+
+  test("rollupAgg plans one Expand + one aggregate exchange") {
+    val df = Seq(("a", "x", 1L)).toDF("k1", "k2", "v")
+    val plan = Relational.rollupAgg(df, Seq("k1", "k2"), Seq(sum("v").as("s")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+    assert(plan.split("Exchange").length - 1 <= 1, plan)
+  }
 }

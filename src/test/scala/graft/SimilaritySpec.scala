@@ -152,6 +152,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.toSet == expect)
   }
 
+  test("semanticDupes: within-cell near-identical vectors collapse to the earliest") {
+    // centStep=4 → centroids 0 and 4: two clean clusters; 1 and 2 are
+    // near-copies of 0, 5 of 4, 3/6 are distinct members of each cluster
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.999f, 0.01f)), (2L, Array(0.998f, 0.02f)),
+      (3L, Array(0.7f, 0.714f)),
+      (4L, Array(0.0f, 1.0f)), (5L, Array(0.01f, 0.999f)), (6L, Array(0.714f, 0.7f)),
+    ).toDF("vec_id", "embedding")
+    val dupes = Similarity.semanticDupes(vs, "vec_id", "embedding",
+      threshold = 0.999, centStep = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dupes == Map(1L -> 0L, 2L -> 0L, 5L -> 4L), dupes.toString)
+    val kept = Similarity.semanticDedup(vs, "vec_id", "embedding",
+      threshold = 0.999, centStep = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L, 4L, 6L))
+  }
+
+  test("semanticDupes never pairs across cells, even above threshold") {
+    // 1 is nearly identical to 5 but they straddle the cell boundary
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.72f, 0.70f)),
+      (4L, Array(0.0f, 1.0f)), (5L, Array(0.70f, 0.72f)),
+    ).toDF("vec_id", "embedding")
+    val cells = Similarity.ivfAssign(vs, "vec_id", "embedding",
+      Similarity.sampleCentroids(vs, "vec_id", "embedding", 4))
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assume(cells(1L) != cells(5L)) // the setup holds: near-twins split by the boundary
+    val dupes = Similarity.semanticDupes(vs, "vec_id", "embedding",
+      threshold = 0.9, centStep = 4).collect()
+    assert(!dupes.exists(r => r.getLong(0) == 5L && r.getLong(1) == 1L),
+      "cross-cell pair leaked — the recall trade must be by construction")
+  }
+
   test("multi-probe LSH improves recall@k over single-probe (measured vs exact)") {
     val rnd = new scala.util.Random(17)
     val corpus = (0 until 400).map(i =>
