@@ -718,6 +718,23 @@ object SparkEntry {
           round(col("value"), 2).as("purchase_value"))
         .orderBy("user_id", "view_id", "purchase_id")
     }),
+
+    // Class-centroid mean pooling: element-wise mean embedding per label
+    // in exact fixed-point arithmetic — partial-agg order cannot change
+    // the answer, so the full 640-component matrix sits under one hash.
+    "q52_mean_pool" -> ((s, dir) => {
+      Similarity.meanPool(Tables(s, dir).embeddings, "label", "embedding")
+        .orderBy("label", "dim_idx")
+    }),
+
+    // One deterministic Lloyd iteration: q20's codebook assigns cells
+    // map-side, the centroid update is the q52 fixed-point mean — the
+    // clustering primitive, one shuffle per iteration.
+    "q53_kmeans_step" -> ((s, dir) => {
+      Similarity.kmeansStep(Tables(s, dir).embeddings, "vec_id", "embedding",
+          centStep = 25)
+        .orderBy("cell", "dim_idx")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -1433,6 +1450,39 @@ object SparkEntry {
         |FROM v JOIN p ON user_id = p_user
         |  AND purchase_sec >= view_sec AND purchase_sec < view_sec + 86400
         |ORDER BY user_id, view_id, purchase_id""".stripMargin,
+
+    // Fixed-point micro-unit mean per (label, dim): the sum is exact
+    // integer arithmetic in both engines; the final divisions operate on
+    // identical exact operands.
+    "q52_mean_pool" ->
+      """WITH e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |                  generate_subscripts(embedding, 1) - 1 AS dim
+        |           FROM embeddings),
+        |m AS (SELECT label, dim, sum(round(v * 1e6)::BIGINT)::BIGINT AS s,
+        |             count(*) AS n
+        |      FROM e GROUP BY label, dim)
+        |SELECT label, dim::BIGINT AS dim_idx, round(s / n / 1e6, 6) AS mean_val, n
+        |FROM m ORDER BY label, dim_idx""".stripMargin,
+
+    // q20's codebook/assignment CTEs + the q52 fixed-point mean per cell.
+    "q53_kmeans_step" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+        |asg AS (SELECT id, v, cell FROM (
+        |    SELECT e.vec_id AS id, e.v, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, c.cv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS rk
+        |    FROM e CROSS JOIN cents c) WHERE rk = 1),
+        |x AS (SELECT cell, unnest(v) AS val,
+        |             generate_subscripts(v, 1) - 1 AS dim
+        |      FROM asg),
+        |m AS (SELECT cell, dim, sum(round(val * 1e6)::BIGINT)::BIGINT AS s,
+        |             count(*) AS n
+        |      FROM x GROUP BY cell, dim)
+        |SELECT cell, dim::BIGINT AS dim_idx, round(s / n / 1e6, 6) AS mean_val, n
+        |FROM m ORDER BY cell, dim_idx""".stripMargin,
 
     "q20_ivf_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

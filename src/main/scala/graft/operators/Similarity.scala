@@ -283,6 +283,50 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Element-wise mean pooling of an embedding column per group — the
+    * class-centroid / chunk-to-document pooling step. Emitted LONG, not
+    * float: each component is fixed-pointed to integer micro-units
+    * map-side (`round(v·1e6)`), summed EXACTLY per (group, dim), and
+    * divided by the exact member count at the end — so the pooled vector
+    * is independent of partial-aggregation order (a plain float mean is
+    * not: Spark's partial sums fold in partition order, which changes
+    * under repartitioning). Output: (group, dim_idx, mean_val, n).
+    *
+    * Scale shape: posexplode fans each row to `dim` rows map-side, then
+    * ONE hash aggregate on (group, dim) — keys bounded by groups × dim,
+    * partial aggregation (map-side combine) collapses the fan-out before
+    * the shuffle, so shuffled volume is ≤ partitions × groups × dim
+    * regardless of corpus size.
+    */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim_idx", "v")))
+      .withColumn("micro", round(col("v") * 1e6).cast("long"))
+      .groupBy(col(groupCol), col("dim_idx"))
+      .agg(sum("micro").as("s"), count(lit(1)).as("n"))
+      .select(col(groupCol), col("dim_idx").cast("long").as("dim_idx"),
+        round(col("s") / col("n") / 1e6, 6).as("mean_val"), col("n"))
+
+  /** One distributed Lloyd (k-means) iteration: assign every vector to its
+    * highest-cosine centroid ([[ivfAssign]] over the deterministic
+    * [[sampleCentroids]] codebook — or any codebook produced by a previous
+    * step), then recompute each cell's centroid as the exact fixed-point
+    * [[meanPool]] of its members. Deterministic end-to-end (no RNG, no
+    * float-fold order), so iterations are reproducible across engines —
+    * the clustering primitive behind cluster-balanced sampling and
+    * SemDeDup-style curation. Returns (cell, dim_idx, mean_val, n).
+    *
+    * Scale shape: assignment is map-side (broadcast codebook), the update
+    * is [[meanPool]]'s single bounded-key aggregate — one shuffle per
+    * iteration, centroids per iteration capped by `maxCentroids`.
+    */
+  def kmeansStep(df: DataFrame, idCol: String, vecCol: String,
+                 centStep: Int = 25, maxCentroids: Int = 4096): DataFrame = {
+    val cents = sampleCentroids(df, idCol, vecCol, centStep, maxCentroids)
+    val assigned = ivfAssign(df, idCol, vecCol, cents)
+    meanPool(assigned.select(col("cell"), col("v")), "cell", "v")
+  }
+
   /** LSH-accelerated top-k: candidates are same-bucket vectors only
     * (equi-join on bucket — never a cross join), ranked by exact cosine.
     * Lower recall than [[knnBrute]] by construction; that trade is the

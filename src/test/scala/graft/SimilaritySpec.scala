@@ -186,6 +186,35 @@ class SimilaritySpec extends SparkTestBase {
       "cross-cell pair leaked — the recall trade must be by construction")
   }
 
+  test("meanPool: exact fixed-point means, invariant under repartitioning") {
+    val df = Seq(
+      ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 5.0f)),
+      ("b", Array(-1.5f, 0.5f)),
+    ).toDF("label", "embedding")
+    def pool(d: org.apache.spark.sql.DataFrame) =
+      Similarity.meanPool(d, "label", "embedding")
+        .orderBy("label", "dim_idx").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val got = pool(df)
+    assert(got == Seq(
+      ("a", 0L, 2.0, 2L), ("a", 1L, 3.5, 2L),   // (1+3)/2, (2+5)/2
+      ("b", 0L, -1.5, 1L), ("b", 1L, 0.5, 1L)))
+    assert(got == pool(df.repartition(7)), "partial-agg order must not matter")
+  }
+
+  test("kmeansStep: a tight cluster's updated centroid is its member mean") {
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.2f)),
+      (4L, Array(0.0f, 1.0f)), (5L, Array(0.2f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansStep(vs, "vec_id", "embedding", centStep = 4)
+      .orderBy("cell", "dim_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 1.0, 2L), (0L, 1L, 0.1, 2L),    // mean of (1,0),(1,0.2)
+      (4L, 0L, 0.1, 2L), (4L, 1L, 1.0, 2L)))   // mean of (0,1),(0.2,1)
+  }
+
   test("multi-probe LSH improves recall@k over single-probe (measured vs exact)") {
     val rnd = new scala.util.Random(17)
     val corpus = (0 until 400).map(i =>
