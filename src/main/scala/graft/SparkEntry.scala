@@ -334,9 +334,10 @@ object SparkEntry {
       val name = s"q23_sink_${StreamRunSeq.incrementAndGet()}"
       val ckpt = java.nio.file.Files.createTempDirectory("q23-ckpt").toString
       StreamArtifacts.add((name, ckpt))
-      BoundedStream.runAvailableNow(s, src,
-        df => Relational.wordCount(df, "text"), ckpt, name)
-        .orderBy("word")
+      withShufflePartitions(s, 8) {
+        BoundedStream.runAvailableNow(s, src,
+          df => Relational.wordCount(df, "text"), ckpt, name)
+      }.orderBy("word")
     }),
 
     // Multi-probe LSH ANN: same index as q13, but each query also searches
@@ -707,12 +708,13 @@ object SparkEntry {
       val name = s"q51_sink_${StreamRunSeq.incrementAndGet()}"
       val ckpt = java.nio.file.Files.createTempDirectory("q51-ckpt").toString
       StreamArtifacts.add((name, ckpt))
-      BoundedStream.runAvailableNow(s, views,
-        v => graft.streaming.StreamJoin.intervalJoin(v, purchases,
-          "user_id", "p_user", "view_t", "purchase_t",
-          within = "24 hours", watermarkDelay = "30 days"),
-        ckpt, name, outputMode = "append")
-        .select(col("user_id"), col("view_id"), col("purchase_id"),
+      withShufflePartitions(s, 8) {
+        BoundedStream.runAvailableNow(s, views,
+          v => graft.streaming.StreamJoin.intervalJoin(v, purchases,
+            "user_id", "p_user", "view_t", "purchase_t",
+            within = "24 hours", watermarkDelay = "30 days"),
+          ckpt, name, outputMode = "append")
+      }.select(col("user_id"), col("view_id"), col("purchase_id"),
           col("view_t").cast("long").as("view_sec"),
           col("purchase_t").cast("long").as("purchase_sec"),
           round(col("value"), 2).as("purchase_value"))
@@ -735,6 +737,22 @@ object SparkEntry {
           centStep = 25)
         .orderBy("cell", "dim_idx")
     }),
+
+    // Cluster-balanced sampling: at most 5 vectors per k-means cell, chosen
+    // by the same deterministic md5 rank as the per-source cap — the
+    // diversity-preserving subsample (no dense region dominates). Pure
+    // composition: ivfAssign ∘ capPerGroup, both already gated.
+    "q54_cluster_sample" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val cents = Similarity.sampleCentroids(e, "vec_id", "embedding", 25)
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+      Sampling.capPerGroup(assigned.select(col("id"), col("cell")), "cell",
+          "id", k = 5)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_kept"), min("id").as("min_id"),
+          max("id").as("max_id"), sum("id").as("id_sum"))
+        .orderBy("cell")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -742,6 +760,22 @@ object SparkEntry {
     * memory-sink names must not collide.
     */
   private val StreamRunSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run `body` with `spark.sql.shuffle.partitions = n`, restoring the
+    * previous value after. A STREAMING query's state-store partition count
+    * is fixed from this setting at the checkpoint's first batch — and the
+    * right value tracks STATE VOLUME, not core count: every state
+    * partition pays per-batch commit overhead (delta + snapshot files × 4
+    * stores for a stream-stream join), so the fixture-sized state here
+    * runs 2× faster on 8 partitions than 32 (measured), while a 100 TB
+    * deployment would raise it for state that must spread. Batch queries
+    * are unaffected (AQE coalesces their shuffles either way).
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 
   /** Streaming leftovers of executed queries: (memory-sink view, checkpoint
     * dir) per q23 run. A memory sink materializes its table on the driver
@@ -1463,6 +1497,26 @@ object SparkEntry {
         |      FROM e GROUP BY label, dim)
         |SELECT label, dim::BIGINT AS dim_idx, round(s / n / 1e6, 6) AS mean_val, n
         |FROM m ORDER BY label, dim_idx""".stripMargin,
+
+    // q20's assignment CTEs + q39's md5-rank cap, per cell.
+    "q54_cluster_sample" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+        |asg AS (SELECT id, cell FROM (
+        |    SELECT e.vec_id AS id, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, c.cv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS rk
+        |    FROM e CROSS JOIN cents c) WHERE rk = 1),
+        |r AS (SELECT id, cell,
+        |        row_number() OVER (PARTITION BY cell
+        |                           ORDER BY md5(id::VARCHAR), id) AS rk
+        |      FROM asg)
+        |SELECT cell, count(*) AS n_kept, min(id) AS min_id, max(id) AS max_id,
+        |       sum(id)::BIGINT AS id_sum
+        |FROM r WHERE rk <= 5
+        |GROUP BY cell ORDER BY cell""".stripMargin,
 
     // q20's codebook/assignment CTEs + the q52 fixed-point mean per cell.
     "q53_kmeans_step" ->

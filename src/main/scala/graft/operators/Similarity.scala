@@ -327,6 +327,37 @@ object Similarity {
     meanPool(assigned.select(col("cell"), col("v")), "cell", "v")
   }
 
+  /** Refined k-means codebook: `iters` Lloyd iterations starting from the
+    * deterministic [[sampleCentroids]] codebook. Each iteration is one
+    * [[kmeansStep]] aggregate; the (≤ maxCentroids × dim) fixed-point
+    * means are collected to the driver — the codebook is a MODEL, the
+    * same bounded collect [[sampleCentroids]] already performs — and
+    * become the next iteration's centroids. Cells that lose all members
+    * drop out (standard Lloyd). Deterministic end-to-end, so two engines
+    * (or two runs) refine to identical codebooks.
+    *
+    * Scale: `iters` × (one map-side assignment pass + one bounded-key
+    * shuffle). The driver never holds more than the codebook.
+    */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, iters: Int,
+             centStep: Int = 25, maxCentroids: Int = 4096): Seq[(Long, Array[Double])] = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    var codebook = sampleCentroids(df, idCol, vecCol, centStep, maxCentroids)
+    (0 until iters).foreach { _ =>
+      val assigned = ivfAssign(df, idCol, vecCol, codebook)
+      codebook = meanPool(assigned.select(col("cell"), col("v")), "cell", "v")
+        .groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("dim_idx"), col("mean_val"))))
+          .as("dims"))
+        .select(col("cell"), col("dims.mean_val").as("cv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+        .toSeq
+    }
+    codebook
+  }
+
   /** LSH-accelerated top-k: candidates are same-bucket vectors only
     * (equi-join on bucket — never a cross join), ranked by exact cosine.
     * Lower recall than [[knnBrute]] by construction; that trade is the

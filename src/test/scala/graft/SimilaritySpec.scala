@@ -215,6 +215,23 @@ class SimilaritySpec extends SparkTestBase {
       (4L, 0L, 0.1, 2L), (4L, 1L, 1.0, 2L)))   // mean of (0,1),(0.2,1)
   }
 
+  test("kmeans: codebook refines to cluster means and stabilizes") {
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.2f)), (2L, Array(1.0f, 0.1f)),
+      (4L, Array(0.0f, 1.0f)), (5L, Array(0.2f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    // iters=0 is exactly the sampled codebook
+    val init = Similarity.kmeans(vs, "vec_id", "embedding", iters = 0, centStep = 4)
+    assert(init.map(_._1) == Seq(0L, 4L))
+    assert(init.map(_._2.toSeq) == Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    // one iteration: centroids move to the member means
+    val one = Similarity.kmeans(vs, "vec_id", "embedding", iters = 1, centStep = 4)
+    assert(one.map(_._2.toSeq) == Seq(Seq(1.0, 0.1), Seq(0.1, 1.0)))
+    // assignments are stable, so a second iteration changes nothing
+    val two = Similarity.kmeans(vs, "vec_id", "embedding", iters = 2, centStep = 4)
+    assert(two.map(_._2.toSeq) == one.map(_._2.toSeq))
+  }
+
   test("multi-probe LSH improves recall@k over single-probe (measured vs exact)") {
     val rnd = new scala.util.Random(17)
     val corpus = (0 until 400).map(i =>
