@@ -738,6 +738,15 @@ object SparkEntry {
         .orderBy("cell", "dim_idx")
     }),
 
+    // Duplicated 32-token spans across documents (substring-level dedup
+    // signal): repeated boilerplate surfaces as span fingerprints seen in
+    // ≥ 2 distinct docs. One uniform-key aggregate over the chunk explode.
+    "q55_dup_spans" -> ((s, dir) => {
+      TextAnalysis.duplicateSpans(Tables(s, dir).documents, "doc_id", "text",
+          window = 32, stride = 16, minDocs = 2)
+        .orderBy("span_fp")
+    }),
+
     // Cluster-balanced sampling: at most 5 vectors per k-means cell, chosen
     // by the same deterministic md5 rank as the per-source cap — the
     // diversity-preserving subsample (no dense region dominates). Pure
@@ -770,6 +779,9 @@ object SparkEntry {
     * runs 2× faster on 8 partitions than 32 (measured), while a 100 TB
     * deployment would raise it for state that must spread. Batch queries
     * are unaffected (AQE coalesces their shuffles either way).
+    *
+    * Session-conf mutation is not thread-safe; the gate harnesses
+    * (Verify/Bench) run queries sequentially, which is the contract here.
     */
   private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -1497,6 +1509,21 @@ object SparkEntry {
         |      FROM e GROUP BY label, dim)
         |SELECT label, dim::BIGINT AS dim_idx, round(s / n / 1e6, 6) AS mean_val, n
         |FROM m ORDER BY label, dim_idx""".stripMargin,
+
+    // q30's window machinery, full windows only, grouped by span hash.
+    "q55_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |             unnest(generate_series(1, greatest(len(toks) - 16, 1), 16)) AS start
+        |      FROM t),
+        |f AS (SELECT doc_id, md5(array_to_string(toks[start : start + 31], ' ')) AS span_fp,
+        |             len(toks[start : start + 31]) AS n
+        |      FROM c),
+        |g AS (SELECT span_fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+        |             min(doc_id) AS first_doc
+        |      FROM f WHERE n = 32 GROUP BY span_fp)
+        |SELECT span_fp, n_docs, n_occ, first_doc
+        |FROM g WHERE n_docs >= 2 ORDER BY span_fp""".stripMargin,
 
     // q20's assignment CTEs + q39's md5-rank cap, per cell.
     "q54_cluster_sample" ->

@@ -209,7 +209,11 @@ object Similarity {
     * keep-the-earliest rule, deterministic without an RNG or an iterative
     * clustering fit. Returns the duplicates: (vec_id, dup_of, cos) where
     * `dup_of` is the SMALLEST qualifying lower id (and `cos` the similarity
-    * to that representative).
+    * to that representative). Note the rule compares against ALL lower-id
+    * members, kept or dropped — so a near-dup CHAIN (a~b, b~c, a≁c) drops
+    * both b and c. That is the aggressive end of the SemDeDup family
+    * (dedup never under-removes); compare-against-kept-only would need a
+    * sequential pass per cell.
     *
     * Scale shape: the codebook is a bounded model (≤ maxCentroids,
     * broadcast); assignment adds no shuffle; the only shuffle is the

@@ -282,6 +282,36 @@ object TextAnalysis {
         array_join(col("ctoks"), " ").as("chunk"))
   }
 
+  /** Duplicated-span detection (the substring-level dedup signal of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models Better",
+    * approximated at window granularity): hash every `window`-token span
+    * at `stride` via [[chunkByTokens]], and report span fingerprints that
+    * occur in at least `minDocs` DISTINCT documents — repeated boilerplate,
+    * licenses, navigation chrome. Partial windows (document tails shorter
+    * than `window`) are excluded so a "span" is always exactly `window`
+    * tokens. Output: (span_fp, n_docs, n_occ, first_doc).
+    *
+    * Scale shape: the chunk explode is map-side (fan-out tokens/stride);
+    * the only shuffle is ONE hash aggregate on the md5 span key — uniform
+    * by construction, map-side combined. The remove/mask step is a
+    * downstream semi-join of chunks against this frame (bounded by the
+    * duplicate count, not the corpus).
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     window: Int = 32, stride: Int = 16,
+                     minDocs: Int = 2): DataFrame = {
+    require(stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got stride=$stride window=$window")
+    chunkByTokens(df, idCol, textCol, chunkSize = window,
+        overlap = window - stride)
+      .filter(col("n_toks") === window)
+      .groupBy(md5(col("chunk")).as("span_fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** TF-IDF top-k terms per document — the corpus-statistic + per-row
     * scoring pattern (term salience for quality filtering / keyword
     * extraction). Three aggregations that all shuffle on bounded keys:

@@ -220,4 +220,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(s1.getDouble(4) - ((0.515 + 0.515 + 0.51) / 3)) < 1e-4)
     assert(out(1).getLong(1) == 1 && out(1).getLong(3) == 1)
   }
+
+  test("duplicateSpans: a passage repeated across docs is caught; partial tails are not spans") {
+    import TestSpark.spark.implicits._
+    val boiler = (1 to 8).map(i => s"license$i").mkString(" ") // 8-token boilerplate
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta"),
+      (2L, s"$boiler epsilon zeta eta theta"),
+      (3L, "completely different text with no repeats at all here"),
+      (4L, s"$boiler iota kappa lambda mu"),
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.duplicateSpans(docs, "doc_id", "text",
+      window = 8, stride = 8, minDocs = 2).collect()
+    // the only full 8-token window shared by ≥2 docs is the boilerplate
+    assert(out.length == 1, out.mkString(","))
+    assert(out(0).getLong(1) == 3 && out(0).getLong(2) == 3 && out(0).getLong(3) == 1)
+    // the 4-token tails ("alpha beta gamma delta" etc.) are excluded:
+    // with minDocs=1 every FULL window surfaces, still none of the tails
+    val all = graft.operators.TextAnalysis.duplicateSpans(docs, "doc_id", "text",
+      window = 8, stride = 8, minDocs = 1).collect()
+    assert(all.forall(_.getLong(2) >= 1) && all.length == 2) // boiler + doc 3's one full window
+  }
 }
