@@ -738,6 +738,19 @@ object SparkEntry {
         .orderBy("cell", "dim_idx")
     }),
 
+    // The SCALE path of q49 under the same ground truth: the (key, time
+    // bucket) window + carry-row boundary stitch must reproduce the plain
+    // per-key window bit-for-bit — no task ever sorts a whole hot key.
+    "q56_seq_stats_bucketed" -> ((s, dir) => {
+      val e = Tables(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000000000").as("sec"), col("value"))
+      Analytics.sequenceStatsBucketed(e, "user_id", "sec", "event_id",
+          "value", movK = 3, bucketSeconds = 7L * 86400L)
+        .orderBy("user_id", "sec", "event_id")
+    }),
+
     // Duplicated 32-token spans across documents (substring-level dedup
     // signal): repeated boilerplate surfaces as span fingerprints seen in
     // ≥ 2 distinct docs. One uniform-key aggregate over the chunk explode.
@@ -1452,6 +1465,21 @@ object SparkEntry {
     // Integer-cents running totals; the trailing mean divides two exact
     // window integers, mirroring the Spark expressions verbatim.
     "q49_seq_stats" ->
+      """WITH e AS (SELECT user_id, event_id, (epoch_us(ts) // 1000000)::BIGINT AS sec,
+        |                  round(value * 100)::BIGINT AS cents
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, event_id, sec,
+        |       sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap_s,
+        |       sum(cents) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS run_cents,
+        |       round((sum(cents) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::DOUBLE /
+        |         (count(*) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) / 100.0, 4) AS mov_avg
+        |FROM e ORDER BY user_id, sec, event_id""".stripMargin,
+
+    // Same ground truth as q49 — bucketing the window must not change it.
+    "q56_seq_stats_bucketed" ->
       """WITH e AS (SELECT user_id, event_id, (epoch_us(ts) // 1000000)::BIGINT AS sec,
         |                  round(value * 100)::BIGINT AS cents
         |           FROM events WHERE event_type = 'purchase')

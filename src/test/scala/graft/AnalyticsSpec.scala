@@ -48,6 +48,40 @@ class AnalyticsSpec extends SparkTestBase {
     assert(plan.split("Exchange").length - 1 <= 1, plan)
   }
 
+  test("sequenceStatsBucketed equals sequenceStats exactly — hot key, sparse buckets, gaps") {
+    val rnd = new scala.util.Random(11)
+    // one hot key with 95% of rows spanning many buckets, several sparse
+    // keys with 1-row buckets and multi-bucket gaps between events
+    val rows = (0 until 950).map { i =>
+      (7L, 1000L + i, rnd.nextInt(5000).toLong, rnd.nextDouble() * 50)
+    } ++ (0 until 50).map { i =>
+      ((i % 5).toLong, 5000L + i, (i * 977L) % 9000, rnd.nextDouble() * 50)
+    }
+    val df = rows.toDF("user_id", "event_id", "sec", "value")
+    for (movK <- Seq(1, 3); bucketSecs <- Seq(100L, 1000L)) {
+      val plain = Analytics.sequenceStats(df, "user_id", "sec", "event_id",
+        "value", movK).orderBy("user_id", "sec", "event_id").collect().toSeq
+      val bucketed = Analytics.sequenceStatsBucketed(df, "user_id", "sec",
+        "event_id", "value", movK, bucketSecs)
+        .orderBy("user_id", "sec", "event_id").collect().toSeq
+      assert(bucketed == plain, s"mismatch at movK=$movK bucket=$bucketSecs")
+    }
+  }
+
+  test("sequenceStatsBucketed: the big window partitions on (key, bucket), not the key") {
+    val plan = Analytics.sequenceStatsBucketed(events, "user_id", "sec",
+      "event_id", "value", movK = 3, bucketSeconds = 100)
+      .queryExecution.optimizedPlan.toString
+    // every Window over the full data must include __bkt in its partition
+    // spec — a key-only window would re-serialize the hot key into one task
+    val windowSpecs = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    val fullDataSpecs = windowSpecs.filterNot(_.contains("__bkt"))
+    // the only key-only windows allowed are over the tiny per-(key,bucket)
+    // frame (lead/cumPrev on aggregated buckets) — they mention __tot/lead
+    assert(fullDataSpecs.forall(l => l.contains("__tot") || l.contains("lead")),
+      fullDataSpecs.mkString("\n"))
+  }
+
   test("sequenceStats is deterministic under repartitioning") {
     val a = Analytics.sequenceStats(events, "user_id", "sec", "event_id", "value")
       .orderBy("user_id", "sec").collect().toSeq
