@@ -738,6 +738,17 @@ object SparkEntry {
         .orderBy("cell", "dim_idx")
     }),
 
+    // Split-drift KL divergence: token distribution of each hash split vs
+    // the global corpus, in exact micro-nats — the statistical companion
+    // to q32's quantile profile. Three bounded-key aggs, one broadcast
+    // one-row total.
+    "q57_split_divergence" -> ((s, dir) => {
+      TextAnalysis.tokenDivergence(
+          Sampling.hashSplit(Tables(s, dir).documents, "doc_id"),
+          "split", "text")
+        .orderBy("split")
+    }),
+
     // The SCALE path of q49 under the same ground truth: the (key, time
     // bucket) window + carry-row boundary stitch must reproduce the plain
     // per-key window bit-for-bit — no task ever sorts a whole hot key.
@@ -1477,6 +1488,29 @@ object SparkEntry {
         |         (count(*) OVER (PARTITION BY user_id ORDER BY sec, event_id
         |           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) / 100.0, 4) AS mov_avg
         |FROM e ORDER BY user_id, sec, event_id""".stripMargin,
+
+    // q26's split rule + per-(split, token) micro-nat KL contributions;
+    // expression shapes mirror the Spark side verbatim (c·ln((c/n)/(gc/m))
+    // rounded once), so the sums are exact-integer identical.
+    "q57_split_divergence" ->
+      """WITH b AS (SELECT doc_id, text,
+        |             CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |                  WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+        |                  ELSE 'test' END AS split
+        |           FROM documents),
+        |t AS (SELECT split, unnest(string_split(text, ' ')) AS tok FROM b),
+        |tt AS (SELECT split, tok FROM t WHERE tok <> ''),
+        |c AS (SELECT split, tok, count(*) AS c FROM tt GROUP BY split, tok),
+        |g AS (SELECT tok, sum(c)::BIGINT AS gc FROM c GROUP BY tok),
+        |n AS (SELECT split, sum(c)::BIGINT AS nt FROM c GROUP BY split),
+        |m AS (SELECT sum(c)::BIGINT AS mt FROM c),
+        |k AS (SELECT c.split, c.tok,
+        |             round(c.c * ln((c.c * 1.0 / n.nt) / (g.gc * 1.0 / m.mt)) * 1e6)::BIGINT AS micro
+        |      FROM c JOIN g USING (tok) JOIN n USING (split) CROSS JOIN m)
+        |SELECT k.split, n.nt AS n_tokens, count(*) AS vocab,
+        |       sum(k.micro)::BIGINT AS kl_micro_sum,
+        |       round(sum(k.micro) / 1e6 / n.nt, 6) AS kl_nats
+        |FROM k JOIN n USING (split) GROUP BY k.split, n.nt ORDER BY k.split""".stripMargin,
 
     // Same ground truth as q49 — bucketing the window must not change it.
     "q56_seq_stats_bucketed" ->

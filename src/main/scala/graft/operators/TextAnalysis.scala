@@ -282,6 +282,41 @@ object TextAnalysis {
         array_join(col("ctoks"), " ").as("chunk"))
   }
 
+  /** Token-distribution divergence per group: KL(P_group ‖ P_global) over
+    * the token unigram distributions — the drift check a split pipeline
+    * runs after [[Sampling.hashSplit]] (is val/test distributionally like
+    * train?) and a mix pipeline runs per source. No smoothing is needed:
+    * every group token also occurs globally (gc ≥ c > 0). Per-(group,
+    * token) contributions `c·ln((c/n)/(gc/m))` round to integer micro-nats
+    * before the per-group sum — exact 64-bit, order-independent, so the
+    * whole statistic is oracle-hashable. Output: (group, n_tokens, vocab,
+    * kl_micro_sum, kl_nats).
+    *
+    * Scale: three bounded-key aggregations (group×token, token, group),
+    * all map-side combined; the global total joins in as a broadcast
+    * one-row frame, not a driver scalar.
+    */
+  def tokenDivergence(df: DataFrame, groupCol: String,
+                      textCol: String): DataFrame = {
+    val t = df.select(col(groupCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val c = t.groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = c.groupBy("tok").agg(sum("c").cast("long").as("gc"))
+    val n = c.groupBy(groupCol).agg(sum("c").cast("long").as("nt"))
+    val m = c.agg(sum("c").cast("long").as("mt"))
+    c.join(g, "tok").join(broadcast(n), groupCol).crossJoin(broadcast(m))
+      .withColumn("micro",
+        round(col("c") * log((col("c") * 1.0 / col("nt"))
+          / (col("gc") * 1.0 / col("mt"))) * 1e6).cast("long"))
+      .groupBy(col(groupCol), col("nt").as("n_tokens"))
+      .agg(count(lit(1)).as("vocab"),
+        sum("micro").cast("long").as("kl_micro_sum"))
+      .select(col(groupCol), col("n_tokens"), col("vocab"),
+        col("kl_micro_sum"),
+        round(col("kl_micro_sum") / 1e6 / col("n_tokens"), 6).as("kl_nats"))
+  }
+
   /** Duplicated-span detection (the substring-level dedup signal of Lee et
     * al. 2022, "Deduplicating Training Data Makes Language Models Better",
     * approximated at window granularity): hash every `window`-token span

@@ -66,6 +66,25 @@ class CurationSpec extends SparkTestBase {
     assert(out.toSet == Set(("g1", 0L, 0L), ("g2", 0L, 0L)))
   }
 
+  test("packSequences conserves tokens and places docs contiguously") {
+    val rnd = new scala.util.Random(5)
+    val docs = (0L until 200L)
+      .map(i => (i, ("tok " * (rnd.nextInt(40) + 1)).trim, s"s${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.packSequences(docs, "doc_id", "text", "source", seqLen = 32)
+      .orderBy("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.foreach { case (_, n, first, last, off) =>
+        // each doc starts exactly where the previous one ended
+        assert(first == cum / 32 && off == cum % 32)
+        cum += n
+        assert(last == (cum - 1) / 32)
+      }
+    }
+  }
+
   test("packSequences is deterministic under repartitioning") {
     val docs = (0L until 50L).map(i => (i, ("tok " * (i % 7 + 1).toInt).trim, s"s${i % 3}"))
       .toDF("doc_id", "text", "source")

@@ -221,6 +221,30 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(1).getLong(1) == 1 && out(1).getLong(3) == 1)
   }
 
+  test("tokenDivergence: zero for identical distributions, exact micro-nats otherwise") {
+    import TestSpark.spark.implicits._
+    // two groups with the SAME token multiset → each group's distribution
+    // equals the global one → KL = 0 for both
+    val same = Seq((1L, "x x y", "a"), (2L, "x x y", "b")).toDF("doc_id", "text", "split")
+    val zero = graft.operators.TextAnalysis.tokenDivergence(same, "split", "text")
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getDouble(4)))
+    assert(zero.toSet == Set(("a", 0L), ("b", 0L)).map(t => (t._1, t._2, 0.0)))
+
+    // skewed groups: verify against the formula computed in plain Scala
+    val skew = Seq((1L, "x x y", "a"), (2L, "x y y y", "b")).toDF("doc_id", "text", "split")
+    val out = graft.operators.TextAnalysis.tokenDivergence(skew, "split", "text")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    def micro(c: Long, n: Long, gc: Long, m: Long): Long =
+      math.round(c * math.log((c * 1.0 / n) / (gc * 1.0 / m)) * 1e6)
+    // global: x->3, y->4, m=7
+    val klA = micro(2, 3, 3, 7) + micro(1, 3, 4, 7)
+    val klB = micro(1, 4, 3, 7) + micro(3, 4, 4, 7)
+    assert(out("a") == ((3L, 2L, klA)) && out("b") == ((4L, 2L, klB)), out.toString)
+    assert(klA > 0 && klB > 0)
+  }
+
   test("duplicateSpans: a passage repeated across docs is caught; partial tails are not spans") {
     import TestSpark.spark.implicits._
     val boiler = (1 to 8).map(i => s"license$i").mkString(" ") // 8-token boilerplate
