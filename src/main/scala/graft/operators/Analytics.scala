@@ -94,10 +94,14 @@ object Analytics {
           wBkts.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
 
     // carry rows: the last carryN rows of each (key, bucket), re-tagged
-    // into each of the key's next carryN non-empty buckets
+    // into each of the key's next carryN non-empty buckets. Persisted
+    // (scoped — see CacheScope): the tiny frame feeds both the augmented
+    // union and the carry-in offsets, and without the cache the second
+    // use would re-scan the full input (the rank is map-side-pruned by
+    // WindowGroupLimit, but a 100 TB corpus still shouldn't scan twice).
     val wDesc = Window.partitionBy(col(keyCol), col("__bkt"))
       .orderBy(col(secCol).desc, col(idCol).desc)
-    val carries = base
+    val carries = CacheScope.persisted(base
       .withColumn("__rk", row_number().over(wDesc))
       .filter(col("__rk") <= carryN)
       .drop("__rk")
@@ -106,7 +110,7 @@ object Analytics {
       .withColumn("__tgt", explode(col("__nexts")))
       .filter(col("__tgt").isNotNull)
       .withColumn("__bkt", col("__tgt")).drop("__tgt", "__nexts")
-      .withColumn("__carry", lit(1))
+      .withColumn("__carry", lit(1)))
     val aug = base.withColumn("__carry", lit(0)).unionByName(carries)
 
     // within-(key, bucket) windows over real rows + their carried context

@@ -300,8 +300,10 @@ object TextAnalysis {
                       textCol: String): DataFrame = {
     val t = df.select(col(groupCol), explode(tokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
-    val c = t.groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // scoped persist (CacheScope): the (group, token) counts feed three
+    // downstream aggregates — without the cache each would re-tokenize
+    val c = CacheScope.persisted(
+      t.groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("c")))
     val g = c.groupBy("tok").agg(sum("c").cast("long").as("gc"))
     val n = c.groupBy(groupCol).agg(sum("c").cast("long").as("nt"))
     val m = c.agg(sum("c").cast("long").as("mt"))
