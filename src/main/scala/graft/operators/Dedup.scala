@@ -478,7 +478,7 @@ object Dedup {
     // until the fixpoint — an aggregate comparison detects change without
     // joining old vs new. decimal(38,0) so huge ids can't overflow the sum.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var prev: java.math.BigDecimal = null
     var converged = false
     var iter = 0

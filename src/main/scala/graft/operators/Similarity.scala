@@ -102,7 +102,7 @@ object Similarity {
     */
   def signBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (w, p) =>
-      val planeLit = array(w.map(lit): _*)
+      val planeLit = array(w.toIndexedSeq.map(lit): _*)
       when(dot(vec, planeLit) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -168,7 +168,7 @@ object Similarity {
     graft.functions.CosineSim.ensureRegistered(df.sparkSession)
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val cosArr = array(centroids.map { case (_, cv) =>
-      cosineFast(col("v"), array(cv.map(lit): _*))
+      cosineFast(col("v"), array(cv.toIndexedSeq.map(lit): _*))
     }: _*)
     val cellIds = array(centroids.map { case (cid, _) => lit(cid) }: _*)
     v.withColumn("carr", cosArr)
