@@ -738,6 +738,21 @@ object SparkEntry {
         .orderBy("cell", "dim_idx")
     }),
 
+    // Quality-WEIGHTED deterministic sampling: keep probability = the q14
+    // quality score, membership a pure function of (id, weight) — the soft
+    // quality filter. Gate hashes per-source membership + exact micro-unit
+    // weight mass.
+    "q58_weighted_sample" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Sampling.weightedSample(docs, "doc_id",
+          TextAnalysis.qualityScore(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"),
+          sum(round(TextAnalysis.qualityScore(col("text")) * 1e6)
+            .cast("long")).cast("long").as("w_micro_sum"))
+        .orderBy("source")
+    }),
+
     // Split-drift KL divergence: token distribution of each hash split vs
     // the global corpus, in exact micro-nats — the statistical companion
     // to q32's quantile profile. Three bounded-key aggs, one broadcast
@@ -1488,6 +1503,22 @@ object SparkEntry {
         |         (count(*) OVER (PARTITION BY user_id ORDER BY sec, event_id
         |           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) / 100.0, 4) AS mov_avg
         |FROM e ORDER BY user_id, sec, event_id""".stripMargin,
+
+    // q14's quality formula as the keep probability; the md5 unit value
+    // divides the same 2^60 the Spark side does, so membership decisions
+    // are identical double comparisons.
+    "q58_weighted_sample" ->
+      """WITH q AS (SELECT doc_id, source,
+        |    least(CAST(1.0 AS DOUBLE),
+        |          len(list_filter(string_split(text, ' '), w -> w <> '')) / CAST(100.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+        |    + (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))) * CAST(0.5 AS DOUBLE) AS w
+        |  FROM documents),
+        |u AS (SELECT doc_id, source, w,
+        |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT / 1152921504606846976.0 AS unit
+        |      FROM q)
+        |SELECT source, count(*) AS n_kept, sum(doc_id)::BIGINT AS id_sum,
+        |       sum(round(w * 1e6)::BIGINT)::BIGINT AS w_micro_sum
+        |FROM u WHERE unit < w GROUP BY source ORDER BY source""".stripMargin,
 
     // q26's split rule + per-(split, token) micro-nat KL contributions;
     // expression shapes mirror the Spark side verbatim (c·ln((c/n)/(gc/m))

@@ -41,6 +41,27 @@ object Sampling {
   def deterministicSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(idCol)) < pct)
 
+  /** Deterministic WEIGHTED sampling: keep a row with probability `weight`
+    * (a column in [0,1] — e.g. a quality score), decided by comparing the
+    * row's md5 unit value against the weight. The soft version of a
+    * quality THRESHOLD: high-quality documents are kept more often, but
+    * low-quality ones are downsampled, not erased (the mix-shaping move
+    * when hard filtering discards too much volume). Like every sampler
+    * here, membership is a pure function of the id and the weight — a
+    * re-run, another engine, or a repartition reproduces the exact same
+    * subset, which `df.sample`-style RNG sampling cannot do.
+    *
+    * `hashUnit` is the first 15 md5 hex digits as a 60-bit integer scaled
+    * to [0,1) — uniform, and the identical expression the oracle runs.
+    * Map-side only; zero shuffle.
+    */
+  def hashUnit(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+      .cast("double") / lit(1152921504606846976.0) // 16^15 = 2^60
+
+  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame =
+    df.filter(hashUnit(col(idCol)) < weight)
+
   /** Per-stratum deterministic sampling: `pcts` maps stratum value →
     * keep-percentage (strata not in the map are dropped). The per-row
     * decision is still a pure function of the id — one map-side pass, no

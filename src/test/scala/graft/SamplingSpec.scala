@@ -96,6 +96,25 @@ class SamplingSpec extends SparkTestBase {
     assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan) // partial + final
   }
 
+  test("weightedSample: keep rate tracks the weight, membership is deterministic") {
+    // constant weights: 0 drops everything, 1 keeps everything
+    assert(Sampling.weightedSample(ids, "id", lit(0.0)).count() == 0)
+    assert(Sampling.weightedSample(ids, "id", lit(1.0)).count() == 2000)
+    // w = 0.25: binomial(2000, .25) → expect ~500, tolerate ±5σ (±97)
+    val quarter = Sampling.weightedSample(ids, "id", lit(0.25)).count()
+    assert(math.abs(quarter - 500) < 100, s"kept $quarter of 2000 at w=0.25")
+    // monotone: raising the weight never drops a previously-kept row
+    val lo = Sampling.weightedSample(ids, "id", lit(0.3))
+      .as[Long].collect().toSet
+    val hi = Sampling.weightedSample(ids, "id", lit(0.6))
+      .as[Long].collect().toSet
+    assert(lo.subsetOf(hi))
+    // deterministic under repartitioning
+    val again = Sampling.weightedSample(ids.repartition(13), "id", lit(0.3))
+      .as[Long].collect().toSet
+    assert(again == lo)
+  }
+
   test("tokenBudgetMix: running total respects per-group budgets, prefix is deterministic") {
     val df = (0L until 50L)
       .map(i => (i, s"g${i % 2}", ("tok " * 10).trim)) // 10 tokens per doc
