@@ -966,7 +966,7 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, c,
         |             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
         |      FROM s)
-        |SELECT query_id, neighbor_id, round(c, 4) AS cos FROM r WHERE rk <= 5
+        |SELECT query_id, neighbor_id, round(c, 4) + 0 AS cos FROM r WHERE rk <= 5
         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
 
     "q13_ann_lsh" ->
@@ -988,7 +988,7 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, c,
         |             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
         |      FROM s)
-        |SELECT query_id, neighbor_id, round(c, 4) AS cos FROM r WHERE rk <= 3
+        |SELECT query_id, neighbor_id, round(c, 4) + 0 AS cos FROM r WHERE rk <= 3
         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
 
     "q14_textstats" ->
@@ -1033,7 +1033,7 @@ object SparkEntry {
         |             list_dot_product(a.v, b.v) /
         |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
         |      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, round(c, 4) AS cos FROM s WHERE c >= 0.35
+        |SELECT vec_a, vec_b, round(c, 4) + 0 AS cos FROM s WHERE c >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "q18_routes_capped" ->
@@ -1108,7 +1108,7 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, c,
         |             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
         |      FROM s)
-        |SELECT query_id, neighbor_id, round(c, 4) AS cos FROM r WHERE rk <= 3
+        |SELECT query_id, neighbor_id, round(c, 4) + 0 AS cos FROM r WHERE rk <= 3
         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
 
     // Connected components as a recursive transitive closure over the q9
@@ -1348,7 +1348,10 @@ object SparkEntry {
 
     // JL projection: 16 deterministic ±1 planes over 64 dims, scaled by
     // 1/√16 (the Scala-computed literal is inlined so both engines divide
-    // by the identical double).
+    // by the identical double). The `+ 0` (here and on every rounded
+    // cosine) canonicalizes IEEE -0.0 to 0.0: DuckDB's round keeps the
+    // sign of a tiny negative, Spark's BigDecimal round does not, and the
+    // driver compares stringified values ("-0.0" != "0.0").
     "q44_random_projection" ->
       s"""WITH planes AS (
          |  SELECT p, CAST(list_transform(range(0, 64), d ->
@@ -1357,7 +1360,7 @@ object SparkEntry {
          |  FROM range(0, 16) t(p)),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          |SELECT e.vec_id, planes.p::BIGINT AS dim_idx,
-         |       round(list_dot_product(e.v, planes.w) / ${math.sqrt(16.0)}, 4) AS val
+         |       round(list_dot_product(e.v, planes.w) / ${math.sqrt(16.0)}, 4) + 0 AS val
          |FROM e CROSS JOIN planes
          |ORDER BY vec_id, dim_idx""".stripMargin,
 
@@ -1475,7 +1478,7 @@ object SparkEntry {
         |q AS (SELECT vec_id, dup_of, c,
         |             row_number() OVER (PARTITION BY vec_id ORDER BY dup_of) AS rk
         |      FROM p WHERE c >= 0.35)
-        |SELECT vec_id, dup_of, round(c, 4) AS cos FROM q WHERE rk = 1
+        |SELECT vec_id, dup_of, round(c, 4) + 0 AS cos FROM q WHERE rk = 1
         |ORDER BY vec_id""".stripMargin,
 
     // Rolled-up key levels surface as 'ALL' in both engines (fixture keys
@@ -1540,7 +1543,7 @@ object SparkEntry {
         |      FROM c JOIN g USING (tok) JOIN n USING (split) CROSS JOIN m)
         |SELECT k.split, n.nt AS n_tokens, count(*) AS vocab,
         |       sum(k.micro)::BIGINT AS kl_micro_sum,
-        |       round(sum(k.micro) / 1e6 / n.nt, 6) AS kl_nats
+        |       round(sum(k.micro) / 1e6 / n.nt, 6) + 0 AS kl_nats
         |FROM k JOIN n USING (split) GROUP BY k.split, n.nt ORDER BY k.split""".stripMargin,
 
     // Same ground truth as q49 — bucketing the window must not change it.
@@ -1590,18 +1593,25 @@ object SparkEntry {
         |  AND purchase_sec >= view_sec AND purchase_sec < view_sec + 86400
         |ORDER BY user_id, view_id, purchase_id""".stripMargin,
 
-    // Fixed-point micro-unit mean per (label, dim): the sum is exact
-    // integer arithmetic in both engines; the final divisions operate on
-    // identical exact operands.
+    // Fixed-point micro-unit mean per (label, dim): the sum AND the mean
+    // are exact integer arithmetic in both engines (half-away-from-zero
+    // integer division — s/n lands on exact decimal halves, where
+    // round(double) is engine-divergent); mean_val is one exact division
+    // of that integer, no rounding anywhere.
     "q52_mean_pool" ->
       """WITH e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
         |                  generate_subscripts(embedding, 1) - 1 AS dim
         |           FROM embeddings),
         |m AS (SELECT label, dim, sum(round(v * 1e6)::BIGINT)::BIGINT AS s,
         |             count(*) AS n
-        |      FROM e GROUP BY label, dim)
-        |SELECT label, dim::BIGINT AS dim_idx, round(s / n / 1e6, 6) AS mean_val, n
-        |FROM m ORDER BY label, dim_idx""".stripMargin,
+        |      FROM e GROUP BY label, dim),
+        |m2 AS (SELECT label, dim, n,
+        |         (((2 * abs(s) + n) // (2 * n)) *
+        |          (CASE WHEN s < 0 THEN -1 ELSE 1 END))::BIGINT AS mean_micro
+        |       FROM m)
+        |SELECT label, dim::BIGINT AS dim_idx, mean_micro / 1e6 AS mean_val,
+        |       mean_micro, n
+        |FROM m2 ORDER BY label, dim_idx""".stripMargin,
 
     // q30's window machinery, full windows only, grouped by span hash.
     "q55_dup_spans" ->
@@ -1654,9 +1664,14 @@ object SparkEntry {
         |      FROM asg),
         |m AS (SELECT cell, dim, sum(round(val * 1e6)::BIGINT)::BIGINT AS s,
         |             count(*) AS n
-        |      FROM x GROUP BY cell, dim)
-        |SELECT cell, dim::BIGINT AS dim_idx, round(s / n / 1e6, 6) AS mean_val, n
-        |FROM m ORDER BY cell, dim_idx""".stripMargin,
+        |      FROM x GROUP BY cell, dim),
+        |m2 AS (SELECT cell, dim, n,
+        |         (((2 * abs(s) + n) // (2 * n)) *
+        |          (CASE WHEN s < 0 THEN -1 ELSE 1 END))::BIGINT AS mean_micro
+        |       FROM m)
+        |SELECT cell, dim::BIGINT AS dim_idx, mean_micro / 1e6 AS mean_val,
+        |       mean_micro, n
+        |FROM m2 ORDER BY cell, dim_idx""".stripMargin,
 
     "q20_ivf_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1683,7 +1698,7 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, c,
         |             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
         |      FROM s)
-        |SELECT query_id, neighbor_id, round(c, 4) AS cos FROM r WHERE rk <= 3
+        |SELECT query_id, neighbor_id, round(c, 4) + 0 AS cos FROM r WHERE rk <= 3
         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
   )
 

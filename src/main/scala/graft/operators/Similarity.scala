@@ -308,8 +308,17 @@ object Similarity {
       .withColumn("micro", round(col("v") * 1e6).cast("long"))
       .groupBy(col(groupCol), col("dim_idx"))
       .agg(sum("micro").as("s"), count(lit(1)).as("n"))
+      // the mean stays INTEGER micro-units to the very end: s/n lands on
+      // exact decimal halves whenever 2s ≡ n (mod 2n), and `round(double)`
+      // at a half boundary is engine-divergent (Spark rounds the shortest
+      // decimal rendering, IEEE engines round the binary double). The
+      // half-away-from-zero integer formula below has no such boundary,
+      // and mean_val derives from it by ONE exact division — no rounding.
+      .withColumn("mean_micro",
+        expr("(2 * abs(s) + n) div (2 * n)")
+          * when(col("s") < 0, lit(-1L)).otherwise(lit(1L)))
       .select(col(groupCol), col("dim_idx").cast("long").as("dim_idx"),
-        round(col("s") / col("n") / 1e6, 6).as("mean_val"), col("n"))
+        (col("mean_micro") / 1e6).as("mean_val"), col("mean_micro"), col("n"))
 
   /** One distributed Lloyd (k-means) iteration: assign every vector to its
     * highest-cosine centroid ([[ivfAssign]] over the deterministic

@@ -194,12 +194,23 @@ class SimilaritySpec extends SparkTestBase {
     def pool(d: org.apache.spark.sql.DataFrame) =
       Similarity.meanPool(d, "label", "embedding")
         .orderBy("label", "dim_idx").collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+          r.getLong(4))).toSeq
     val got = pool(df)
     assert(got == Seq(
-      ("a", 0L, 2.0, 2L), ("a", 1L, 3.5, 2L),   // (1+3)/2, (2+5)/2
-      ("b", 0L, -1.5, 1L), ("b", 1L, 0.5, 1L)))
+      ("a", 0L, 2.0, 2000000L, 2L), ("a", 1L, 3.5, 3500000L, 2L), // (1+3)/2, (2+5)/2
+      ("b", 0L, -1.5, -1500000L, 1L), ("b", 1L, 0.5, 500000L, 1L)))
     assert(got == pool(df.repartition(7)), "partial-agg order must not matter")
+  }
+
+  test("meanPool: exact half-micro boundaries round away from zero in integers") {
+    // s=3 micro over n=2 → 1.5 micro → 2; s=-3 → -2 (no double round() at a
+    // half boundary anywhere — that's where engines disagree)
+    val df = Seq(("p", Array(1e-6f)), ("p", Array(2e-6f)),
+      ("m", Array(-1e-6f)), ("m", Array(-2e-6f))).toDF("label", "embedding")
+    val got = Similarity.meanPool(df, "label", "embedding")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == Map("p" -> 2L, "m" -> -2L), got.toString)
   }
 
   test("kmeansStep: a tight cluster's updated centroid is its member mean") {
@@ -209,7 +220,7 @@ class SimilaritySpec extends SparkTestBase {
     ).toDF("vec_id", "embedding")
     val out = Similarity.kmeansStep(vs, "vec_id", "embedding", centStep = 4)
       .orderBy("cell", "dim_idx").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(4)))
     assert(out.toSeq == Seq(
       (0L, 0L, 1.0, 2L), (0L, 1L, 0.1, 2L),    // mean of (1,0),(1,0.2)
       (4L, 0L, 0.1, 2L), (4L, 1L, 1.0, 2L)))   // mean of (0,1),(0.2,1)
