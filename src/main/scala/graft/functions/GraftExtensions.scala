@@ -37,6 +37,8 @@ object GraftExtensions {
       e => MinHashSig(e.head, e(1))),
     ("graft_simhash", classOf[SimHashSig],
       e => SimHashSig(e.head, e(1))),
+    ("graft_argmax_cosine", classOf[ArgMaxCosine],
+      e => ArgMaxCosine(e.head, e(1))),
   )
 
   def inject(e: SparkSessionExtensions): Unit =

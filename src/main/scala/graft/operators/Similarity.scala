@@ -157,22 +157,29 @@ object Similarity {
     * multiple of `centStep` (a deterministic sample — a trained k-means
     * codebook would slot in identically), collected to the driver (the
     * codebook is a model: tiny, broadcast by value). Each corpus vector is
-    * assigned MAP-SIDE to its highest-cosine centroid via an array of
-    * codegen'd cosine expressions — `array_position(arr, array_max(arr))`
-    * gives first-max, i.e. ties break toward the lower centroid index — so
-    * assignment adds NO shuffle of the corpus.
+    * assigned MAP-SIDE to its highest-cosine centroid, so assignment adds
+    * NO shuffle of the corpus.
+    *
+    * The codebook is shipped as DATA, not syntax: ONE `typedLit` matrix
+    * literal (a single expression node holding an `ArrayData`, a reference
+    * object in generated code) consumed by the codegen'd
+    * [[graft.functions.ArgMaxCosine]] vec×matrix argmax — so the plan is
+    * O(1) in the number of centroids and stays whole-stage-codegen'd at the
+    * documented `maxCentroids = 4096` cap (the earlier per-centroid
+    * literal-expression form was ~262k plan nodes at that cap, past Janino
+    * limits). Tie-break is unchanged: first-max, toward the lower centroid
+    * index; the cell-id lookup (`get`) is 0-based on a second one-node
+    * id-array literal.
     */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 centroids: Seq[(Long, Array[Double])]): DataFrame = {
     require(centroids.nonEmpty, "ivfAssign needs at least one centroid")
-    graft.functions.CosineSim.ensureRegistered(df.sparkSession)
+    graft.functions.GraftExtensions.ensureRegistered(df.sparkSession, "graft_argmax_cosine")
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val cosArr = array(centroids.map { case (_, cv) =>
-      cosineFast(col("v"), array(cv.toIndexedSeq.map(lit): _*))
-    }: _*)
-    val cellIds = array(centroids.map { case (cid, _) => lit(cid) }: _*)
-    v.withColumn("carr", cosArr)
-      .withColumn("cell", element_at(cellIds, array_position(col("carr"), array_max(col("carr"))).cast("int")))
+    val codebook = typedLit(centroids.map(_._2.toSeq))
+    val cellIds = typedLit(centroids.map(_._1))
+    v.withColumn("cell",
+        get(cellIds, call_function("graft_argmax_cosine", col("v"), codebook)))
       .select(col("id"), col("v"), col("cell"))
   }
 
@@ -340,25 +347,41 @@ object Similarity {
     meanPool(assigned.select(col("cell"), col("v")), "cell", "v")
   }
 
-  /** Refined k-means codebook: `iters` Lloyd iterations starting from the
-    * deterministic [[sampleCentroids]] codebook. Each iteration is one
-    * [[kmeansStep]] aggregate; the (≤ maxCentroids × dim) fixed-point
-    * means are collected to the driver — the codebook is a MODEL, the
-    * same bounded collect [[sampleCentroids]] already performs — and
-    * become the next iteration's centroids. Cells that lose all members
-    * drop out (standard Lloyd). Deterministic end-to-end, so two engines
-    * (or two runs) refine to identical codebooks.
+  /** Refined k-means codebook: up to `iters` Lloyd iterations starting
+    * from the deterministic [[sampleCentroids]] codebook. Each iteration
+    * is one [[kmeansStep]] aggregate; the (≤ maxCentroids × dim)
+    * fixed-point means are collected to the driver — the codebook is a
+    * MODEL, the same bounded collect [[sampleCentroids]] already performs
+    * — and become the next iteration's centroids. Cells that lose all
+    * members drop out (standard Lloyd). Deterministic end-to-end, so two
+    * engines (or two runs) refine to identical codebooks.
     *
-    * Scale: `iters` × (one map-side assignment pass + one bounded-key
-    * shuffle). The driver never holds more than the codebook.
+    * Early-stop: iteration halts when the codebook stops moving — max
+    * component shift ≤ `tol` over the same cell set. The default
+    * `tol = 0.0` stops only at an EXACT fixed point, which is
+    * result-identical to running all `iters` iterations (an unchanged
+    * codebook reproduces the same assignment, hence the same means, ad
+    * infinitum — the fixed-point arithmetic makes exact equality
+    * attainable, unlike float-fold means). A positive `tol` is an explicit
+    * approximation knob for large corpora.
+    *
+    * Scale: ≤ `iters` × (one map-side assignment pass + one bounded-key
+    * shuffle). Each iteration builds a fresh SMALL plan from `df` (the
+    * codebook is one literal node, not 262k — see [[ivfAssign]]), so
+    * per-iteration planning cost is flat in `iters`; the driver never
+    * holds more than the codebook.
     */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, iters: Int,
-             centStep: Int = 25, maxCentroids: Int = 4096): Seq[(Long, Array[Double])] = {
+             centStep: Int = 25, maxCentroids: Int = 4096,
+             tol: Double = 0.0): Seq[(Long, Array[Double])] = {
     require(iters >= 0, s"iters must be >= 0: $iters")
+    require(tol >= 0.0, s"tol must be >= 0: $tol")
     var codebook = sampleCentroids(df, idCol, vecCol, centStep, maxCentroids)
-    (0 until iters).foreach { _ =>
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       val assigned = ivfAssign(df, idCol, vecCol, codebook)
-      codebook = meanPool(assigned.select(col("cell"), col("v")), "cell", "v")
+      val next = meanPool(assigned.select(col("cell"), col("v")), "cell", "v")
         .groupBy("cell")
         .agg(sort_array(collect_list(struct(col("dim_idx"), col("mean_val"))))
           .as("dims"))
@@ -367,6 +390,13 @@ object Similarity {
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1)
         .toSeq
+      converged = next.map(_._1) == codebook.map(_._1) &&
+        next.zip(codebook).forall { case ((_, a), (_, b)) =>
+          a.length == b.length &&
+            a.zip(b).forall { case (x, y) => math.abs(x - y) <= tol }
+        }
+      codebook = next
+      it += 1
     }
     codebook
   }

@@ -116,6 +116,79 @@ class SimilaritySpec extends SparkTestBase {
     assert(small.map(_._1) == Seq(0L, 5L, 10L, 15L, 20L, 25L, 30L, 35L))
   }
 
+  test("ivfAssign at the 4096-centroid cap: one-literal codebook, codegen'd plan") {
+    // The documented maxCentroids cap × 64 dims. The codebook travels as ONE
+    // typedLit matrix consumed by the codegen'd graft_argmax_cosine, so this
+    // must compile under whole-stage codegen (fallback disabled → a Janino
+    // failure would throw instead of silently interpreting).
+    val dim = 64
+    val cents: Seq[(Long, Array[Double])] = (0 until 4096).map { c =>
+      (c.toLong, Array.tabulate(dim)(d => math.abs(math.sin(c * 13.0 + d)) + 0.1))
+    }
+    val probe = Seq(
+      (7L, cents(2077)._2.map(_.toFloat)),
+      (8L, cents(5)._2.map(_.toFloat)),
+      (9L, Array.tabulate(dim)(d => (0.3 + 0.01 * d).toFloat)),
+    ).toDF("vec_id", "embedding")
+      // repartition keeps ConvertToLocalRelation from evaluating the whole
+      // plan interpreted at optimize time — the assignment must actually run
+      // inside a WholeStageCodegen stage for this test to mean anything
+      .repartition(2)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val sel = Similarity.ivfAssign(probe, "vec_id", "embedding", cents)
+        .select("id", "cell")
+      val got = sel.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // plan is inspected AFTER execution, on the SAME QueryExecution that
+      // ran: under AQE the codegen spans only exist in the materialized
+      // final plan (isFinalPlan=true). The simple tree string marks a
+      // WholeStageCodegen stage with the `*(n)` prefix on its root node.
+      val plan = sel.queryExecution.executedPlan.toString
+      assert(plan.contains("*(1) Project"),
+        "assignment Project must run inside a WholeStageCodegen stage: " + plan.take(500))
+      assert(!plan.contains("CodegenFallback"), "assignment must stay codegen'd")
+      // reference: first-max argmax over the same double arithmetic
+      val probes = probe.select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        a.indices.foreach { i => dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val expect = probes.map { case (id, v) =>
+        id -> cents.maxBy { case (_, cv) => cos(v, cv) }._1
+      }
+      // maxBy keeps the FIRST max only if strictly greater later — it keeps
+      // the LAST on ties; cosines here are all distinct, so it's unambiguous
+      assert(got == expect, s"got=$got expect=$expect")
+      assert(got(7L) == 2077L && got(8L) == 5L)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("graft_argmax_cosine: first-max ties, NaN-greatest, mismatched rows skipped") {
+    import graft.operators.Similarity.{ivfAssign => assign}
+    // tie between centroids 10 and 20 (identical vectors) → lower id wins
+    val tie = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val tieCells = assign(tie, "vec_id", "embedding",
+      Seq((10L, Array(1.0, 0.0)), (20L, Array(1.0, 0.0)), (30L, Array(0.0, 1.0))))
+      .select("cell").collect().map(_.getLong(0))
+    assert(tieCells.toSeq == Seq(10L))
+    // zero-norm centroid → NaN cosine → NaN orders greatest (array_max parity)
+    val nan = assign(tie, "vec_id", "embedding",
+      Seq((10L, Array(1.0, 0.0)), (20L, Array(0.0, 0.0))))
+      .select("cell").collect().map(_.getLong(0))
+    assert(nan.toSeq == Seq(20L))
+    // wrong-dimension centroid is skipped, not an error (null-cos parity)
+    val skip = assign(tie, "vec_id", "embedding",
+      Seq((10L, Array(1.0, 0.0, 0.0)), (20L, Array(0.0, 1.0))))
+      .select("cell").collect().map(_.getLong(0))
+    assert(skip.toSeq == Seq(20L))
+    // ALL rows skipped → null cell (null-max parity)
+    val allSkip = assign(tie, "vec_id", "embedding", Seq((10L, Array(1.0, 0.0, 0.0))))
+      .select("cell").collect()
+    assert(allSkip.head.isNullAt(0))
+  }
+
   test("empty IVF codebook raises instead of silently returning nothing") {
     val vs = Seq((1L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
