@@ -753,6 +753,21 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // REAL image decode through javax.imageio: one deterministic synthetic
+    // PNG per document (pixel = exact integer function of (doc_id, x, y)),
+    // decoded back by the JDK's PNG reader inside executors. PNG is
+    // lossless, so the decoded geometry/channel/luminance features must
+    // reproduce the pixel formula exactly — which is what the oracle
+    // recomputes arithmetically, proving the decode is real, not a
+    // checksum stub. luma_milli keeps the gate in integer space.
+    "q59_image_decode" -> ((s, dir) => {
+      Multimodal.imageFeatures(s, Tables(s, dir).documents)
+        .select(col("doc_id"), col("decoded"), col("width"), col("height"),
+          col("channels"), col("n_px"), col("sum_rgb"),
+          expr("sum_rgb * 1000 div (3 * n_px)").as("luma_milli"))
+        .orderBy("doc_id")
+    }),
+
     // Split-drift KL divergence: token distribution of each hash split vs
     // the global corpus, in exact micro-nats — the statistical companion
     // to q32's quantile profile. Three bounded-key aggs, one broadcast
@@ -1522,6 +1537,33 @@ object SparkEntry {
         |SELECT source, count(*) AS n_kept, sum(doc_id)::BIGINT AS id_sum,
         |       sum(round(w * 1e6)::BIGINT)::BIGINT AS w_micro_sum
         |FROM u WHERE unit < w GROUP BY source ORDER BY source""".stripMargin,
+
+    // The pixel formula of Multimodal.syntheticPng re-derived in pure
+    // BIGINT arithmetic: the oracle never decodes a PNG — it computes what
+    // a correct decoder MUST see, so any decode deviation (wrong geometry,
+    // channel order, lossy round-trip) breaks the hash.
+    "q59_image_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(3 + doc_id % 5 AS INTEGER) AS width,
+        |         CAST(2 + doc_id % 4 AS INTEGER) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.width, d.height,
+        |         ((d.doc_id * 7 + xs.x * 13 + ys.y * 31) % 256
+        |        + (d.doc_id * 11 + xs.x * 17 + ys.y * 5) % 256
+        |        + (d.doc_id * 3 + xs.x * 29 + ys.y * 7) % 256) AS rgb
+        |  FROM dims d
+        |  CROSS JOIN range(0, 7) xs(x)
+        |  CROSS JOIN range(0, 5) ys(y)
+        |  WHERE xs.x < d.width AND ys.y < d.height)
+        |SELECT doc_id, TRUE AS decoded,
+        |       max(width) AS width, max(height) AS height,
+        |       3 AS channels,
+        |       count(*)::BIGINT AS n_px,
+        |       sum(rgb)::BIGINT AS sum_rgb,
+        |       (sum(rgb)::BIGINT * 1000) // (3 * count(*)::BIGINT) AS luma_milli
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q26's split rule + per-(split, token) micro-nat KL contributions;
     // expression shapes mirror the Spark side verbatim (c·ln((c/n)/(gc/m))

@@ -10,26 +10,39 @@ import org.apache.spark.sql.functions._
 final case class MediaRow(doc_id: Long, mime: String, data: Array[Byte],
                           width: Int, height: Int)
 
-/** Features extracted by the (stubbed) decoder. */
+/** Byte-level features extracted by the mime-agnostic fallback path. */
 final case class MediaFeatures(doc_id: Long, mime: String, size_bytes: Long,
                                n_chunks: Int, checksum: String, n_space: Long)
+
+/** Features from a REAL image decode ([[Multimodal.decodeImages]]).
+  * `decoded = false` rows are the fallback (unknown mime or undecodable
+  * payload): geometry is -1/0 and luminance 0, `size_bytes` still real.
+  * `sum_rgb` is the exact integer sum of the three sRGB components over all
+  * pixels — kept alongside the derived `mean_luma` double so cross-engine
+  * comparisons can stay in integer space.
+  */
+final case class ImageFeatures(doc_id: Long, mime: String, decoded: Boolean,
+                               width: Int, height: Int, channels: Int,
+                               n_px: Long, sum_rgb: Long, mean_luma: Double,
+                               size_bytes: Long)
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with a typed metadata struct, and a decode/feature-extract stage as a
   * typed `mapPartitions` over `Dataset[MediaRow]`.
   *
-  * The decode step is a STUB — this container has no image/audio codecs, so
-  * [[decodeFeatures]] computes deterministic byte-level features (size,
-  * chunk count, md5 checksum, 0x20-byte count) in place of a real
-  * decoder. Everything around it is the real production shape: a typed
-  * binary schema, per-partition batch iteration (where a real decoder would
-  * amortize codec/JNI init per partition, exactly like `mapInPandas`
-  * batches), and a columnar feature output that re-enters the relational
-  * plan. A real deployment swaps only the per-row function body.
+  * Image decode is REAL: [[decodeImages]] decodes `image/png` and
+  * `image/jpeg` payloads with the JDK's own `javax.imageio` (no external
+  * codec dependency) and extracts width / height / channel count / mean
+  * luminance. Payloads with any other mime — audio, video, or formats the
+  * JDK cannot read — fall through to the byte-level path
+  * ([[decodeFeatures]]: size, chunk count, md5, space count), which is the
+  * production shape for codecs that would arrive via native libraries.
   *
-  * Scale: `mapPartitions` is map-side only — no shuffle; partition sizing is
-  * governed by `spark.sql.files.maxPartitionBytes` on the binary source, the
-  * knob that keeps decoded batches inside executor memory at 100 TB.
+  * Scale: both stages are `mapPartitions`, map-side only — no shuffle;
+  * partition sizing is governed by `spark.sql.files.maxPartitionBytes` on
+  * the binary source, the knob that keeps decoded batches inside executor
+  * memory at 100 TB. `ImageIO`'s disk cache is disabled per partition so
+  * executors never touch local temp files for in-memory payloads.
   */
 object Multimodal {
 
@@ -73,6 +86,112 @@ object Multimodal {
   def mediaFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     decodeFeatures(attachBinary(docs).as[MediaRow]).toDF()
+  }
+
+  /** Mimes [[decodeImages]] hands to `javax.imageio`; anything else takes
+    * the byte-level fallback. GIF/BMP also decode pure-JDK but are not
+    * claimed until a fixture exercises them.
+    */
+  val ImageMimes: Set[String] = Set("image/png", "image/jpeg")
+
+  /** REAL image decode: `javax.imageio` (pure JDK — PNG/JPEG readers ship
+    * with the JRE) over the binary payload, per-partition so registry
+    * scanning and the cache-off setting are paid once per partition, not
+    * per row. Unknown mimes and undecodable payloads (truncated file,
+    * wrong magic) degrade to a `decoded = false` row instead of failing
+    * the job — at 100 TB some fraction of any media corpus is corrupt and
+    * one bad file must not kill a stage.
+    *
+    * `sum_rgb` sums the three packed-sRGB components (`getRGB`) over every
+    * pixel; for grayscale images r=g=b so the sum is 3× the gray total —
+    * consistent across decoder-chosen raster layouts. `mean_luma` =
+    * sum_rgb / (3 · n_px), one double division at the end of exact integer
+    * arithmetic.
+    */
+  def decodeImages(ds: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // once per partition
+      it.map { r =>
+        val img =
+          if (ImageMimes.contains(r.mime)) {
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.data)))
+            catch { case _: java.io.IOException => None }
+          } else None
+        img match {
+          case Some(im) =>
+            val w = im.getWidth
+            val h = im.getHeight
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = im.getRGB(x, y)
+                sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            val npx = w.toLong * h
+            ImageFeatures(r.doc_id, r.mime, decoded = true, w, h,
+              im.getColorModel.getNumComponents, npx, sum,
+              sum.toDouble / (3.0 * npx), r.data.length.toLong)
+          case None =>
+            ImageFeatures(r.doc_id, r.mime, decoded = false, -1, -1, 0,
+              0L, 0L, 0.0, r.data.length.toLong)
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic PNG: pixel (x, y) is an exact integer function
+    * of (seed, x, y), encoded pure-JDK. PNG is lossless, so a decode must
+    * reproduce the formula bit-for-bit — which is what lets an external
+    * oracle recompute [[decodeImages]]' features arithmetically without
+    * having a PNG decoder of its own.
+    */
+  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"image must be non-empty: ${w}x$h")
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((seed * 7 + x * 13 + y * 31) % 256).toInt
+        val g = ((seed * 11 + x * 17 + y * 5) % 256).toInt
+        val b = ((seed * 3 + x * 29 + y * 7) % 256).toInt
+        im.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", out)
+    out.toByteArray
+  }
+
+  /** Fixture stand-in for a real image corpus: one synthetic PNG per
+    * document, geometry a function of doc_id (3–7 × 2–5 px). Generated
+    * map-side inside the executors — the driver never holds an image.
+    */
+  def syntheticImages(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (3 + id % 5).toInt
+      val h = (2 + id % 4).toInt
+      MediaRow(id, "image/png", syntheticPng(id, w, h), w, h)
+    }
+  }
+
+  /** End-to-end REAL-decode pipeline: documents → synthetic PNG payloads →
+    * `javax.imageio` decode → columnar image features.
+    */
+  def imageFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    decodeImages(syntheticImages(spark, docs)).toDF()
   }
 
   /** Deterministic frame sampling over the binary payload: every `stride`-th

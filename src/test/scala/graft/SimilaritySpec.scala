@@ -375,4 +375,56 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.map(_.getInt(1)).toSeq == Seq(0, 1))
     assert(frames.map(_.getString(2)).distinct.length == 2)
   }
+
+  test("decodeImages REALLY decodes a PNG: geometry, channels, exact pixel sum") {
+    import graft.operators.MediaRow
+    // 4x3 synthetic PNG — recompute the expected sum from the pixel formula
+    val seed = 42L
+    val (w, h) = (4, 3)
+    var expectSum = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      expectSum += (seed * 7 + x * 13 + y * 31) % 256
+      expectSum += (seed * 11 + x * 17 + y * 5) % 256
+      expectSum += (seed * 3 + x * 29 + y * 7) % 256
+    }
+    val png = Multimodal.syntheticPng(seed, w, h)
+    // PNG magic bytes prove a real encoder ran, not a byte passthrough
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte)
+    val out = Multimodal.decodeImages(
+      Seq(MediaRow(1L, "image/png", png, w, h)).toDS()).collect().head
+    assert(out.decoded && out.width == w && out.height == h)
+    assert(out.channels == 3 && out.n_px == w.toLong * h)
+    assert(out.sum_rgb == expectSum, s"decoded sum ${out.sum_rgb} != $expectSum")
+    assert(out.mean_luma == expectSum.toDouble / (3.0 * w * h))
+  }
+
+  test("decodeImages handles JPEG (lossy: geometry exact, luma approximate)") {
+    import graft.operators.MediaRow
+    // encode the same BufferedImage content as JPEG via pure-JDK ImageIO
+    val im = new java.awt.image.BufferedImage(
+      8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8) im.setRGB(x, y, 0x808080) // flat gray
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", bos)
+    val out = Multimodal.decodeImages(
+      Seq(MediaRow(2L, "image/jpeg", bos.toByteArray, 8, 6)).toDS())
+      .collect().head
+    assert(out.decoded && out.width == 8 && out.height == 6 && out.channels == 3)
+    // flat gray survives JPEG within quantization error
+    assert(math.abs(out.mean_luma - 128.0) < 4.0, s"luma ${out.mean_luma}")
+  }
+
+  test("decodeImages degrades, not dies: unknown mime and corrupt payload") {
+    import graft.operators.MediaRow
+    val garbage = Array.tabulate[Byte](100)(i => (i * 37).toByte)
+    val rows = Multimodal.decodeImages(Seq(
+      MediaRow(3L, "audio/wav", garbage, 0, 0),          // unknown mime
+      MediaRow(4L, "image/png", garbage, 0, 0),          // wrong magic
+      MediaRow(5L, "image/png",                          // truncated real PNG
+        Multimodal.syntheticPng(1L, 5, 5).take(20), 5, 5),
+    ).toDS()).collect().sortBy(_.doc_id)
+    assert(rows.forall(!_.decoded))
+    assert(rows.forall(r => r.width == -1 && r.n_px == 0L))
+    assert(rows(0).size_bytes == 100L)
+  }
 }
