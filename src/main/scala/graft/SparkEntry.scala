@@ -768,6 +768,59 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- SQL front door (q60-q62): the reference's command-string entry
+    // point re-expressed as spark.sql over registered views. Same Catalyst
+    // pipeline as the DataFrame API — these gate that the TEXT surface
+    // (views + graft_* function resolution) produces hash-identical results
+    // to the operator-library forms (q1 / q2 / q12).
+
+    // q1's wordcount topology as pure SQL text.
+    "q60_sql_wordcount" -> ((s, dir) => {
+      graft.api.SqlFrontDoor.sql(s, dir,
+        """SELECT word, count(*) AS cnt
+          |FROM (SELECT explode(split(text, ' ')) AS word
+          |      FROM documents
+          |      WHERE NOT (length(split(text, ' ')[0]) > 8
+          |                 AND (split(text, ' ')[0] LIKE 'http%'
+          |                      OR split(text, ' ')[0] LIKE '2008%')))
+          |WHERE word != ''
+          |GROUP BY word ORDER BY word""".stripMargin)
+    }),
+
+    // q2's reddit top-50 topology as pure SQL text; ORDER BY + LIMIT plans
+    // as the same TakeOrderedAndProject the operator form gets.
+    "q61_sql_topk" -> ((s, dir) => {
+      graft.api.SqlFrontDoor.sql(s, dir,
+        """SELECT user_id, count(*) AS cnt FROM events WHERE value >= 0
+          |GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 50""".stripMargin)
+    }),
+
+    // q12's brute-force kNN as SQL text, exercising the NATIVE graft_cosine
+    // expression through SQL resolution — same broadcast NLJ (corpus never
+    // shuffles) and the same two-stage top-k (per-scan-partition prune via
+    // spark_partition_id(), then the global rank).
+    "q62_sql_knn" -> ((s, dir) => {
+      graft.api.SqlFrontDoor.sql(s, dir,
+        """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+          |           FROM embeddings),
+          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+          |s AS (SELECT /*+ BROADCAST(q) */ q.query_id, e.vec_id AS neighbor_id,
+          |             graft_cosine(q.qv, e.v) AS c,
+          |             spark_partition_id() AS scan_pid
+          |      FROM e JOIN q ON q.query_id != e.vec_id),
+          |p AS (SELECT query_id, neighbor_id, c,
+          |             row_number() OVER (PARTITION BY query_id, scan_pid
+          |                                ORDER BY c DESC, neighbor_id) AS prk
+          |      FROM s),
+          |r AS (SELECT query_id, neighbor_id, c,
+          |             row_number() OVER (PARTITION BY query_id
+          |                                ORDER BY c DESC, neighbor_id) AS rk
+          |      FROM p WHERE prk <= 5)
+          |SELECT query_id, neighbor_id, round(c, 4) AS cos
+          |FROM r WHERE rk <= 5
+          |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin)
+    }),
+
     // Split-drift KL divergence: token distribution of each hash split vs
     // the global corpus, in exact micro-nats — the statistical companion
     // to q32's quantile profile. Three bounded-key aggs, one broadcast
@@ -874,7 +927,18 @@ object SparkEntry {
     * ordering) — the driver hash-compares values after sorting columns by
     * name, so every computed column is aliased identically on both sides.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ {
+    // The SQL-front-door queries (q60-q62) assert that spark.sql TEXT
+    // reproduces the operator-library pipelines hash-for-hash, so their
+    // ground truth IS the corresponding library query's oracle.
+    Map(
+      "q60_sql_wordcount" -> "q1_wordcount",
+      "q61_sql_topk" -> "q2_topk_users",
+      "q62_sql_knn" -> "q12_knn_brute")
+      .map { case (sqlQ, libQ) => sqlQ -> oracleSqlBase(libQ) }
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
 
     "q1_wordcount" ->
       """SELECT word, count(*) AS cnt

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.SqlFrontDoor
+import graft.operators.Relational
+
+/** The SQL text surface must be the SAME engine as the operator library:
+  * identical results, identical physical strategies. CORRECTNESS gates
+  * q60-q62 against the DuckDB oracle; these tests pin the equivalences the
+  * gate can't see (result parity against the library form, and the physical
+  * plan of the SQL text).
+  */
+class SqlFrontDoorSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("registered views are lazy names over the fixture parquet") {
+    SqlFrontDoor.registerViews(spark, dir)
+    val names = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(SqlFrontDoor.TableNames.toSet.subsetOf(names))
+    assert(spark.sql("SELECT count(*) AS n FROM documents").head().getLong(0) > 0)
+  }
+
+  test("SQL wordcount text == operator-library wordCount, row for row") {
+    val viaSql = SparkEntry.queries("q60_sql_wordcount")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaLib = Relational.wordCount(Tables(spark, dir).documents, "text")
+      .orderBy("word")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaSql == viaLib)
+    assert(viaSql.nonEmpty)
+  }
+
+  test("graft_cosine resolves from SQL text and the kNN plan broadcasts the query side") {
+    val df = SparkEntry.queries("q62_sql_knn")(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every query id gets at most k=5 neighbors, cosines in [-1, 1]
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.length <= 5))
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    // corpus must NOT shuffle: the non-equi join plans as a broadcast
+    // nested-loop join with the 20-row query side as the build side
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("SQL top-k text plans as TakeOrderedAndProject, not a full sort") {
+    val df = SparkEntry.queries("q61_sql_topk")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+}
