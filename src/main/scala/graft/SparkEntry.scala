@@ -326,16 +326,16 @@ object SparkEntry {
     // This puts the streaming runtime itself (source offsets, state store,
     // final-state emission) inside the correctness gate, not just ScalaTest.
     "q23_stream_parity" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      // the fixture table is a single parquet FILE; the file stream source
-      // needs a directory-rooted listing, so address it via a glob (the
-      // source then treats the parent dir as the stream root)
-      val src = s.readStream.schema(schema).parquet(s"$dir/documents*.parquet")
-      val name = s"q23_sink_${StreamRunSeq.incrementAndGet()}"
-      val ckpt = java.nio.file.Files.createTempDirectory("q23-ckpt").toString
-      StreamArtifacts.add((name, ckpt))
-      withShufflePartitions(s, 8) {
-        BoundedStream.runAvailableNow(s, src,
+      withShufflePartitions(s, 8) { child =>
+        val schema = child.read.parquet(s"$dir/documents.parquet").schema
+        // the fixture table is a single parquet FILE; the file stream source
+        // needs a directory-rooted listing, so address it via a glob (the
+        // source then treats the parent dir as the stream root)
+        val src = child.readStream.schema(schema).parquet(s"$dir/documents*.parquet")
+        val name = s"q23_sink_${StreamRunSeq.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("q23-ckpt").toString
+        StreamArtifacts.add((child, name, ckpt))
+        BoundedStream.runAvailableNow(child, src,
           df => Relational.wordCount(df, "text"), ckpt, name)
       }.orderBy("word")
     }),
@@ -695,23 +695,29 @@ object SparkEntry {
     // must equal the batch inequality join (inner joins emit on match;
     // the generous watermark delay only governs state eviction).
     "q51_stream_join" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def src = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
-      val views = src.filter(col("event_type") === "view")
-        .select(col("user_id"), col("event_id").as("view_id"),
-          timestamp_seconds(expr("ts div 1000000000")).as("view_t"))
-      val purchases = src.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"),
-          col("event_id").as("purchase_id"),
-          timestamp_seconds(expr("ts div 1000000000")).as("purchase_t"),
-          col("value"))
-      val name = s"q51_sink_${StreamRunSeq.incrementAndGet()}"
-      val ckpt = java.nio.file.Files.createTempDirectory("q51-ckpt").toString
-      StreamArtifacts.add((name, ckpt))
-      withShufflePartitions(s, 8) {
-        BoundedStream.runAvailableNow(s, views,
+      withShufflePartitions(s, 8) { child =>
+        val schema = child.read.parquet(s"$dir/events.parquet").schema
+        def src = child.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+        val views = src.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            timestamp_seconds(expr("ts div 1000000000")).as("view_t"))
+        val purchases = src.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"),
+            col("event_id").as("purchase_id"),
+            timestamp_seconds(expr("ts div 1000000000")).as("purchase_t"),
+            col("value"))
+        val name = s"q51_sink_${StreamRunSeq.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("q51-ckpt").toString
+        StreamArtifacts.add((child, name, ckpt))
+        BoundedStream.runAvailableNow(child, views,
           v => graft.streaming.StreamJoin.intervalJoin(v, purchases,
             "user_id", "p_user", "view_t", "purchase_t",
+            // GATE-ONLY parameter: "30 days" deliberately exceeds the whole
+            // fixture's event-time span so NOTHING is evicted or dropped
+            // during the bounded drain — that is what makes the streamed
+            // answer equal the batch oracle exactly. A real deployment sets
+            // this to its actual out-of-orderness bound (minutes, not
+            // days); see the StreamJoin scaladoc for the state-size trade.
             within = "24 hours", watermarkDelay = "30 days"),
           ckpt, name, outputMode = "append")
       }.select(col("user_id"), col("view_id"), col("purchase_id"),
@@ -890,20 +896,30 @@ object SparkEntry {
     * Session-conf mutation is not thread-safe; the gate harnesses
     * (Verify/Bench) run queries sequentially, which is the contract here.
     */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  /** Run `body` against a CHILD session (shared SparkContext and cached
+    * data, but its own conf and temp-view catalog) with shuffle partitions
+    * pinned to `n` — the streaming queries size state partitions to state
+    * volume this way. A child session means the temporary setting can
+    * never race with, or leak into, other queries on the caller's session,
+    * even under a future parallel harness.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: SparkSession => T): T = {
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", n.toString)
+    body(child)
   }
 
-  /** Streaming leftovers of executed queries: (memory-sink view, checkpoint
-    * dir) per q23 run. A memory sink materializes its table on the driver
-    * and a checkpoint dir persists offsets — neither is dropped by
-    * `clearCache()`, so a harness running queries repeatedly (Bench's
-    * warmup + 3 timed runs) accumulates both unless it drains this.
+  /** Streaming leftovers of executed queries: (owning session, memory-sink
+    * view, checkpoint dir) per q23/q51 run. A memory sink materializes its
+    * table on the driver and a checkpoint dir persists offsets — neither is
+    * dropped by `clearCache()`, so a harness running queries repeatedly
+    * (Bench's warmup + 3 timed runs) accumulates both unless it drains
+    * this. The session rides along because memory-sink views are
+    * session-scoped and the streaming queries run on isolated child
+    * sessions — only the owning catalog can drop the view.
     */
   private val StreamArtifacts =
-    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, String, String)]()
 
   /** Drop every accumulated memory-sink view and delete its checkpoint dir
     * — call AFTER the query's result frame has been fully consumed (the
@@ -912,13 +928,13 @@ object SparkEntry {
   private[graft] def cleanupStreamArtifacts(s: SparkSession): Unit = {
     var a = StreamArtifacts.poll()
     while (a != null) {
-      s.catalog.dropTempView(a._1)
+      a._1.catalog.dropTempView(a._2)
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles()
         if (kids != null) kids.foreach(rm)
         f.delete()
       }
-      rm(new java.io.File(a._2))
+      rm(new java.io.File(a._3))
       a = StreamArtifacts.poll()
     }
   }

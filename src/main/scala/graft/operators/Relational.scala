@@ -136,9 +136,16 @@ object Relational {
   /** Hierarchical subtotals (SQL `GROUP BY ROLLUP`) — the reference has no
     * grouping sets (SURVEY §2.4 "not present"); this declares them. One
     * pass produces per-(k1,k2,…) groups plus every prefix subtotal and the
-    * grand total; rolled-up key levels surface as `fill` (default "ALL")
-    * instead of NULL so the output is totally ordered and hash-comparable
-    * (the fixture keys are non-null, so no ambiguity with real NULLs).
+    * grand total. Rolled-up key levels surface as `fill` (default "ALL")
+    * instead of NULL so the output is totally ordered and hash-comparable.
+    *
+    * Subtotal detection uses `grouping(key)` — the aggregate's own marker
+    * for "this key was rolled up" — NOT a null-coalesce, so a real NULL
+    * key value in the data stays NULL at its detail level instead of
+    * masquerading as a subtotal. A real key VALUE equal to `fill` is still
+    * textually ambiguous in the key column itself; pass
+    * `withGroupingId = true` to append Spark's `grouping_id()` bitmask
+    * column, which disambiguates every level unconditionally.
     *
     * Scale: Spark plans rollup as ONE Expand + hash aggregate — each input
     * row is replicated once per grouping set (n+1 for n keys) map-side,
@@ -147,25 +154,36 @@ object Relational {
     * aggregation still applies.
     */
   def rollupAgg(df: DataFrame, keys: Seq[String], aggs: Seq[Column],
-                fill: String = "ALL"): DataFrame = {
-    require(keys.nonEmpty && aggs.nonEmpty, "rollupAgg needs keys and aggs")
-    val out = df.rollup(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    out.select(keys.map(k =>
-      coalesce(col(k).cast("string"), lit(fill)).as(k))
-      ++ out.columns.drop(keys.length).map(col): _*)
-  }
+                fill: String = "ALL", withGroupingId: Boolean = false): DataFrame =
+    groupingSetsAgg(df.rollup(keys.map(col): _*), keys, aggs, fill, withGroupingId)
 
   /** All-combination subtotals (SQL `GROUP BY CUBE`): like [[rollupAgg]]
     * but over every subset of the keys (2ⁿ grouping sets — keep n small;
-    * the Expand factor is the cost knob).
+    * the Expand factor is the cost knob). Same `grouping()`-based subtotal
+    * marking and optional `grouping_id` column.
     */
   def cubeAgg(df: DataFrame, keys: Seq[String], aggs: Seq[Column],
-              fill: String = "ALL"): DataFrame = {
-    require(keys.nonEmpty && aggs.nonEmpty, "cubeAgg needs keys and aggs")
-    val out = df.cube(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+              fill: String = "ALL", withGroupingId: Boolean = false): DataFrame =
+    groupingSetsAgg(df.cube(keys.map(col): _*), keys, aggs, fill, withGroupingId)
+
+  /** Shared rollup/cube tail: `grouping(key)` markers are computed INSIDE
+    * the aggregate (the only context where they resolve), drive the
+    * fill-vs-value choice, then drop out of the result.
+    */
+  private def groupingSetsAgg(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+                              keys: Seq[String], aggs: Seq[Column],
+                              fill: String, withGroupingId: Boolean): DataFrame = {
+    require(keys.nonEmpty && aggs.nonEmpty, "grouping-sets agg needs keys and aggs")
+    val marks = keys.map(k => grouping(col(k)).as(s"__graft_grouping_$k"))
+    val gid = if (withGroupingId) Seq(grouping_id().as("grouping_id")) else Nil
+    val all = marks ++ gid ++ aggs
+    val out = grouped.agg(all.head, all.tail: _*)
+    val keep = out.columns.drop(keys.length)
+      .filterNot(_.startsWith("__graft_grouping_"))
     out.select(keys.map(k =>
-      coalesce(col(k).cast("string"), lit(fill)).as(k))
-      ++ out.columns.drop(keys.length).map(col): _*)
+      when(col(s"__graft_grouping_$k") === 1, lit(fill))
+        .otherwise(col(k).cast("string")).as(k))
+      ++ keep.map(col): _*)
   }
 
   /** S7 (`spout/spout.go:198-203`): explicit round-robin redistribution —

@@ -59,8 +59,21 @@ object Sampling {
     conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
       .cast("double") / lit(1152921504606846976.0) // 16^15 = 2^60
 
-  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame =
-    df.filter(hashUnit(col(idCol)) < weight)
+  /** Malformed weights fail LOUDLY: a NULL weight or one outside [0, 1]
+    * raises at execution rather than silently meaning drop-always /
+    * keep-always (NULL comparisons are false-y, so a bad weight column
+    * would otherwise just quietly skew the mix). Clamping was the
+    * alternative; erroring is chosen because a weight outside [0, 1] is
+    * always an upstream bug, and a 100 TB sampling pass that silently
+    * kept everything is far more expensive than a failed stage.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame = {
+    val checked = when(weight.isNull || weight < 0.0 || weight > 1.0,
+        raise_error(concat(lit("weightedSample: weight must be in [0,1], got "),
+          coalesce(weight.cast("string"), lit("NULL")))))
+      .otherwise(weight)
+    df.filter(hashUnit(col(idCol)) < checked)
+  }
 
   /** Per-stratum deterministic sampling: `pcts` maps stratum value →
     * keep-percentage (strata not in the map are dropped). The per-row

@@ -177,6 +177,33 @@ class RelationalSpec extends SparkTestBase {
     assert(out.size == 3 + 2 + 2 + 1) // leaves + k1 + k2 + grand
   }
 
+  test("rollupAgg: a real NULL key is NOT mistaken for a subtotal row") {
+    // one leaf group whose k2 is genuinely NULL in the data
+    val df = Seq(("a", Some("x"), 1L), ("a", None, 2L), ("b", Some("x"), 8L))
+      .toDF("k1", "k2", "v")
+    val out = Relational.rollupAgg(df, Seq("k1", "k2"), Seq(sum("v").as("s")))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
+      .toSet
+    // the NULL-key leaf survives as NULL; only ROLLED-UP levels say ALL
+    assert(out.contains(("a", None, 2L)), out.toString)
+    assert(out.contains(("a", Some("ALL"), 3L)))       // k1=a subtotal
+    assert(out.contains(("ALL", Some("ALL"), 11L)))    // grand total
+  }
+
+  test("rollupAgg withGroupingId disambiguates every level unconditionally") {
+    // pathological data: a real key VALUE equal to the fill sentinel
+    val df = Seq(("a", "ALL", 1L), ("a", "x", 2L)).toDF("k1", "k2", "v")
+    val out = Relational.rollupAgg(df, Seq("k1", "k2"),
+        Seq(sum("v").as("s")), withGroupingId = true)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // gid 0 = leaf, 1 = k2 rolled up, 3 = both rolled up
+    assert(out.contains(("a", "ALL", 0L, 1L)), out.toString) // REAL 'ALL' leaf
+    assert(out.contains(("a", "ALL", 1L, 3L)))               // k1=a subtotal
+    assert(out.contains(("ALL", "ALL", 3L, 3L)))             // grand total
+  }
+
   test("rollupAgg plans one Expand + one aggregate exchange") {
     val df = Seq(("a", "x", 1L)).toDF("k1", "k2", "v")
     val plan = Relational.rollupAgg(df, Seq("k1", "k2"), Seq(sum("v").as("s")))

@@ -115,6 +115,31 @@ class SamplingSpec extends SparkTestBase {
     assert(again == lo)
   }
 
+  test("weightedSample fails loudly on NULL or out-of-range weights") {
+    // constant bad weights fold to the error at the driver
+    // (SparkRuntimeException); per-row bad weights surface task-wrapped
+    // (SparkException) — both carry the operator's message
+    def mustRaise(body: => Any): Unit = {
+      val e = intercept[Exception](body)
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains("weightedSample"), s"unexpected error: $e")
+    }
+    // out-of-range: > 1 would silently mean keep-everything
+    mustRaise(Sampling.weightedSample(ids, "id", lit(1.5)).count())
+    // < 0 would silently mean drop-everything
+    mustRaise(Sampling.weightedSample(ids, "id", lit(-0.1)).count())
+    // NULL comparisons are false-y — without the guard the row would just
+    // vanish; with it, the bad weight is an error
+    mustRaise(Sampling.weightedSample(ids, "id", lit(null).cast("double")).count())
+    // a NON-constant weight column with one bad row also raises
+    mustRaise(Sampling.weightedSample(ids, "id",
+      when(col("id") === 7L, lit(2.0)).otherwise(lit(0.5))).count())
+    // boundary values stay legal
+    assert(Sampling.weightedSample(ids, "id", lit(0.0)).count() == 0)
+    assert(Sampling.weightedSample(ids, "id", lit(1.0)).count() == 2000)
+  }
+
   test("tokenBudgetMix: running total respects per-group budgets, prefix is deterministic") {
     val df = (0L until 50L)
       .map(i => (i, s"g${i % 2}", ("tok " * 10).trim)) // 10 tokens per doc

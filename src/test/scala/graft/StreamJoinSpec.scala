@@ -72,6 +72,61 @@ class StreamJoinSpec extends SparkTestBase {
     }
   }
 
+  test("saltedIntervalJoin: hot key spreads across state partitions, output equals unsalted join") {
+    implicit val sqlCtx = spark.sqlContext
+    // one viral user holds 95% of the view stream: 190 hot views + 10 cold,
+    // purchases land inside every view's 1h window so matches are dense
+    val hotViews = (0 until 190).map(i => (7L, 1000L + i, 1000L + i))
+    val coldViews = (0 until 10).map(i => (100L + i, 5000L + i, 1000L))
+    val allViews = hotViews ++ coldViews
+    val somePurchases = Seq((7L, 900L, 1100L, 5L), (7L, 901L, 1180L, 6L),
+      (100L, 902L, 1500L, 7L), (105L, 903L, 1200L, 8L))
+
+    val batchExpect = StreamJoin.intervalJoin(
+        asViews(allViews.toDF()), asPurchases(somePurchases.toDF()),
+        "v_user", "p_user", "view_t", "purchase_t",
+        within = "1 hour", watermarkDelay = "2 hours")
+      .select("view_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchExpect.nonEmpty)
+
+    val vIn = MemoryStream[(Long, Long, Long)]
+    val pIn = MemoryStream[(Long, Long, Long, Long)]
+    val joined = StreamJoin.saltedIntervalJoin(
+        asViews(vIn.toDF()), asPurchases(pIn.toDF()),
+        "v_user", "p_user", "view_t", "purchase_t",
+        within = "1 hour", watermarkDelay = "2 hours", salt = 8)
+      // the joined output is produced INSIDE the state stage (the
+      // micro-batch shuffle on the (key, salt) join key), so the partition
+      // id observed here IS the state partition that buffered the rows
+      .select(col("view_id"), col("purchase_id"),
+        spark_partition_id().as("state_pid"))
+    val ckpt = Files.createTempDirectory("sj-salt-ckpt").toString
+    val q = joined.writeStream.format("memory").queryName("sj_salted")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      // split arrival across batches so buffering is actually exercised
+      vIn.addData(hotViews.take(100))
+      pIn.addData(somePurchases(0))
+      q.processAllAvailable()
+      vIn.addData(hotViews.drop(100) ++ coldViews)
+      pIn.addData(somePurchases.drop(1))
+      q.processAllAvailable()
+      val rows = spark.table("sj_salted").collect()
+      val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batchExpect,
+        s"salted stream join diverged: missing=${batchExpect -- got} extra=${got -- batchExpect}")
+      // the hot key's matches must NOT have been processed by one state
+      // partition — the salt split them
+      val hotPids = rows.filter(_.getLong(1) < 902L).map(_.getInt(2)).toSet
+      assert(hotPids.size > 1,
+        s"hot key's rows all sat in one state partition: $hotPids")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("sj_salted")
+    }
+  }
+
   test("rows later than the watermark delay are dropped from the join") {
     implicit val sqlCtx = spark.sqlContext
     val vIn = MemoryStream[(Long, Long, Long)]
