@@ -695,36 +695,29 @@ object SparkEntry {
     // must equal the batch inequality join (inner joins emit on match;
     // the generous watermark delay only governs state eviction).
     "q51_stream_join" -> ((s, dir) => {
-      withShufflePartitions(s, 8) { child =>
-        val schema = child.read.parquet(s"$dir/events.parquet").schema
-        def src = child.readStream.schema(schema).parquet(s"$dir/events*.parquet")
-        val views = src.filter(col("event_type") === "view")
-          .select(col("user_id"), col("event_id").as("view_id"),
-            timestamp_seconds(expr("ts div 1000000000")).as("view_t"))
-        val purchases = src.filter(col("event_type") === "purchase")
-          .select(col("user_id").as("p_user"),
-            col("event_id").as("purchase_id"),
-            timestamp_seconds(expr("ts div 1000000000")).as("purchase_t"),
-            col("value"))
-        val name = s"q51_sink_${StreamRunSeq.incrementAndGet()}"
-        val ckpt = java.nio.file.Files.createTempDirectory("q51-ckpt").toString
-        StreamArtifacts.add((child, name, ckpt))
-        BoundedStream.runAvailableNow(child, views,
-          v => graft.streaming.StreamJoin.intervalJoin(v, purchases,
-            "user_id", "p_user", "view_t", "purchase_t",
-            // GATE-ONLY parameter: "30 days" deliberately exceeds the whole
-            // fixture's event-time span so NOTHING is evicted or dropped
-            // during the bounded drain — that is what makes the streamed
-            // answer equal the batch oracle exactly. A real deployment sets
-            // this to its actual out-of-orderness bound (minutes, not
-            // days); see the StreamJoin scaladoc for the state-size trade.
-            within = "24 hours", watermarkDelay = "30 days"),
-          ckpt, name, outputMode = "append")
-      }.select(col("user_id"), col("view_id"), col("purchase_id"),
-          col("view_t").cast("long").as("view_sec"),
-          col("purchase_t").cast("long").as("purchase_sec"),
-          round(col("value"), 2).as("purchase_value"))
-        .orderBy("user_id", "view_id", "purchase_id")
+      streamJoinQuery(s, dir, "q51") { (views, purchases) =>
+        graft.streaming.StreamJoin.intervalJoin(views, purchases,
+          "user_id", "p_user", "view_t", "purchase_t",
+          // GATE-ONLY parameter: "30 days" deliberately exceeds the whole
+          // fixture's event-time span so NOTHING is evicted or dropped
+          // during the bounded drain — that is what makes the streamed
+          // answer equal the batch oracle exactly. A real deployment sets
+          // this to its actual out-of-orderness bound (minutes, not
+          // days); see the StreamJoin scaladoc for the state-size trade.
+          within = "24 hours", watermarkDelay = "30 days")
+      }
+    }),
+
+    // The HOT-KEY scale path of q51 under q51's own ground truth: the
+    // salted join (hot side split over 4 sub-keys, purchases replicated,
+    // re-merged) must reproduce the unsalted stream-stream join
+    // hash-for-hash — the q56-vs-q49 pattern applied to streaming state.
+    "q63_stream_join_salted" -> ((s, dir) => {
+      streamJoinQuery(s, dir, "q63") { (views, purchases) =>
+        graft.streaming.StreamJoin.saltedIntervalJoin(views, purchases,
+          "user_id", "p_user", "view_t", "purchase_t",
+          within = "24 hours", watermarkDelay = "30 days", salt = 4)
+      }
     }),
 
     // Class-centroid mean pooling: element-wise mean embedding per label
@@ -896,6 +889,36 @@ object SparkEntry {
     * Session-conf mutation is not thread-safe; the gate harnesses
     * (Verify/Bench) run queries sequentially, which is the contract here.
     */
+  /** Shared body of the stream-stream join gate queries (q51 / q63): the
+    * events table read as two unbounded streams (views, purchases), run
+    * through the caller's join on an isolated 8-partition child session,
+    * drained with AvailableNow, projected to the oracle's columns.
+    */
+  private def streamJoinQuery(s: SparkSession, dir: String, tag: String)(
+      join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    withShufflePartitions(s, 8) { child =>
+      val schema = child.read.parquet(s"$dir/events.parquet").schema
+      def src = child.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          timestamp_seconds(expr("ts div 1000000000")).as("view_t"))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"),
+          timestamp_seconds(expr("ts div 1000000000")).as("purchase_t"),
+          col("value"))
+      val name = s"${tag}_sink_${StreamRunSeq.incrementAndGet()}"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"$tag-ckpt").toString
+      StreamArtifacts.add((child, name, ckpt))
+      BoundedStream.runAvailableNow(child, views, v => join(v, purchases),
+        ckpt, name, outputMode = "append")
+    }.select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_t").cast("long").as("view_sec"),
+        col("purchase_t").cast("long").as("purchase_sec"),
+        round(col("value"), 2).as("purchase_value"))
+      .orderBy("user_id", "view_id", "purchase_id")
+  }
+
   /** Run `body` against a CHILD session (shared SparkContext and cached
     * data, but its own conf and temp-view catalog) with shuffle partitions
     * pinned to `n` — the streaming queries size state partitions to state
@@ -944,14 +967,18 @@ object SparkEntry {
     * name, so every computed column is aliased identically on both sides.
     */
   def oracleSql: Map[String, String] = oracleSqlBase ++ {
-    // The SQL-front-door queries (q60-q62) assert that spark.sql TEXT
-    // reproduces the operator-library pipelines hash-for-hash, so their
-    // ground truth IS the corresponding library query's oracle.
+    // Alias oracles: the SQL-front-door queries (q60-q62) assert that
+    // spark.sql TEXT reproduces the operator-library pipelines
+    // hash-for-hash, and the salted stream join (q63) asserts the hot-key
+    // scale path reproduces the plain join — so their ground truth IS the
+    // corresponding base query's oracle.
     Map(
       "q60_sql_wordcount" -> "q1_wordcount",
       "q61_sql_topk" -> "q2_topk_users",
-      "q62_sql_knn" -> "q12_knn_brute")
-      .map { case (sqlQ, libQ) => sqlQ -> oracleSqlBase(libQ) }
+      "q62_sql_knn" -> "q12_knn_brute",
+      // the salted stream join must reproduce the UNSALTED join's answer
+      "q63_stream_join_salted" -> "q51_stream_join")
+      .map { case (aliasQ, libQ) => aliasQ -> oracleSqlBase(libQ) }
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -88,11 +88,15 @@ object Multimodal {
     decodeFeatures(attachBinary(docs).as[MediaRow]).toDF()
   }
 
-  /** Mimes [[decodeImages]] hands to `javax.imageio`; anything else takes
-    * the byte-level fallback. GIF/BMP also decode pure-JDK but are not
-    * claimed until a fixture exercises them.
+  /** Mimes [[decodeImages]] hands to `javax.imageio` — the formats whose
+    * readers ship with the JRE; anything else takes the byte-level
+    * fallback. PNG/BMP are lossless (pixel-exact round-trip, tested);
+    * JPEG is lossy (geometry exact, luminance approximate); GIF is
+    * palette-quantized by the JDK writer (decode is deterministic and
+    * matches any other `ImageIO` decode of the same bytes, tested).
     */
-  val ImageMimes: Set[String] = Set("image/png", "image/jpeg")
+  val ImageMimes: Set[String] =
+    Set("image/png", "image/jpeg", "image/gif", "image/bmp")
 
   /** REAL image decode: `javax.imageio` (pure JDK — PNG/JPEG readers ship
     * with the JRE) over the binary payload, per-partition so registry

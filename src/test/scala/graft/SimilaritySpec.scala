@@ -414,6 +414,43 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(out.mean_luma - 128.0) < 4.0, s"luma ${out.mean_luma}")
   }
 
+  test("decodeImages handles BMP and GIF (lossless / palette-bounded)") {
+    import graft.operators.MediaRow
+    // 16 distinct colors — inside GIF's 256-color palette, so BOTH formats
+    // must round-trip the exact pixel sum
+    val im = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var expectSum = 0L
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val r = x * 60; val g = y * 60; val b = 128
+      im.setRGB(x, y, (r << 16) | (g << 8) | b)
+      expectSum += r + g + b
+    }
+    for ((fmt, mime) <- Seq(("bmp", "image/bmp"), ("gif", "image/gif"))) {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, fmt, bos), s"no JDK $fmt writer")
+      val out = Multimodal.decodeImages(
+        Seq(MediaRow(9L, mime, bos.toByteArray, 4, 4)).toDS()).collect().head
+      assert(out.decoded && out.width == 4 && out.height == 4, s"$fmt geometry")
+      if (fmt == "bmp") {
+        // BMP is lossless: exact round-trip of the source pixels
+        assert(out.sum_rgb == expectSum, s"bmp sum ${out.sum_rgb} != $expectSum")
+      } else {
+        // the JDK GIF writer re-quantizes to its own palette, so exactness
+        // vs the SOURCE doesn't hold even under 256 colors; the executor
+        // decode must instead match a driver-side decode of the same bytes
+        val local = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        var localSum = 0L
+        for (y <- 0 until 4; x <- 0 until 4) {
+          val p = local.getRGB(x, y)
+          localSum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        }
+        assert(out.sum_rgb == localSum, s"gif sum ${out.sum_rgb} != $localSum")
+      }
+    }
+  }
+
   test("decodeImages degrades, not dies: unknown mime and corrupt payload") {
     import graft.operators.MediaRow
     val garbage = Array.tabulate[Byte](100)(i => (i * 37).toByte)
