@@ -12,7 +12,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * otherwise ship untested. The literal config string can't be exercised
   * here — `spark.sql.extensions` is a STATIC conf, fixed by the first
   * session of the shared test JVM — so the test applies the same
-  * reflectively-constructed instance the config path would.
+  * reflectively-constructed instance the config path would. The literal
+  * config string IS executed by the standalone
+  * [[graft.ExtensionsConfigCheck]] main (fresh JVM, fresh session, every
+  * graft_* function resolved from SQL text).
   */
 class ExtensionsSpec extends AnyFunSuite {
 
