@@ -95,22 +95,40 @@ object SparkEntry {
     }),
 
     // Pricing-summary aggregation (TPC-H Q1 shape): wide scan, 4 sums /
-    // 3 avgs / count over 2 grouping keys. Sums rounded to 2dp so the
-    // double-accumulation order (Spark partial/final vs DuckDB) can't flip
-    // the hash. Headline bench query: measures scan + partial-agg throughput.
+    // 3 avgs / count over 2 grouping keys. Headline bench query: measures
+    // scan + partial-agg throughput. ALL arithmetic is exact integer
+    // fixed-point (cents / 10^-4 / 10^-6 dollar units, q52's
+    // half-away-from-zero formula for the final rounding): a float
+    // sum-then-round is order-dependent and an avg or a 4-decimal product
+    // rounded to 2dp can land EXACTLY on a .xx5 boundary, where Spark and
+    // DuckDB round divergently (the q7/sf0.001 hash mismatch class).
     "q5_pricing_summary" -> ((s, dir) => {
       val li = Tables(s, dir).lineitem
+      val qtyC = expr("cast(round(l_quantity * 100) as long)")
+      val epC = expr("cast(round(l_extendedprice * 100) as long)")
+      val dC = expr("cast(round(l_discount * 100) as long)")
+      val tC = expr("cast(round(l_tax * 100) as long)")
       li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg("l_quantity"), 2).as("avg_qty"),
-          round(avg("l_extendedprice"), 2).as("avg_price"),
-          round(avg("l_discount"), 4).as("avg_disc"),
+          sum(qtyC).as("s_qty_c"),
+          sum(epC).as("s_ep_c"),
+          sum(epC * (lit(100L) - dC)).as("s_disc4"),
+          sum(epC * (lit(100L) - dC) * (lit(100L) + tC)).as("s_chg6"),
+          sum(expr("cast(round(l_discount * 10000) as long)")).as("s_d_bp"),
           count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (col("s_qty_c") / 100.0).as("sum_qty"),
+          (col("s_ep_c") / 100.0).as("sum_base_price"),
+          (expr("(2 * s_disc4 + 100) div 200") / 100.0).as("sum_disc_price"),
+          (expr("(2 * s_chg6 + 10000) div 20000") / 100.0).as("sum_charge"),
+          (expr("(2 * s_qty_c + count_order) div (2 * count_order)") / 100.0)
+            .as("avg_qty"),
+          (expr("(2 * s_ep_c + count_order) div (2 * count_order)") / 100.0)
+            .as("avg_price"),
+          (expr("(2 * s_d_bp + count_order) div (2 * count_order)") / 10000.0)
+            .as("avg_disc"),
+          col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
@@ -125,7 +143,12 @@ object SparkEntry {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        // exact 10^-4-dollar units, rounded to cents once at the end — a
+        // boundary-divergent float round here could flip top-10 MEMBERSHIP
+        .agg(sum(expr("cast(round(l_extendedprice * 100) as long)") *
+          (lit(100L) - expr("cast(round(l_discount * 100) as long)"))).as("s4"))
+        .select(col("l_orderkey"),
+          (expr("(2 * s4 + 100) div 200") / 100.0).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
@@ -139,9 +162,14 @@ object SparkEntry {
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
+        // acctbal can be negative, so the exact-cents average keeps the
+        // abs/sign split of the half-away-from-zero formula
         .agg(
           count(lit(1)).as("n_cust"),
-          round(avg("c_acctbal"), 2).as("avg_bal"))
+          sum(expr("cast(round(c_acctbal * 100) as long)")).as("cents"))
+        .select(col("r_name"), col("n_name"), col("n_cust"),
+          (expr("((2 * abs(cents) + n_cust) div (2 * n_cust)) * " +
+            "(case when cents < 0 then -1 else 1 end)") / 100.0).as("avg_bal"))
         .orderBy("r_name", "n_name")
     }),
 
@@ -868,6 +896,31 @@ object SparkEntry {
           max("id").as("max_id"), sum("id").as("id_sum"))
         .orderBy("cell")
     }),
+
+    // Paragraph-level exact dedup WITH reassembly: drop every repeated
+    // 10-token paragraph corpus-wide (first (doc, pos) occurrence wins),
+    // stitch the survivors back per document — q55 detects duplicated
+    // spans, this REMOVES them. The gate hashes each document's paragraph
+    // counts plus the md5 of its reassembled text, proving the stitch-up
+    // byte-exact.
+    "q64_para_dedup" -> ((s, dir) => {
+      Dedup.paragraphDedup(Tables(s, dir).documents, "doc_id", "text",
+          window = 10)
+        .orderBy("doc_id")
+    }),
+
+    // In-engine naive-Bayes quality classifier: train token weights from
+    // the corpus's own lang tag (en vs rest), score every document in
+    // exact integer micro-nats — the fastText-style curation classifier
+    // as two aggregations and a broadcast join, model never on the driver.
+    "q65_classifier" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val en = col("lang") === "en"
+      val model = TextAnalysis.trainTokenClassifier(docs, "text", en)
+      TextAnalysis.scoreTokenClassifier(docs, "doc_id", "text", model,
+          docs, en)
+        .orderBy("doc_id")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -1013,39 +1066,61 @@ object SparkEntry {
       """SELECT user_id, count(*) AS cnt FROM events WHERE value >= 0
         |GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 50""".stripMargin,
 
+    // q5/q6/q7 mirror the Spark side's exact integer fixed-point: cents /
+    // 10^-4 / 10^-6 dollar units summed as BIGINT, one half-away-from-zero
+    // integer rounding at the end — float sum-then-round is order-dependent
+    // and boundary-divergent across engines (bit q7 at sf0.001).
     "q5_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |       round(avg(l_quantity), 2) AS avg_qty,
-        |       round(avg(l_extendedprice), 2) AS avg_price,
-        |       round(avg(l_discount), 4) AS avg_disc,
-        |       count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      """WITH b AS (SELECT l_returnflag, l_linestatus,
+        |                  round(l_quantity * 100)::BIGINT AS qc,
+        |                  round(l_extendedprice * 100)::BIGINT AS ec,
+        |                  round(l_discount * 100)::BIGINT AS dc,
+        |                  round(l_tax * 100)::BIGINT AS tc,
+        |                  round(l_discount * 10000)::BIGINT AS dbp
+        |           FROM lineitem
+        |           WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'),
+        |g AS (SELECT l_returnflag, l_linestatus,
+        |             sum(qc)::BIGINT AS s_qty_c, sum(ec)::BIGINT AS s_ep_c,
+        |             sum(ec * (100 - dc))::BIGINT AS s_disc4,
+        |             sum(ec * (100 - dc) * (100 + tc))::BIGINT AS s_chg6,
+        |             sum(dbp)::BIGINT AS s_d_bp,
+        |             count(*)::BIGINT AS count_order
+        |      FROM b GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag, l_linestatus,
+        |       s_qty_c / 100.0 AS sum_qty,
+        |       s_ep_c / 100.0 AS sum_base_price,
+        |       ((2 * s_disc4 + 100) // 200) / 100.0 AS sum_disc_price,
+        |       ((2 * s_chg6 + 10000) // 20000) / 100.0 AS sum_charge,
+        |       ((2 * s_qty_c + count_order) // (2 * count_order)) / 100.0 AS avg_qty,
+        |       ((2 * s_ep_c + count_order) // (2 * count_order)) / 100.0 AS avg_price,
+        |       ((2 * s_d_bp + count_order) // (2 * count_order)) / 10000.0 AS avg_disc,
+        |       count_order
+        |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q6_top_revenue" ->
-      """SELECT l_orderkey,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM customer, orders, lineitem
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
-        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
-        |GROUP BY l_orderkey
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+      """WITH b AS (SELECT l_orderkey,
+        |                  round(l_extendedprice * 100)::BIGINT *
+        |                  (100 - round(l_discount * 100)::BIGINT) AS u4
+        |           FROM customer, orders, lineitem
+        |           WHERE c_mktsegment = 'BUILDING'
+        |             AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |             AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |             AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'),
+        |g AS (SELECT l_orderkey, sum(u4)::BIGINT AS s4 FROM b GROUP BY l_orderkey)
+        |SELECT l_orderkey, ((2 * s4 + 100) // 200) / 100.0 AS revenue
+        |FROM g ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q7_cust_by_region" ->
-      """SELECT r_name, n_name, count(*) AS n_cust,
-        |       round(avg(c_acctbal), 2) AS avg_bal
-        |FROM region
-        |JOIN nation ON r_regionkey = n_regionkey
-        |JOIN customer ON n_nationkey = c_nationkey
-        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+      """WITH g AS (SELECT r_name, n_name, count(*)::BIGINT AS n_cust,
+        |                  sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS cents
+        |           FROM region
+        |           JOIN nation ON r_regionkey = n_regionkey
+        |           JOIN customer ON n_nationkey = c_nationkey
+        |           GROUP BY r_name, n_name)
+        |SELECT r_name, n_name, n_cust,
+        |       (((2 * abs(cents) + n_cust) // (2 * n_cust)) *
+        |        (CASE WHEN cents < 0 THEN -1 ELSE 1 END)) / 100.0 AS avg_bal
+        |FROM g ORDER BY r_name, n_name""".stripMargin,
 
     "q8_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, md5(lower(trim(text))) AS fp,
@@ -1849,6 +1924,66 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, neighbor_id, round(c, 4) + 0 AS cos FROM r WHERE rk <= 3
         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+    // q30's positional chunking (overlap 0) + keep-first-occurrence window
+    // + ordered string_agg reassembly.
+    "q64_para_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |             unnest(generate_series(1, greatest(len(toks), 1), 10)) AS start
+        |      FROM t),
+        |p AS (SELECT doc_id, ((start - 1) / 10)::BIGINT AS pos,
+        |             len(toks[start : start + 9])::BIGINT AS n_toks,
+        |             array_to_string(toks[start : start + 9], ' ') AS para
+        |      FROM c),
+        |k AS (SELECT doc_id, pos, n_toks, para,
+        |             row_number() OVER (PARTITION BY md5(para)
+        |                                ORDER BY doc_id, pos) AS rk
+        |      FROM p),
+        |reb AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+        |               sum(n_toks)::BIGINT AS kept_toks,
+        |               md5(string_agg(para, ' ' ORDER BY pos)) AS kept_fp
+        |        FROM k WHERE rk = 1 GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*)::BIGINT AS n_paras FROM p GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_paras,
+        |       coalesce(reb.n_kept, 0)::BIGINT AS n_kept,
+        |       coalesce(reb.kept_toks, 0)::BIGINT AS kept_toks,
+        |       coalesce(reb.kept_fp, md5('')) AS kept_fp
+        |FROM tot LEFT JOIN reb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Naive-Bayes weights as add-one-smoothed log-likelihood ratios in
+    // integer micro-nats (q40's rounding rule), doc score = exact long sum.
+    "q65_classifier" ->
+      """WITH tk AS (SELECT doc_id, (lang = 'en') AS pos,
+        |                   unnest(string_split(text, ' ')) AS token
+        |            FROM documents),
+        |tk2 AS (SELECT * FROM tk WHERE token <> ''),
+        |cnt AS (SELECT token,
+        |               sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS pc,
+        |               sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS nc
+        |        FROM tk2 GROUP BY token),
+        |tot AS (SELECT sum(pc)::BIGINT AS np, sum(nc)::BIGINT AS nn,
+        |               count(*)::BIGINT AS v
+        |        FROM cnt),
+        |w AS (SELECT token,
+        |             round((ln((pc + 1.0) / (np + v)) -
+        |                    ln((nc + 1.0) / (nn + v))) * 1e6)::BIGINT AS w_micro
+        |      FROM cnt, tot),
+        |prior AS (SELECT round((ln(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE) -
+        |                        ln(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::DOUBLE))
+        |                       * 1e6)::BIGINT AS prior_micro
+        |          FROM documents),
+        |dt AS (SELECT doc_id, token, count(*)::BIGINT AS cnt
+        |       FROM tk2 GROUP BY doc_id, token),
+        |sc AS (SELECT doc_id, sum(cnt)::BIGINT AS n_scored,
+        |              sum(cnt * w_micro)::BIGINT AS tok_micro
+        |       FROM dt JOIN w USING (token) GROUP BY doc_id)
+        |SELECT doc_id, n_scored,
+        |       (tok_micro + prior_micro)::BIGINT AS score_micro,
+        |       (tok_micro + prior_micro > 0) AS pred
+        |FROM sc, prior
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** DuckDB expression for the distinct HASHED word n-gram shingles of a

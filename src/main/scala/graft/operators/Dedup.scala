@@ -610,4 +610,63 @@ object Dedup {
         call_function("graft_simhash", col(textCol), lit(bits)).as("simhash"))
       .filter(col("simhash").isNotNull)
   }
+
+  /** PARAGRAPH-level exact dedup with document reassembly — the span-unit
+    * counterpart of [[exact]]: instead of dropping whole duplicate
+    * documents, drop every repeated paragraph and stitch the survivors
+    * back together. This is the boilerplate-removal pass of a pretraining
+    * pipeline (headers, footers, license blocks repeat across millions of
+    * pages while the documents around them are unique), and the REMOVAL
+    * sibling of [[TextAnalysis.duplicateSpans]], which only detects.
+    *
+    * A "paragraph" here is a consecutive run of `window` tokens
+    * ([[TextAnalysis.chunkByTokens]] with zero overlap) — corpora with
+    * structural newlines would split on those instead, but the semantics
+    * (keep FIRST occurrence corpus-wide, first = smallest `(doc, position)`
+    * pair; drop the rest; reassemble per doc in position order) are unit-
+    * independent. Every input document keeps a row even if all its
+    * paragraphs were seen before (`n_kept = 0`, fingerprint of the empty
+    * string). Output: (doc_id, n_paras, n_kept, kept_toks, kept_fp) where
+    * `kept_fp = md5` of the reassembled text — small enough to gate, strong
+    * enough to prove the reassembly byte-exact.
+    *
+    * Scale: the keep/drop DECISION shuffles only the skinny
+    * `(md5, doc, pos)` frame, keyed by paragraph hash with a partial-agg
+    * `min(struct(doc, pos))` — a paragraph duplicated a billion times
+    * combines map-side to one row per input partition, so hot boilerplate
+    * never floods a reducer. Paragraph TEXT moves on uniform keys only:
+    * the winner join is keyed `(hash, doc, pos)` (distinct per row by
+    * construction) and the reassembly agg is keyed by doc — the deliberate
+    * alternative to a `row_number() over (partition by hash)` window,
+    * which would sort every copy of the hottest paragraph's text in one
+    * task. Reassembly order is explicit (`sort_array` on (pos, text)
+    * structs), never collect_list encounter order.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     window: Int = 50): DataFrame = {
+    val paras = CacheScope.persisted(
+      TextAnalysis.chunkByTokens(df, idCol, textCol, window, overlap = 0)
+        .select(col("doc_id"), col("chunk_idx").as("pos"),
+          col("n_toks"), col("chunk"), md5(col("chunk")).as("h")))
+    val winners = paras
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .select(col("h"), col("w.doc_id").as("w_doc"), col("w.pos").as("w_pos"))
+    val kept = paras.join(winners,
+      paras("h") === winners("h") && paras("doc_id") === winners("w_doc") &&
+        paras("pos") === winners("w_pos"))
+    val rebuilt = kept
+      .groupBy(paras("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_toks")).cast("long").as("kept_toks"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("chunk")))),
+          p => p("chunk")), " ")).as("kept_fp"))
+    paras.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_toks"), lit(0L)).as("kept_toks"),
+        coalesce(col("kept_fp"), md5(lit(""))).as("kept_fp"))
+  }
 }

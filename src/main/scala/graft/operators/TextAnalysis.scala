@@ -515,4 +515,80 @@ object TextAnalysis {
     graft.functions.RollingFingerprint.ensureRegistered(spark)
     call_function("graft_rollfp", text, lit(w), lit(stride))
   }
+
+  /** IN-ENGINE quality classifier: train a multinomial naive-Bayes text
+    * classifier from a labeled slice of the corpus itself — no external
+    * model, no egress — as a (token → weight) table. `labelCol` is the
+    * boolean training signal (a curated "good" subset, a lang tag, a
+    * domain allowlist — the fastText-classifier pattern of web-corpus
+    * curation, trained here by two aggregations instead of SGD). The
+    * weight of token t is the add-one-smoothed log-likelihood ratio
+    *
+    *   w(t) = ln((C⁺(t)+1)/(N⁺+V)) − ln((C⁻(t)+1)/(N⁻+V))
+    *
+    * rounded to integer MICRO-nats ([[unigramSurprisal]]'s determinism
+    * rule: per-token contributions become exact longs, so every downstream
+    * sum is order-independent and cross-engine hashable). Output:
+    * (token, pos_cnt, neg_cnt, w_micro).
+    *
+    * Scale: tokenize-explode map-side, one vocab-bounded agg, one
+    * broadcast 1-row totals frame — the model never touches the driver.
+    */
+  def trainTokenClassifier(df: DataFrame, textCol: String,
+                           labelCol: Column): DataFrame = {
+    val toks = df
+      .select(labelCol.as("pos"), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val cnt = toks.groupBy("token")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("pos_cnt"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("neg_cnt"))
+    val tot = cnt.agg(sum("pos_cnt").as("np"), sum("neg_cnt").as("nn"),
+      count(lit(1)).as("v"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("token"), col("pos_cnt"), col("neg_cnt"),
+        round((log((col("pos_cnt") + 1.0) / (col("np") + col("v"))) -
+          log((col("neg_cnt") + 1.0) / (col("nn") + col("v")))) * lit(1e6))
+          .cast("long").as("w_micro"))
+  }
+
+  /** Score documents with a [[trainTokenClassifier]] model: a document's
+    * score is Σ_tokens w_micro(t) (multiplicity counted) plus the class
+    * prior ln(n⁺_docs/n⁻_docs) in micro-nats — exact integer arithmetic
+    * end-to-end, so the score (and the `pred = score > 0` decision) hashes
+    * identically across engines. Tokens outside the model's vocabulary
+    * contribute 0 (they carry no evidence either way). Output:
+    * (doc_id, n_scored, score_micro, pred).
+    *
+    * Scale: the per-(doc, token) count reduces map-side BEFORE any join, so
+    * a stopword appearing in every document enters the weight join as one
+    * row per document, not one per occurrence; the model side is
+    * vocab-bounded and BROADCAST — the hot token's weight is on every
+    * executor and no shuffle ever keys by token. (A vocabulary too large to
+    * broadcast would cap to its top types by count first — the standard
+    * fastText `-cutoff`; the gate's corpus-derived vocab is far inside the
+    * broadcast bound.) `priors` is another broadcast 1-row frame: like
+    * every model statistic here, it stays in the plan, never a driver
+    * scalar.
+    */
+  def scoreTokenClassifier(df: DataFrame, idCol: String, textCol: String,
+                           model: DataFrame, trainDf: DataFrame,
+                           trainLabelCol: Column): DataFrame = {
+    val priors = trainDf.agg(
+      round((log(sum(when(trainLabelCol, 1L).otherwise(0L)).cast("double")) -
+        log(sum(when(trainLabelCol, 0L).otherwise(1L)).cast("double"))) *
+        lit(1e6)).cast("long").as("prior_micro"))
+    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(model.select(col("token"), col("w_micro"))),
+        Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("n_scored"),
+        sum(col("cnt") * coalesce(col("w_micro"), lit(0L)))
+          .cast("long").as("tok_micro"))
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id"), col("n_scored"),
+        (col("tok_micro") + col("prior_micro")).as("score_micro"),
+        (col("tok_micro") + col("prior_micro") > 0).as("pred"))
+  }
 }

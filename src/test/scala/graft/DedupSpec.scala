@@ -296,4 +296,43 @@ class DedupSpec extends SparkTestBase {
     // shares exactly that one
     assert(b.map(_.getLong(1)) == Seq(1L, 1L))
   }
+
+  test("paragraphDedup keeps first occurrence and reassembles byte-exact") {
+    // window = 2 tokens: doc 0 = [a b][c d], doc 1 = [c d][e f] (its first
+    // paragraph repeats doc 0's second), doc 2 = [a b][c d] (all repeated)
+    val df = Seq(
+      (0L, "a b c d"),
+      (1L, "c d e f"),
+      (2L, "a b c d"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text", window = 2)
+      .orderBy("doc_id").collect()
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // (doc_id, n_paras, n_kept, kept_toks, kept_fp)
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq ==
+      Seq((0L, 2L, 2L, 4L), (1L, 2L, 1L, 2L), (2L, 2L, 0L, 0L)))
+    assert(out(0).getString(4) == md5Hex("a b c d"))
+    assert(out(1).getString(4) == md5Hex("e f")) // survivor stitched alone
+    assert(out(2).getString(4) == md5Hex(""))    // fully-deduped doc kept
+  }
+
+  test("paragraphDedup within-doc repeats keep only the earliest position") {
+    val df = Seq((7L, "x y x y x y")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text", window = 2).collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((3L, 1L, 2L)))
+  }
+
+  test("paragraphDedup short tail paragraph dedups independently") {
+    // window 3: doc 0 = [a b c][d], doc 1 = [d] [?] — doc 1's whole text is
+    // the 1-token paragraph "d", equal to doc 0's TAIL chunk
+    val df = Seq((0L, "a b c d"), (1L, "d")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text", window = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((0L, 2L), (1L, 0L)))
+  }
 }

@@ -265,4 +265,32 @@ class TextAnalysisSpec extends SparkTestBase {
       window = 8, stride = 8, minDocs = 1).collect()
     assert(all.forall(_.getLong(2) >= 1) && all.length == 2) // boiler + doc 3's one full window
   }
+
+  test("token classifier: weights separate the classes, score is exact") {
+    import TestSpark.spark.implicits._
+    val train = Seq((0L, "good good stuff", "en"), (1L, "bad junk", "zh"))
+      .toDF("doc_id", "text", "lang")
+    val model = TextAnalysis.trainTokenClassifier(train, "text",
+      col("lang") === "en")
+    val w = model.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // N+ = 3 (good good stuff), N- = 2 (bad junk), V = 4
+    def micro(p: Long, n: Long): Long =
+      BigDecimal((math.log((p + 1.0) / (3 + 4.0)) -
+        math.log((n + 1.0) / (2 + 4.0))) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(w == Map("good" -> micro(2, 0), "stuff" -> micro(1, 0),
+      "bad" -> micro(0, 1), "junk" -> micro(0, 1)))
+    assert(w("good") > 0 && w("stuff") > 0 && w("bad") < 0 && w("junk") < 0)
+
+    // prior = ln(1/1) = 0 here, so scores are pure token-evidence sums;
+    // out-of-vocabulary tokens ("zzz") carry NO evidence
+    val docs = Seq((10L, "good good stuff", "?"), (11L, "zzz", "?"),
+      (12L, "bad zzz", "?")).toDF("doc_id", "text", "lang")
+    val sc = TextAnalysis.scoreTokenClassifier(docs, "doc_id", "text", model,
+      train, col("lang") === "en").orderBy("doc_id").collect()
+    assert(sc.map(_.getLong(2)).toSeq ==
+      Seq(2 * w("good") + w("stuff"), 0L, w("bad")))
+    assert(sc.map(_.getBoolean(3)).toSeq == Seq(true, false, false))
+    assert(sc.map(_.getLong(1)).toSeq == Seq(3L, 1L, 2L)) // n_scored counts OOV too
+  }
 }
