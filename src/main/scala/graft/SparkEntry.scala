@@ -909,6 +909,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // q34's decontamination through the Bloom-prefilter path: eval grams
+    // aggregate into ONE Bloom filter (scalar subquery), might_contain
+    // prunes corpus grams map-side, a shuffle equi-join removes the false
+    // positives — the eval-set-too-big-to-broadcast shape, gated against
+    // q34's own ground truth (the prefilter must be answer-preserving).
+    "q66_decontam_bloom" -> ((s, dir) => {
+      val split = Sampling.hashSplit(Tables(s, dir).documents, "doc_id",
+        trainPct = 80, valPct = 10)
+      // filter sized to THIS gate's eval split (~30k distinct grams →
+      // 128 KB, generous FPR headroom); production sizes ~8-10 bits per
+      // expected distinct eval gram — see the operator scaladoc. The bloom
+      // rides in every task closure, so oversizing is a real per-task tax.
+      Dedup.contaminatedDocsBloom(
+        split.filter(col("split") === "train"), "doc_id", "text",
+        split.filter(col("split") === "test"), "text", n = 13,
+        expectedGrams = 1L << 17, numBits = 8L << 17)
+        .orderBy("doc_id")
+    }),
+
     // In-engine naive-Bayes quality classifier: train token weights from
     // the corpus's own lang tag (en vs rest), score every document in
     // exact integer micro-nats — the fastText-style curation classifier
@@ -1030,7 +1049,9 @@ object SparkEntry {
       "q61_sql_topk" -> "q2_topk_users",
       "q62_sql_knn" -> "q12_knn_brute",
       // the salted stream join must reproduce the UNSALTED join's answer
-      "q63_stream_join_salted" -> "q51_stream_join")
+      "q63_stream_join_salted" -> "q51_stream_join",
+      // the Bloom prefilter must reproduce the broadcast-exact answer
+      "q66_decontam_bloom" -> "q34_decontam")
       .map { case (aliasQ, libQ) => aliasQ -> oracleSqlBase(libQ) }
   }
 

@@ -39,6 +39,21 @@ object GraftExtensions {
       e => SimHashSig(e.head, e(1))),
     ("graft_argmax_cosine", classOf[ArgMaxCosine],
       e => ArgMaxCosine(e.head, e(1))),
+    // Spark's own runtime-filter primitives, exposed to the text surface
+    // (they exist in catalyst but are not SQL-registered): build a Bloom
+    // filter over xxhash64 values / probe it. The probe's Bloom argument
+    // must be foldable or a scalar subquery — the natural SQL form is
+    //   might_contain((SELECT graft_bloom_agg(xxhash64(x), items, bits)
+    //                  FROM ...), xxhash64(y)).
+    // `Dedup.contaminatedDocsBloom` is the operator-library user.
+    ("graft_bloom_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      e => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        e.head, e(1), e(2))),
+    ("graft_might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      e => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        e.head, e(1))),
   )
 
   def inject(e: SparkSessionExtensions): Unit =

@@ -611,6 +611,56 @@ object Dedup {
       .filter(col("simhash").isNotNull)
   }
 
+  /** [[contaminatedDocs]] for an eval set TOO BIG TO BROADCAST: the same
+    * exact answer, reached through a Bloom-filter prefilter instead of a
+    * broadcast gram set. The eval grams aggregate into one Bloom filter
+    * (Spark's own `BloomFilterAggregate`, attached to the corpus scan as a
+    * scalar subquery — the engine's runtime-filter shape, made explicit
+    * and user-controllable), `might_contain` prunes the corpus grams
+    * map-side, and only the surviving candidates enter an ordinary
+    * SHUFFLE equi-join with the eval grams, which removes the Bloom's
+    * false positives. Output and semantics are identical to
+    * [[contaminatedDocs]] — the filter only ever discards rows the exact
+    * join would discard anyway.
+    *
+    * Scale: the broadcast form moves |eval grams| × executors bytes and
+    * dies when the eval set stops fitting in memory; this form moves
+    * `numBits/8` bytes (a few MB for hundreds of millions of grams at ~1%
+    * FPR) regardless of eval size, and the shuffle join's corpus side is
+    * pre-shrunk to true overlaps + FPR·|corpus grams|. Size `numBits` ≈
+    * 8–10 bits per expected DISTINCT eval gram for ~2–1% FPR; an undersized
+    * filter stays CORRECT (the exact join still removes every false
+    * positive) — it only prunes less.
+    */
+  def contaminatedDocsBloom(corpus: DataFrame, corpusId: String,
+                            corpusText: String, evalSet: DataFrame,
+                            evalTextCol: String, n: Int = 13,
+                            expectedGrams: Long = 1L << 22,
+                            numBits: Long = 8L << 22): DataFrame = {
+    import org.apache.spark.sql.graft.CatalystBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    graft.functions.HashedShingles.ensureRegistered(corpus.sparkSession)
+    val evalGrams = CacheScope.persisted(evalSet
+      .select(explode(
+        call_function("graft_shingles64", col(evalTextCol), lit(n))).as("h"))
+      .distinct())
+    // 42 is the seed the SQL builtin xxhash64 uses
+    val bloomAgg = column(new BloomFilterAggregate(
+      XxHash64(Seq(expression(col("h"))), 42L),
+      Literal(expectedGrams), Literal(numBits)).toAggregateExpression())
+    val bloomPlan = evalGrams.agg(bloomAgg.as("bf")).queryExecution.analyzed
+    val mightContain = column(BloomFilterMightContain(
+      ScalarSubquery(bloomPlan), XxHash64(Seq(expression(col("h"))), 42L)))
+    val corpusGrams = hashedShingleFrame(corpus, corpusId, corpusText, n)
+      .select(col("id").as("doc_id"), explode(col("sh")).as("h"))
+    corpusGrams
+      .filter(mightContain)
+      .join(evalGrams, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"), min(col("h")).as("example_h"))
+  }
+
   /** PARAGRAPH-level exact dedup with document reassembly — the span-unit
     * counterpart of [[exact]]: instead of dropping whole duplicate
     * documents, drop every repeated paragraph and stitch the survivors

@@ -297,6 +297,33 @@ class DedupSpec extends SparkTestBase {
     assert(b.map(_.getLong(1)) == Seq(1L, 1L))
   }
 
+  test("contaminatedDocsBloom: identical answer to the broadcast-exact form") {
+    val planted = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    val corpus = Seq(
+      (0L, s"prefix words then $planted and a suffix"),
+      (1L, s"$planted tail words here"),
+      (2L, "nothing shared with the eval set in this document at all really"),
+    ).toDF("doc_id", "text")
+    val eval = Seq((0L, planted)).toDF("eid", "text")
+    val exact = Dedup.contaminatedDocs(corpus, "doc_id", "text", eval, "text",
+      n = 13).orderBy("doc_id").collect().toSeq
+    val viaBloom = Dedup.contaminatedDocsBloom(corpus, "doc_id", "text",
+      eval, "text", n = 13, expectedGrams = 1024, numBits = 8192)
+    assert(viaBloom.orderBy("doc_id").collect().toSeq == exact)
+    // the prefilter is really in the plan: a bloom scalar subquery feeding
+    // might_contain on the corpus-gram side
+    val plan = viaBloom.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(plan.contains("bloom_filter_agg"), plan)
+
+    // an UNDERSIZED filter (high FPR) stays correct — the exact join
+    // removes every false positive
+    val tiny = Dedup.contaminatedDocsBloom(corpus, "doc_id", "text",
+      eval, "text", n = 13, expectedGrams = 2, numBits = 64)
+      .orderBy("doc_id").collect().toSeq
+    assert(tiny == exact)
+  }
+
   test("paragraphDedup keeps first occurrence and reassembles byte-exact") {
     // window = 2 tokens: doc 0 = [a b][c d], doc 1 = [c d][e f] (its first
     // paragraph repeats doc 0's second), doc 2 = [a b][c d] (all repeated)

@@ -30,7 +30,11 @@ object ExtensionsConfigCheck {
                size(graft_shingles64('a b c d', 3))                        AS n_sh,
                graft_rollfp('abcdefghijklmnopqrstuvwxyz', 16, 4)           AS rfp,
                size(graft_minhash(graft_shingles64('a b c d', 3), 12))     AS n_mh,
-               graft_simhash('a b c', 32)                                  AS sim
+               graft_simhash('a b c', 32)                                  AS sim,
+               graft_might_contain(
+                 (SELECT graft_bloom_agg(xxhash64(id), 64L, 512L)
+                  FROM range(4)),
+                 xxhash64(2L))                                             AS bloom_hit
       """).head()
       assert(row.getDouble(0) == 1.0, "graft_cosine")
       assert(row.getInt(1) == 1, "graft_argmax_cosine first-max index")
@@ -39,6 +43,7 @@ object ExtensionsConfigCheck {
       assert(row.getString(4).length == 32, "graft_rollfp")
       assert(row.getInt(5) == 12, "graft_minhash")
       assert(!row.isNullAt(6), "graft_simhash")
+      assert(row.getBoolean(7), "graft_bloom_agg/might_contain no-false-negative")
       println(s"spark.sql.extensions config path OK: $row")
     } finally spark.stop()
   }

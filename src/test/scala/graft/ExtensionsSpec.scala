@@ -38,7 +38,11 @@ class ExtensionsSpec extends AnyFunSuite {
                size(graft_shingles64('a b c d', 3))                    AS n_sh,
                graft_rollfp('abcdefghijklmnopqrstuvwxyz', 16, 4)       AS rfp,
                size(graft_minhash(graft_shingles64('a b c d', 3), 12)) AS n_mh,
-               graft_simhash('a b c', 32)                              AS sim
+               graft_simhash('a b c', 32)                              AS sim,
+               graft_might_contain(
+                 (SELECT graft_bloom_agg(xxhash64(id), 64L, 512L)
+                  FROM range(4)),
+                 xxhash64(2L))                                         AS bloom_hit
       """).head()
       assert(row.getDouble(0) == 1.0)
       assert(row.getInt(1) == 2)
@@ -46,6 +50,7 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getString(3).length == 32)
       assert(row.getInt(4) == 12)
       assert(!row.isNullAt(5))
+      assert(row.getBoolean(6))    // bloom: inserted key must be admitted
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

@@ -53,4 +53,19 @@ class SqlFrontDoorSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
+
+  test("bloom primitives resolve from SQL text: no false negatives") {
+    SqlFrontDoor.registerViews(spark, dir)
+    val total = spark.sql("SELECT count(*) AS n FROM documents")
+      .head().getLong(0)
+    // every lang value went into the filter, so might_contain must admit
+    // every row — Bloom filters cannot false-negative
+    val admitted = spark.sql(
+      """SELECT count(*) AS n FROM documents
+        |WHERE graft_might_contain(
+        |  (SELECT graft_bloom_agg(xxhash64(lang), 1024L, 8192L)
+        |   FROM documents),
+        |  xxhash64(lang))""".stripMargin).head().getLong(0)
+    assert(admitted == total)
+  }
 }
