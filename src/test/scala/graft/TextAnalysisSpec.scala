@@ -293,4 +293,41 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(sc.map(_.getBoolean(3)).toSeq == Seq(true, false, false))
     assert(sc.map(_.getLong(1)).toSeq == Seq(3L, 1L, 2L)) // n_scored counts OOV too
   }
+
+  test("token classifier scores a STREAM identically to batch") {
+    import TestSpark.spark.implicits._
+    val spark = TestSpark.spark
+    // train in batch once (the model is a static broadcast frame), then
+    // score documents ARRIVING AS A STREAM — the deploy shape: model
+    // refreshed offline, applied continuously at ingest
+    val train = Seq((0L, "good good stuff", "en"), (1L, "bad junk", "zh"))
+      .toDF("doc_id", "text", "lang")
+    val en = org.apache.spark.sql.functions.col("lang") === "en"
+    val model = TextAnalysis.trainTokenClassifier(train, "text", en)
+
+    val in = java.nio.file.Files.createTempDirectory("clf-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("clf-ckpt").toString
+    val docs = Seq((10L, "good good stuff", "?"), (11L, "zzz", "?"),
+      (12L, "bad zzz", "?"))
+    docs.toDF("doc_id", "text", "lang").write.parquet(s"$in/a.parquet")
+    val schema = docs.toDF("doc_id", "text", "lang").schema
+
+    // score inside foreachBatch: a micro-batch is a batch, so the
+    // two-stage score aggregation needs no streaming-state reasoning at
+    // all — the standard "model offline, apply at ingest" shape (chaining
+    // the score aggs directly on the stream would trip Spark's
+    // multiple-stateful-operator correctness check)
+    val out = java.nio.file.Files.createTempDirectory("clf-out").toString
+    graft.streaming.BoundedStream.runForeachBatch(
+      spark.readStream.schema(schema).parquet(s"$in/*.parquet"),
+      identity, ckpt, outputMode = "append") { (batch, _) =>
+      TextAnalysis.scoreTokenClassifier(batch, "doc_id", "text", model,
+        train, en).write.mode("append").parquet(out)
+    }
+    val streamed = spark.read.parquet(out).orderBy("doc_id").collect().toSeq
+    val batch = TextAnalysis.scoreTokenClassifier(
+      docs.toDF("doc_id", "text", "lang"), "doc_id", "text", model,
+      train, en).orderBy("doc_id").collect().toSeq
+    assert(streamed == batch && batch.length == 3)
+  }
 }
