@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
-import graft.operators.{Analytics, AsOf, Curation, Dedup, Multimodal, RangeJoin, Relational, Sampling, Similarity, TextAnalysis, Windowed}
+import graft.operators.{Analytics, AsOf, Bpe, Curation, Dedup, Multimodal, RangeJoin, Relational, Sampling, Similarity, TextAnalysis, Windowed}
 import graft.sources.{CsvSource, JsonSource, LogLines}
 import graft.streaming.BoundedStream
 
@@ -926,6 +926,23 @@ object SparkEntry {
         split.filter(col("split") === "test"), "text", n = 13,
         expectedGrams = 1L << 17, numBits = 8L << 17)
         .orderBy("doc_id")
+    }),
+
+    // In-engine BPE tokenizer training: one corpus-sized word-freq agg,
+    // then vocab-sized merge iterations (Sennrich BPE's classic scale
+    // property). Iterative and data-dependent — not SQL-expressible, so
+    // there is NO oracle entry (driver records rows-only); BpeSpec pins
+    // the trainer merge-for-merge to a single-node reference
+    // implementation and asserts repartition invariance.
+    "q67_bpe_merges" -> ((s, dir) => {
+      // 8 merges (the fixture's ~31-word vocab saturates quickly), on a
+      // low-shuffle-partition child session: every iteration is one tiny
+      // job over the VOCAB-sized frame, so per-job task overhead — not
+      // data — is the iteration cost (the q51/q63 state-sizing pattern
+      // applied to an iterative trainer)
+      withShufflePartitions(s, 4) { child =>
+        Bpe.trainMerges(Tables(child, dir).documents, "text", numMerges = 8)
+      }.orderBy("rank")
     }),
 
     // In-engine naive-Bayes quality classifier: train token weights from
