@@ -945,6 +945,16 @@ object SparkEntry {
       }.orderBy("rank")
     }),
 
+    // Corpus-bigram-LM surprisal (CCNet-style perplexity filter shape):
+    // the context-aware sibling of q40 — adjacent-pair negative
+    // log-likelihood under add-one smoothing, per-(doc,a,b) contributions
+    // rounded to integer micro-nats so the per-doc sum is exact 64-bit
+    // arithmetic in both engines.
+    "q68_bigram_lm" -> ((s, dir) => {
+      TextAnalysis.bigramSurprisal(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // In-engine naive-Bayes quality classifier: train token weights from
     // the corpus's own lang tag (en vs rest), score every document in
     // exact integer micro-nats — the fastText-style curation classifier
@@ -1989,6 +1999,34 @@ object SparkEntry {
         |       coalesce(reb.kept_fp, md5('')) AS kept_fp
         |FROM tot LEFT JOIN reb USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Bigram adjacency from the same filtered token list on both sides
+    // (list_filter here, codegen'd array_remove on the Spark side);
+    // per-(doc,a,b) contributions round to integer micro-nats before the
+    // per-doc sum (q40's rule), and the ln argument's expression shape
+    // mirrors the Spark side verbatim.
+    "q68_bigram_lm" ->
+      """WITH tk AS (SELECT doc_id,
+        |                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |            FROM documents),
+        |pr AS (SELECT doc_id,
+        |              unnest(list_transform(range(1, len(toks)),
+        |                                    i -> struct_pack(a := toks[i], b := toks[i+1]))) AS bg
+        |       FROM tk WHERE len(toks) >= 2),
+        |p2 AS (SELECT doc_id, bg.a AS a, bg.b AS b FROM pr),
+        |pd AS (SELECT doc_id, a, b, count(*) AS cnt FROM p2 GROUP BY doc_id, a, b),
+        |bf AS (SELECT a, b, sum(cnt)::BIGINT AS cab FROM pd GROUP BY a, b),
+        |cx AS (SELECT a, sum(cab)::BIGINT AS ca FROM bf GROUP BY a),
+        |v AS (SELECT count(DISTINCT b)::BIGINT AS v FROM bf),
+        |m AS (SELECT pd.doc_id, pd.cnt,
+        |             round(pd.cnt * ln((cx.ca + v.v) * 1.0 / (bf.cab + 1)) * 1e6)::BIGINT AS micro
+        |      FROM pd JOIN bf USING (a, b) JOIN cx USING (a) CROSS JOIN v),
+        |d AS (SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams,
+        |             sum(micro)::BIGINT AS surprisal_micro
+        |      FROM m GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, surprisal_micro,
+        |       round(surprisal_micro / 1e6 / n_bigrams, 4) AS nats_per_bigram
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // Naive-Bayes weights as add-one-smoothed log-likelihood ratios in
     // integer micro-nats (q40's rounding rule), doc score = exact long sum.

@@ -429,6 +429,72 @@ object TextAnalysis {
         round(col("surprisal_micro") / lit(1e6) / col("ntok"), 4))
   }
 
+  /** Corpus-bigram-LM surprisal per document — [[unigramSurprisal]]'s
+    * context-aware sibling, the shape of the CCNet-style perplexity filter
+    * (Wenzek et al. 2020, arXiv:1911.00359): the corpus itself is the
+    * bigram model, and a document's score is Σ over its adjacent token
+    * pairs of −ln P(b | a) under add-one smoothing,
+    *
+    *   P(b | a) = (C(a,b) + 1) / (C(a) + V)
+    *
+    * with C(a,b) the corpus bigram count, C(a) = Σ_b C(a,b) the context
+    * count (derived from the bigram table, so the two are consistent by
+    * construction), and V the number of distinct predicted types. A
+    * document of corpus-typical word SEQUENCES scores low even when its
+    * individual words are common — the signal that separates shuffled-word
+    * noise from prose, which no unigram model can see.
+    *
+    * Documents with fewer than two (non-empty) tokens have no bigrams and
+    * are absent from the output, like token-less documents under
+    * [[unigramSurprisal]].
+    *
+    * DETERMINISM: per-(doc, a, b) contributions round to integer
+    * micro-nats before the per-doc sum (exact 64-bit, order-independent —
+    * [[unigramSurprisal]]'s rule), so the score hashes identically across
+    * engines.
+    *
+    * Scale: pairing is map-side — explode a position sequence and
+    * `element_at` twice (the [[chunkByTokens]] shape; `array_remove`
+    * strips empty tokens codegen'd, no HOF touches the corpus). Then three
+    * bounded-key aggregations (doc×bigram, bigram, context), all
+    * partial-agg combined; V and nothing else crosses as a broadcast 1-row
+    * frame. The bigram-type table is the scale knob: it grows with TYPE
+    * count (Heaps-law sublinear), not corpus size, and the stats join is a
+    * plain equi-join on (a, b) — a hot bigram reduces map-side in `perDoc`
+    * first, one row per containing document.
+    */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = df
+      .select(col(idCol).as("doc_id"),
+        array_remove(tokens(col(textCol)), "").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("p"))
+      .select(col("doc_id"),
+        element_at(col("t"), col("p")).as("a"),
+        element_at(col("t"), col("p") + 1).as("b"))
+    val perDoc = CacheScope.persisted(
+      pairs.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("cnt")))
+    // corpus stats all derive from ONE bigram-type frame (persisted: it
+    // feeds the stats join, the context rollup, and the vocab count)
+    val bfreq = CacheScope.persisted(
+      perDoc.groupBy("a", "b").agg(sum("cnt").as("cab")))
+    val ctx = bfreq.groupBy("a").agg(sum("cab").as("ca"))
+    val vocab = bfreq.agg(count_distinct(col("b")).as("v"))
+    perDoc
+      .join(bfreq, Seq("a", "b"))
+      .join(ctx, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("micro",
+        round(col("cnt") * log((col("ca") + col("v")) * lit(1.0) / (col("cab") + 1L)) * lit(1e6))
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("n_bigrams"),
+        sum("micro").cast("long").as("surprisal_micro"))
+      .withColumn("nats_per_bigram",
+        round(col("surprisal_micro") / lit(1e6) / col("n_bigrams"), 4))
+  }
+
   /** Vocabulary-coverage curve: the top-`k` corpus tokens by frequency with
     * each prefix's cumulative share of all token occurrences — the table a
     * tokenizer-training pass reads to pick a vocab size ("the top 30k types

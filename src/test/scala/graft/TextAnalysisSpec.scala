@@ -192,6 +192,35 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(re.map(_.getLong(2)).toSeq == out.map(_.getLong(2)).toSeq)
   }
 
+  test("bigramSurprisal: hand-computed add-one smoothing; short docs absent") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // doc0 bigrams: (a,b)×2 (b,a) (b,c); doc1 (double space survives
+    // array_remove): (c,a) (a,b); doc2 has no bigrams.
+    // Corpus: C(a,b)=3 C(b,a)=1 C(b,c)=1 C(c,a)=1; contexts C(a)=3 C(b)=2
+    // C(c)=1; V = |{a,b,c}| = 3 predicted types.
+    val df = Seq((0L, "a b a b c"), (1L, "c  a b"), (2L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L)) // doc2 absent
+    val Array(r0, r1) = out
+    assert(r0.getLong(1) == 4 && r1.getLong(1) == 2) // n_bigrams
+    def micro(cnt: Long, ca: Long, cab: Long): Long =
+      math.round(cnt * math.log((ca + 3.0) / (cab + 1)) * 1e6)
+    val expected0 = micro(2, 3, 3) + micro(1, 2, 1) + micro(1, 2, 1)
+    val expected1 = micro(1, 1, 1) + micro(1, 3, 3)
+    assert(r0.getLong(2) == expected0, out.mkString(","))
+    assert(r1.getLong(2) == expected1, out.mkString(","))
+    // public rate divides the exact micro sum back out
+    assert(r0.getDouble(3) ==
+      BigDecimal(expected0 / 1e6 / 4).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // partitioning must not change the exact integer sums
+    val re = TextAnalysis.bigramSurprisal(df.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(re.map(_.getLong(2)).toSeq == out.map(_.getLong(2)).toSeq)
+  }
+
   test("vocabCoverage: descending counts, cumulative share reaches 1 at full k") {
     val spark = TestSpark.spark
     import spark.implicits._
