@@ -96,38 +96,55 @@ object Similarity {
     }
   }
 
+  /** All plane dot products of one vector in one codegen'd pass
+    * ([[graft.functions.MatVecDots]]): the planes ride as ONE `typedLit`
+    * matrix literal, not per-plane literal arrays, and each element is the
+    * same left-to-right double sum (divided by `scale` after the sum) the
+    * composable `dot(…) / lit(scale)` form produced — bit-identical, so
+    * the oracle gates cannot move. Requires
+    * `GraftExtensions.ensureRegistered(spark, "graft_matvec_dots")`, which
+    * the operators below do.
+    */
+  def planeDots(vec: Column, planes: Array[Array[Double]], scale: Double): Column =
+    call_function("graft_matvec_dots", vec,
+      typedLit(planes.map(_.toSeq).toSeq), lit(scale))
+
   /** b-bit sign-random-projection bucket id: bit p is set iff
     * dot(plane_p, v) > 0. Signs are decided on exact double dot products, so
-    * both engines compute identical buckets.
+    * both engines compute identical buckets. The p dot products come from
+    * one [[planeDots]] pass (codegen subexpression elimination shares it
+    * across the p bit tests); a null vector yields all-null dots, every
+    * `when` falls to 0, bucket 0 — the composable form's behavior.
     */
-  def signBucket(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (w, p) =>
-      val planeLit = array(w.toIndexedSeq.map(lit): _*)
-      when(dot(vec, planeLit) > 0, lit(1L << p)).otherwise(lit(0L))
+  def signBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val dots = planeDots(vec, planes, 1.0)
+    planes.indices.map { p =>
+      when(element_at(dots, p + 1) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** Johnson–Lindenstrauss random projection to `outDims` dimensions with
     * the deterministic ±1 plane family of [[hyperplanes]] (an Achlioptas
     * sign matrix — a valid JL transform): component p of the output is
     * dot(v, plane_p) / √outDims. The cheap dimensionality-reduction step
     * before indexing or clustering a 100 TB embedding column: map-side
-    * only, zero shuffle, and deterministic across engines (±1 weights from
-    * md5, exact double dot products — no RNG to share).
+    * only, zero shuffle, one codegen'd [[planeDots]] pass per row, and
+    * deterministic across engines (±1 weights from md5, exact double dot
+    * products — no RNG to share).
     */
   def randomProject(df: DataFrame, idCol: String, vecCol: String,
                     outDims: Int, dim: Int = 64): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(df.sparkSession, "graft_matvec_dots")
     val hp = hyperplanes(outDims, dim)
     val scale = math.sqrt(outDims.toDouble)
-    val proj = array(hp.toSeq.map { w =>
-      dot(col("v"), array(w.toSeq.map(lit): _*)) / lit(scale)
-    }: _*)
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .select(col("id"), proj.as("proj"))
+      .select(col("id"), planeDots(col("v"), hp, scale).as("proj"))
   }
 
   /** Corpus with an LSH bucket column attached (vectors cast to double). */
   def annBuckets(df: DataFrame, idCol: String, vecCol: String,
                  planes: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(df.sparkSession, "graft_matvec_dots")
     val hp = hyperplanes(planes, dim)
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", signBucket(col("v"), hp))
