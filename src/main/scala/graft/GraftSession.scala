@@ -18,11 +18,12 @@ object GraftSession {
     * `cores` executor threads, AQE on so skewed shuffles re-plan at runtime
     * exactly as they would on a 1000-executor cluster.
     *
-    * `nanosAsLong`: the driver's `events.parquet` carries an INT64
-    * TIMESTAMP(NANOS) column which Spark 4.x rejects at scan time
-    * ([PARQUET_TYPE_ILLEGAL]) unless this legacy flag is set; with it the
-    * column surfaces as bigint (nanos since epoch), which no query reads
-    * as a timestamp.
+    * `nanosAsLong`: earlier fixture generations shipped `events.parquet`
+    * with an INT64 TIMESTAMP(NANOS) column which Spark 4.x rejects at scan
+    * time ([PARQUET_TYPE_ILLEGAL]) unless this legacy flag is set (the
+    * column then surfaces as bigint nanos). The current fixture carries a
+    * plain `timestamp[us]` column, for which the flag is a no-op; queries
+    * adapt to either surface via `SparkEntry.tsSec`.
     */
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
             appName: String = "graft"): SparkSession = {

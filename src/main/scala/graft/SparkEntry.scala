@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
@@ -22,6 +22,21 @@ object SparkEntry {
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q5_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  /** Epoch-seconds expression for the events `ts` column, tolerant of both
+    * fixture generations: the original INT64-nanos parquet (surfaced as
+    * bigint under `nanosAsLong` — integer `div` so no double rounding at
+    * 1.7e18) and the regenerated `timestamp[us]` (TIMESTAMP_NTZ, which the
+    * UTC session reinterprets value-preserving as TIMESTAMP before the
+    * floor-to-second long cast). Either way the result matches the DuckDB
+    * oracle's `epoch_us(ts) // 1000000` exactly.
+    */
+  private def tsSec(schema: StructType): Column =
+    schema("ts").dataType match {
+      case LongType => expr("ts div 1000000000")
+      case _        => col("ts").cast("timestamp").cast("long")
+    }
+  private def tsSec(df: DataFrame): Column = tsSec(df.schema)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -296,12 +311,12 @@ object SparkEntry {
     // Event-time tumbling windows (§2.7) in the correctness gate: daily
     // count + revenue per event type, through the library operator
     // (`Windowed.tumblingAgg` — the same code path the streaming tests
-    // exercise). The nanos ts column becomes a timestamp via integer `div`
-    // (a double division would lose precision at 1.7e18 nanos);
+    // exercise). The ts column floors to whole seconds via [[tsSec]];
     // window('1 day') aligns to epoch days under the UTC session.
     "q19_event_windows" -> ((s, dir) => {
-      val ev = Tables(s, dir).events
-        .select(timestamp_seconds(expr("ts div 1000000000")).as("t"),
+      val raw = Tables(s, dir).events
+      val ev = raw
+        .select(timestamp_seconds(tsSec(raw)).as("t"),
           col("event_type"), col("value"))
       Windowed.tumblingAgg(ev, "t", "event_type", "1 day", "1 hour",
           Seq(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total")))
@@ -337,8 +352,9 @@ object SparkEntry {
     // sessions with lag + a cumulative gap-count — the classic SQL islands
     // construction — proving session_window's merge semantics.
     "q22_sessions" -> ((s, dir) => {
-      val ev = Tables(s, dir).events
-        .select(timestamp_seconds(expr("ts div 1000000000")).as("t"),
+      val raw = Tables(s, dir).events
+      val ev = raw
+        .select(timestamp_seconds(tsSec(raw)).as("t"),
           col("user_id"), col("value"))
       Windowed.sessionize(ev, "t", "user_id", "24 hours", "1 hour",
           Seq(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total")))
@@ -411,9 +427,10 @@ object SparkEntry {
     // containment through the bucketed equi-join (RangeJoin — never a
     // nested-loop cross product), then aggregated per window.
     "q29_range_join" -> ((s, dir) => {
-      val e = Tables(s, dir).events
-        .select(col("user_id"), expr("ts div 1000000000").as("sec"),
-          timestamp_seconds(expr("ts div 1000000000")).as("t"),
+      val raw = Tables(s, dir).events
+      val e = raw
+        .select(col("user_id"), tsSec(raw).as("sec"),
+          timestamp_seconds(tsSec(raw)).as("t"),
           col("event_type"), col("value"))
       val incidents = e.filter(col("event_type") === "error")
         .groupBy(session_window(col("t"), "30 minutes").as("w"))
@@ -436,8 +453,9 @@ object SparkEntry {
     // DuckDB's native ASOF LEFT JOIN: two unrelated implementations, same
     // rows.
     "q28_asof_join" -> ((s, dir) => {
-      val e = Tables(s, dir).events
-        .select(col("user_id"), expr("ts div 1000000000").as("sec"),
+      val raw = Tables(s, dir).events
+      val e = raw
+        .select(col("user_id"), tsSec(raw).as("sec"),
           col("event_type"), col("value"))
       // value IS NOT NULL on the right side: a null payload means "absent"
       // to the carry-forward window but "match with null" to SQL ASOF —
@@ -699,10 +717,11 @@ object SparkEntry {
     // user's purchase sequence — integer-cents arithmetic end-to-end so
     // the running sums are exact and order-independent of float folding.
     "q49_seq_stats" -> ((s, dir) => {
-      val e = Tables(s, dir).events
+      val raw = Tables(s, dir).events
+      val e = raw
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"),
-          expr("ts div 1000000000").as("sec"), col("value"))
+          tsSec(raw).as("sec"), col("value"))
       Analytics.sequenceStats(e, "user_id", "sec", "event_id", "value",
           movK = 3)
         .orderBy("user_id", "sec", "event_id")
@@ -863,10 +882,11 @@ object SparkEntry {
     // bucket) window + carry-row boundary stitch must reproduce the plain
     // per-key window bit-for-bit — no task ever sorts a whole hot key.
     "q56_seq_stats_bucketed" -> ((s, dir) => {
-      val e = Tables(s, dir).events
+      val raw = Tables(s, dir).events
+      val e = raw
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"),
-          expr("ts div 1000000000").as("sec"), col("value"))
+          tsSec(raw).as("sec"), col("value"))
       Analytics.sequenceStatsBucketed(e, "user_id", "sec", "event_id",
           "value", movK = 3, bucketSeconds = 7L * 86400L)
         .orderBy("user_id", "sec", "event_id")
@@ -967,6 +987,62 @@ object SparkEntry {
           docs, en)
         .orderBy("doc_id")
     }),
+
+    // Deterministic GLOBAL SHUFFLE for training order: shard + position are
+    // pure functions of (seed, id), so the epoch permutation is
+    // reproducible across runs and engines. The gate hashes volume AND
+    // order per shard: max(pos) = n−1 proves positions are contiguous, and
+    // sum(pos·doc_id) is a permutation checksum — swapping ANY two
+    // documents' positions changes it.
+    "q69_shard_shuffle" -> ((s, dir) => {
+      Sampling.shuffleAssign(Tables(s, dir).documents, "doc_id",
+          numShards = 8, seed = 42L)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), max("pos").as("max_pos"),
+          sum("doc_id").as("id_sum"),
+          sum(col("pos") * col("doc_id")).as("ord_sum"))
+        .orderBy("shard")
+    }),
+
+    // Quality-threshold sweep: the docs/tokens surviving each candidate
+    // cutoff of the q58 quality score — the operating curve a curation run
+    // consults before committing a 100 TB filtering pass to one threshold.
+    "q70_threshold_sweep" -> ((s, dir) => {
+      Curation.thresholdSweep(Tables(s, dir).documents, "text",
+          TextAnalysis.qualityScore(col("text")),
+          thresholds = Seq(0.0, 0.2, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+        .orderBy("threshold")
+    }),
+
+    // Symmetric int8 embedding quantization + reconstruction-error audit,
+    // entirely in engine-portable arithmetic (floor-based rounding, exact
+    // nano-unit error integers) — the 4× storage cut an embedding store
+    // takes, with the loss it costs under the hash.
+    "q71_quantize_int8" -> ((s, dir) => {
+      Similarity.quantReport(Tables(s, dir).embeddings, "vec_id", "embedding")
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    }),
+
+    // Corpus snapshot diff (dataset versioning): a deterministic synthetic
+    // "re-crawl" of the fixture — ids ≡0 (mod 10) dropped, texts of ids
+    // ≡3 (mod 7) edited, ids ≡1 (mod 13) re-added under shifted ids — must
+    // classify as removed/changed/added/unchanged exactly. Fingerprints
+    // are content-based (md5 of normalized text), so a pure re-order of
+    // the snapshot diffs as all-unchanged.
+    "q72_corpus_diff" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val newSnap = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 3, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 1)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      Curation.corpusDiff(docs, newSnap, "doc_id", "text")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("id").as("id_sum"))
+        .orderBy("status")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -1000,11 +1076,11 @@ object SparkEntry {
       def src = child.readStream.schema(schema).parquet(s"$dir/events*.parquet")
       val views = src.filter(col("event_type") === "view")
         .select(col("user_id"), col("event_id").as("view_id"),
-          timestamp_seconds(expr("ts div 1000000000")).as("view_t"))
+          timestamp_seconds(tsSec(schema)).as("view_t"))
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"),
           col("event_id").as("purchase_id"),
-          timestamp_seconds(expr("ts div 1000000000")).as("purchase_t"),
+          timestamp_seconds(tsSec(schema)).as("purchase_t"),
           col("value"))
       val name = s"${tag}_sink_${StreamRunSeq.incrementAndGet()}"
       val ckpt = java.nio.file.Files.createTempDirectory(s"$tag-ckpt").toString
@@ -1288,9 +1364,9 @@ object SparkEntry {
         |FROM events WHERE event_type = 'click'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
-    // DuckDB reads the nanos parquet column as TIMESTAMP (micros); epoch_us
+    // DuckDB reads the parquet ts column as TIMESTAMP (micros); epoch_us
     // floors the same instant, so second-level floor equals Spark's
-    // `ts div 1e9` on the raw nanos.
+    // [[tsSec]] (timestamp → long floor cast under the UTC session).
     "q19_event_windows" ->
       """SELECT (epoch_us(ts) // 1000000) // 86400 * 86400 AS day_start,
         |       event_type, count(*) AS cnt, round(sum(value), 2) AS total
@@ -2060,6 +2136,100 @@ object SparkEntry {
         |       (tok_micro + prior_micro > 0) AS pred
         |FROM sc, prior
         |ORDER BY doc_id""".stripMargin,
+
+    // The permutation re-derived independently: same md5(seed:id) hash,
+    // same (hash, id) order, same mod-8 shard rule. ord_sum pins every
+    // document to its exact position.
+    "q69_shard_shuffle" ->
+      """WITH h AS (SELECT doc_id, md5('42:' || doc_id::VARCHAR) AS hx
+        |           FROM documents),
+        |a AS (SELECT doc_id, hx,
+        |             ('0x' || substr(hx, 1, 15))::BIGINT % 8 AS shard
+        |      FROM h),
+        |p AS (SELECT doc_id, shard,
+        |             row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+        |               - 1 AS pos
+        |      FROM a)
+        |SELECT shard, count(*) AS n_docs, max(pos) AS max_pos,
+        |       sum(doc_id)::BIGINT AS id_sum,
+        |       sum(pos * doc_id)::BIGINT AS ord_sum
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // q58's quality-score formula swept over a threshold list; zero-
+    // survivor thresholds still emit a row (LEFT JOIN + coalesce), exactly
+    // like the operator.
+    "q70_threshold_sweep" ->
+      """WITH q AS (SELECT
+        |    least(CAST(1.0 AS DOUBLE),
+        |          len(list_filter(string_split(text, ' '), w -> w <> '')) / CAST(100.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+        |    + (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))) * CAST(0.5 AS DOUBLE) AS score,
+        |    len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |t AS (SELECT unnest([0.0, 0.2, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])::DOUBLE AS threshold),
+        |k AS (SELECT threshold, count(*)::BIGINT AS n_docs,
+        |             sum(n_tokens)::BIGINT AS n_tokens
+        |      FROM q JOIN t ON q.score >= t.threshold GROUP BY threshold),
+        |tot AS (SELECT count(*)::BIGINT AS td, sum(n_tokens)::BIGINT AS tt
+        |        FROM q)
+        |SELECT t.threshold, coalesce(k.n_docs, 0)::BIGINT AS n_docs,
+        |       coalesce(k.n_tokens, 0)::BIGINT AS n_tokens,
+        |       round(coalesce(k.n_docs, 0) / td, 6) AS doc_frac,
+        |       round(coalesce(k.n_tokens, 0) / tt, 6) AS token_frac
+        |FROM t LEFT JOIN k USING (threshold), tot
+        |ORDER BY threshold""".stripMargin,
+
+    // Quantization re-derived element-by-element: same scale = max|x|/127,
+    // same floor(x/scale + 0.5) rule, same nano-unit error integers — all
+    // IEEE-exact ops, so the hash match proves bit-identical arithmetic.
+    "q71_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+        |      FROM v),
+        |q AS (SELECT vec_id, v, scale,
+        |        list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+        |          ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END) AS ql
+        |      FROM s),
+        |e AS (SELECT vec_id, v, scale, ql,
+        |        list_transform(v, (x, i) -> CASE WHEN scale = 0 THEN x
+        |          ELSE x - ql[i] * scale END) AS err
+        |      FROM q)
+        |SELECT vec_id, len(v)::BIGINT AS n_dims,
+        |       CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale_nano,
+        |       list_aggregate(ql, 'sum')::BIGINT AS q_sum,
+        |       list_aggregate(ql, 'min')::BIGINT AS q_min,
+        |       list_aggregate(ql, 'max')::BIGINT AS q_max,
+        |       list_aggregate(list_transform(err,
+        |         x -> CAST(floor(abs(x) * 1e9 + 0.5) AS BIGINT)), 'max')::BIGINT
+        |         AS max_err_nano,
+        |       list_aggregate(list_transform(list_transform(err,
+        |         x -> CAST(floor(abs(x) * 1e9 + 0.5) AS BIGINT)), n -> n * n),
+        |         'sum')::BIGINT AS sse_nano
+        |FROM e ORDER BY vec_id""".stripMargin,
+
+    // The synthetic re-crawl and the diff both re-derived: content
+    // comparison on md5(lower(trim(text))), classification by null-ness /
+    // fingerprint inequality over a FULL OUTER JOIN.
+    "q72_corpus_diff" ->
+      """WITH olds AS (SELECT doc_id AS id, md5(lower(trim(text))) AS ofp
+        |              FROM documents),
+        |news AS (
+        |  SELECT doc_id AS id,
+        |         md5(lower(trim(CASE WHEN doc_id % 7 = 3 THEN text || ' v2'
+        |                             ELSE text END))) AS nfp
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS id, md5(lower(trim(text))) AS nfp
+        |  FROM documents WHERE doc_id % 13 = 1),
+        |d AS (SELECT coalesce(olds.id, news.id) AS id,
+        |        CASE WHEN ofp IS NULL THEN 'added'
+        |             WHEN nfp IS NULL THEN 'removed'
+        |             WHEN ofp <> nfp THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM olds FULL OUTER JOIN news ON olds.id = news.id)
+        |SELECT status, count(*) AS n, sum(id)::BIGINT AS id_sum
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
   )
 
   /** DuckDB expression for the distinct HASHED word n-gram shingles of a

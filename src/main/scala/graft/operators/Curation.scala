@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -91,6 +91,80 @@ object Curation {
         expr(s"(__cum - n_tokens) div $seqLen").as("seq_first"),
         expr(s"(__cum - 1) div $seqLen").as("seq_last"),
         ((col("__cum") - col("n_tokens")) % seqLen).cast("long").as("seq_offset"))
+  }
+
+  /** Quality-THRESHOLD SWEEP: for each candidate threshold, the documents
+    * and tokens that would survive filtering at `score >= threshold`, plus
+    * their fraction of the corpus — the operating-curve a curation run
+    * consults to pick its cutoff (every threshold is a different
+    * quality-vs-token-budget trade, and choosing one blind wastes either
+    * compute or data). `score` is any column expression over the row
+    * (default shape: [[TextAnalysis.qualityScore]] at the call site).
+    *
+    * Thresholds with no surviving documents still get a row (zeros) — a
+    * curve with silently missing points misreads as a smaller sweep.
+    *
+    * Scale shape: ONE corpus pass computes (score, n_tokens) per document
+    * map-side; each row then expands to its ≤|thresholds| surviving sweep
+    * points against the broadcast threshold list, and partial aggregation
+    * collapses the expansion before the only shuffle — what reaches the
+    * exchange is |thresholds| × mapPartitions rows, never corpus ×
+    * |thresholds|. Corpus totals for the fractions are a broadcast 1-row
+    * frame (the q57 pattern), not a driver scalar.
+    */
+  def thresholdSweep(df: DataFrame, textCol: String, score: Column,
+                     thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    require(thresholds.distinct.size == thresholds.size,
+      "thresholds must be distinct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val th = thresholds.toDF("threshold")
+    val scored = df.select(score.cast("double").as("score"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val kept = scored
+      .crossJoin(broadcast(th))
+      .filter(col("score") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val totals = broadcast(scored.agg(
+      count(lit(1)).as("__tot_docs"),
+      sum("n_tokens").as("__tot_tokens")))
+    broadcast(th).join(kept, Seq("threshold"), "left")
+      .crossJoin(totals)
+      .select(col("threshold"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("n_docs"), lit(0L)) / col("__tot_docs"), 6)
+          .as("doc_frac"),
+        round(coalesce(col("n_tokens"), lit(0L)) / col("__tot_tokens"), 6)
+          .as("token_frac"))
+  }
+
+  /** CORPUS DIFF between two snapshots of a document set — the dataset
+    * versioning primitive: which ids were added, removed, changed
+    * (content fingerprint moved), or are unchanged. A 100 TB pipeline
+    * re-ingests crawls incrementally; diffing snapshots is how it audits
+    * what a re-crawl actually changed before re-spending dedup/curation
+    * compute downstream (and [[Dedup.minHashAgainst]] is the "re-dedup
+    * only the changed slice" follow-up).
+    *
+    * One full outer join on the id; content comparison is on
+    * [[TextAnalysis.fingerprint]] (normalized md5), computed map-side on
+    * each side — text never crosses the exchange, only (id, fingerprint).
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as("old_fp"))
+    val n = newDf.select(col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as("new_fp"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged").as("status"))
   }
 
   /** Token-yield accounting over [[curate]]: per split, how many documents

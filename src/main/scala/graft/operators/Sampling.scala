@@ -185,6 +185,50 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Deterministic GLOBAL SHUFFLE for training order: every row gets a
+    * `shard` in [0, numShards) and a 0-based `pos` within its shard, both
+    * pure functions of (seed, id) — the reproducible permutation a
+    * training run reads. Shuffling before sharding is what breaks
+    * source/crawl locality (a sequential reader of shard files sees an
+    * i.i.d.-looking document stream instead of a million consecutive pages
+    * from one domain); making it a hash of (seed, id) instead of an RNG
+    * makes the epoch order REPRODUCIBLE — rerunning the pipeline, or
+    * re-materializing one lost shard, yields byte-identical order, and a
+    * new seed is a fresh permutation.
+    *
+    * Both shard and order derive from one md5: `h = md5(seed ":" id)`;
+    * shard = first-60-bits(h) mod numShards, order = (h, id) ascending.
+    * Conditioned on the shard assignment the hash is still uniform, so
+    * within-shard order carries no residual structure.
+    *
+    * Scale: assignment is map-side; the rank is one per-shard window sort.
+    * A permutation must be materialized somewhere — the sort IS the
+    * product — and md5 shard keys are uniform by construction, so no
+    * shard ever hot-spots. The write path ([[graft.sinks.Sinks.writeShuffled]])
+    * skips the window entirely: it clusters by shard and sorts within
+    * partitions, so file row-order realizes `pos` without computing it.
+    */
+  def shuffleAssign(df: DataFrame, idCol: String, numShards: Int,
+                    seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val h = shuffleHash(col(idCol), seed)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    df.withColumn("__h", h)
+      .withColumn("shard",
+        (conv(substring(col("__h"), 1, 15), 16, 10).cast("long")
+          % numShards).cast("long"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__h")
+  }
+
+  /** The permutation hash of [[shuffleAssign]] — shared with the write
+    * path so assignment and file order agree.
+    */
+  private[graft] def shuffleHash(id: Column, seed: Long): Column =
+    md5(concat(lit(seed.toString), lit(":"), id.cast("string")))
+
   /** [[quantileProfile]] with `approx_percentile` (KLL-style sketch,
     * `accuracy` controls error vs memory): constant per-group state, the
     * form to use when the value column has unbounded cardinality. Not

@@ -455,4 +455,61 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
+
+  /** Symmetric INT8 quantization of an embedding column — the 4× storage /
+    * bandwidth cut an embedding store applies before similarity search at
+    * 100 TB (the vectors, not the text, dominate an embedded corpus's
+    * bytes). Per vector: `scale = max(|x|)/127`, `q_i = ⌊x_i/scale + 0.5⌋`
+    * (round-half-up — `floor` is IEEE-exact in every engine, unlike
+    * `round(double)`, whose half-boundary is engine-divergent; see
+    * [[meanPool]]), stored as `array<tinyint>`. `|q_i| ≤ 127` holds by
+    * construction: `|x_i| ≤ max|x|` means `x_i/scale` can exceed 127 only
+    * by one ulp of rounding, far below the +0.5 needed to reach 128. A
+    * zero vector (scale 0) quantizes to zeros rather than dividing by
+    * zero.
+    *
+    * Map-side only — per-row lambdas over the vector's own elements, zero
+    * shuffle at any scale. Output: (id, v, scale, qvec); [[quantReport]]
+    * is the companion error audit.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+      .withColumn("qvec",
+        transform(col("v"), x =>
+          when(col("scale") === lit(0.0), lit(0L))
+            .otherwise(floor(x / col("scale") + lit(0.5))))
+          .cast("array<tinyint>"))
+
+  /** Reconstruction-error audit of [[quantizeInt8]]: per vector, the
+    * quantized checksums (sum/min/max of q) and the dequantization error
+    * `x_i − q_i·scale` in exact integer NANO-units (`⌊|err|·1e9 + 0.5⌋` —
+    * the same engine-portable floor idiom), so the whole report is
+    * hash-comparable across engines with no float folding anywhere.
+    * `sse_nano` sums squared nano-errors: |err| ≤ scale/2, so for unit-ish
+    * embeddings err_nano < 10⁷ and 4096 dims stay far under Long overflow.
+    *
+    * Map-side only (one row out per row in); what a pipeline monitors to
+    * decide whether int8 is lossy enough to hurt downstream recall.
+    */
+  def quantReport(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val errNano = (e: Column) => floor(abs(e) * lit(1e9) + lit(0.5))
+    quantizeInt8(df, idCol, vecCol)
+      .withColumn("ql", col("qvec").cast("array<long>"))
+      .withColumn("err",
+        zip_with(col("v"), col("ql"), (x, q) =>
+          when(col("scale") === lit(0.0), x)
+            .otherwise(x - q * col("scale"))))
+      .select(col("id"),
+        size(col("v")).cast("long").as("n_dims"),
+        floor(col("scale") * lit(1e9) + lit(0.5)).as("scale_nano"),
+        aggregate(col("ql"), lit(0L), (acc, q) => acc + q).as("q_sum"),
+        array_min(col("ql")).as("q_min"),
+        array_max(col("ql")).as("q_max"),
+        array_max(transform(col("err"), errNano)).as("max_err_nano"),
+        aggregate(transform(col("err"), e => {
+          val n = errNano(e); n * n
+        }), lit(0L), (acc, x) => acc + x).as("sse_nano"))
+  }
 }

@@ -55,6 +55,39 @@ object Sinks {
       .mode("overwrite")
       .parquet(path)
 
+  /** Materialize a deterministic training-order shuffle
+    * ([[graft.operators.Sampling.shuffleAssign]]) WITHOUT the per-shard
+    * rank window: cluster rows by shard (one exchange), sort each task's
+    * rows by the same permutation hash, and write hive-partitioned by
+    * `shard` — the parquet row order inside each shard directory IS the
+    * `pos` order, so a sequential reader of shard files replays the exact
+    * permutation and no rank was ever computed. This is the 100 TB path:
+    * the only cost above a plain write is one clustering exchange on a
+    * uniform md5-derived key (no skew possible) plus the within-task sort.
+    *
+    * `repartition(numShards, col("shard"))` hash-clusters shards into
+    * tasks (a task may hold several shards — `partitionBy` still splits
+    * them into their own directories, and `sortWithinPartitions(shard, h)`
+    * keeps each directory's rows in permutation order).
+    */
+  def writeShuffled(df: DataFrame, idCol: String, numShards: Int, seed: Long,
+                    path: String, maxRecordsPerFile: Long = 1000000L): Unit = {
+    val assigned = df
+      .withColumn("__h", graft.operators.Sampling.shuffleHash(col(idCol), seed))
+      .withColumn("shard",
+        (conv(substring(col("__h"), 1, 15), 16, 10).cast("long")
+          % numShards).cast("long"))
+    assigned
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
+      .drop("__h")
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .mode("overwrite")
+      .parquet(path)
+  }
+
   /** K3 (`bolt/bolt.go:522-541`): the nasalog report — per host, a
     * `host:count` header line, each distinct route on its own line, then a
     * `===` separator; hosts sorted, routes sorted within a host.

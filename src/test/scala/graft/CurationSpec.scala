@@ -95,6 +95,43 @@ class CurationSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("thresholdSweep: exact counts, monotone, zero-survivor rows present") {
+    val docs = Seq((0L, "a b c"), (1L, "a a a a"), (2L, "x y z w v"))
+      .toDF("doc_id", "text")
+    // score = doc_id/10 (0.0, 0.1, 0.2): hand-checkable survivors
+    val out = Curation.thresholdSweep(docs, "text",
+        col("doc_id").cast("double") / 10.0, Seq(0.0, 0.15, 5.0))
+      .orderBy("threshold").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0.0, 3L, 12L),   // all docs, 3+4+5 tokens
+      (0.15, 1L, 5L),   // only doc 2
+      (5.0, 0L, 0L)))   // nobody — but the curve point still exists
+    val fracs = Curation.thresholdSweep(docs, "text",
+        col("doc_id").cast("double") / 10.0, Seq(0.0, 5.0))
+      .orderBy("threshold").collect()
+      .map(r => (r.getDouble(3), r.getDouble(4)))
+    assert(fracs.toSeq == Seq((1.0, 1.0), (0.0, 0.0)))
+  }
+
+  test("corpusDiff: added/removed/changed/unchanged; normalization-invariant") {
+    val oldDf = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("doc_id", "text")
+    val newDf = Seq((2L, "  Two "), (3L, "trois"), (4L, "four"))
+      .toDF("doc_id", "text")
+    val got = Curation.corpusDiff(oldDf, newDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 2 survives as unchanged: fingerprint is md5(lower(trim)) — case and
+    // padding are not content changes
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    // a pure re-order of the same snapshot diffs as all-unchanged
+    val self = Curation.corpusDiff(oldDf,
+        oldDf.repartition(5).orderBy(col("doc_id").desc), "doc_id", "text")
+      .collect().map(_.getString(1))
+    assert(self.forall(_ == "unchanged"))
+  }
+
   test("tokenYield matches aggregating the curated frame") {
     val cur = Curation.curate(corpus, "doc_id", "text", "source", 5, minTokens = 5)
     val expect = cur.groupBy("split")

@@ -171,6 +171,36 @@ class SamplingSpec extends SparkTestBase {
     assert(ids == Set(0L)) // empty doc 1 dropped, group x zeroed out
   }
 
+  test("shuffleAssign: contiguous positions, exhaustive, repartition-invariant") {
+    val out = Sampling.shuffleAssign(ids, "id", numShards = 4, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every id appears once; shards partition the id space
+    assert(out.map(_._1).toSet == (0L until 2000L).toSet)
+    // positions within each shard are exactly 0..n-1 (a permutation, no
+    // gaps and no duplicates)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).toSet == (0L until rows.length).toSet,
+        s"shard $shard positions not contiguous")
+    }
+    // md5 shards are roughly even at n=2000
+    val sizes = out.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.values.forall(n => n > 350 && n < 650), sizes.toMap.toString)
+    // pure function of (seed, id): partitioning and input order are irrelevant
+    val again = Sampling.shuffleAssign(
+        ids.repartition(13).orderBy(col("id").desc), "id", 4, 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("shuffleAssign: a new seed is a genuinely different permutation") {
+    val a = Sampling.shuffleAssign(ids, "id", 4, seed = 7L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = Sampling.shuffleAssign(ids, "id", 4, seed = 8L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // not a proof, but 2000 ids all landing identically would be ~impossible
+    assert(a != b)
+  }
+
   test("exact quantile profile: hand-computed interpolation, approx within tolerance") {
     // group a: values 1..5 -> p50 = 3.0, p75 = 0.75*(5-1)=rank 3 -> 4.0
     //          p25 = rank 1 -> 2.0, p90 = rank 3.6 -> 4.6

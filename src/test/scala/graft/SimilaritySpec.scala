@@ -465,3 +465,61 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows(0).size_bytes == 100L)
   }
 }
+
+/** Int8 embedding quantization: the engine-portable floor-rounding rule,
+  * storage type, and error bounds.
+  */
+class QuantizeSpec extends SparkTestBase {
+  import TestSpark.spark.implicits._
+  import graft.operators.Similarity
+
+  test("quantizeInt8: tinyint storage, |q| bound, zero vector, max element pins ±127") {
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(-2.0f, 2.0f, 0.3f, -1.1f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+    // the artifact really is int8: array<tinyint> in the schema
+    assert(out.schema("qvec").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, true))
+    val rows = out.collect().map { r =>
+      r.getLong(0) -> (r.getDouble(2), r.getSeq[Byte](3))
+    }.toMap
+    // every component within int8 range; the max-|x| element hits ±127
+    rows.values.foreach { case (_, q) =>
+      assert(q.forall(b => b >= -127 && b <= 127), q.toString) }
+    assert(rows(1L)._2.head == 127)      // 1.0 is vec 1's max abs
+    assert(rows(3L)._2(1) == 127)        // +2.0
+    assert(rows(3L)._2.head == -127)     // -2.0
+    // zero vector: scale 0, all-zero q, no division blow-up
+    assert(rows(2L)._1 == 0.0 && rows(2L)._2.forall(_ == 0))
+  }
+
+  test("quantizeInt8 round-trip error is bounded by scale/2") {
+    val df = Seq(
+      (1L, Array.tabulate(64)(i => ((i * 31 % 17) - 8) / 9.0f)),
+      (2L, Array.tabulate(64)(i => math.sin(i + 1).toFloat))).toDF("vec_id", "embedding")
+    Similarity.quantizeInt8(df, "vec_id", "embedding").collect().foreach { r =>
+      val v = r.getSeq[Double](1); val scale = r.getDouble(2)
+      val q = r.getSeq[Byte](3)
+      v.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(x - qi * scale) <= scale / 2 * (1 + 1e-9),
+          s"x=$x q=$qi scale=$scale") }
+    }
+  }
+
+  test("quantReport: error stats are exact integers, zero vector reports zero error") {
+    val df = Seq(
+      (1L, Array(0.5f, -0.25f, 0.125f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val rep = Similarity.quantReport(df, "vec_id", "embedding")
+      .orderBy("id").collect()
+    assert(rep(0).getLong(1) == 3L)                  // n_dims
+    assert(rep(1).getLong(3) == 0L)                  // zero vec: q_sum 0
+    assert(rep(1).getLong(6) == 0L)                  // max_err_nano 0
+    assert(rep(1).getLong(7) == 0L)                  // sse_nano 0
+    // -0.25 is exactly representable: q = -63.5 -> -63, err nonzero
+    assert(rep(0).getLong(6) > 0L)
+  }
+}

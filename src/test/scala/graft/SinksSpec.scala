@@ -61,6 +61,31 @@ class SinksSpec extends SparkTestBase {
     assert(pruned.count() == 2)
   }
 
+  test("writeShuffled: per-shard file row order realizes shuffleAssign's permutation") {
+    import graft.operators.Sampling
+    val df = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = tmp("shards")
+    Sinks.writeShuffled(df, "doc_id", numShards = 4, seed = 42L, out)
+    val expect = Sampling.shuffleAssign(df, "doc_id", 4, 42L)
+      .orderBy("shard", "pos").collect()
+      .map(r => (r.getLong(r.fieldIndex("shard")),
+        r.getLong(r.fieldIndex("doc_id")))).toSeq
+    // read each shard directory's part files in name order; parquet row
+    // order within a small file is scan order — the written permutation
+    val got = (0 until 4).flatMap { s =>
+      val dir = Paths.get(out, s"shard=$s")
+      assert(Files.isDirectory(dir), s"missing shard dir $dir")
+      Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .toSeq.sortBy(_.getFileName.toString)
+        .flatMap { p =>
+          TestSpark.spark.read.parquet(p.toString)
+            .select("doc_id").collect().map(_.getLong(0))
+        }.map(id => (s.toLong, id))
+    }
+    assert(got == expect)
+  }
+
   test("K3 host report: header, sorted routes, === separator, hosts sorted") {
     val out = tmp("k3")
     val perHost = Seq(
