@@ -1030,6 +1030,17 @@ object SparkEntry {
     // classify as removed/changed/added/unchanged exactly. Fingerprints
     // are content-based (md5 of normalized text), so a pure re-order of
     // the snapshot diffs as all-unchanged.
+    // Content-defined chunking: rolling-hash boundaries (trailing 3-gram
+    // ≡ 0 mod 16) partition every document into shift-robust chunks — the
+    // substring-dedup primitive that survives insertions, where q55's
+    // fixed-stride spans do not. Every chunk's position, size, and content
+    // fingerprint under the hash.
+    "q73_cdc_chunks" -> ((s, dir) => {
+      TextAnalysis.cdcChunks(Tables(s, dir).documents, "doc_id", "text",
+          width = 3, divisor = 16)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "q72_corpus_diff" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       val newSnap = docs.filter(col("doc_id") % 10 =!= 0)
@@ -2207,6 +2218,31 @@ object SparkEntry {
         |         x -> CAST(floor(abs(x) * 1e9 + 0.5) AS BIGINT)), n -> n * n),
         |         'sum')::BIGINT AS sse_nano
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    // CDC re-derived: same trailing-3-gram boundary rule, same
+    // strictly-before cumulative chunk numbering, same ordered reassembly
+    // under md5.
+    "q73_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), w -> w <> '') AS t
+        |           FROM documents
+        |           WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) >= 1),
+        |p AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM t),
+        |f AS (SELECT doc_id, p, t[p] AS tok,
+        |        CASE WHEN p >= 3 THEN
+        |          ('0x' || substr(md5(t[p-2] || '_' || t[p-1] || '_' || t[p]), 1, 15))::BIGINT % 16 = 0
+        |        ELSE false END AS b
+        |      FROM p),
+        |c AS (SELECT doc_id, p, tok,
+        |        coalesce(sum(CASE WHEN b THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY p
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |          0)::BIGINT AS chunk_idx
+        |      FROM f)
+        |SELECT doc_id, chunk_idx, min(p)::BIGINT AS start_tok,
+        |       count(*) AS n_tokens, md5(string_agg(tok, ' ' ORDER BY p)) AS fp
+        |FROM c GROUP BY doc_id, chunk_idx
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // The synthetic re-crawl and the diff both re-derived: content
     // comparison on md5(lower(trim(text))), classification by null-ness /

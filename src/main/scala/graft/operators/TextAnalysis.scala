@@ -319,6 +319,66 @@ object TextAnalysis {
         round(col("kl_micro_sum") / 1e6 / col("n_tokens"), 6).as("kl_nats"))
   }
 
+  /** CONTENT-DEFINED chunking (CDC — the rolling-hash boundary rule of
+    * LBFS/rsync applied at token granularity): a chunk boundary falls at
+    * every position whose trailing `width`-gram hashes to
+    * `0 (mod divisor)`. Unlike [[chunkByTokens]]'s fixed stride, boundaries
+    * are a pure function of LOCAL content, so inserting or deleting text
+    * re-synchronizes within ~`width` tokens and the chunks of the
+    * unchanged region keep their exact fingerprints — the property that
+    * lets substring-level dedup catch SHIFTED duplicates (a fixed-stride
+    * span that slides by one token changes every fingerprint downstream
+    * of the edit; a CDC chunk does not). Expected chunk length is
+    * `divisor` tokens (geometric); `width` trades boundary locality
+    * against collision structure.
+    *
+    * Output: (doc_id, chunk_idx, start_tok, n_tokens, fp) — fp is the md5
+    * of the space-joined chunk, the key a downstream [[duplicateSpans]]-
+    * style aggregate or semi-join removes on. Chunks partition the
+    * document's tokens exactly (no overlap, no gaps); the token AT a
+    * boundary position ends its chunk.
+    *
+    * Scale shape: the per-position gram hash is a map-side explode
+    * (fan-out = tokens, each gram built by `width` codegen'd element_at
+    * calls — no corpus HOF); chunk numbering is ONE per-doc cumulative
+    * window (bounded by document length, the same per-key contract as the
+    * analytic windows); the chunk assembly is one (doc, chunk) aggregate
+    * whose state is chunk-length-bounded.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                width: Int = 3, divisor: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(width >= 1, s"width must be >= 1: $width")
+    require(divisor >= 1, s"divisor must be >= 1: $divisor")
+    val toks = df.select(col(idCol).as("doc_id"),
+        filter(tokens(col(textCol)), t => t =!= "").as("t"))
+      .filter(size(col("t")) >= 1)
+    val gram = concat_ws("_",
+      (width - 1 to 0 by -1).map(j => element_at(col("t"), col("p") - j)): _*)
+    val flagged = toks
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")))).as("p"))
+      .select(col("doc_id"), col("p"),
+        element_at(col("t"), col("p")).as("tok"),
+        // when(), not &&: the gram must only be BUILT where p >= width
+        // (element_at at index <= 0 raises)
+        when(col("p") >= width,
+          conv(substring(md5(gram), 1, 15), 16, 10).cast("long")
+            % divisor === 0)
+          .otherwise(lit(false)).as("b"))
+    val w = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    flagged
+      .withColumn("chunk_idx",
+        coalesce(sum(when(col("b"), 1L).otherwise(0L)).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(min("p").cast("long").as("start_tok"),
+        count(lit(1)).as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            x => x.getField("tok")), " ")).as("fp"))
+  }
+
   /** Duplicated-span detection (the substring-level dedup signal of Lee et
     * al. 2022, "Deduplicating Training Data Makes Language Models Better",
     * approximated at window granularity): hash every `window`-token span

@@ -359,4 +359,58 @@ class TextAnalysisSpec extends SparkTestBase {
       train, en).orderBy("doc_id").collect().toSeq
     assert(streamed == batch && batch.length == 3)
   }
+
+  test("cdcChunks: chunks partition the tokens exactly, in order") {
+    val text = (1 to 200).map(i => s"w${i % 37}x$i").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val out = TextAnalysis.cdcChunks(docs, "doc_id", "text",
+        width = 3, divisor = 8)
+      .orderBy("chunk_idx").collect()
+    // conservation: chunk sizes sum to the token count, indices contiguous,
+    // each chunk starts right after the previous one ends
+    assert(out.map(_.getLong(3)).sum == 200L)
+    assert(out.map(_.getLong(1)).toSeq == out.indices.map(_.toLong))
+    val bounds = out.map(r => (r.getLong(2), r.getLong(3)))
+    bounds.sliding(2).foreach {
+      case Array((s1, n1), (s2, _)) => assert(s2 == s1 + n1)
+      case _ =>
+    }
+    assert(bounds.head._1 == 1L)
+    // divisor ~ mean chunk length: 200 tokens / divisor 8 should produce
+    // many chunks, not one
+    assert(out.length > 5, s"suspiciously few chunks: ${out.length}")
+  }
+
+  test("cdcChunks re-synchronizes after an insertion; fixed-stride spans do not") {
+    val base = (1 to 300).map(i => s"tok${i * 17 % 101}v$i").mkString(" ")
+    val shifted = "inserted preamble goes here " + base
+    val docs = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    def fps(d: org.apache.spark.sql.DataFrame, id: Long): Set[String] =
+      TextAnalysis.cdcChunks(d, "doc_id", "text", width = 3, divisor = 8)
+        .filter(col("doc_id") === id).collect().map(_.getString(4)).toSet
+    val sharedCdc = fps(docs, 1L) intersect fps(docs, 2L)
+    // CDC: boundaries re-synchronize a few tokens after the edit, so the
+    // bulk of the unchanged region keeps its exact chunk fingerprints
+    assert(sharedCdc.size >= 10, s"CDC shared only ${sharedCdc.size} chunks")
+    // fixed-stride comparison: the 4-token shift slides every window, so
+    // (partial tail aside) no span fingerprint survives
+    def spanFps(id: Long): Set[String] =
+      TextAnalysis.chunkByTokens(docs.filter(col("doc_id") === id),
+          "doc_id", "text", chunkSize = 8, overlap = 0)
+        .collect().map(r => r.getString(4)).toSet
+    val sharedFixed = spanFps(1L) intersect spanFps(2L)
+    assert(sharedFixed.size <= 1, s"fixed stride unexpectedly shared ${sharedFixed.size}")
+    assert(sharedCdc.size > 10 * (sharedFixed.size + 1))
+  }
+
+  test("cdcChunks is deterministic under repartitioning") {
+    val docs = (0L until 40L)
+      .map(i => (i, (1 to 60).map(j => s"t${(i * 31 + j * 7) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.cdcChunks(docs, "doc_id", "text")
+      .orderBy("doc_id", "chunk_idx").collect().toSeq
+    val b = TextAnalysis.cdcChunks(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id", "chunk_idx").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
