@@ -1041,6 +1041,16 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Shift-robust substring dedup end-to-end: q64's keep-first rule over
+    // CDC chunks — boilerplate at different offsets per document still
+    // collapses. Per-doc chunk counts + surviving tokens + reassembled-text
+    // md5 under the hash.
+    "q74_cdc_dedup" -> ((s, dir) => {
+      TextAnalysis.cdcDedup(Tables(s, dir).documents, "doc_id", "text",
+          width = 3, divisor = 16)
+        .orderBy("doc_id")
+    }),
+
     "q72_corpus_diff" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       val newSnap = docs.filter(col("doc_id") % 10 =!= 0)
@@ -2243,6 +2253,44 @@ object SparkEntry {
         |       count(*) AS n_tokens, md5(string_agg(tok, ' ' ORDER BY p)) AS fp
         |FROM c GROUP BY doc_id, chunk_idx
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // q73's chunk CTEs + q64's keep-first window + ordered reassembly; a
+    // fully-deduplicated doc keeps its row via the LEFT JOIN + coalesce.
+    "q74_cdc_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), w -> w <> '') AS t
+        |           FROM documents
+        |           WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) >= 1),
+        |p AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM t),
+        |f AS (SELECT doc_id, p, t[p] AS tok,
+        |        CASE WHEN p >= 3 THEN
+        |          ('0x' || substr(md5(t[p-2] || '_' || t[p-1] || '_' || t[p]), 1, 15))::BIGINT % 16 = 0
+        |        ELSE false END AS b
+        |      FROM p),
+        |c AS (SELECT doc_id, p, tok,
+        |        coalesce(sum(CASE WHEN b THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY p
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |          0)::BIGINT AS chunk_idx
+        |      FROM f),
+        |ch AS (SELECT doc_id, chunk_idx, count(*)::BIGINT AS n_tokens,
+        |              string_agg(tok, ' ' ORDER BY p) AS chunk
+        |       FROM c GROUP BY doc_id, chunk_idx),
+        |k AS (SELECT doc_id, chunk_idx, n_tokens, chunk,
+        |        row_number() OVER (PARTITION BY md5(chunk)
+        |                           ORDER BY doc_id, chunk_idx) AS rk
+        |      FROM ch),
+        |reb AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+        |               sum(n_tokens)::BIGINT AS kept_toks,
+        |               md5(string_agg(chunk, ' ' ORDER BY chunk_idx)) AS kept_fp
+        |        FROM k WHERE rk = 1 GROUP BY doc_id),
+        |al AS (SELECT doc_id, count(*)::BIGINT AS n_chunks FROM ch GROUP BY doc_id)
+        |SELECT al.doc_id, al.n_chunks,
+        |       coalesce(reb.n_kept, 0)::BIGINT AS n_kept,
+        |       coalesce(reb.kept_toks, 0)::BIGINT AS kept_toks,
+        |       coalesce(reb.kept_fp, md5('')) AS kept_fp
+        |FROM al LEFT JOIN reb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // The synthetic re-crawl and the diff both re-derived: content
     // comparison on md5(lower(trim(text))), classification by null-ness /

@@ -346,7 +346,17 @@ object TextAnalysis {
     * whose state is chunk-length-bounded.
     */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
-                width: Int = 3, divisor: Int = 16): DataFrame = {
+                width: Int = 3, divisor: Int = 16): DataFrame =
+    cdcChunksRaw(df, idCol, textCol, width, divisor)
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("n_tokens"), md5(col("chunk")).as("fp"))
+
+  /** [[cdcChunks]] with the chunk TEXT still attached — the internal frame
+    * [[cdcDedup]] reassembles from (the public form carries only the md5,
+    * so a fingerprint-level consumer never shuffles text).
+    */
+  private def cdcChunksRaw(df: DataFrame, idCol: String, textCol: String,
+                           width: Int, divisor: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(width >= 1, s"width must be >= 1: $width")
     require(divisor >= 1, s"divisor must be >= 1: $divisor")
@@ -374,9 +384,54 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("chunk_idx"))
       .agg(min("p").cast("long").as("start_tok"),
         count(lit(1)).as("n_tokens"),
-        md5(array_join(
+        array_join(
           transform(array_sort(collect_list(struct(col("p"), col("tok")))),
-            x => x.getField("tok")), " ")).as("fp"))
+            x => x.getField("tok")), " ").as("chunk"))
+  }
+
+  /** SHIFT-ROBUST substring-level dedup: [[Dedup.paragraphDedup]]'s
+    * keep-first-occurrence rule applied to [[cdcChunks]]'s content-defined
+    * chunks instead of fixed windows — so boilerplate that appears at a
+    * DIFFERENT token offset in every document (the common case: headers
+    * after varying titles, licenses after varying preambles) still
+    * produces identical chunk fingerprints and still deduplicates, where
+    * fixed-window paragraph hashing sees unique windows everywhere. Every
+    * repeated chunk keeps only its globally-first (doc, position)
+    * occurrence; output per document: chunk counts, surviving token count,
+    * and the md5 of the reassembled surviving text (a fully-deduplicated
+    * document keeps its row with `n_kept = 0`).
+    *
+    * Scale shape: q64's exactly — the keep/drop decision aggregates the
+    * skinny (md5, doc, idx) frame with a map-side-combinable `min(struct)`
+    * (a billion-fold repeated chunk reduces to one row per input
+    * partition before the exchange); chunk text shuffles only on uniform
+    * (hash, doc, idx) / doc keys.
+    */
+  def cdcDedup(df: DataFrame, idCol: String, textCol: String,
+               width: Int = 3, divisor: Int = 16): DataFrame = {
+    val chunks = CacheScope.persisted(
+      cdcChunksRaw(df, idCol, textCol, width, divisor)
+        .withColumn("h", md5(col("chunk"))))
+    val winners = chunks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
+      .select(col("h").as("wh"), col("w.doc_id").as("w_doc"),
+        col("w.chunk_idx").as("w_idx"))
+    val kept = chunks.join(winners,
+      chunks("h") === col("wh") && chunks("doc_id") === col("w_doc") &&
+        chunks("chunk_idx") === col("w_idx"))
+    val rebuilt = kept
+      .groupBy(chunks("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).cast("long").as("kept_toks"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          p => p("chunk")), " ")).as("kept_fp"))
+    chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_toks"), lit(0L)).as("kept_toks"),
+        coalesce(col("kept_fp"), md5(lit(""))).as("kept_fp"))
   }
 
   /** Duplicated-span detection (the substring-level dedup signal of Lee et

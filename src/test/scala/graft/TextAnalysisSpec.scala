@@ -403,6 +403,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(sharedCdc.size > 10 * (sharedFixed.size + 1))
   }
 
+  test("cdcDedup: shifted boilerplate collapses; unique docs survive whole; dup doc keeps its row") {
+    val boiler = (1 to 120).map(i => s"lic${i * 13 % 53}w$i").mkString(" ")
+    val docs = Seq(
+      (1L, boiler),                               // first occurrence: keeps
+      (2L, "totally different preamble here " + boiler), // shifted copy
+      (3L, (1 to 80).map(i => s"uniq$i").mkString(" ")),  // unique content
+      (4L, boiler)                                // exact copy: fully deduped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.cdcDedup(docs, "doc_id", "text",
+        width = 3, divisor = 8)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: everything kept (it is the first occurrence)
+    assert(out(1L)._1 == out(1L)._2 && out(1L)._3 == 120L, out(1L).toString)
+    // doc 2: the shifted boilerplate mostly collapses — far fewer than
+    // 124 tokens survive (preamble + the pre-resync head of the boiler)
+    assert(out(2L)._3 < 40L, s"doc2 kept ${out(2L)._3} of 124 tokens")
+    // doc 3: unique content survives whole
+    assert(out(3L)._1 == out(3L)._2 && out(3L)._3 == 80L)
+    // doc 4: exact copy is fully deduplicated but KEEPS its row
+    assert(out(4L)._2 == 0L && out(4L)._3 == 0L)
+  }
+
   test("cdcChunks is deterministic under repartitioning") {
     val docs = (0L until 40L)
       .map(i => (i, (1 to 60).map(j => s"t${(i * 31 + j * 7) % 97}").mkString(" ")))
