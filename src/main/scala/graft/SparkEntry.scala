@@ -1051,6 +1051,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Target-share mix: solve per-source keep rates so the sample hits a
+    // 50/30/20 token mix (no upsampling — the binding source keeps all),
+    // membership decided by the deterministic md5 unit. Gate hashes exact
+    // per-source membership + the solved rate in micro-units.
+    "q75_target_mix" -> ((s, dir) => {
+      Sampling.mixToTarget(Tables(s, dir).documents, "doc_id", "text",
+          "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("n_tokens"),
+          sum("doc_id").as("id_sum"),
+          floor(min("rate") * 1e6 + lit(0.5)).as("rate_micro"))
+        .orderBy("source")
+    }),
+
     "q72_corpus_diff" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       val newSnap = docs.filter(col("doc_id") % 10 =!= 0)
@@ -2253,6 +2268,29 @@ object SparkEntry {
         |       count(*) AS n_tokens, md5(string_agg(tok, ' ' ORDER BY p)) AS fp
         |FROM c GROUP BY doc_id, chunk_idx
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // The mix solve re-derived: same cap = min(tok/share), same clamped
+    // rate expression (identical IEEE op order), same md5-unit membership.
+    "q75_target_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS ntok
+        |           FROM documents),
+        |g AS (SELECT source, sum(ntok)::BIGINT AS tok FROM d GROUP BY source),
+        |tg AS (SELECT * FROM (VALUES ('src0', CAST(0.5 AS DOUBLE)),
+        |                             ('src1', CAST(0.3 AS DOUBLE)),
+        |                             ('src2', CAST(0.2 AS DOUBLE))) AS t(source, tgt)),
+        |j AS (SELECT g.source, tok, tgt FROM g JOIN tg USING (source)),
+        |tt AS (SELECT min(tok / tgt) AS cap FROM j),
+        |r AS (SELECT source, least(CAST(1.0 AS DOUBLE), cap * tgt / tok) AS rate
+        |      FROM j, tt),
+        |k AS (SELECT d.doc_id, d.source, d.ntok, r.rate
+        |      FROM d JOIN r USING (source)
+        |      WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+        |            / 1152921504606846976.0 < rate)
+        |SELECT source, count(*) AS n_docs, sum(ntok)::BIGINT AS n_tokens,
+        |       sum(doc_id)::BIGINT AS id_sum,
+        |       CAST(floor(min(rate) * 1e6 + 0.5) AS BIGINT) AS rate_micro
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     // q73's chunk CTEs + q64's keep-first window + ordered reassembly; a
     // fully-deduplicated doc keeps its row via the LEFT JOIN + coalesce.

@@ -185,6 +185,54 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** TARGET-SHARE mix reweighting: given target token shares per group
+    * ("make the mix 50% web, 30% code, 20% books"), solve each group's
+    * keep probability so the sampled corpus hits the target proportions,
+    * then apply deterministic hash sampling. The standard no-upsampling
+    * solve: the achievable total is capped by the BINDING group (the one
+    * whose target share most exceeds its available share),
+    * `cap = min_g tokens_g / share_g`; every group keeps
+    * `cap·share_g / tokens_g` of its tokens — the binding group keeps
+    * everything, the rest downsample. Groups absent from `targets` are
+    * dropped (same contract as [[stratifiedSample]]). [[tokenBudgetMix]]
+    * is the absolute-budget sibling; this is the proportional one — the
+    * difference matters when the corpus grows: shares stay valid, budgets
+    * go stale.
+    *
+    * Membership is a pure function of (id, the group token totals): a
+    * re-run or another engine reproduces the exact subset. Output: the
+    * kept rows plus `n_tokens` and the group's `rate`.
+    *
+    * Scale shape: one bounded-key aggregation for group token totals; the
+    * cap is a broadcast 1-row frame (the q57 pattern), rates a broadcast
+    * groups-sized frame; the keep decision is map-side. The sampled mix
+    * tracks the target in expectation (per-document hash sampling); exact
+    * per-token quotas are [[tokenBudgetMix]]'s job.
+    */
+  def mixToTarget(df: DataFrame, idCol: String, textCol: String,
+                  groupCol: String, targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.values.forall(v => v > 0.0 && v <= 1.0),
+      s"target shares must be in (0, 1]: $targets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withTok = df.withColumn("n_tokens",
+      TextAnalysis.tokenCount(col(textCol)).cast("long"))
+    val tg = targets.toSeq.toDF(groupCol, "tgt")
+    val g = withTok.groupBy(groupCol)
+      .agg(sum("n_tokens").cast("long").as("tok"))
+      .join(broadcast(tg), groupCol)
+    val cap = g.agg(min(col("tok") / col("tgt")).as("cap"))
+    // least() guards one-ulp overshoot of the binding group's rate
+    // (fl(cap·tgt) can exceed tok by rounding); the oracle applies the
+    // identical clamp so the arithmetic stays bit-shared
+    val rates = g.crossJoin(broadcast(cap))
+      .select(col(groupCol),
+        least(lit(1.0), col("cap") * col("tgt") / col("tok")).as("rate"))
+    withTok.join(broadcast(rates), groupCol)
+      .filter(hashUnit(col(idCol)) < col("rate"))
+  }
+
   /** Deterministic GLOBAL SHUFFLE for training order: every row gets a
     * `shard` in [0, numShards) and a 0-based `pos` within its shard, both
     * pure functions of (seed, id) — the reproducible permutation a

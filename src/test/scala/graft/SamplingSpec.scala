@@ -171,6 +171,35 @@ class SamplingSpec extends SparkTestBase {
     assert(ids == Set(0L)) // empty doc 1 dropped, group x zeroed out
   }
 
+  test("mixToTarget: binding group keeps all, others downsample to the solved rate") {
+    // two sources, 100 tokens each (50 docs x 2 tokens); targets 80/20:
+    // cap = min(100/0.8, 100/0.2) = 125 -> rate_a = 1.0, rate_b = 0.25
+    val docs = (0L until 100L)
+      .map(i => (i, "tok tok", if (i < 50) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.mixToTarget(docs, "doc_id", "text", "source",
+      Map("a" -> 0.8, "b" -> 0.2))
+    val rates = out.groupBy("source").agg(min("rate"), max("rate"), count(lit(1)))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(rates("a")._1 == 1.0 && rates("a")._2 == 1.0)
+    assert(rates("a")._3 == 50L)                       // binding: keeps all
+    assert(rates("b")._1 == 0.25 && rates("b")._2 == 0.25)
+    assert(rates("b")._3 > 5L && rates("b")._3 < 20L)  // ~12.5 of 50
+    // membership is the deterministic md5 unit — stable across reruns
+    val again = Sampling.mixToTarget(docs.repartition(7), "doc_id", "text",
+      "source", Map("a" -> 0.8, "b" -> 0.2))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // untargeted groups are dropped
+    val some = Sampling.mixToTarget(docs, "doc_id", "text", "source",
+      Map("a" -> 1.0))
+    assert(some.select("source").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
+    // malformed shares refuse loudly
+    intercept[IllegalArgumentException] {
+      Sampling.mixToTarget(docs, "doc_id", "text", "source", Map("a" -> 1.5))
+    }
+  }
+
   test("shuffleAssign: contiguous positions, exhaustive, repartition-invariant") {
     val out = Sampling.shuffleAssign(ids, "id", numShards = 4, seed = 7L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
