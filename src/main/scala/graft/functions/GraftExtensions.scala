@@ -41,6 +41,8 @@ object GraftExtensions {
       e => ArgMaxCosine(e.head, e(1))),
     ("graft_matvec_dots", classOf[MatVecDots],
       e => MatVecDots(e.head, e(1), e(2))),
+    ("graft_quant8_report", classOf[Quant8Report],
+      e => Quant8Report(e.head)),
     // Spark's own runtime-filter primitives, exposed to the text surface
     // (they exist in catalyst but are not SQL-registered): build a Bloom
     // filter over xxhash64 values / probe it. The probe's Bloom argument

@@ -491,9 +491,28 @@ object Similarity {
     * embeddings err_nano < 10⁷ and 4096 dims stay far under Long overflow.
     *
     * Map-side only (one row out per row in); what a pipeline monitors to
-    * decide whether int8 is lossy enough to hurt downstream recall.
+    * decide whether int8 is lossy enough to hurt downstream recall. The
+    * kernel is the codegen'd `graft_quant8_report` expression — one fused
+    * pass instead of three `CodegenFallback` HOF passes; QuantizeSpec pins
+    * it bit-identical to the composable form ([[quantReportComposed]]).
     */
   def quantReport(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.functions.Quant8Report.ensureRegistered(df.sparkSession)
+    df.select(col(idCol).as("id"),
+        call_function("graft_quant8_report",
+          col(vecCol).cast("array<double>")).as("r"))
+      .select(col("id"), col("r.n_dims").as("n_dims"),
+        col("r.scale_nano").as("scale_nano"), col("r.q_sum").as("q_sum"),
+        col("r.q_min").as("q_min"), col("r.q_max").as("q_max"),
+        col("r.max_err_nano").as("max_err_nano"),
+        col("r.sse_nano").as("sse_nano"))
+  }
+
+  /** The composable (HOF) twin of [[quantReport]] — the semantics
+    * specification the fused kernel is property-tested against.
+    */
+  private[graft] def quantReportComposed(df: DataFrame, idCol: String,
+                                         vecCol: String): DataFrame = {
     val errNano = (e: Column) => floor(abs(e) * lit(1e9) + lit(0.5))
     quantizeInt8(df, idCol, vecCol)
       .withColumn("ql", col("qvec").cast("array<long>"))

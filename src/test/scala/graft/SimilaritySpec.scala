@@ -522,4 +522,40 @@ class QuantizeSpec extends SparkTestBase {
     // -0.25 is exactly representable: q = -63.5 -> -63, err nonzero
     assert(rep(0).getLong(6) > 0L)
   }
+
+  test("fused graft_quant8_report is bit-identical to the composable HOF form") {
+    // adversarial inputs: zero vector, single element, sign boundaries,
+    // irregular doubles, plus fixture-like pseudo-random vectors
+    val vecs = Seq(
+      Array(0.0f, 0.0f, 0.0f, 0.0f),
+      Array(1.0f),
+      Array(-2.5f, 2.5f, -1.25f, 0.625f),
+      Array.tabulate(64)(i => math.sin(i * 2.3 + 1).toFloat),
+      Array.tabulate(64)(i => (((i * 37) % 19) - 9) / 7.0f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val fused = Similarity.quantReport(df, "vec_id", "embedding")
+      .orderBy("id").collect().toSeq
+    val composed = Similarity.quantReportComposed(df, "vec_id", "embedding")
+      .orderBy("id").collect().toSeq
+    assert(fused == composed)
+  }
+
+  test("graft_quant8_report participates in whole-stage codegen") {
+    graft.functions.Quant8Report.ensureRegistered(spark)
+    // v is referenced twice so CollapseProject keeps the interpreted
+    // transform() feeder in its own Project and ours stays codegen'd
+    val df = spark.range(1, 11)
+      .select(transform(sequence(lit(0), lit(7)),
+        i => (col("id") + i).cast("double")).as("v"))
+      .select(call_function("graft_quant8_report", col("v")).as("r"),
+        size(col("v")).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[quant8report""".r.findFirstIn(plan).isDefined, plan)
+    df.collect().foreach { r =>
+      val s = r.getStruct(0)
+      assert(s.getLong(0) == 8L)                // n_dims
+      assert(s.getLong(4) == 127L)              // max element pins 127
+    }
+  }
 }
