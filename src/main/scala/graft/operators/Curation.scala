@@ -120,8 +120,12 @@ object Curation {
     val spark = df.sparkSession
     import spark.implicits._
     val th = thresholds.toDF("threshold")
-    val scored = df.select(score.cast("double").as("score"),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    // scoped persist (CacheScope, the tokenDivergence pattern): the scored
+    // frame feeds both the sweep aggregate and the totals frame — without
+    // it each would re-scan and re-score the corpus
+    val scored = CacheScope.persisted(
+      df.select(score.cast("double").as("score"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")))
     val kept = scored
       .crossJoin(broadcast(th))
       .filter(col("score") >= col("threshold"))

@@ -219,9 +219,13 @@ object Sampling {
     val withTok = df.withColumn("n_tokens",
       TextAnalysis.tokenCount(col(textCol)).cast("long"))
     val tg = targets.toSeq.toDF(groupCol, "tgt")
-    val g = withTok.groupBy(groupCol)
+    // the groups-sized totals frame feeds BOTH the cap and the rates —
+    // persist it (CacheScope) so its corpus-sized lineage runs once; the
+    // op is then the 2-pass minimum (totals pass + keep pass), and only
+    // bounded frames are ever cached or broadcast
+    val g = CacheScope.persisted(withTok.groupBy(groupCol)
       .agg(sum("n_tokens").cast("long").as("tok"))
-      .join(broadcast(tg), groupCol)
+      .join(broadcast(tg), groupCol))
     val cap = g.agg(min(col("tok") / col("tgt")).as("cap"))
     // least() guards one-ulp overshoot of the binding group's rate
     // (fl(cap·tgt) can exceed tok by rounding); the oracle applies the
