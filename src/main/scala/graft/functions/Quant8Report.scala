@@ -113,8 +113,8 @@ case class Quant8Report(child: Expression) extends UnaryExpression {
          |  }
          |  double $scale = $maxAbs / 127.0;
          |  long $qSum = 0L;
-         |  long $qMin = Long.MAX_VALUE;
-         |  long $qMax = Long.MIN_VALUE;
+         |  long $qMin = 9223372036854775807L;
+         |  long $qMax = -9223372036854775807L - 1L;
          |  long $maxErrNano = 0L;
          |  long $sseNano = 0L;
          |  for (int $i = 0; $i < $n; $i++) {

@@ -34,7 +34,10 @@ object ExtensionsConfigCheck {
                graft_might_contain(
                  (SELECT graft_bloom_agg(xxhash64(id), 64L, 512L)
                   FROM range(4)),
-                 xxhash64(2L))                                             AS bloom_hit
+                 xxhash64(2L))                                             AS bloom_hit,
+               graft_matvec_dots(array(1.0D, 2.0D),
+                 array(array(1.0D, 0.0D), array(0.0D, 1.0D)), 1.0D)        AS mv,
+               graft_quant8_report(array(1.0D, -0.5D)).q_max               AS q_max
       """).head()
       assert(row.getDouble(0) == 1.0, "graft_cosine")
       assert(row.getInt(1) == 1, "graft_argmax_cosine first-max index")
@@ -44,6 +47,8 @@ object ExtensionsConfigCheck {
       assert(row.getInt(5) == 12, "graft_minhash")
       assert(!row.isNullAt(6), "graft_simhash")
       assert(row.getBoolean(7), "graft_bloom_agg/might_contain no-false-negative")
+      assert(row.getSeq[Double](8) == Seq(1.0, 2.0), "graft_matvec_dots")
+      assert(row.getLong(9) == 127L, "graft_quant8_report")
       println(s"spark.sql.extensions config path OK: $row")
     } finally spark.stop()
   }

@@ -42,7 +42,8 @@ class ExtensionsSpec extends AnyFunSuite {
                graft_might_contain(
                  (SELECT graft_bloom_agg(xxhash64(id), 64L, 512L)
                   FROM range(4)),
-                 xxhash64(2L))                                         AS bloom_hit
+                 xxhash64(2L))                                         AS bloom_hit,
+               graft_quant8_report(array(1.0D, -0.5D)).q_max           AS q_max
       """).head()
       assert(row.getDouble(0) == 1.0)
       assert(row.getInt(1) == 2)
@@ -51,6 +52,7 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getInt(4) == 12)
       assert(!row.isNullAt(5))
       assert(row.getBoolean(6))    // bloom: inserted key must be admitted
+      assert(row.getLong(7) == 127L)  // quant8: max element pins 127
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
