@@ -1066,6 +1066,15 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Per-source top-5 terms (deterministic tie-break): the slice-level
+    // corpus report — one bounded-key agg + the rank-pushed per-group
+    // window.
+    "q76_top_terms" -> ((s, dir) => {
+      TextAnalysis.topTermsPerGroup(Tables(s, dir).documents, "source",
+          "text", k = 5)
+        .orderBy("source", "rk")
+    }),
+
     "q72_corpus_diff" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       val newSnap = docs.filter(col("doc_id") % 10 =!= 0)
@@ -2268,6 +2277,18 @@ object SparkEntry {
         |       count(*) AS n_tokens, md5(string_agg(tok, ' ' ORDER BY p)) AS fp
         |FROM c GROUP BY doc_id, chunk_idx
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q76_top_terms" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |c AS (SELECT source, term, count(*) AS cnt FROM t
+        |      WHERE term <> '' GROUP BY source, term),
+        |r AS (SELECT source, term, cnt,
+        |        row_number() OVER (PARTITION BY source
+        |                           ORDER BY cnt DESC, term) AS rk
+        |      FROM c)
+        |SELECT source, term, cnt, rk FROM r WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin,
 
     // The mix solve re-derived: same cap = min(tok/share), same clamped
     // rate expression (identical IEEE op order), same md5-unit membership.

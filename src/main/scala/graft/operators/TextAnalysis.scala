@@ -500,6 +500,33 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), round(col("tfidf"), 6).as("tfidf"))
   }
 
+  /** Top-k most frequent terms PER GROUP (per source / domain / split) —
+    * the "what does each slice of the corpus talk about" report, and the
+    * per-group sibling of the global [[vocabCoverage]]. Deterministic
+    * tie-break (count desc, term asc). Output: (group, term, cnt, rk).
+    *
+    * Scale shape: one (group, term) aggregate — bounded keys, map-side
+    * combined, so a billion occurrences of a stopword in one group arrive
+    * at the exchange as one row per map partition — then a per-group
+    * rank-k window over the (vocab-bounded) aggregate, with the same
+    * `WindowGroupLimit` pushdown as [[Sampling.capPerGroup]]: each
+    * partition forwards at most k candidate terms per group.
+    */
+  def topTermsPerGroup(df: DataFrame, groupCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col("term").asc)
+    df.select(col(groupCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(groupCol), col("term"), col("cnt"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Corpus-unigram-LM surprisal per document — the cheap language-model
     * quality signal (a KenLM-shaped score without an external model): the
     * corpus itself is the unigram model, and a document's score is its

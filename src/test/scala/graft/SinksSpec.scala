@@ -86,6 +86,31 @@ class SinksSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("writeShuffled: order survives maxRecordsPerFile splitting a shard into many files") {
+    import graft.operators.Sampling
+    val df = (0L until 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = tmp("shards-split")
+    // ~75 rows/shard forced into files of <=20 rows: 4+ files per shard,
+    // whose NAME order must still replay the permutation
+    Sinks.writeShuffled(df, "doc_id", numShards = 4, seed = 9L, out,
+      maxRecordsPerFile = 20L)
+    val expect = Sampling.shuffleAssign(df, "doc_id", 4, 9L)
+      .orderBy("shard", "pos").collect()
+      .map(r => (r.getLong(r.fieldIndex("shard")),
+        r.getLong(r.fieldIndex("doc_id")))).toSeq
+    val got = (0 until 4).flatMap { s =>
+      val parts = Files.list(Paths.get(out, s"shard=$s")).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .toSeq.sortBy(_.getFileName.toString)
+      assert(parts.length >= 3, s"expected the shard split into files: $parts")
+      parts.flatMap { p =>
+        TestSpark.spark.read.parquet(p.toString)
+          .select("doc_id").collect().map(_.getLong(0))
+      }.map(id => (s.toLong, id))
+    }
+    assert(got == expect)
+  }
+
   test("K3 host report: header, sorted routes, === separator, hosts sorted") {
     val out = tmp("k3")
     val perHost = Seq(

@@ -426,6 +426,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(4L)._2 == 0L && out(4L)._3 == 0L)
   }
 
+  test("topTermsPerGroup: exact counts, tie-break, rank-limit pushdown in the plan") {
+    val docs = Seq(
+      (1L, "apple apple banana cherry", "a"),
+      (2L, "apple banana banana", "a"),
+      (3L, "zebra zebra yak", "b")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.topTermsPerGroup(docs, "source", "text", k = 2)
+      .orderBy("source", "rk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // a: apple=3, banana=3 -> tie broken by term asc; b: zebra=2, yak=1
+    assert(out.toSeq == Seq(
+      ("a", "apple", 3L, 1L), ("a", "banana", 3L, 2L),
+      ("b", "zebra", 2L, 1L), ("b", "yak", 1L, 2L)))
+    val plan = TextAnalysis.topTermsPerGroup(docs, "source", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("cdcChunks is deterministic under repartitioning") {
     val docs = (0L until 40L)
       .map(i => (i, (1 to 60).map(j => s"t${(i * 31 + j * 7) % 97}").mkString(" ")))
