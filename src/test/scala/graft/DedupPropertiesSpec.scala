@@ -125,4 +125,43 @@ class DedupPropertiesSpec extends SparkTestBase {
     assert(hamming(sigs(0), sigs(1)) < hamming(sigs(0), sigs(2)),
       s"near-dup hamming ${hamming(sigs(0), sigs(1))} !< unrelated ${hamming(sigs(0), sigs(2))}")
   }
+
+  test("cdcChunks partitions and reconstructs every random document exactly (5 seeded trials)") {
+    import graft.operators.TextAnalysis
+    for (seed <- 1 to 5) {
+      val docs = corpus(seed, docs = 40, vocab = 8, len = 30 + seed * 7)
+      val out = TextAnalysis.cdcChunks(docs.toDF("doc_id", "text"),
+          "doc_id", "text", width = 3, divisor = 4 + seed)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val chunks = out(id).sortBy(_._2)
+        // partition: contiguous indices, positions stitch, sizes conserve
+        assert(chunks.map(_._2).toSeq == chunks.indices.map(_.toLong))
+        assert(chunks.map(_._4).sum == toks.length.toLong, s"doc $id")
+        chunks.foldLeft(1L) { case (expectStart, (_, _, start, n)) =>
+          assert(start == expectStart, s"doc $id gap at $start")
+          start + n
+        }
+      }
+    }
+  }
+
+  test("cdcDedup self-diff invariants on random corpora: unique corpus survives whole") {
+    import graft.operators.TextAnalysis
+    // distinct-vocabulary docs (doc i's tokens are prefixed) — no cross-doc
+    // or cross-position chunk can collide, so EVERYTHING must survive
+    val docs = (0L until 30L)
+      .map(i => (i, (1 to 40).map(j => s"d${i}w$j").mkString(" ")))
+    val out = TextAnalysis.cdcDedup(docs.toDF("doc_id", "text"),
+        "doc_id", "text", width = 3, divisor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 30)
+    out.foreach { case (id, nChunks, nKept, keptToks) =>
+      assert(nChunks == nKept, s"doc $id dropped chunks without duplicates")
+      assert(keptToks == 40L, s"doc $id token count changed")
+    }
+  }
 }
