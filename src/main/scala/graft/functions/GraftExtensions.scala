@@ -43,6 +43,8 @@ object GraftExtensions {
       e => MatVecDots(e.head, e(1), e(2))),
     ("graft_quant8_report", classOf[Quant8Report],
       e => Quant8Report(e.head)),
+    ("graft_quant8", classOf[Quant8Vec],
+      e => Quant8Vec(e.head)),
     // Spark's own runtime-filter primitives, exposed to the text surface
     // (they exist in catalyst but are not SQL-registered): build a Bloom
     // filter over xxhash64 values / probe it. The probe's Bloom argument

@@ -468,11 +468,26 @@ object Similarity {
     * zero vector (scale 0) quantizes to zeros rather than dividing by
     * zero.
     *
-    * Map-side only — per-row lambdas over the vector's own elements, zero
-    * shuffle at any scale. Output: (id, v, scale, qvec); [[quantReport]]
-    * is the companion error audit.
+    * Map-side only, zero shuffle at any scale; the kernel is the
+    * codegen'd `graft_quant8` expression (one fused pass building a
+    * primitive byte[] — no HOF lambda dispatch; QuantizeSpec pins it
+    * bit-identical to the composable [[quantizeInt8Composed]]). Output:
+    * (id, v, scale, qvec); [[quantReport]] is the companion error audit.
     */
-  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.functions.Quant8Vec.ensureRegistered(df.sparkSession)
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("r", call_function("graft_quant8", col("v")))
+      .select(col("id"), col("v"), col("r.scale").as("scale"),
+        col("r.q").as("qvec"))
+  }
+
+  /** The composable (HOF) twin of [[quantizeInt8]] — the semantics
+    * specification the fused `graft_quant8` kernel is property-tested
+    * against.
+    */
+  private[graft] def quantizeInt8Composed(df: DataFrame, idCol: String,
+                                          vecCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("scale",
         array_max(transform(col("v"), x => abs(x))) / lit(127.0))
@@ -514,7 +529,7 @@ object Similarity {
   private[graft] def quantReportComposed(df: DataFrame, idCol: String,
                                          vecCol: String): DataFrame = {
     val errNano = (e: Column) => floor(abs(e) * lit(1e9) + lit(0.5))
-    quantizeInt8(df, idCol, vecCol)
+    quantizeInt8Composed(df, idCol, vecCol)
       .withColumn("ql", col("qvec").cast("array<long>"))
       .withColumn("err",
         zip_with(col("v"), col("ql"), (x, q) =>

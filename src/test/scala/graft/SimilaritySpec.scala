@@ -482,7 +482,7 @@ class QuantizeSpec extends SparkTestBase {
     // the artifact really is int8: array<tinyint> in the schema
     assert(out.schema("qvec").dataType ==
       org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.ByteType, true))
+        org.apache.spark.sql.types.ByteType, containsNull = false))
     val rows = out.collect().map { r =>
       r.getLong(0) -> (r.getDouble(2), r.getSeq[Byte](3))
     }.toMap
@@ -521,6 +521,20 @@ class QuantizeSpec extends SparkTestBase {
     assert(rep(1).getLong(7) == 0L)                  // sse_nano 0
     // -0.25 is exactly representable: q = -63.5 -> -63, err nonzero
     assert(rep(0).getLong(6) > 0L)
+  }
+
+  test("fused graft_quant8 artifact is bit-identical to the composable HOF form") {
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, -0.5f, 0.25f, -2.0f)),
+      (3L, Array.tabulate(64)(i => math.cos(i * 1.7).toFloat)))
+      .toDF("vec_id", "embedding")
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("id"), col("scale"), col("qvec"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Byte](2).toSeq)).toSeq
+    assert(rows(Similarity.quantizeInt8(df, "vec_id", "embedding")) ==
+      rows(Similarity.quantizeInt8Composed(df, "vec_id", "embedding")))
   }
 
   test("fused graft_quant8_report is bit-identical to the composable HOF form") {
