@@ -1075,6 +1075,15 @@ object SparkEntry {
         .orderBy("source", "rk")
     }),
 
+    // Exact token-phrase search (leak/decontamination audit): every doc
+    // containing the consecutive token run, with occurrence count and
+    // first position — token semantics, map-side window compare.
+    "q77_phrase_hits" -> ((s, dir) => {
+      TextAnalysis.phraseHits(Tables(s, dir).documents, "doc_id", "text",
+          phrase = "table table")
+        .orderBy("doc_id")
+    }),
+
     "q72_corpus_diff" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       val newSnap = docs.filter(col("doc_id") % 10 =!= 0)
@@ -2277,6 +2286,19 @@ object SparkEntry {
         |       count(*) AS n_tokens, md5(string_agg(tok, ' ' ORDER BY p)) AS fp
         |FROM c GROUP BY doc_id, chunk_idx
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Positional token windows re-derived with list indexing; `range(1,
+    // len)` yields starts 1..len-1, exactly the w=2 window starts.
+    "q77_phrase_hits" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), w -> w <> '') AS t
+        |           FROM documents),
+        |p AS (SELECT doc_id, t, unnest(range(1, len(t))) AS p
+        |      FROM t WHERE len(t) >= 2),
+        |h AS (SELECT doc_id, p FROM p
+        |      WHERE t[p] = 'table' AND t[p+1] = 'table')
+        |SELECT doc_id, count(*) AS n_hits, min(p)::BIGINT AS first_pos
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q76_top_terms" ->
       """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term

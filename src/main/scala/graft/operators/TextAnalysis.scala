@@ -527,6 +527,38 @@ object TextAnalysis {
         col("rk").cast("long").as("rk"))
   }
 
+  /** Exact TOKEN-PHRASE search: every document containing the query
+    * phrase as a consecutive token run, with occurrence count and first
+    * position — the audit query behind leak hunting ("which documents
+    * contain this memorized string?") and spot decontamination. Token
+    * semantics, not substring: "rock and roll" never matches
+    * "bedrock and rolling".
+    *
+    * Scale shape: pure map-side — each document explodes to its
+    * |tokens| candidate start positions, the phrase-length window at
+    * each start is built by codegen'd element_at comparisons against the
+    * phrase CONSTANT (no joins, no shuffle before the per-doc aggregate,
+    * which reuses the scan's partitioning keys-free as a partial agg).
+    * Output: (doc_id, n_hits, first_pos), hits only.
+    */
+  def phraseHits(df: DataFrame, idCol: String, textCol: String,
+                 phrase: String): DataFrame = {
+    val ptoks = phrase.split(" ").filter(_.nonEmpty)
+    require(ptoks.nonEmpty, "phrase must contain at least one token")
+    val w = ptoks.length
+    val matchAt = ptoks.zipWithIndex
+      .map { case (t, j) => element_at(col("t"), col("p") + j) === lit(t) }
+      .reduce(_ && _)
+    df.select(col(idCol).as("doc_id"),
+        filter(tokens(col(textCol)), t => t =!= "").as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (w - 1))).as("p"))
+      .filter(matchAt)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("p").cast("long").as("first_pos"))
+  }
+
   /** Corpus-unigram-LM surprisal per document — the cheap language-model
     * quality signal (a KenLM-shaped score without an external model): the
     * corpus itself is the unigram model, and a document's score is its

@@ -443,6 +443,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("phraseHits: token semantics, overlapping runs, boundary cases") {
+    val docs = Seq(
+      (1L, "rock and roll is here"),          // exact run at 1
+      (2L, "bedrock and rolling stones"),     // substring-only: NO match
+      (3L, "x rock and roll y rock and roll"),// two occurrences
+      (4L, "rock and"),                       // shorter than the phrase
+      (5L, "a a a a")).toDF("doc_id", "text") // overlapping runs of "a a"
+    val hits = TextAnalysis.phraseHits(docs, "doc_id", "text", "rock and roll")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hits == Map(1L -> (1L, 1L), 3L -> (2L, 2L)))
+    val runs = TextAnalysis.phraseHits(docs, "doc_id", "text", "a a")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(runs == Map(5L -> (3L, 1L)))  // starts 1,2,3 all count
+  }
+
   test("cdcChunks is deterministic under repartitioning") {
     val docs = (0L until 40L)
       .map(i => (i, (1 to 60).map(j => s"t${(i * 31 + j * 7) % 97}").mkString(" ")))
