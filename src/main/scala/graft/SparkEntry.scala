@@ -965,6 +965,19 @@ object SparkEntry {
       }.orderBy("rank")
     }),
 
+    // Tokenizer APPLY: per-doc whitespace vs BPE token counts under the
+    // q67-trained merges — the real-token-counter upgrade for budgets and
+    // packing. Like q67, data-dependent merges are not SQL-expressible,
+    // so no oracle (rows-only); BpeSpec gates the counts against the
+    // independent single-node reference segmentation.
+    "q78_bpe_tokenize" -> ((s, dir) => {
+      withShufflePartitions(s, 4) { child =>
+        val docs = Tables(child, dir).documents
+        val vocab = Bpe.segment(docs, "text", numMerges = 8)
+        Bpe.tokenizeCorpus(docs, "doc_id", "text", vocab)
+      }.orderBy("doc_id")
+    }),
+
     // Corpus-bigram-LM surprisal (CCNet-style perplexity filter shape):
     // the context-aware sibling of q40 — adjacent-pair negative
     // log-likelihood under add-one smoothing, per-(doc,a,b) contributions

@@ -85,6 +85,37 @@ object Bpe {
               minFreq: Long = 2L): DataFrame =
     trainInternal(df, textCol, numMerges, minFreq)._2
 
+  /** APPLY the tokenizer to a corpus: per-document whitespace-word and
+    * BPE-token counts under `vocab` (a [[segment]] frame — usually trained
+    * on the same corpus, but any `(w, syms)` table works). The number a
+    * token-budget mix or packing plan should use once a real tokenizer
+    * exists — whitespace counts over- or under-state documents whose
+    * vocabulary compresses differently. Out-of-vocabulary words fall back
+    * to their character segmentation (`len(w) + 1` symbols with the
+    * end-of-word marker) — BPE's defined zero-merge behavior.
+    *
+    * Scale shape: the q65 classifier's exactly — (doc, word) counts
+    * pre-reduce map-side, then join the BROADCAST vocab table (word
+    * types, Heaps-sublinear in corpus size) and one per-doc aggregate;
+    * no shuffle ever keys by word, so stopword skew is impossible.
+    */
+  def tokenizeCorpus(df: DataFrame, idCol: String, textCol: String,
+                     vocab: DataFrame): DataFrame = {
+    val counts = df
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val sizes = vocab.select(col("w"), size(col("syms")).as("n_sym"))
+    counts
+      .join(broadcast(sizes), Seq("w"), "left")
+      .withColumn("n_sym",
+        coalesce(col("n_sym"), length(col("w")) + lit(1)))
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("n_words"),
+        sum(col("cnt") * col("n_sym")).cast("long").as("n_bpe_tokens"))
+  }
+
   private def trainInternal(df: DataFrame, textCol: String, numMerges: Int,
                             minFreq: Long)
       : (Seq[(String, String, Long)], DataFrame) = {

@@ -86,4 +86,23 @@ class BpeSpec extends SparkTestBase {
     assert(Bpe.trainMerges(few, "text", numMerges = 5).count() == 0)
     assert(Bpe.trainMerges(corpus, "text", numMerges = 0).count() == 0)
   }
+
+  test("tokenizeCorpus equals the reference segmentation summed per doc; OOV falls back to chars") {
+    val (_, refSegs) = refBpe(localWordFreq, numMerges = 8, minFreq = 2)
+    val vocab = Bpe.segment(corpus, "text", numMerges = 8)
+    val got = Bpe.tokenizeCorpus(corpus, "doc_id", "text", vocab)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = corpus.collect().map { r =>
+      val words = r.getString(1).split(" ").filter(_.nonEmpty)
+      (r.getLong(0), words.length.toLong,
+        words.map(w => refSegs(w).length.toLong).sum)
+    }.sortBy(_._1)
+    assert(got.toSeq == expect.toSeq)
+    // OOV document against the same vocab: every word segments to
+    // characters + marker
+    val oov = Seq((9L, "zz qqq")).toDF("doc_id", "text")
+    val o = Bpe.tokenizeCorpus(oov, "doc_id", "text", vocab).collect().head
+    assert(o.getLong(1) == 2L && o.getLong(2) == (3L + 4L))
+  }
 }
