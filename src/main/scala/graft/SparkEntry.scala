@@ -542,6 +542,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // q34 with SEVERITY: overlap fraction in exact integer ppm — the
+    // thresholdable contamination column ("drop above 5%, flag below").
+    "q79_contamination_report" -> ((s, dir) => {
+      val split = Sampling.hashSplit(Tables(s, dir).documents, "doc_id",
+        trainPct = 80, valPct = 10)
+      Dedup.contaminationReport(
+        split.filter(col("split") === "train"), "doc_id", "text",
+        split.filter(col("split") === "test"), "text", n = 13)
+        .orderBy("doc_id")
+    }),
+
     // PII redaction (the compliance pass): the fixture text carries no
     // PII, so deterministic email/IP spans are synthesized from doc_id,
     // then counted and redacted — one map-side select, zero shuffle. The
@@ -1700,6 +1711,23 @@ object SparkEntry {
          |SELECT c.doc_id, count(*) AS n_overlap, min(c.h) AS example_h
          |FROM csh c JOIN esh USING (h)
          |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+    // q34's CTEs + per-doc gram totals; ppm by exact integer division.
+    "q79_contamination_report" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+         |           FROM documents),
+         |toks AS (SELECT doc_id, bucket, string_split(text, ' ') AS t FROM b),
+         |sh AS (SELECT doc_id, bucket, ${hashedShinglesSql(13)} AS h
+         |       FROM toks WHERE len(t) >= 13),
+         |esh AS (SELECT DISTINCT h FROM sh WHERE bucket >= 90),
+         |csh AS (SELECT doc_id, h FROM sh WHERE bucket < 80),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM csh GROUP BY doc_id),
+         |ov AS (SELECT c.doc_id, count(*) AS n_overlap
+         |       FROM csh c JOIN esh USING (h) GROUP BY c.doc_id)
+         |SELECT ov.doc_id, n_overlap, n_grams,
+         |       (n_overlap * 1000000) // n_grams AS overlap_ppm
+         |FROM ov JOIN tot USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // sum(BIGINT) is HUGEINT in DuckDB — cast back so schemas agree.
     "q39_source_cap" ->

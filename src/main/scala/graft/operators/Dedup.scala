@@ -592,6 +592,35 @@ object Dedup {
       .agg(count(lit(1)).as("n_overlap"), min(col("h")).as("example_h"))
   }
 
+  /** [[contaminatedDocs]] with SEVERITY: per contaminated document, the
+    * overlapping-gram count, the document's total distinct gram count,
+    * and their ratio in exact integer parts-per-million — the column a
+    * decontamination pass thresholds on ("drop if > 5% of the document
+    * overlaps eval, keep-and-flag below"), where the binary form can only
+    * drop. Same asymmetric join shape; the totals ride out of the same
+    * (persisted) shingle frame, so the corpus is still scanned once.
+    */
+  def contaminationReport(corpus: DataFrame, corpusId: String,
+                          corpusText: String, evalSet: DataFrame,
+                          evalTextCol: String, n: Int = 13,
+                          broadcastEval: Boolean = true): DataFrame = {
+    graft.functions.HashedShingles.ensureRegistered(corpus.sparkSession)
+    val evalGrams = evalSet
+      .select(explode(
+        call_function("graft_shingles64", col(evalTextCol), lit(n))).as("h"))
+      .distinct()
+    val shFrame = hashedShingleFrame(corpus, corpusId, corpusText, n)
+    val totals = shFrame.select(col("id").as("doc_id"),
+      size(col("sh")).cast("long").as("n_grams"))
+    val overlaps = shFrame
+      .select(col("id").as("doc_id"), explode(col("sh")).as("h"))
+      .join(if (broadcastEval) broadcast(evalGrams) else evalGrams, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    overlaps.join(totals, "doc_id")
+      .select(col("doc_id"), col("n_overlap"), col("n_grams"),
+        expr("(n_overlap * 1000000) div n_grams").as("overlap_ppm"))
+  }
+
   /** SimHash: 32-bit locality-sensitive signature. Each token votes ±1 on
     * every bit of its 32-bit hash (first 8 md5 hex chars); the signature
     * sets bit b iff the bit-b vote sum is positive.

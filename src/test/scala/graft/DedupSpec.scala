@@ -362,4 +362,24 @@ class DedupSpec extends SparkTestBase {
     assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
       Seq((0L, 2L), (1L, 0L)))
   }
+
+  test("contaminationReport: fraction ranks severity; full containment = 1e6 ppm") {
+    val eval = Seq((100L, (1 to 20).map(i => s"e$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val full = (1 to 20).map(i => s"e$i").mkString(" ")
+    val part = ((1 to 16).map(i => s"e$i") ++ (1 to 20).map(i => s"x$i"))
+      .mkString(" ")
+    val clean = (1 to 30).map(i => s"c$i").mkString(" ")
+    val corpus = Seq((1L, full), (2L, part), (3L, clean))
+      .toDF("doc_id", "text")
+    val rep = Dedup.contaminationReport(corpus, "doc_id", "text",
+        eval, "text", n = 13)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rep(1L)._3 == 1000000L)                     // identical doc
+    // 36 tokens -> 24 grams, 4 inside the eval prefix -> 4/24
+    assert(rep(2L) == ((4L, 24L, 166666L)), rep(2L).toString)
+    assert(!rep.contains(3L))                          // clean doc absent
+  }
 }
