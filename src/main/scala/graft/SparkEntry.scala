@@ -542,6 +542,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Key-skew diagnostic: the top-10 heaviest event user_ids with exact
+    // ppm shares — the measurement behind every salting decision.
+    "q80_skew_report" -> ((s, dir) => {
+      Relational.skewReport(Tables(s, dir).events, "user_id", k = 10)
+        .orderBy("rk")
+    }),
+
     // q34 with SEVERITY: overlap fraction in exact integer ppm — the
     // thresholdable contamination column ("drop above 5%, flag below").
     "q79_contamination_report" -> ((s, dir) => {
@@ -1711,6 +1718,18 @@ object SparkEntry {
          |SELECT c.doc_id, count(*) AS n_overlap, min(c.h) AS example_h
          |FROM csh c JOIN esh USING (h)
          |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q80_skew_report" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS cnt
+        |           FROM events GROUP BY user_id),
+        |t AS (SELECT sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys
+        |      FROM c),
+        |r AS (SELECT key, cnt,
+        |             row_number() OVER (ORDER BY cnt DESC, key) AS rk
+        |      FROM c)
+        |SELECT rk, key, cnt, (cnt * 1000000) // n_rows AS share_ppm,
+        |       n_rows, n_keys
+        |FROM r, t WHERE rk <= 10 ORDER BY rk""".stripMargin,
 
     // q34's CTEs + per-doc gram totals; ppm by exact integer division.
     "q79_contamination_report" ->

@@ -245,4 +245,35 @@ object Relational {
     */
   def topK(df: DataFrame, k: Int, desc: String, tieBreak: String): DataFrame =
     df.orderBy(col(desc).desc, col(tieBreak).asc).limit(k)
+
+  /** KEY-SKEW diagnostic: the top-k heaviest values of a prospective
+    * join/aggregation key with exact row shares in integer ppm, plus the
+    * frame's row and distinct-key totals — the measurement that decides
+    * between a plain shuffle, AQE skew splitting, and the salted
+    * operators ([[countAndDistinctSalted]],
+    * [[graft.streaming.StreamJoin.saltedIntervalJoin]],
+    * [[graft.operators.Analytics.sequenceStatsBucketed]]); detection
+    * completing the mitigation family. Output:
+    * (rk, key, cnt, share_ppm, n_rows, n_keys).
+    *
+    * Scale shape: ONE map-side-combined aggregate on the key (measuring
+    * skew costs one pass by definition), a TakeOrderedAndProject top-k
+    * (O(k) per partition), totals as a broadcast 1-row frame; the final
+    * rank window sees exactly k rows.
+    */
+  def skewReport(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
+    val counts = CacheScope.persisted(
+      df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt")))
+    val totals = broadcast(counts.agg(
+      sum("cnt").cast("long").as("n_rows"), count(lit(1)).as("n_keys")))
+    val w = Window.orderBy(col("cnt").desc, col("key").asc)
+    counts.orderBy(col("cnt").desc, col("key").asc).limit(k)
+      .crossJoin(totals)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("key"), col("cnt"),
+        expr("(cnt * 1000000) div n_rows").as("share_ppm"),
+        col("n_rows"), col("n_keys"))
+  }
 }

@@ -211,4 +211,20 @@ class RelationalSpec extends SparkTestBase {
     assert(plan.contains("Expand"), plan)
     assert(plan.split("Exchange").length - 1 <= 1, plan)
   }
+
+  test("skewReport: hand-computed shares on a 90%-hot key, top-k plans TakeOrdered") {
+    // 900 rows of key 1, 50 of key 2, 50 singleton keys
+    val df = ((1 to 900).map(_ => 1L) ++ (1 to 50).map(_ => 2L) ++
+      (100L until 150L)).toDF("k")
+    val rep = Relational.skewReport(df, "k", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rep.length == 3)
+    assert(rep(0) == ((1L, 1L, 900L, 900000L, 1000L, 52L)))
+    assert(rep(1) == ((2L, 2L, 50L, 50000L, 1000L, 52L)))
+    assert(rep(2)._3 == 1L && rep(2)._4 == 1000L)
+    val plan = Relational.skewReport(df, "k", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
