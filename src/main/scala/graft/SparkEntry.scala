@@ -996,6 +996,33 @@ object SparkEntry {
       }.orderBy("doc_id")
     }),
 
+    // Tokenizer ENCODE + pack on REAL tokens: per-doc BPE id sequences
+    // (Bpe.encode), then packSequencesBy places every document in the
+    // training-sequence stream by its ACTUAL id-sequence length — the
+    // model-input artifact q50's whitespace packing approximates.
+    // ids_checksum is a position-weighted sum over the id array (the q69
+    // permutation-checksum idiom): swapping any two ids, or any id value
+    // drifting, changes it — so the id sequences themselves sit under the
+    // driver's hash even though data-dependent merges admit no SQL oracle
+    // (rows-only; BpeSpec pins encode to the reference segmentation and
+    // proves the detokenize round trip).
+    "q81_bpe_pack" -> ((s, dir) => {
+      withShufflePartitions(s, 4) { child =>
+        val docs = Tables(child, dir).documents
+        val vocab = Bpe.segment(docs, "text", numMerges = 8)
+        val enc = Bpe.encode(docs, "doc_id", "text", vocab)
+          .withColumn("ids_checksum",
+            aggregate(zip_with(col("token_ids"),
+                sequence(lit(1L), size(col("token_ids")).cast("long")),
+                (id, pos) => id.cast("long") * pos),
+              lit(0L), (acc, x) => acc + x))
+        Curation.packSequencesBy(
+            docs.select(col("source"), col("doc_id")).join(enc, "doc_id"),
+            "doc_id", "n_bpe_tokens", "source", seqLen = 512)
+          .join(enc.select(col("doc_id"), col("ids_checksum")), "doc_id")
+      }.orderBy("doc_id")
+    }),
+
     // Corpus-bigram-LM surprisal (CCNet-style perplexity filter shape):
     // the context-aware sibling of q40 — adjacent-pair negative
     // log-likelihood under add-one smoothing, per-(doc,a,b) contributions

@@ -29,8 +29,39 @@ import org.apache.spark.sql.functions._
   * test-based: BpeSpec pins the distributed trainer bit-for-bit to an
   * independent single-node reference implementation, plus repartition
   * invariance; the declared query (q67) records rows-only.
+  *
+  * DRIVER FAST PATH (the [[Dedup.canonicalIds]] pattern): a real tokenizer
+  * trains 30k-50k merges, and one-Spark-job-plus-collect PER MERGE is pure
+  * scheduling latency at that count — hours of wall time against a table
+  * that, after the first word-freq aggregation, is vocab-sized
+  * (Heaps-sublinear: a few hundred MB even at 100 TB corpus scale). So
+  * when the word-freq table fits under `driverVocabCap` (counted first —
+  * one cheap action on the persisted frame), the symbol table is collected
+  * ONCE and the whole merge loop runs in driver memory: zero Spark jobs
+  * per merge, identical results (the starting symbols are collected from
+  * the same Spark expression, and the tie-break comparator is UTF-8-binary
+  * — `UTF8String.binaryCompare`'s ordering — so local and distributed
+  * paths agree beyond ASCII). Above the cap, the distributed loop runs,
+  * with `localCheckpoint` every [[CheckpointEvery]] merges so lineage does
+  * not chain through every prior merge (executor loss late in a long run
+  * would otherwise recompute the entire chain).
   */
 object Bpe {
+
+  /** Word-freq tables under this row count train on the driver. 2²⁰ words
+    * × ~100 B/row ≈ 100 MB — safe driver heap, far above any natural-
+    * language vocabulary (Heaps' law puts a 100 TB web corpus's word-type
+    * count in the tens of millions only with unnormalized noise; caps are
+    * a policy knob, so callers with such corpora either raise the cap or
+    * take the distributed loop). `driverVocabCap = 0` forces the
+    * distributed loop (tests use this to cover both paths).
+    */
+  val DefaultDriverVocabCap: Long = 1L << 20
+
+  /** Distributed-loop lineage truncation period (merges per
+    * `localCheckpoint`).
+    */
+  private val CheckpointEvery = 8
 
   /** `(w, freq)` word-frequency table — the ONE corpus-sized pass. */
   def wordFreq(df: DataFrame, textCol: String): DataFrame =
@@ -67,10 +98,11 @@ object Bpe {
     * Stops early when no adjacent pair reaches `minFreq`.
     */
   def trainMerges(df: DataFrame, textCol: String, numMerges: Int,
-                  minFreq: Long = 2L): DataFrame = {
+                  minFreq: Long = 2L,
+                  driverVocabCap: Long = DefaultDriverVocabCap): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val (merges, _) = trainInternal(df, textCol, numMerges, minFreq)
+    val (merges, _) = trainInternal(df, textCol, numMerges, minFreq, driverVocabCap)
     merges.zipWithIndex
       .map { case ((a, b, f), i) => (i.toLong, a, b, a + b, f) }
       .toDF("rank", "left", "right", "merged", "pair_freq")
@@ -82,8 +114,9 @@ object Bpe {
     * this table (OOV words fall back to character symbols by definition).
     */
   def segment(df: DataFrame, textCol: String, numMerges: Int,
-              minFreq: Long = 2L): DataFrame =
-    trainInternal(df, textCol, numMerges, minFreq)._2
+              minFreq: Long = 2L,
+              driverVocabCap: Long = DefaultDriverVocabCap): DataFrame =
+    trainInternal(df, textCol, numMerges, minFreq, driverVocabCap)._2
 
   /** APPLY the tokenizer to a corpus: per-document whitespace-word and
     * BPE-token counts under `vocab` (a [[segment]] frame — usually trained
@@ -116,14 +149,186 @@ object Bpe {
         sum(col("cnt") * col("n_sym")).cast("long").as("n_bpe_tokens"))
   }
 
+  /** Deterministic token-id table for a [[segment]] vocab: one row
+    * `(token, token_id)` per distinct symbol appearing in any segmentation,
+    * ids dense from 0 in the engine's binary (UTF-8) symbol order — a pure
+    * function of the vocab, so any two runs (or engines) assign identical
+    * ids. The single-partition `row_number` window is fine HERE because the
+    * frame is vocab-sized (symbol types ≤ word types, Heaps-sublinear),
+    * never corpus-sized.
+    */
+  def vocabIds(vocab: DataFrame): DataFrame =
+    vocab.select(explode(col("syms")).as("token")).distinct()
+      .withColumn("token_id",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("token").asc)) - 1).cast("int"))
+
+  /** ENCODE a corpus to token-id sequences — the artifact a pretraining
+    * loader actually consumes (the [[tokenizeCorpus]] counts are its
+    * byproduct, `n_bpe_tokens = size(token_ids)`). Per document:
+    * `token_ids` is the full BPE id sequence in word order, under `vocab`
+    * (a [[segment]] frame) with ids from [[vocabIds]].
+    *
+    * Out-of-vocabulary words fall back to character symbols (BPE's
+    * zero-merge behavior); a fallback CHARACTER absent from the vocab maps
+    * to id -1 (UNK) — only possible when encoding a corpus other than the
+    * training one, and [[detokenize]] renders it as empty (documented
+    * lossy, like any UNK).
+    *
+    * Scale shape: the only corpus-keyed exchange is the final groupBy on
+    * the document id (uniform — no token skew can concentrate a partition,
+    * because nothing shuffles on the word or symbol); both the `(w, syms)`
+    * vocab and the id table join BROADCAST. Documents with no non-empty
+    * token are absent, matching [[tokenizeCorpus]]'s aggregate form.
+    */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+             vocab: DataFrame): DataFrame = {
+    val ids = vocabIds(vocab)
+    val words = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(filter(TextAnalysis.tokens(col(textCol)), w => w =!= ""))
+          .as(Seq("wpos", "w")))
+    val syms = words
+      .join(broadcast(vocab.select(col("w"), col("syms"))), Seq("w"), "left")
+      .select(col("doc_id"), col("wpos"),
+        posexplode(coalesce(col("syms"), initialSymbols(col("w"))))
+          .as(Seq("spos", "token")))
+    syms
+      .join(broadcast(ids), Seq("token"), "left")
+      .select(col("doc_id"), col("wpos"), col("spos"),
+        coalesce(col("token_id"), lit(-1)).as("token_id"))
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("wpos"), col("spos"), col("token_id")))),
+        t => t.getField("token_id")).as("token_ids"))
+      .withColumn("n_bpe_tokens", size(col("token_ids")).cast("long"))
+  }
+
+  /** DETOKENIZE id sequences back to text: ids → symbols (broadcast id
+    * table), symbols concatenated in sequence order, end-of-word markers
+    * become spaces. For any document encoded against the vocab it was
+    * trained with, `detokenize ∘ encode` returns the document's tokens
+    * joined by single spaces (whitespace-normalized round trip — BPE is
+    * lossless up to the pre-tokenizer, proven in BpeSpec). UNK ids (-1)
+    * render as nothing.
+    */
+  def detokenize(encoded: DataFrame, vocab: DataFrame): DataFrame = {
+    val ids = vocabIds(vocab)
+    encoded
+      .select(col("doc_id"), posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+      .join(broadcast(ids), Seq("token_id"), "left")
+      .groupBy("doc_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("pos"), col("token")))),
+        t => t.getField("token"))).as("__joined"))
+      .select(col("doc_id"),
+        trim(replace(col("__joined"), lit("</w>"), lit(" "))).as("text"))
+  }
+
   private def trainInternal(df: DataFrame, textCol: String, numMerges: Int,
-                            minFreq: Long)
+                            minFreq: Long, driverVocabCap: Long)
       : (Seq[(String, String, Long)], DataFrame) = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(minFreq >= 1, s"minFreq must be >= 1, got $minFreq")
-    var words = CacheScope.persisted(
+    val base = CacheScope.persisted(
       wordFreq(df, textCol)
         .select(col("w"), col("freq"), initialSymbols(col("w")).as("syms")))
+    // one cheap action on the persisted vocab-sized frame decides the path
+    // (and materializes the cache either way)
+    if (base.count() <= driverVocabCap) trainLocal(base, numMerges, minFreq)
+    else trainDistributed(base, numMerges, minFreq)
+  }
+
+  /** UTF-8-binary string ordering — `UTF8String.binaryCompare`'s ordering,
+    * i.e. what the distributed loop's `orderBy(col.asc)` uses — so the
+    * local tie-break picks the same pair beyond ASCII (Scala's natural
+    * `String` ordering is UTF-16 code-unit order, which disagrees for
+    * supplementary-plane symbols).
+    */
+  private def utf8Compare(x: String, y: String): Int =
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** The merge loop in driver memory: pair counts in one hash map pass,
+    * best pair by (freq desc, pair UTF-8-binary asc), left-fold rewrite —
+    * the same algorithm the distributed loop expresses in Spark, minus the
+    * per-merge job. The starting symbol lists are COLLECTED from the same
+    * Spark expression the distributed path iterates on, so the two paths
+    * cannot diverge on tokenization-of-word semantics.
+    */
+  private def trainLocal(base: DataFrame, numMerges: Int, minFreq: Long)
+      : (Seq[(String, String, Long)], DataFrame) = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val rows = base.collect()
+    base.unpersist()
+    val freqs = rows.map(_.getLong(1))
+    val segs = rows.map(_.getSeq[String](2).toArray)
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var done = false
+    var i = 0
+    while (i < numMerges && !done) {
+      val pairs = new java.util.HashMap[(String, String), Long]
+      var wi = 0
+      while (wi < segs.length) {
+        val s = segs(wi)
+        var p = 0
+        while (p < s.length - 1) {
+          pairs.merge((s(p), s(p + 1)), freqs(wi), _ + _)
+          p += 1
+        }
+        wi += 1
+      }
+      var best: ((String, String), Long) = null
+      pairs.forEach { (k, v) =>
+        if (best == null || v > best._2 ||
+          (v == best._2 && {
+            val ca = utf8Compare(k._1, best._1._1)
+            ca < 0 || (ca == 0 && utf8Compare(k._2, best._1._2) < 0)
+          })) best = (k, v)
+      }
+      if (best == null || best._2 < minFreq) done = true
+      else {
+        val ((a, b), f) = best
+        merges += ((a, b, f))
+        val ab = a + b
+        wi = 0
+        while (wi < segs.length) {
+          val s = segs(wi)
+          if (s.length >= 2) {
+            val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+            var p = 0
+            while (p < s.length) {
+              if (out.nonEmpty && out.last == a && s(p) == b)
+                out(out.length - 1) = ab
+              else out += s(p)
+              p += 1
+            }
+            segs(wi) = out.toArray
+          }
+          wi += 1
+        }
+        i += 1
+      }
+    }
+    val segDf = rows.indices
+      .map(j => (rows(j).getString(0), freqs(j), segs(j).toSeq))
+      .toDF("w", "freq", "syms")
+    (merges.result(), segDf)
+  }
+
+  /** The distributed merge loop — for vocabularies above the driver cap.
+    * One vocab-sized pair-count job + one bounded driver scalar per merge;
+    * `localCheckpoint` every [[CheckpointEvery]] merges truncates lineage
+    * so late-iteration recovery never replays the whole chain (a cluster
+    * run that must survive executor loss passes a reliable checkpoint dir
+    * via `spark.sparkContext.setCheckpointDir` and swaps `checkpoint` in —
+    * see [[Dedup.canonicalIds]]'s same note).
+    */
+  private def trainDistributed(base: DataFrame, numMerges: Int, minFreq: Long)
+      : (Seq[(String, String, Long)], DataFrame) = {
+    var words = base
     // previous iteration's frame: safe to release only once the CURRENT
     // frame has materialized its cache (the best-pair collect below does
     // that) — releasing earlier would recompute the whole merge chain;
@@ -153,9 +358,13 @@ object Bpe {
         val (a, b, f) =
           (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
         merges += ((a, b, f))
-        val next = CacheScope.persisted(
-          words.select(col("w"), col("freq"),
-            mergePair(col("syms"), a, b).as("syms")))
+        val nextPlan = words.select(col("w"), col("freq"),
+          mergePair(col("syms"), a, b).as("syms"))
+        // eager localCheckpoint both caches and cuts lineage; between
+        // checkpoints a plain scoped persist carries the iteration
+        val next =
+          if ((i + 1) % CheckpointEvery == 0) nextPlan.localCheckpoint()
+          else CacheScope.persisted(nextPlan)
         release = words
         words = next
         i += 1

@@ -77,20 +77,34 @@ object Curation {
     * loaders accept.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-                    groupCol: String, seqLen: Int): DataFrame = {
+                    groupCol: String, seqLen: Int): DataFrame =
+    packSequencesBy(
+      df.select(col(groupCol), col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      idCol, "n_tokens", groupCol, seqLen)
+
+  /** [[packSequences]] on a PRECOMPUTED per-document token count — the
+    * form a pipeline uses once a real tokenizer exists: whitespace counts
+    * over- or under-state documents whose vocabulary compresses
+    * differently, so packing on [[Bpe.encode]]'s `size(token_ids)` (q81)
+    * is what makes the sequence index valid for actual model input.
+    * `countCol` is emitted under its own name; zero/negative counts drop
+    * (a document contributing no tokens has no placement).
+    */
+  def packSequencesBy(df: DataFrame, idCol: String, countCol: String,
+                      groupCol: String, seqLen: Int): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1: $seqLen")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(groupCol), col(idCol),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .filter(col("n_tokens") >= 1)
-      .withColumn("__cum", sum("n_tokens").over(w).cast("long"))
+    df.select(col(groupCol), col(idCol), col(countCol).cast("long").as(countCol))
+      .filter(col(countCol) >= 1)
+      .withColumn("__cum", sum(countCol).over(w).cast("long"))
       // `div`, not `/`: Column `/` is DOUBLE division, which rounds past
       // 2^53 — a 100 TB corpus's cumulative token count must stay exact.
-      .select(col(groupCol), col(idCol), col("n_tokens"),
-        expr(s"(__cum - n_tokens) div $seqLen").as("seq_first"),
+      .select(col(groupCol), col(idCol), col(countCol),
+        expr(s"(__cum - `$countCol`) div $seqLen").as("seq_first"),
         expr(s"(__cum - 1) div $seqLen").as("seq_last"),
-        ((col("__cum") - col("n_tokens")) % seqLen).cast("long").as("seq_offset"))
+        ((col("__cum") - col(countCol)) % seqLen).cast("long").as("seq_offset"))
   }
 
   /** Quality-THRESHOLD SWEEP: for each candidate threshold, the documents

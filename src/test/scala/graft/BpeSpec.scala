@@ -52,13 +52,48 @@ class BpeSpec extends SparkTestBase {
     corpus.collect().flatMap(_.getString(1).split(" ")).filter(_.nonEmpty)
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
 
-  test("trainMerges equals the single-node reference, merge for merge") {
+  test("trainMerges equals the single-node reference, merge for merge (both paths)") {
     val (refMerges, _) = refBpe(localWordFreq, numMerges = 12, minFreq = 2)
-    val got = Bpe.trainMerges(corpus, "text", numMerges = 12)
+    // default cap → driver fast path; cap 0 → forced distributed loop
+    for (cap <- Seq(Bpe.DefaultDriverVocabCap, 0L)) {
+      val got = Bpe.trainMerges(corpus, "text", numMerges = 12,
+          driverVocabCap = cap)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toList
+      assert(got == refMerges, s"cap=$cap")
+    }
+    assert(refMerges.nonEmpty && refMerges.length <= 12)
+  }
+
+  test("driver fast path and distributed loop agree on segmentation") {
+    val local = Bpe.segment(corpus, "text", numMerges = 8)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    val dist = Bpe.segment(corpus, "text", numMerges = 8, driverVocabCap = 0L)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    assert(local == dist)
+  }
+
+  test("driver fast path trains 200+ merges, flat per-merge cost") {
+    // 400 word types × freq 2 sustains hundreds of distinct merges at
+    // minFreq=2; per-merge cost is a driver hash-map pass over the vocab
+    // (zero Spark jobs), so 200 merges run in milliseconds where the
+    // distributed loop would schedule 200 sequential jobs.
+    val words = (0 until 400).map(i => f"w${i}%03d${"abcdefgh".drop(i % 4)}")
+    val text = (words ++ words).mkString(" ")
+    val big = Seq((0L, text)).toDF("doc_id", "text")
+    val freq = words.groupBy(identity).view.mapValues(_ => 2L).toMap
+    val (refMerges, _) = refBpe(freq, numMerges = 200, minFreq = 2)
+    assert(refMerges.length == 200, s"fixture too small: ${refMerges.length}")
+    val t0 = System.nanoTime()
+    val got = Bpe.trainMerges(big, "text", numMerges = 200)
       .orderBy("rank").collect()
       .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toList
+    val sec = (System.nanoTime() - t0) / 1e9
     assert(got == refMerges)
-    assert(refMerges.nonEmpty && refMerges.length <= 12)
+    // generous bound: one Spark agg + collect + the local loop; the point
+    // is it does NOT scale with numMerges × job-latency (which alone would
+    // be ~200 × 50ms = 10s here)
+    assert(sec < 10.0, f"200 merges took $sec%.1f s — fast path not taken?")
   }
 
   test("segment equals the reference segmentation; fold never re-merges") {
@@ -104,5 +139,51 @@ class BpeSpec extends SparkTestBase {
     val oov = Seq((9L, "zz qqq")).toDF("doc_id", "text")
     val o = Bpe.tokenizeCorpus(oov, "doc_id", "text", vocab).collect().head
     assert(o.getLong(1) == 2L && o.getLong(2) == (3L + 4L))
+  }
+
+  test("encode emits the reference segmentation as dense ids; counts agree with tokenizeCorpus") {
+    val (_, refSegs) = refBpe(localWordFreq, numMerges = 8, minFreq = 2)
+    val vocab = Bpe.segment(corpus, "text", numMerges = 8)
+    // expected id table: distinct symbols in binary order, dense from 0
+    val symbols = refSegs.values.flatten.toSet.toSeq.sorted
+    val id = symbols.zipWithIndex.toMap
+    val gotIds = Bpe.vocabIds(vocab).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(gotIds == id)
+    val enc = Bpe.encode(corpus, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1).toList, r.getLong(2))).toMap
+    val expect = corpus.collect().map { r =>
+      val words = r.getString(1).split(" ").filter(_.nonEmpty)
+      val idsSeq = words.flatMap(w => refSegs(w)).map(id).toList
+      r.getLong(0) -> ((idsSeq, idsSeq.length.toLong))
+    }.toMap
+    assert(enc == expect)
+    // n_bpe_tokens must equal tokenizeCorpus's count for every doc
+    val counts = Bpe.tokenizeCorpus(corpus, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(enc.view.mapValues(_._2).toMap == counts)
+  }
+
+  test("detokenize round-trips encode; OOV characters render as UNK") {
+    val vocab = Bpe.segment(corpus, "text", numMerges = 8)
+    val enc = Bpe.encode(corpus, "doc_id", "text", vocab)
+    val back = Bpe.detokenize(enc, vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = corpus.collect().map { r =>
+      r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).mkString(" ")
+    }.toMap
+    assert(back == expect)
+    // a document with characters absent from the vocab: unknown symbols
+    // encode as -1 and detokenize drops them (documented lossy UNK)
+    val oov = Seq((9L, "low zQz")).toDF("doc_id", "text")
+    val encOov = Bpe.encode(oov, "doc_id", "text", vocab)
+    val ids = encOov.collect().head.getSeq[Int](1)
+    assert(ids.contains(-1))
+    val backOov = Bpe.detokenize(encOov, vocab)
+      .collect().map(r => r.getString(1)).head
+    // "low" survives; of "zQz" only in-vocab chars survive ("Q" is OOV)
+    assert(backOov.startsWith("low"))
+    assert(!backOov.contains("Q"))
   }
 }
