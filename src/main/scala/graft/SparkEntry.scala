@@ -1023,6 +1023,24 @@ object SparkEntry {
       }.orderBy("doc_id")
     }),
 
+    // REAL audio decode through javax.sound.sampled: one deterministic
+    // synthetic 16-bit PCM WAV per document (sample = exact integer
+    // function of (doc_id, frame, channel)), decoded back by the JDK's
+    // WAV reader inside executors — the q59 image recipe applied to
+    // audio. PCM is lossless, so header geometry and the exact integer
+    // amplitude sums must reproduce the sample formula, which the oracle
+    // recomputes arithmetically without a WAV decoder of its own.
+    // amp_milli (mean |amplitude| in integer milli-units) stays in
+    // integer division, the luma_milli treatment.
+    "q82_audio_decode" -> ((s, dir) => {
+      Multimodal.audioFeatures(s, Tables(s, dir).documents)
+        .select(col("doc_id"), col("decoded"), col("sample_rate"),
+          col("channels"), col("n_frames"), col("n_samples"),
+          col("sum_amp"), col("sum_abs"), col("sum_sq"),
+          expr("sum_abs * 1000 div n_samples").as("amp_milli"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus-bigram-LM surprisal (CCNet-style perplexity filter shape):
     // the context-aware sibling of q40 — adjacent-pair negative
     // log-likelihood under add-one smoothing, per-(doc,a,b) contributions
@@ -2011,6 +2029,34 @@ object SparkEntry {
         |       sum(rgb)::BIGINT AS sum_rgb,
         |       (sum(rgb)::BIGINT * 1000) // (3 * count(*)::BIGINT) AS luma_milli
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The sample formula of Multimodal.syntheticWav re-derived in pure
+    // BIGINT arithmetic: the oracle never parses a WAV — it computes what
+    // a correct 16-bit little-endian PCM decode MUST see, so any decode
+    // deviation (endianness, channel deinterleave, off-by-one frames)
+    // breaks the hash.
+    "q82_audio_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(40 + doc_id % 25 AS BIGINT) AS n_frames,
+        |         CAST(1 + doc_id % 2 AS INTEGER) AS channels
+        |  FROM documents),
+        |s AS (
+        |  SELECT d.doc_id, d.n_frames, d.channels,
+        |         ((d.doc_id * 31 + i.i * 13 + c.c * 7) % 65536) - 32768 AS samp
+        |  FROM dims d
+        |  CROSS JOIN range(0, 65) i(i)
+        |  CROSS JOIN range(0, 2) c(c)
+        |  WHERE i.i < d.n_frames AND c.c < d.channels)
+        |SELECT doc_id, TRUE AS decoded, 8000 AS sample_rate,
+        |       max(channels) AS channels,
+        |       max(n_frames)::BIGINT AS n_frames,
+        |       count(*)::BIGINT AS n_samples,
+        |       sum(samp)::BIGINT AS sum_amp,
+        |       sum(abs(samp))::BIGINT AS sum_abs,
+        |       sum(samp * samp)::BIGINT AS sum_sq,
+        |       (sum(abs(samp))::BIGINT * 1000) // count(*)::BIGINT AS amp_milli
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q26's split rule + per-(split, token) micro-nat KL contributions;
     // expression shapes mirror the Spark side verbatim (c·ln((c/n)/(gc/m))

@@ -26,6 +26,20 @@ final case class ImageFeatures(doc_id: Long, mime: String, decoded: Boolean,
                                n_px: Long, sum_rgb: Long, mean_luma: Double,
                                size_bytes: Long)
 
+/** Features from a REAL audio decode ([[Multimodal.decodeAudio]]).
+  * `decoded = false` rows are the fallback (unknown mime, undecodable or
+  * non-16-bit-PCM payload): rate/channels/frames are -1/0 and the sums 0,
+  * `size_bytes` still real. The three sums are EXACT integer arithmetic
+  * over the decoded 16-bit samples (`sum_sq` ≤ 32768² · n_samples, so a
+  * Long holds ~8.5e9 samples — ~295 h of 8 kHz audio per file — before
+  * overflow): cross-engine comparisons never touch a float.
+  */
+final case class AudioFeatures(doc_id: Long, mime: String, decoded: Boolean,
+                               sample_rate: Int, channels: Int,
+                               n_frames: Long, n_samples: Long,
+                               sum_amp: Long, sum_abs: Long, sum_sq: Long,
+                               size_bytes: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with a typed metadata struct, and a decode/feature-extract stage as a
   * typed `mapPartitions` over `Dataset[MediaRow]`.
@@ -196,6 +210,141 @@ object Multimodal {
   def imageFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     decodeImages(syntheticImages(spark, docs)).toDF()
+  }
+
+  /** Mimes [[decodeAudio]] hands to `javax.sound.sampled` — the JRE ships
+    * WAV/AIFF/AU readers; compressed codecs (mp3, opus…) would arrive via
+    * native libraries and take the byte-level fallback here.
+    */
+  val AudioMimes: Set[String] =
+    Set("audio/wav", "audio/x-wav", "audio/aiff", "audio/basic")
+
+  /** REAL audio decode: `javax.sound.sampled.AudioSystem` (pure JDK) over
+    * the binary payload — the q59 image recipe applied to audio. Extracts
+    * the header geometry (sample rate, channels, frame count) and exact
+    * integer amplitude statistics over every decoded 16-bit sample:
+    * `sum_amp` (signed sum), `sum_abs` (L1 mass — silence detection),
+    * `sum_sq` (energy — the integer core of RMS; callers derive RMS/
+    * loudness as ONE division at the end, [[imageFeatures]]' `mean_luma`
+    * treatment). Non-16-bit or big-endian PCM and any unparseable payload
+    * degrade to `decoded = false` instead of failing the job — at 100 TB
+    * some fraction of any media corpus is corrupt and one bad file must
+    * not kill a stage.
+    *
+    * Scale: `mapPartitions`, map-side only, like [[decodeImages]] — the
+    * stream decodes incrementally (64 KB reads), so a long recording never
+    * needs frames × channels × 2 bytes of extra heap beyond the payload.
+    */
+  def decodeAudio(ds: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val decoded: Option[AudioFeatures] =
+          if (!AudioMimes.contains(r.mime)) None
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.data))
+            try {
+              val fmt = ais.getFormat
+              val ok = fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
+              if (!ok) None
+              else {
+                val ch = fmt.getChannels
+                var sumAmp = 0L; var sumAbs = 0L; var sumSq = 0L
+                var nSamples = 0L
+                val buf = new Array[Byte](1 << 16)
+                var carry = -1 // low byte of a sample split across reads
+                var n = ais.read(buf)
+                while (n > 0) {
+                  var i = 0
+                  if (carry >= 0 && n >= 1) {
+                    val s = ((buf(0) << 8) | carry).toShort.toLong
+                    sumAmp += s; sumAbs += math.abs(s); sumSq += s * s
+                    nSamples += 1
+                    carry = -1; i = 1
+                  }
+                  while (i + 1 < n) {
+                    val s = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort.toLong
+                    sumAmp += s; sumAbs += math.abs(s); sumSq += s * s
+                    nSamples += 1
+                    i += 2
+                  }
+                  if (i < n) carry = buf(i) & 0xff
+                  n = ais.read(buf)
+                }
+                Some(AudioFeatures(r.doc_id, r.mime, decoded = true,
+                  fmt.getSampleRate.toInt, ch, nSamples / ch, nSamples,
+                  sumAmp, sumAbs, sumSq, r.data.length.toLong))
+              }
+            } finally ais.close()
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            case _: java.io.IOException => None
+          }
+        decoded.getOrElse(AudioFeatures(r.doc_id, r.mime, decoded = false,
+          -1, 0, 0L, 0L, 0L, 0L, 0L, r.data.length.toLong))
+      }
+    }
+  }
+
+  /** Deterministic synthetic 16-bit PCM WAV: sample (frame i, channel c)
+    * is an exact integer function of (seed, i, c), RIFF-encoded by hand
+    * (44-byte canonical header + little-endian PCM). Like
+    * [[syntheticPng]], the formula lets an external oracle recompute
+    * [[decodeAudio]]'s features arithmetically — any decode deviation
+    * (wrong endianness, channel deinterleave, off-by-one frame count)
+    * breaks the hash.
+    */
+  def syntheticWav(seed: Long, nFrames: Int, channels: Int,
+                   sampleRate: Int = 8000): Array[Byte] = {
+    require(nFrames > 0 && channels > 0, s"audio must be non-empty: ${nFrames}x$channels")
+    val dataLen = nFrames * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii)); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)); bb.putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * channels * 2) // byte rate
+    bb.putShort((channels * 2).toShort)  // block align
+    bb.putShort(16)                      // bits per sample
+    bb.put("data".getBytes(ascii)); bb.putInt(dataLen)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        bb.putShort((((seed * 31 + i.toLong * 13 + c.toLong * 7) % 65536) - 32768).toShort)
+        c += 1
+      }
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Fixture stand-in for a real audio corpus: one synthetic WAV per
+    * document, geometry a function of doc_id (40–64 frames, 1–2
+    * channels at 8 kHz). Generated map-side inside the executors.
+    */
+  def syntheticAudio(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val nFrames = (40 + id % 25).toInt
+      val ch = (1 + id % 2).toInt
+      MediaRow(id, "audio/wav", syntheticWav(id, nFrames, ch), 0, 0)
+    }
+  }
+
+  /** End-to-end REAL-decode pipeline: documents → synthetic WAV payloads →
+    * `javax.sound.sampled` decode → columnar audio features.
+    */
+  def audioFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    decodeAudio(syntheticAudio(spark, docs)).toDF()
   }
 
   /** Deterministic frame sampling over the binary payload: every `stride`-th

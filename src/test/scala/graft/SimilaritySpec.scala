@@ -451,6 +451,56 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("decodeAudio REALLY decodes a WAV: header geometry, exact sample sums") {
+    import graft.operators.MediaRow
+    val seed = 7L
+    val (nFrames, ch, rate) = (50, 2, 8000)
+    var (expAmp, expAbs, expSq) = (0L, 0L, 0L)
+    for (i <- 0 until nFrames; c <- 0 until ch) {
+      val s = ((seed * 31 + i * 13 + c * 7) % 65536) - 32768
+      expAmp += s; expAbs += math.abs(s); expSq += s * s
+    }
+    val wav = Multimodal.syntheticWav(seed, nFrames, ch, rate)
+    // RIFF magic proves a real container was written, not a passthrough
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val out = Multimodal.decodeAudio(
+      Seq(MediaRow(1L, "audio/wav", wav, 0, 0)).toDS()).collect().head
+    assert(out.decoded && out.sample_rate == rate && out.channels == ch)
+    assert(out.n_frames == nFrames.toLong)
+    assert(out.n_samples == nFrames.toLong * ch)
+    assert(out.sum_amp == expAmp, s"decoded sum ${out.sum_amp} != $expAmp")
+    assert(out.sum_abs == expAbs && out.sum_sq == expSq)
+    assert(out.size_bytes == wav.length.toLong)
+  }
+
+  test("decodeAudio degrades, not dies: unknown mime, corrupt and truncated payloads") {
+    import graft.operators.MediaRow
+    val garbage = Array.tabulate[Byte](100)(i => (i * 37).toByte)
+    val rows = Multimodal.decodeAudio(Seq(
+      MediaRow(3L, "image/png", garbage, 0, 0),          // unknown mime
+      MediaRow(4L, "audio/wav", garbage, 0, 0),          // wrong magic
+      MediaRow(5L, "audio/wav",                          // truncated real WAV
+        Multimodal.syntheticWav(1L, 40, 1).take(30), 0, 0),
+    ).toDS()).collect().sortBy(_.doc_id)
+    assert(rows.forall(!_.decoded))
+    assert(rows.forall(r => r.sample_rate == -1 && r.n_samples == 0L &&
+      r.sum_abs == 0L))
+    assert(rows(0).size_bytes == 100L)
+  }
+
+  test("audioFeatures end-to-end matches the per-doc geometry rule") {
+    val out = Multimodal.audioFeatures(spark, docs).orderBy("doc_id").collect()
+    assert(out.length == 2)
+    for (r <- out) {
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("decoded"))
+      assert(r.getAs[Long]("n_frames") == 40 + id % 25)
+      assert(r.getAs[Int]("channels") == (1 + id % 2).toInt)
+      assert(r.getAs[Int]("sample_rate") == 8000)
+    }
+  }
+
   test("decodeImages degrades, not dies: unknown mime and corrupt payload") {
     import graft.operators.MediaRow
     val garbage = Array.tabulate[Byte](100)(i => (i * 37).toByte)
