@@ -2344,7 +2344,8 @@ object SparkEntry {
 
     // q58's quality-score formula swept over a threshold list; zero-
     // survivor thresholds still emit a row (LEFT JOIN + coalesce), exactly
-    // like the operator.
+    // like the operator. Shares in exact integer ppm (`// total`), the
+    // contaminationReport/skewReport idiom — never round(double ratio).
     "q70_threshold_sweep" ->
       """WITH q AS (SELECT
         |    least(CAST(1.0 AS DOUBLE),
@@ -2360,8 +2361,8 @@ object SparkEntry {
         |        FROM q)
         |SELECT t.threshold, coalesce(k.n_docs, 0)::BIGINT AS n_docs,
         |       coalesce(k.n_tokens, 0)::BIGINT AS n_tokens,
-        |       round(coalesce(k.n_docs, 0) / td, 6) AS doc_frac,
-        |       round(coalesce(k.n_tokens, 0) / tt, 6) AS token_frac
+        |       (coalesce(k.n_docs, 0)::BIGINT * 1000000) // td AS doc_ppm,
+        |       (coalesce(k.n_tokens, 0)::BIGINT * 1000000) // tt AS token_ppm
         |FROM t LEFT JOIN k USING (threshold), tot
         |ORDER BY threshold""".stripMargin,
 

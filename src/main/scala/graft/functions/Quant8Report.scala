@@ -22,15 +22,31 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, St
   * intermediate arrays, fully inside whole-stage codegen — the same
   * reasoning as [[MatVecDots]] applied to the quantization audit.
   *
-  * Numeric contract (bit-compatible with the composable form, asserted in
-  * QuantizeSpec, so swapping representations cannot move the q71 hash):
+  * Numeric contract — for FINITE, NON-EMPTY vectors with |x| ≲ 770 (i.e.
+  * |err|·1e9 within `multiplyExact` range), bit-compatible with the
+  * composable form, asserted in QuantizeSpec, so swapping representations
+  * cannot move the q71 hash:
   *  - `scale = max(|x_i|) / 127.0`; `q_i = ⌊x_i/scale + 0.5⌋` (Spark's
   *    `floor(double)→long`); `err_i = x_i − q_i·scale`; a zero scale
   *    quantizes to 0 with `err_i = x_i` — all IEEE ops in identical order;
   *  - `*_nano = ⌊|·|·1e9 + 0.5⌋` exactly as the column form;
   *  - accumulation is left-to-right element order;
-  *  - an EMPTY vector returns null (the HOF form's `array_max(empty)` is
-  *    null-poisoned the same way); a null vector returns null.
+  *  - `sse_nano` accumulates via `multiplyExact`/`addExact`, so an
+  *    error magnitude the nano-integers cannot hold (|err| ≳ 3.03, i.e.
+  *    max|x| ≳ 770 — far outside embedding range) RAISES, matching the
+  *    DuckDB oracle's BIGINT-overflow error instead of Spark's silent
+  *    non-ANSI wrap (pinned in QuantizeSpec).
+  *
+  * Edge inputs OUTSIDE that contract diverge from the HOF form by design
+  * (pinned in QuantizeSpec so neither drifts silently):
+  *  - EMPTY vector: this kernel nulls the whole row; the HOF form emits
+  *    (n_dims=0, q_sum=0, scale_nano NULL, …) because only its
+  *    `array_max(empty)`-derived columns null-poison.
+  *  - NaN elements: this kernel's `a > maxAbs` loop skips NaN in the
+  *    scale; Spark's `array_max` (and DuckDB's `list_max`) order NaN
+  *    greatest, so the HOF scale becomes NaN. Quantization inputs are
+  *    validated upstream ([[graft.operators.Similarity]] docs); NaN here
+  *    means the embedding pipeline is already broken.
   *
   * Output struct: (n_dims, scale_nano, q_sum, q_min, q_max, max_err_nano,
   * sse_nano), all LONG — the whole report is exact integers.
@@ -77,7 +93,9 @@ case class Quant8Report(child: Expression) extends UnaryExpression {
       if (q < qMin) qMin = q
       if (q > qMax) qMax = q
       if (en > maxErrNano) maxErrNano = en
-      sseNano += en * en
+      // exact: raises on overflow like the oracle's BIGINT multiply,
+      // instead of Spark's silent non-ANSI Long wrap
+      sseNano = Math.addExact(sseNano, Math.multiplyExact(en, en))
       i += 1
     }
     val scaleNano = Math.floor(scale * 1e9 + 0.5).toLong
@@ -130,7 +148,8 @@ case class Quant8Report(child: Expression) extends UnaryExpression {
          |    if ($q < $qMin) $qMin = $q;
          |    if ($q > $qMax) $qMax = $q;
          |    if ($en > $maxErrNano) $maxErrNano = $en;
-         |    $sseNano += $en * $en;
+         |    $sseNano = java.lang.Math.addExact($sseNano,
+         |      java.lang.Math.multiplyExact($en, $en));
          |  }
          |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
          |    new Object[] {

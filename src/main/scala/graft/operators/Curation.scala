@@ -109,7 +109,7 @@ object Curation {
 
   /** Quality-THRESHOLD SWEEP: for each candidate threshold, the documents
     * and tokens that would survive filtering at `score >= threshold`, plus
-    * their fraction of the corpus — the operating-curve a curation run
+    * their corpus share in exact integer ppm — the operating-curve a curation run
     * consults to pick its cutoff (every threshold is a different
     * quality-vs-token-budget trade, and choosing one blind wastes either
     * compute or data). `score` is any column expression over the row
@@ -148,15 +148,20 @@ object Curation {
     val totals = broadcast(scored.agg(
       count(lit(1)).as("__tot_docs"),
       sum("n_tokens").as("__tot_tokens")))
+    // exact integer ppm, never round(double): a long/long ratio rounded at
+    // 6 decimals can land exactly on a .xxxxxx5 boundary where Spark and
+    // DuckDB round divergently (the documented q7 hash-mismatch class) —
+    // the same `(n * 1000000) div total` idiom as contaminationReport and
+    // skewReport
     broadcast(th).join(kept, Seq("threshold"), "left")
       .crossJoin(totals)
       .select(col("threshold"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        round(coalesce(col("n_docs"), lit(0L)) / col("__tot_docs"), 6)
-          .as("doc_frac"),
-        round(coalesce(col("n_tokens"), lit(0L)) / col("__tot_tokens"), 6)
-          .as("token_frac"))
+        expr("coalesce(n_docs, 0L) * 1000000 div __tot_docs")
+          .as("doc_ppm"),
+        expr("coalesce(n_tokens, 0L) * 1000000 div __tot_tokens")
+          .as("token_ppm"))
   }
 
   /** CORPUS DIFF between two snapshots of a document set — the dataset

@@ -609,7 +609,12 @@ object Dedup {
       .select(explode(
         call_function("graft_shingles64", col(evalTextCol), lit(n))).as("h"))
       .distinct()
-    val shFrame = hashedShingleFrame(corpus, corpusId, corpusText, n)
+    // persisted: the shingle frame feeds BOTH the totals and overlaps
+    // branches — without the cache each would rescan the corpus and
+    // recompute the shingles (the dominant cost), doubling the single
+    // corpus pass this operator's scale contract advertises
+    val shFrame = CacheScope.persisted(
+      hashedShingleFrame(corpus, corpusId, corpusText, n))
     val totals = shFrame.select(col("id").as("doc_id"),
       size(col("sh")).cast("long").as("n_grams"))
     val overlaps = shFrame

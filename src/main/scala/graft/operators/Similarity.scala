@@ -509,7 +509,9 @@ object Similarity {
     * decide whether int8 is lossy enough to hurt downstream recall. The
     * kernel is the codegen'd `graft_quant8_report` expression — one fused
     * pass instead of three `CodegenFallback` HOF passes; QuantizeSpec pins
-    * it bit-identical to the composable form ([[quantReportComposed]]).
+    * it bit-identical to the composable form ([[quantReportComposed]]) for
+    * finite non-empty vectors (the operator's input contract; the kernel's
+    * scaladoc pins the empty/NaN/overflow edge behaviors).
     */
   def quantReport(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     graft.functions.Quant8Report.ensureRegistered(df.sparkSession)

@@ -107,11 +107,16 @@ class CurationSpec extends SparkTestBase {
       (0.0, 3L, 12L),   // all docs, 3+4+5 tokens
       (0.15, 1L, 5L),   // only doc 2
       (5.0, 0L, 0L)))   // nobody — but the curve point still exists
-    val fracs = Curation.thresholdSweep(docs, "text",
-        col("doc_id").cast("double") / 10.0, Seq(0.0, 5.0))
+    // shares are exact integer ppm (never round(double) — the q7
+    // cross-engine half-boundary hazard): 1/3 of docs → 333333 exactly
+    val ppm = Curation.thresholdSweep(docs, "text",
+        col("doc_id").cast("double") / 10.0, Seq(0.0, 0.15, 5.0))
       .orderBy("threshold").collect()
-      .map(r => (r.getDouble(3), r.getDouble(4)))
-    assert(fracs.toSeq == Seq((1.0, 1.0), (0.0, 0.0)))
+      .map(r => (r.getLong(3), r.getLong(4)))
+    assert(ppm.toSeq == Seq(
+      (1000000L, 1000000L),
+      (333333L, 416666L),   // 1/3 docs, 5/12 tokens — floor division
+      (0L, 0L)))
   }
 
   test("corpusDiff: added/removed/changed/unchanged; normalization-invariant") {

@@ -605,6 +605,46 @@ class QuantizeSpec extends SparkTestBase {
     assert(fused == composed)
   }
 
+  test("quantReport edge contract: empty vector nulls the fused row, HOF row survives; NaN diverges") {
+    import org.apache.spark.sql.functions.col
+    // EMPTY: fused kernel nulls the whole report row...
+    val empty = Seq((1L, Array.empty[Float])).toDF("vec_id", "embedding")
+    val fusedRow = Similarity.quantReport(empty, "vec_id", "embedding")
+      .collect().head
+    assert(fusedRow.isNullAt(1), "fused empty-vector report must be all-null")
+    assert((1 until fusedRow.length).forall(fusedRow.isNullAt))
+    // ...while the HOF form emits a row whose array_max-derived columns
+    // null-poison but n_dims/q_sum do not (the documented divergence)
+    val hofRow = Similarity.quantReportComposed(empty, "vec_id", "embedding")
+      .collect().head
+    assert(hofRow.getLong(1) == 0L)       // n_dims
+    assert(hofRow.isNullAt(2))            // scale_nano (from array_max)
+    assert(hofRow.getLong(3) == 0L)       // q_sum (aggregate over empty)
+    // NaN: the fused scale loop skips NaN; the HOF array_max orders NaN
+    // greatest, so its scale (and everything downstream) NaN-poisons
+    val nan = Seq((1L, Array(1.0f, Float.NaN))).toDF("vec_id", "embedding")
+    val fusedNan = Similarity.quantReport(nan, "vec_id", "embedding")
+      .collect().head
+    assert(fusedNan.getLong(2) == 7874016L) // scale_nano from max|x| = 1.0
+    val hofNan = Similarity.quantReportComposed(nan, "vec_id", "embedding")
+      .select(col("scale_nano")).collect().head
+    assert(hofNan.isNullAt(0) || hofNan.getLong(0) != 7874016L)
+  }
+
+  test("quantReport raises (like the oracle's BIGINT) when an error exceeds nano range") {
+    // max|x| = 1000 → scale ≈ 7.87; x = 3.5 quantizes to q = 0, so
+    // |err| = 3.5 → en = 3.5e9, and en·en overflows Long: multiplyExact
+    // must RAISE — matching DuckDB's loud BIGINT overflow — instead of
+    // Spark's silent non-ANSI wrap
+    val df = Seq((1L, Array(1000.0f, 3.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.quantReport(df, "vec_id", "embedding").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[ArithmeticException]), e.toString)
+  }
+
   test("graft_quant8_report participates in whole-stage codegen") {
     graft.functions.Quant8Report.ensureRegistered(spark)
     // v is referenced twice so CollapseProject keeps the interpreted
