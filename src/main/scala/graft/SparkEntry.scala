@@ -885,6 +885,47 @@ object SparkEntry {
           |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin)
     }),
 
+    // q10's WHOLE MinHash+LSH pipeline as pure SQL text: the native
+    // expression surface (graft_shingles64 → graft_minhash → band md5 →
+    // bucket self-join → graft_common verification) composed through the
+    // text front door, gated against q10's own oracle. q62 proved ONE
+    // function resolves through SQL; this proves the extension surface
+    // composes — a user could run the full dedup path without writing a
+    // line of Scala. Same SHUFFLE_HASH hint, same 0-based `mh[i]` slots
+    // (`element_at(mh, i+1)` in the operator form).
+    "q83_sql_minhash" -> ((s, dir) => {
+      graft.api.SqlFrontDoor.sql(s, dir,
+        """WITH sh AS (
+          |  SELECT * FROM (
+          |    SELECT doc_id AS id, graft_shingles64(text, 3) AS sh
+          |    FROM documents) WHERE size(sh) > 0),
+          |sig AS (SELECT id, graft_minhash(sh, 12) AS mh FROM sh),
+          |bands AS (
+          |  SELECT id, posexplode(array(
+          |      md5(concat_ws('|', mh[0], mh[1], mh[2])),
+          |      md5(concat_ws('|', mh[3], mh[4], mh[5])),
+          |      md5(concat_ws('|', mh[6], mh[7], mh[8])),
+          |      md5(concat_ws('|', mh[9], mh[10], mh[11]))))
+          |    AS (band_idx, band_hash)
+          |  FROM sig),
+          |cand AS (
+          |  SELECT /*+ SHUFFLE_HASH(b) */ DISTINCT a.id AS doc_a, b.id AS doc_b
+          |  FROM bands a JOIN bands b
+          |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+          |   AND a.id < b.id),
+          |v AS (
+          |  SELECT c.doc_a, c.doc_b,
+          |         graft_common(sa.sh, sb.sh) /
+          |           (size(sa.sh) + size(sb.sh) - graft_common(sa.sh, sb.sh))
+          |           AS jac
+          |  FROM cand c
+          |  JOIN sh sa ON sa.id = c.doc_a
+          |  JOIN sh sb ON sb.id = c.doc_b)
+          |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+          |FROM v WHERE jac >= 0.3
+          |ORDER BY doc_a, doc_b""".stripMargin)
+    }),
+
     // Split-drift KL divergence: token distribution of each hash split vs
     // the global corpus, in exact micro-nats — the statistical companion
     // to q32's quantile profile. Three bounded-key aggs, one broadcast
@@ -1281,6 +1322,9 @@ object SparkEntry {
       "q60_sql_wordcount" -> "q1_wordcount",
       "q61_sql_topk" -> "q2_topk_users",
       "q62_sql_knn" -> "q12_knn_brute",
+      // the full MinHash pipeline as SQL text must reproduce the
+      // operator-library pipeline hash-for-hash
+      "q83_sql_minhash" -> "q10_minhash_lsh",
       // the salted stream join must reproduce the UNSALTED join's answer
       "q63_stream_join_salted" -> "q51_stream_join",
       // the Bloom prefilter must reproduce the broadcast-exact answer
