@@ -99,10 +99,12 @@ object Bpe {
     */
   def trainMerges(df: DataFrame, textCol: String, numMerges: Int,
                   minFreq: Long = 2L,
-                  driverVocabCap: Long = DefaultDriverVocabCap): DataFrame = {
+                  driverVocabCap: Long = DefaultDriverVocabCap,
+                  checkpointDir: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val (merges, _) = trainInternal(df, textCol, numMerges, minFreq, driverVocabCap)
+    val (merges, _) =
+      trainInternal(df, textCol, numMerges, minFreq, driverVocabCap, checkpointDir)
     merges.zipWithIndex
       .map { case ((a, b, f), i) => (i.toLong, a, b, a + b, f) }
       .toDF("rank", "left", "right", "merged", "pair_freq")
@@ -115,8 +117,9 @@ object Bpe {
     */
   def segment(df: DataFrame, textCol: String, numMerges: Int,
               minFreq: Long = 2L,
-              driverVocabCap: Long = DefaultDriverVocabCap): DataFrame =
-    trainInternal(df, textCol, numMerges, minFreq, driverVocabCap)._2
+              driverVocabCap: Long = DefaultDriverVocabCap,
+              checkpointDir: Option[String] = None): DataFrame =
+    trainInternal(df, textCol, numMerges, minFreq, driverVocabCap, checkpointDir)._2
 
   /** APPLY the tokenizer to a corpus: per-document whitespace-word and
     * BPE-token counts under `vocab` (a [[segment]] frame — usually trained
@@ -226,7 +229,8 @@ object Bpe {
   }
 
   private def trainInternal(df: DataFrame, textCol: String, numMerges: Int,
-                            minFreq: Long, driverVocabCap: Long)
+                            minFreq: Long, driverVocabCap: Long,
+                            checkpointDir: Option[String] = None)
       : (Seq[(String, String, Long)], DataFrame) = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(minFreq >= 1, s"minFreq must be >= 1, got $minFreq")
@@ -236,7 +240,7 @@ object Bpe {
     // one cheap action on the persisted vocab-sized frame decides the path
     // (and materializes the cache either way)
     if (base.count() <= driverVocabCap) trainLocal(base, numMerges, minFreq)
-    else trainDistributed(base, numMerges, minFreq)
+    else trainDistributed(base, numMerges, minFreq, checkpointDir)
   }
 
   /** UTF-8-binary string ordering — `UTF8String.binaryCompare`'s ordering,
@@ -320,13 +324,13 @@ object Bpe {
 
   /** The distributed merge loop — for vocabularies above the driver cap.
     * One vocab-sized pair-count job + one bounded driver scalar per merge;
-    * `localCheckpoint` every [[CheckpointEvery]] merges truncates lineage
-    * so late-iteration recovery never replays the whole chain (a cluster
-    * run that must survive executor loss passes a reliable checkpoint dir
-    * via `spark.sparkContext.setCheckpointDir` and swaps `checkpoint` in —
-    * see [[Dedup.canonicalIds]]'s same note).
+    * lineage truncates every [[CheckpointEvery]] merges — `localCheckpoint`
+    * by default, reliable `checkpoint` when `checkpointDir` is set (the
+    * [[Dedup.canonicalIds]] treatment) — so late-iteration recovery never
+    * replays the whole chain.
     */
-  private def trainDistributed(base: DataFrame, numMerges: Int, minFreq: Long)
+  private def trainDistributed(base: DataFrame, numMerges: Int, minFreq: Long,
+                               checkpointDir: Option[String])
       : (Seq[(String, String, Long)], DataFrame) = {
     var words = base
     // previous iteration's frame: safe to release only once the CURRENT
@@ -360,10 +364,12 @@ object Bpe {
         merges += ((a, b, f))
         val nextPlan = words.select(col("w"), col("freq"),
           mergePair(col("syms"), a, b).as("syms"))
-        // eager localCheckpoint both caches and cuts lineage; between
-        // checkpoints a plain scoped persist carries the iteration
+        // eager checkpoint (local, or reliable under checkpointDir) both
+        // caches and cuts lineage; between checkpoints a plain scoped
+        // persist carries the iteration
         val next =
-          if ((i + 1) % CheckpointEvery == 0) nextPlan.localCheckpoint()
+          if ((i + 1) % CheckpointEvery == 0)
+            Checkpoints.cut(nextPlan, checkpointDir, eager = true)
           else CacheScope.persisted(nextPlan)
         release = words
         words = next

@@ -23,6 +23,34 @@ import org.apache.spark.storage.StorageLevel
   * exit) and are thread-confined: a pipeline built on another thread
   * belongs to that thread's scope.
   */
+/** Lineage truncation for iterative operators ([[Dedup.canonicalIds]],
+  * [[Bpe]]'s distributed merge loop): `localCheckpoint` by default — fast,
+  * but stored on executors, so executor loss mid-iteration recomputes from
+  * scratch — or a RELIABLE `checkpoint` to a fault-tolerant directory
+  * (HDFS/object store) when the caller passes one, which is what a
+  * long-running cluster job should do. ([[Similarity.kmeans]] needs
+  * neither: its per-iteration state is the driver-side codebook, and every
+  * iteration plans fresh from the input frame — no lineage ever chains.)
+  */
+private[operators] object Checkpoints {
+
+  /** Truncate `df`'s lineage: reliable `checkpoint` under `dir` if set
+    * (the SparkContext checkpoint dir is set on first use and left alone
+    * if the caller already configured one elsewhere), else
+    * `localCheckpoint`. `eager = false` defers materialization to the
+    * caller's next action, the iterative-loop pattern.
+    */
+  def cut(df: DataFrame, dir: Option[String], eager: Boolean): DataFrame =
+    dir match {
+      case Some(d) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty || sc.getCheckpointDir != Some(d))
+          sc.setCheckpointDir(d)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+}
+
 object CacheScope {
 
   // stack of scopes, head = innermost

@@ -421,10 +421,12 @@ object Dedup {
     * every label with its label's label (one jump). The jump halves the
     * label-forest depth per round, so convergence is O(log diameter)
     * rounds, not O(diameter) — a 10⁶-long duplicate chain resolves in ~20
-    * rounds. Each round is two shuffles on node/label; `localCheckpoint`
-    * truncates lineage per round (a 100 TB run would use reliable
-    * `checkpoint` to survive executor loss mid-iteration). Termination is
-    * an exact changed-label count — one cheap action per round.
+    * rounds. Each round is two shuffles on node/label; lineage truncates
+    * per round — `localCheckpoint` by default, or a reliable `checkpoint`
+    * when `checkpointDir` names a fault-tolerant directory (what a 100 TB
+    * run passes so executor loss mid-iteration never replays the chain).
+    * Termination is an exact changed-label count — one cheap action per
+    * round.
     *
     * Input: (aCol, bCol) pair frame. Output: (doc_id, canon_id) for every
     * document that appears in a pair, canon_id = min id of its component.
@@ -444,7 +446,8 @@ object Dedup {
     */
   def canonicalIds(pairs: DataFrame, aCol: String = "doc_a",
                    bCol: String = "doc_b", maxIters: Int = 50,
-                   driverEdgeCap: Long = 1L << 22): DataFrame = {
+                   driverEdgeCap: Long = 1L << 22,
+                   checkpointDir: Option[String] = None): DataFrame = {
     // The pair frame is usually the output of an expensive similarity join
     // and fans out into THREE union branches below — persist it so the
     // join runs once, not three times (measured 3× the q9 cost without).
@@ -489,12 +492,15 @@ object Dedup {
         .groupBy("node").agg(min("label").as("label"))
       // pointer jump: label := label(label) — labels only decrease, and
       // every label is itself a node, so the self-join always resolves
-      val jumped = hop.as("x")
+      val jumpedPlan = hop.as("x")
         .join(hop.select(col("node").as("jn"), col("label").as("jl")).as("y"),
           col("x.label") === col("jn"), "left")
         .select(col("x.node").as("node"),
           coalesce(col("jl"), col("x.label")).as("label"))
-        .localCheckpoint(false) // lazy: the labelSum action materializes it
+      // lazy: the labelSum action materializes it. localCheckpoint unless
+      // the caller passed a reliable checkpointDir (cluster runs that must
+      // survive executor loss mid-iteration)
+      val jumped = Checkpoints.cut(jumpedPlan, checkpointDir, eager = false)
       val cur = labelSum(jumped)
       // null sum = empty pair frame (nothing to resolve); otherwise compare
       // against the previous round (round 1 has nothing to compare to)

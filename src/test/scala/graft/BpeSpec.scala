@@ -115,6 +115,25 @@ class BpeSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("distributed loop with reliable checkpointDir: identical merges") {
+    val (refMerges, _) = refBpe(localWordFreq, numMerges = 12, minFreq = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-ckpt").toFile
+    try {
+      // cap 0 forces the distributed loop; ≥8 merges crosses the
+      // CheckpointEvery boundary so the reliable cut actually runs
+      val got = Bpe.trainMerges(corpus, "text", numMerges = 12,
+          driverVocabCap = 0L, checkpointDir = Some(dir.getPath))
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toList
+      assert(got == refMerges)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("minFreq stops the loop; zero merges allowed") {
     val few = Seq((0L, "x y z")).toDF("doc_id", "text")
     // every pair occurs once -> below default minFreq=2 -> no merges

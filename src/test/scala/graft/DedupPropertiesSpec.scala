@@ -112,6 +112,31 @@ class DedupPropertiesSpec extends SparkTestBase {
       "every node of the chain must resolve to the minimum id")
   }
 
+  test("canonicalIds reliable-checkpoint path: same answer, files under the dir") {
+    // the cluster form: pass a checkpointDir and the per-round lineage cut
+    // becomes a reliable checkpoint (survives executor loss) instead of
+    // localCheckpoint — results must be identical and the directory must
+    // actually receive RDD checkpoint data
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    try {
+      val chain = (0L until 60L).map(i => (i, i + 1))
+      val got = Dedup.canonicalIds(chain.toDF("doc_a", "doc_b"),
+          driverEdgeCap = 0, checkpointDir = Some(dir.getPath))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == 61 && got.forall(_._2 == 0L))
+      def anyFile(f: java.io.File): Boolean = {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty)
+        kids.exists(k => k.isFile || anyFile(k))
+      }
+      assert(anyFile(dir), "reliable checkpoint wrote nothing under the dir")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("simhash of near-identical docs is closer in hamming distance than random docs") {
     val rnd = new scala.util.Random(11)
     val a = (0 until 60).map(_ => s"w${rnd.nextInt(15)}").mkString(" ")
