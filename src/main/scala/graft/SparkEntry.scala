@@ -1214,6 +1214,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("id").as("id_sum"))
         .orderBy("status")
     }),
+
+    // VERSIONED SNAPSHOT STORE (the reference's SDFS put/get-versions,
+    // K4, mapped onto a partition-per-version layout): write the corpus
+    // as version 0 and q72's deterministic re-crawl as version 1 into a
+    // fresh directory, read them back through the partition-PRUNED
+    // `get-versions 2` path, and diff the two read-back versions. Gated
+    // against q72's own oracle — a hash match proves the storage round
+    // trip (write → discovery → pruned read → diff) is lossless, not just
+    // that the diff logic works on in-memory frames.
+    "q84_snapshot_versions" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.select("doc_id", "text")
+      val newSnap = Tables(s, dir).documents.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 3, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(Tables(s, dir).documents.filter(col("doc_id") % 13 === 1)
+          .withColumn("doc_id", col("doc_id") + 100000))
+        .select("doc_id", "text")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-snap").toString
+      SnapshotDirs.add(root)
+      Curation.writeSnapshot(docs, root, 0L)
+      Curation.writeSnapshot(newSnap, root, 1L)
+      val last2 = Curation.readSnapshots(s, root, lastN = 2)
+      Curation.corpusDiff(
+          last2.filter(col("version") === 0).drop("version"),
+          last2.filter(col("version") === 1).drop("version"),
+          "doc_id", "text")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("id").as("id_sum"))
+        .orderBy("status")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -1290,21 +1322,33 @@ object SparkEntry {
   private val StreamArtifacts =
     new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, String, String)]()
 
+  /** Temp snapshot roots created by q84 runs — drained with the stream
+    * artifacts so a harness running queries repeatedly doesn't accumulate
+    * written snapshot directories.
+    */
+  private val SnapshotDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   /** Drop every accumulated memory-sink view and delete its checkpoint dir
     * — call AFTER the query's result frame has been fully consumed (the
     * frame reads from the view it drops).
     */
   private[graft] def cleanupStreamArtifacts(s: SparkSession): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete()
+    }
     var a = StreamArtifacts.poll()
     while (a != null) {
       a._1.catalog.dropTempView(a._2)
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-        f.delete()
-      }
       rm(new java.io.File(a._3))
       a = StreamArtifacts.poll()
+    }
+    var d = SnapshotDirs.poll()
+    while (d != null) {
+      rm(new java.io.File(d))
+      d = SnapshotDirs.poll()
     }
   }
 
@@ -1328,7 +1372,10 @@ object SparkEntry {
       // the salted stream join must reproduce the UNSALTED join's answer
       "q63_stream_join_salted" -> "q51_stream_join",
       // the Bloom prefilter must reproduce the broadcast-exact answer
-      "q66_decontam_bloom" -> "q34_decontam")
+      "q66_decontam_bloom" -> "q34_decontam",
+      // the versioned-snapshot round trip (write → partition-pruned
+      // get-versions read → diff) must reproduce the in-memory diff
+      "q84_snapshot_versions" -> "q72_corpus_diff")
       .map { case (aliasQ, libQ) => aliasQ -> oracleSqlBase(libQ) }
   }
 

@@ -190,6 +190,78 @@ object Curation {
           .otherwise("unchanged").as("status"))
   }
 
+  // --- Versioned snapshot store -------------------------------------------
+  //
+  // The reference's SDFS storage plane keeps a VERSION COUNTER per object:
+  // every `put` appends a new version and `get-versions n` returns the
+  // last n (`daemon/daemon.go:136-675` version counters; `Nimbus.go:447-567`
+  // placement, `Nimbus.go:541-560` get-versions). SURVEY §1.4 scopes the
+  // replica/placement half to the object store under Spark — correctly —
+  // but the USER-FACING half ("dataset versioning") maps cleanly onto a
+  // directory-of-snapshots layout: one partition directory per version
+  // (`root/version=N/`), Spark partition discovery surfaces `version` as a
+  // column, and "read the last n versions" is a partition-PRUNED scan whose
+  // cost is proportional to the n versions requested, never to the history
+  // length (the `.explain` PartitionFilters line is the proof, asserted in
+  // CurationSpec). [[corpusDiff]] is the pairwise audit between any two
+  // versions; q84 puts the whole plane — write, discovery, pruned read,
+  // diff — under q72's oracle hash.
+
+  /** Append corpus state as snapshot `version` under `rootDir` — the
+    * reference's versioned `put`. A version is immutable once written:
+    * re-putting an existing version fails (`errorifexists`), matching the
+    * counter semantics where every put gets a NEW version.
+    */
+  def writeSnapshot(df: DataFrame, rootDir: String, version: Long): Unit = {
+    require(version >= 0, s"version must be >= 0: $version")
+    df.write.mode("errorifexists").parquet(s"$rootDir/version=$version")
+  }
+
+  /** The versions present under `rootDir`, ascending — `ls-versions`.
+    * Directory-listing only (no data read), like the reference's counter
+    * lookup.
+    */
+  def snapshotVersions(rootDir: String): Seq[Long] = {
+    val kids = Option(new java.io.File(rootDir).listFiles())
+      .getOrElse(Array.empty)
+    kids.iterator
+      .filter(f => f.isDirectory && f.getName.startsWith("version="))
+      .map(_.getName.stripPrefix("version=").toLong)
+      .toSeq.sorted
+  }
+
+  /** Read the LAST `lastN` snapshot versions — the reference's
+    * `get-versions n`. Returns the rows of those versions with their
+    * `version` column; the version predicate is a PARTITION filter, so
+    * Spark never lists or reads the older version directories' data.
+    */
+  def readSnapshots(spark: org.apache.spark.sql.SparkSession, rootDir: String,
+                    lastN: Int): DataFrame = {
+    require(lastN >= 1, s"lastN must be >= 1: $lastN")
+    val versions = snapshotVersions(rootDir)
+    require(versions.nonEmpty, s"no snapshots under $rootDir")
+    val cutoff = versions.takeRight(lastN).head
+    // filter BEFORE the cast so the predicate stays a partition filter
+    // (pruned listing); partition-type inference surfaces version as int,
+    // normalized to long for a stable caller-facing schema
+    spark.read.parquet(rootDir).filter(col("version") >= cutoff)
+      .withColumn("version", col("version").cast("long"))
+  }
+
+  /** [[corpusDiff]] between two STORED versions — the audit a re-crawl
+    * runs before spending downstream dedup/curation compute. Both sides
+    * are partition-pruned single-version scans.
+    */
+  def diffSnapshots(spark: org.apache.spark.sql.SparkSession, rootDir: String,
+                    oldVersion: Long, newVersion: Long, idCol: String,
+                    textCol: String): DataFrame = {
+    val all = spark.read.parquet(rootDir)
+    corpusDiff(
+      all.filter(col("version") === oldVersion),
+      all.filter(col("version") === newVersion),
+      idCol, textCol)
+  }
+
   /** Token-yield accounting over [[curate]]: per split, how many documents
     * and training tokens survive the whole pipeline — the number a
     * pretraining budget is planned against (plus an id checksum so the

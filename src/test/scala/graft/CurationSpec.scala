@@ -119,6 +119,44 @@ class CurationSpec extends SparkTestBase {
       (0L, 0L)))
   }
 
+  test("snapshot store: versioned put/get-versions round trip, immutability, partition pruning") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snapspec").toFile
+    try {
+      val v0 = Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+      val v1 = Seq((2L, "two"), (3L, "three")).toDF("doc_id", "text")
+      val v2 = Seq((3L, "three"), (4L, "four")).toDF("doc_id", "text")
+      Curation.writeSnapshot(v0, root.getPath, 0L)
+      Curation.writeSnapshot(v1, root.getPath, 1L)
+      Curation.writeSnapshot(v2, root.getPath, 2L)
+      assert(Curation.snapshotVersions(root.getPath) == Seq(0L, 1L, 2L))
+      // a version is immutable: re-putting it fails like the reference's
+      // counter (every put gets a NEW version)
+      intercept[Exception] { Curation.writeSnapshot(v0, root.getPath, 1L) }
+      // get-versions 2 = versions 1 and 2 only
+      val last2 = Curation.readSnapshots(spark, root.getPath, lastN = 2)
+      val got = last2.collect()
+        .map(r => (r.getAs[Long]("version"), r.getAs[Long]("doc_id"))).toSet
+      assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L)))
+      // the version predicate must reach the scan as a PARTITION filter
+      // (pruned directory listing — cost ∝ versions requested, not
+      // history length), not a post-scan row filter
+      val plan = last2.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") &&
+        """PartitionFilters: \[[^\]]*version""".r.findFirstIn(plan).isDefined,
+        plan)
+      // pairwise audit between stored versions
+      val diff = Curation.diffSnapshots(spark, root.getPath, 1L, 2L,
+          "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(diff == Map(2L -> "removed", 3L -> "unchanged", 4L -> "added"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(root)
+    }
+  }
+
   test("corpusDiff: added/removed/changed/unchanged; normalization-invariant") {
     val oldDf = Seq((1L, "one"), (2L, "two"), (3L, "three"))
       .toDF("doc_id", "text")
