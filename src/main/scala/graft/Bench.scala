@@ -12,6 +12,11 @@ package graft
   * Timing protocol (this box shows ±2× run-to-run variance on single runs):
   *  - an untimed warmup of every query at the smallest fixture first, so no
   *    measured run pays JVM/codegen/class-load cost;
+  *  - one more untimed run at the TARGET fixture immediately before each
+  *    query's timed runs — the small-fixture warmup compiles the code paths
+  *    but not the target-sized shuffles/broadcasts, so without this, run 1
+  *    paid target-scale JIT/GC shaping and `queries_max` showed 3-5×
+  *    first-run outliers that read as regressions they weren't;
   *  - then `Runs` timed executions per query, reporting the MEDIAN in
   *    `queries` (what the driver reads) plus per-query min/max spread;
   *  - `spark.catalog.clearCache()` between executions — OUTSIDE the timed
@@ -61,6 +66,9 @@ object Bench {
     names.foreach { name =>
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       var failed = false
+      // target-fixture warmup (untimed): errors deferred to the timed runs
+      try { runOnce(name, sfDir); cleanup() }
+      catch { case _: Throwable => cleanup() }
       (1 to Runs).foreach { _ =>
         if (!failed) {
           val t0 = System.nanoTime()
