@@ -1082,6 +1082,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL video frame sampling: one deterministic GVID container (2-4
+    // length-prefixed synthetic PNG frames, frame f seeded doc_id*100+f*7)
+    // per document; every 2nd frame is PNG-decoded by javax.imageio inside
+    // executors, skipped frames advance by their length prefix without
+    // decode — the q59 recipe applied to video frame sampling. PNG is
+    // lossless, so each sampled frame's exact pixel sum must reproduce the
+    // formula, which the oracle recomputes arithmetically without decoding
+    // anything.
+    "q85_video_frames" -> ((s, dir) => {
+      Multimodal.videoFrameFeatures(s, Tables(s, dir).documents, stride = 2)
+        .select(col("doc_id"), col("decoded"), col("frame_idx"),
+          col("n_frames"), col("width"), col("height"), col("n_px"),
+          col("sum_rgb"),
+          expr("sum_rgb * 1000 div (3 * n_px)").as("luma_milli"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // Corpus-bigram-LM surprisal (CCNet-style perplexity filter shape):
     // the context-aware sibling of q40 — adjacent-pair negative
     // log-likelihood under add-one smoothing, per-(doc,a,b) contributions
@@ -2148,6 +2165,38 @@ object SparkEntry {
         |       sum(samp * samp)::BIGINT AS sum_sq,
         |       (sum(abs(samp))::BIGINT * 1000) // count(*)::BIGINT AS amp_milli
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The frame formula of Multimodal.syntheticVideo re-derived in pure
+    // BIGINT arithmetic: the oracle never parses the container or a PNG —
+    // it computes what a correct demux + decode of every 2nd frame MUST
+    // see, so any deviation (wrong frame offsets, off-by-one stride, lossy
+    // round-trip) breaks the hash.
+    "q85_video_frames" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(3 + doc_id % 5 AS INTEGER) AS width,
+        |         CAST(2 + doc_id % 4 AS INTEGER) AS height,
+        |         CAST(2 + doc_id % 3 AS INTEGER) AS n_frames
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, CAST(f.f AS INTEGER) AS frame_idx,
+        |         d.n_frames, d.width, d.height,
+        |         (((d.doc_id * 100 + f.f * 7) * 7 + xs.x * 13 + ys.y * 31) % 256
+        |        + ((d.doc_id * 100 + f.f * 7) * 11 + xs.x * 17 + ys.y * 5) % 256
+        |        + ((d.doc_id * 100 + f.f * 7) * 3 + xs.x * 29 + ys.y * 7) % 256) AS rgb
+        |  FROM dims d
+        |  CROSS JOIN range(0, 4) f(f)
+        |  CROSS JOIN range(0, 7) xs(x)
+        |  CROSS JOIN range(0, 5) ys(y)
+        |  WHERE f.f < d.n_frames AND f.f % 2 = 0
+        |    AND xs.x < d.width AND ys.y < d.height)
+        |SELECT doc_id, TRUE AS decoded, frame_idx,
+        |       max(n_frames) AS n_frames,
+        |       max(width) AS width, max(height) AS height,
+        |       count(*)::BIGINT AS n_px,
+        |       sum(rgb)::BIGINT AS sum_rgb,
+        |       (sum(rgb)::BIGINT * 1000) // (3 * count(*)::BIGINT) AS luma_milli
+        |FROM px GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx""".stripMargin,
 
     // q26's split rule + per-(split, token) micro-nat KL contributions;
     // expression shapes mirror the Spark side verbatim (c·ln((c/n)/(gc/m))

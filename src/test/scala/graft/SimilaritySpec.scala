@@ -514,6 +514,70 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows.forall(r => r.width == -1 && r.n_px == 0L))
     assert(rows(0).size_bytes == 100L)
   }
+
+  test("decodeVideoFrames REALLY decodes sampled frames: stride, geometry, exact pixel sums") {
+    import graft.operators.MediaRow
+    val (w, h, n) = (4, 3, 5)
+    def frameSum(seed: Long): Long = {
+      var s = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        s += (seed * 7 + x * 13 + y * 31) % 256
+        s += (seed * 11 + x * 17 + y * 5) % 256
+        s += (seed * 3 + x * 29 + y * 7) % 256
+      }
+      s
+    }
+    val video = Multimodal.packFrames((0 until n).map(f =>
+      Multimodal.syntheticPng(100L + f, w, h)))
+    assert(new String(video.take(4), "US-ASCII") == "GVID")
+    val sampled = Multimodal.decodeVideoFrames(
+      Seq(MediaRow(1L, Multimodal.VideoMime, video, w, h)).toDS(), stride = 2)
+      .collect().sortBy(_.frame_idx)
+    // stride 2 over 5 frames samples 0, 2, 4 — skipped frames never decoded
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    for (r <- sampled) {
+      assert(r.decoded && r.n_frames == n && r.width == w && r.height == h)
+      assert(r.n_px == w.toLong * h)
+      assert(r.sum_rgb == frameSum(100L + r.frame_idx),
+        s"frame ${r.frame_idx}: ${r.sum_rgb}")
+    }
+    // stride 1 decodes every frame
+    val all = Multimodal.decodeVideoFrames(
+      Seq(MediaRow(1L, Multimodal.VideoMime, video, w, h)).toDS(), stride = 1)
+      .collect()
+    assert(all.map(_.frame_idx).sorted.toSeq == (0 until n))
+  }
+
+  test("decodeVideoFrames degrades, not dies: bad magic, truncation, corrupt frame, wrong mime") {
+    import graft.operators.MediaRow
+    val good = Multimodal.packFrames(Seq(Multimodal.syntheticPng(1L, 3, 3)))
+    val badFrame = Multimodal.packFrames( // valid container, garbage "PNG"
+      Seq(Array.tabulate[Byte](50)(i => (i * 37).toByte)))
+    val rows = Multimodal.decodeVideoFrames(Seq(
+      MediaRow(3L, Multimodal.VideoMime, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), 0, 0),
+      MediaRow(4L, Multimodal.VideoMime, good.take(good.length - 5), 0, 0),
+      MediaRow(5L, Multimodal.VideoMime, badFrame, 0, 0),
+      MediaRow(6L, "image/png", good, 0, 0),
+    ).toDS(), stride = 1).collect().sortBy(_.doc_id)
+    assert(rows.length == 4)
+    assert(rows.forall(r => !r.decoded && r.frame_idx == -1 && r.n_px == 0L))
+    assert(rows(0).size_bytes == 8L)
+  }
+
+  test("videoFrameFeatures end-to-end matches the per-doc geometry rule at stride 2") {
+    val out = Multimodal.videoFrameFeatures(spark, docs, stride = 2)
+      .orderBy("doc_id", "frame_idx").collect()
+    // doc 0: 2 frames → {0}; doc 1: 3 frames → {0, 2}
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx"))).toSeq ==
+      Seq((0L, 0), (1L, 0), (1L, 2)))
+    for (r <- out) {
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("decoded"))
+      assert(r.getAs[Int]("n_frames") == (2 + id % 3).toInt)
+      assert(r.getAs[Int]("width") == (3 + id % 5).toInt)
+      assert(r.getAs[Int]("height") == (2 + id % 4).toInt)
+    }
+  }
 }
 
 /** Int8 embedding quantization: the engine-portable floor-rounding rule,
