@@ -1099,6 +1099,31 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // C4-style boilerplate strip: chunks occurring in >= 2 DISTINCT
+    // documents are template (nav bars, license headers) and are removed
+    // from EVERY document, first occurrence included — the complement of
+    // q64's keep-first dedup rule. The gate hashes per-doc chunk/boiler
+    // counts, surviving tokens, and the reassembled-text md5.
+    "q87_boilerplate" -> ((s, dir) => {
+      TextAnalysis.boilerplateStrip(Tables(s, dir).documents, "doc_id",
+          "text", window = 10, minDocs = 2)
+        .orderBy("doc_id")
+    }),
+
+    // One-pass approximate heavy hitters (Misra-Gries) through the native
+    // graft_heavy_hitters TypedImperativeAggregate: per-source top terms
+    // with HARD-bounded aggregation state (capacity counters per buffer,
+    // whatever the vocabulary). At capacity 4096 >= this corpus's
+    // per-source vocabulary no decrement ever fires, so the summary is
+    // provably exact and the oracle's true top-20 must match bit-for-bit
+    // (cnt_lb = true count, err = 0); the sub-capacity approximation
+    // guarantee is property-tested in HeavyHittersSpec.
+    "q86_heavy_hitters" -> ((s, dir) => {
+      TextAnalysis.heavyHitterTerms(Tables(s, dir).documents, "source",
+          "text", capacity = 4096, k = 20)
+        .orderBy("source", "rk")
+    }),
+
     // Corpus-bigram-LM surprisal (CCNet-style perplexity filter shape):
     // the context-aware sibling of q40 — adjacent-pair negative
     // log-likelihood under add-one smoothing, per-(doc,a,b) contributions
@@ -2197,6 +2222,44 @@ object SparkEntry {
         |       sum(rgb)::BIGINT AS sum_rgb,
         |       (sum(rgb)::BIGINT * 1000) // (3 * count(*)::BIGINT) AS luma_milli
         |FROM px GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // q64's chunk CTEs + a distinct-doc-count boilerplate rule + FILTERed
+    // reassembly: chunks in >= 2 distinct docs drop everywhere.
+    "q87_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |             unnest(generate_series(1, greatest(len(toks), 1), 10)) AS start
+        |      FROM t),
+        |p AS (SELECT doc_id, ((start - 1) / 10)::BIGINT AS pos,
+        |             len(toks[start : start + 9])::BIGINT AS n_toks,
+        |             array_to_string(toks[start : start + 9], ' ') AS para
+        |      FROM c),
+        |nd AS (SELECT md5(para) AS h, count(DISTINCT doc_id)::BIGINT AS n_docs
+        |       FROM p GROUP BY 1),
+        |m AS (SELECT p.doc_id, p.pos, p.n_toks, p.para,
+        |             (nd.n_docs >= 2) AS boiler
+        |      FROM p JOIN nd ON md5(p.para) = nd.h)
+        |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |       sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+        |       sum(CASE WHEN boiler THEN 0 ELSE n_toks END)::BIGINT AS kept_toks,
+        |       coalesce(md5(string_agg(para, ' ' ORDER BY pos)
+        |                      FILTER (WHERE NOT boiler)), md5('')) AS kept_fp
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Exact per-source top-20 by (count desc, term asc) — what the
+    // Misra-Gries summary MUST equal in the capacity >= vocabulary regime
+    // (no decrements → lower bound = true count, err = 0).
+    "q86_heavy_hitters" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |c AS (SELECT source, term, count(*)::BIGINT AS cnt_lb
+        |      FROM t WHERE term <> '' GROUP BY source, term),
+        |r AS (SELECT source, term, cnt_lb,
+        |             row_number() OVER (PARTITION BY source
+        |                                ORDER BY cnt_lb DESC, term) AS rk
+        |      FROM c)
+        |SELECT source, term, cnt_lb, 0::BIGINT AS err, rk::BIGINT AS rk
+        |FROM r WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
 
     // q26's split rule + per-(split, token) micro-nat KL contributions;
     // expression shapes mirror the Spark side verbatim (c·ln((c/n)/(gc/m))

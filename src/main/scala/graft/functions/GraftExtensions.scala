@@ -45,6 +45,8 @@ object GraftExtensions {
       e => Quant8Report(e.head)),
     ("graft_quant8", classOf[Quant8Vec],
       e => Quant8Vec(e.head)),
+    ("graft_heavy_hitters", classOf[HeavyHitters],
+      e => HeavyHitters(e.head, e(1))),
     // Spark's own runtime-filter primitives, exposed to the text surface
     // (they exist in catalyst but are not SQL-registered): build a Bloom
     // filter over xxhash64 values / probe it. The probe's Bloom argument

@@ -527,6 +527,80 @@ object TextAnalysis {
         col("rk").cast("long").as("rk"))
   }
 
+  /** Approximate top-k terms per group in ONE pass with HARD-bounded
+    * state: Misra-Gries heavy hitters via the native
+    * `graft_heavy_hitters` aggregate ([[graft.functions.HeavyHitters]]).
+    * Output: (group, term, cnt_lb, err, rk) — `cnt_lb` is a guaranteed
+    * lower bound on the true count, `cnt_lb + err` a guaranteed upper
+    * bound, and every term with true share > 1/(capacity+1) of its
+    * group's stream is guaranteed present (property-tested).
+    *
+    * Scale contrast with the exact [[topTermsPerGroup]]: that one's
+    * (group, term) aggregate ships one row per DISTINCT term through the
+    * exchange — billions of rows of shuffle at web vocabulary for a 20-row
+    * answer. Here each map-side partial buffer is `capacity` counters
+    * regardless of vocabulary, so the exchange carries `capacity` rows per
+    * (partition, group) and memory is bounded by construction — no spill
+    * path needed. With `capacity` >= the group's distinct-term count no
+    * decrement ever fires and the result is exact (q86's oracle regime).
+    */
+  def heavyHitterTerms(df: DataFrame, groupCol: String, textCol: String,
+                       capacity: Int, k: Int): DataFrame = {
+    require(k >= 1 && capacity >= k, s"need 1 <= k <= capacity: k=$k cap=$capacity")
+    graft.functions.HeavyHitters.ensureRegistered(df.sparkSession)
+    df.select(col(groupCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(groupCol))
+      .agg(expr(s"graft_heavy_hitters(term, $capacity)").as("hh"))
+      .select(col(groupCol), posexplode(slice(col("hh"), 1, k)))
+      .select(col(groupCol), col("col.term").as("term"),
+        col("col.cnt_lb").as("cnt_lb"), col("col.err").as("err"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
+  /** C4-style boilerplate removal: a chunk (positional token window, the
+    * [[chunkByTokens]] unit q64 uses) occurring in at least `minDocs`
+    * DISTINCT documents is boilerplate — navigation bars, cookie banners,
+    * license headers — and is removed from EVERY document, first
+    * occurrence included. The complement of [[graft.operators.Dedup
+    * .paragraphDedup]]'s keep-first rule: dedup preserves one copy of
+    * repeated content, boilerplate strip decides repetition across enough
+    * documents means the content is template, not content. Output per doc:
+    * (doc_id, n_chunks, n_boiler, kept_toks, kept_fp) with the reassembled
+    * surviving text proven byte-exact under the md5.
+    *
+    * Scale shape: q64's exactly — the boilerplate decision aggregates the
+    * skinny (h, doc_id) frame (two-level distinct-then-count, both
+    * map-side combinable, so a chunk repeated a billion times in one
+    * partition arrives at each exchange as one row); chunk TEXT moves only
+    * on the uniform doc_id key for reassembly. The boilerplate set is
+    * bounded by the corpus's repeated-chunk count, never materialized on
+    * the driver.
+    */
+  def boilerplateStrip(df: DataFrame, idCol: String, textCol: String,
+                       window: Int = 10, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val chunks = CacheScope.persisted(
+      chunkByTokens(df, idCol, textCol, window, overlap = 0)
+        .select(col("doc_id"), col("chunk_idx").as("pos"), col("n_toks"),
+          col("chunk"), md5(col("chunk")).as("h")))
+    val boiler = chunks.select(col("h"), col("doc_id")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h"), lit(true).as("is_boiler"))
+    chunks.join(boiler, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).cast("long").as("n_boiler"),
+        sum(when(col("is_boiler"), 0L).otherwise(col("n_toks")))
+          .cast("long").as("kept_toks"),
+        md5(array_join(transform(
+          sort_array(collect_list(when(col("is_boiler").isNull,
+            struct(col("pos"), col("chunk"))))),
+          p => p("chunk")), " ")).as("kept_fp"))
+  }
+
   /** Exact TOKEN-PHRASE search: every document containing the query
     * phrase as a consecutive token run, with occurrence count and first
     * position — the audit query behind leak hunting ("which documents

@@ -37,7 +37,9 @@ object ExtensionsConfigCheck {
                  xxhash64(2L))                                             AS bloom_hit,
                graft_matvec_dots(array(1.0D, 2.0D),
                  array(array(1.0D, 0.0D), array(0.0D, 1.0D)), 1.0D)        AS mv,
-               graft_quant8_report(array(1.0D, -0.5D)).q_max               AS q_max
+               graft_quant8_report(array(1.0D, -0.5D)).q_max               AS q_max,
+               (SELECT graft_heavy_hitters(t, 4)[0].term
+                FROM VALUES ('a'), ('b'), ('a') v(t))                      AS hh_top
       """).head()
       assert(row.getDouble(0) == 1.0, "graft_cosine")
       assert(row.getInt(1) == 1, "graft_argmax_cosine first-max index")
@@ -49,6 +51,7 @@ object ExtensionsConfigCheck {
       assert(row.getBoolean(7), "graft_bloom_agg/might_contain no-false-negative")
       assert(row.getSeq[Double](8) == Seq(1.0, 2.0), "graft_matvec_dots")
       assert(row.getLong(9) == 127L, "graft_quant8_report")
+      assert(row.getString(10) == "a", "graft_heavy_hitters modal term")
       println(s"spark.sql.extensions config path OK: $row")
     } finally spark.stop()
   }

@@ -43,7 +43,9 @@ class ExtensionsSpec extends AnyFunSuite {
                  (SELECT graft_bloom_agg(xxhash64(id), 64L, 512L)
                   FROM range(4)),
                  xxhash64(2L))                                         AS bloom_hit,
-               graft_quant8_report(array(1.0D, -0.5D)).q_max           AS q_max
+               graft_quant8_report(array(1.0D, -0.5D)).q_max           AS q_max,
+               (SELECT graft_heavy_hitters(t, 4)[0].term
+                FROM VALUES ('a'), ('b'), ('a') v(t))                  AS hh_top
       """).head()
       assert(row.getDouble(0) == 1.0)
       assert(row.getInt(1) == 2)
@@ -53,6 +55,7 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(!row.isNullAt(5))
       assert(row.getBoolean(6))    // bloom: inserted key must be admitted
       assert(row.getLong(7) == 127L)  // quant8: max element pins 127
+      assert(row.getString(8) == "a") // heavy hitters: modal term first
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

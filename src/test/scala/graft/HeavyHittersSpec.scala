@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** The Misra-Gries guarantees, pinned:
+  *
+  *  - capacity >= distinct  →  EXACT counts (no decrement ever fires),
+  *    repartition-invariant — the regime q86's oracle gate runs in;
+  *  - capacity < distinct   →  for every reported (term, cnt_lb, err):
+  *    cnt_lb <= true <= cnt_lb + err, err <= n/(capacity+1), and every
+  *    term with true count > n/(capacity+1) is present — the mergeable-
+  *    summaries bound, which must survive Spark's partial/final split at
+  *    ANY partitioning.
+  */
+class HeavyHittersSpec extends SparkTestBase {
+  import TestSpark.spark.implicits._
+
+  // deterministic skewed stream: term t_i appears ~ n/(i+1) times (zipf-ish)
+  private def zipfStream(nTerms: Int, scale: Int): Seq[String] =
+    (0 until nTerms).flatMap(i => Seq.fill(scale / (i + 1))(f"t$i%03d"))
+
+  private def trueCounts(s: Seq[String]): Map[String, Long] =
+    s.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+
+  private def summarize(s: Seq[String], capacity: Int, parts: Int): Seq[Row] = {
+    graft.functions.HeavyHitters.ensureRegistered(spark)
+    s.toDF("term").repartition(parts)
+      .agg(expr(s"graft_heavy_hitters(term, $capacity)").as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.cnt_lb"), col("e.err"))
+      .collect().toSeq
+  }
+
+  test("capacity >= distinct: exact counts, err 0, repartition-invariant") {
+    val stream = zipfStream(20, 400)
+    val exact = trueCounts(stream)
+    for (parts <- Seq(1, 7)) {
+      val got = summarize(stream, capacity = 64, parts)
+      assert(got.map(r => r.getString(0) -> r.getLong(1)).toMap == exact,
+        s"parts=$parts")
+      assert(got.forall(_.getLong(2) == 0L))
+    }
+  }
+
+  test("capacity < distinct: lower/upper bounds and the presence guarantee, any partitioning") {
+    val stream = zipfStream(150, 3000)
+    val exact = trueCounts(stream)
+    val n = stream.length.toLong
+    val cap = 16
+    val threshold = n / (cap + 1) // any term above this MUST be reported
+    for (parts <- Seq(1, 4, 13)) {
+      val got = summarize(stream, cap, parts)
+      assert(got.size <= cap)
+      val reported = got.map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      reported.foreach { case (t, (lb, err)) =>
+        val truth = exact(t)
+        assert(lb <= truth, s"parts=$parts $t: lb $lb > true $truth")
+        assert(truth <= lb + err, s"parts=$parts $t: true $truth > $lb+$err")
+        assert(err <= threshold, s"parts=$parts err $err > n/(cap+1) $threshold")
+      }
+      exact.filter(_._2 > threshold).keys.foreach { t =>
+        assert(reported.contains(t), s"parts=$parts heavy term $t missing")
+      }
+    }
+  }
+
+  test("nulls and empties are ignored; output is (cnt desc, term asc) ordered") {
+    graft.functions.HeavyHitters.ensureRegistered(spark)
+    val got = Seq(Some("b"), None, Some("a"), Some("b"), Some("c"), Some("a"))
+      .toDF("term")
+      .agg(expr("graft_heavy_hitters(term, 8)").as("hh"))
+      .select(explode(col("hh")).as("e")).select(col("e.term"), col("e.cnt_lb"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("heavyHitterTerms operator: per-group top-k with rank, bounded by k") {
+    val df = Seq(
+      ("g1", "x x x y y z"), ("g1", "x w"),
+      ("g2", "p q p")).toDF("source", "text")
+    val out = TextAnalysis.heavyHitterTerms(df, "source", "text",
+        capacity = 64, k = 2)
+      .orderBy("source", "rk").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(4))).toSeq ==
+      Seq(("g1", "x", 4L, 1L), ("g1", "y", 2L, 2L),
+          ("g2", "p", 2L, 1L), ("g2", "q", 1L, 2L)))
+  }
+
+  test("plan fact: the aggregate runs as ObjectHashAggregate (partial + final)") {
+    graft.functions.HeavyHitters.ensureRegistered(spark)
+    val plan = Seq("a", "b").toDF("term")
+      .groupBy(lit(1)).agg(expr("graft_heavy_hitters(term, 8)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+}

@@ -468,4 +468,46 @@ class TextAnalysisSpec extends SparkTestBase {
       .orderBy("doc_id", "chunk_idx").collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("boilerplateStrip removes cross-doc chunks EVERYWHERE, first occurrence included") {
+    val docs = Seq(
+      (1L, "b1 b2 b3 b4 b5 u1 u2 u3 u4 u5"), // shared header + unique tail
+      (2L, "b1 b2 b3 b4 b5 w1 w2 w3 w4 w5"),
+      (3L, "c1 c2 c3 c4 c5")).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateStrip(docs, "doc_id", "text",
+        window = 5, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // contrast with paragraphDedup: doc 1 does NOT keep the first "b1..b5"
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 5L, md5hex("u1 u2 u3 u4 u5")),
+      (2L, 2L, 1L, 5L, md5hex("w1 w2 w3 w4 w5")),
+      (3L, 1L, 0L, 5L, md5hex("c1 c2 c3 c4 c5"))))
+  }
+
+  test("boilerplateStrip: all-boiler doc keeps its row with empty survivors") {
+    val docs = Seq(
+      (1L, "b1 b2 b3 b4 b5"), (2L, "b1 b2 b3 b4 b5")).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateStrip(docs, "doc_id", "text",
+        window = 5, minDocs = 2).orderBy("doc_id").collect()
+    for (r <- out) {
+      assert(r.getLong(2) == 1L && r.getLong(3) == 0L) // n_boiler, kept_toks
+      assert(r.getString(4) == md5hex(""))
+    }
+  }
+
+  test("boilerplateStrip: repetition WITHIN one doc is not boilerplate (distinct-doc rule)") {
+    val docs = Seq(
+      (1L, "x1 x2 x3 x4 x5 x1 x2 x3 x4 x5"),
+      (2L, "y1 y2 y3 y4 y5")).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateStrip(docs, "doc_id", "text",
+        window = 5, minDocs = 2).orderBy("doc_id").collect()
+    assert(out(0).getLong(2) == 0L)   // no chunk dropped
+    assert(out(0).getLong(3) == 10L)  // both copies survive
+  }
 }
