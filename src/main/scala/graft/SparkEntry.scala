@@ -1099,6 +1099,16 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // BM25 ranked search over a bag of query terms (Lucene's non-negative
+    // idf variant): per-(doc, term) contributions round to integer
+    // micro-units before the per-doc sum, so the score is exact 64-bit
+    // arithmetic and the top-25 cut is deterministic (score desc, doc_id).
+    "q88_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25Search(Tables(s, dir).documents, "doc_id", "text",
+          Seq("spark", "hash", "window"), k = 25)
+        .orderBy(col("bm25_micro").desc, col("doc_id"))
+    }),
+
     // C4-style boilerplate strip: chunks occurring in >= 2 DISTINCT
     // documents are template (nav bars, license headers) and are removed
     // from EVERY document, first occurrence included — the complement of
@@ -2222,6 +2232,37 @@ object SparkEntry {
         |       sum(rgb)::BIGINT AS sum_rgb,
         |       (sum(rgb)::BIGINT * 1000) // (3 * count(*)::BIGINT) AS luma_milli
         |FROM px GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Okapi BM25 with expression shapes mirroring the Spark side verbatim
+    // (same IEEE fold order), micro-rounded per (doc, term) before the
+    // exact integer per-doc sum — the q40/q57/q68 rule.
+    "q88_bm25" ->
+      """WITH tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |            FROM documents),
+        |t AS (SELECT doc_id, term FROM tt WHERE term <> ''),
+        |dl AS (SELECT doc_id,
+        |              len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS dl
+        |       FROM documents),
+        |avg AS (SELECT sum(dl)::BIGINT * 1.0 / count(*) AS avgdl FROM dl),
+        |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |qt AS (SELECT doc_id, term, count(*)::BIGINT AS cnt FROM t
+        |       WHERE term IN ('spark', 'hash', 'window') GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*)::BIGINT AS df FROM qt GROUP BY term),
+        |m AS (SELECT qt.doc_id,
+        |             round(ln((n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+        |                   ((qt.cnt * (1.2 + 1.0)) /
+        |                    (qt.cnt + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avg.avgdl)))
+        |                   * 1e6)::BIGINT AS micro
+        |      FROM qt JOIN dl USING (doc_id) JOIN dfq USING (term)
+        |      CROSS JOIN n CROSS JOIN avg),
+        |s AS (SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+        |             sum(micro)::BIGINT AS bm25_micro
+        |      FROM m GROUP BY doc_id),
+        |r AS (SELECT doc_id, n_terms_hit, bm25_micro,
+        |             row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rk
+        |      FROM s)
+        |SELECT doc_id, n_terms_hit, bm25_micro FROM r WHERE rk <= 25
+        |ORDER BY bm25_micro DESC, doc_id""".stripMargin,
 
     // q64's chunk CTEs + a distinct-doc-count boilerplate rule + FILTERed
     // reassembly: chunks in >= 2 distinct docs drop everywhere.

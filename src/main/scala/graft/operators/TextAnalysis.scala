@@ -558,6 +558,54 @@ object TextAnalysis {
         (col("pos") + 1).cast("long").as("rk"))
   }
 
+  /** BM25 ranked search: score every document against a bag of query
+    * terms with Okapi BM25 (Lucene's non-negative idf variant,
+    * `ln((N - df + 0.5)/(df + 0.5) + 1)`), return the top-k — the "find
+    * me training documents about X" audit query, and the ranked sibling
+    * of [[phraseHits]] / [[tfidfTopTerms]]. Per-(doc, term) contributions
+    * round to integer MICRO-units before the per-doc sum (the q40/q57/q68
+    * rule), so the score is exact 64-bit arithmetic — order-independent
+    * and oracle-hashable — and the top-k ordering is deterministic
+    * (score desc, doc_id asc).
+    *
+    * Scale shape: the term filter is an `isin` against the |terms|-sized
+    * constant, applied map-side BEFORE any aggregation — only matching
+    * (doc, term) rows ever aggregate, ≤ |terms| rows per doc. Document
+    * lengths are one map-side-combined count agg; `avgdl` rides as a
+    * broadcast 1-row frame and the per-term document frequencies as a
+    * broadcast ≤|terms|-row frame. Final top-k is TakeOrderedAndProject:
+    * O(k) heap per partition, never a global sort.
+    */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+                 k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(k >= 1, s"k must be >= 1: $k")
+    val nDocs = df.count() // corpus size (scalar, driver-safe — q27's rule)
+    val dl = df.select(col(idCol).as("doc_id"),
+      size(array_remove(tokens(col(textCol)), "")).cast("long").as("dl"))
+    val avg = dl.agg((sum("dl") * lit(1.0) / count(lit(1))).as("avgdl"))
+    val qt = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    val dfreq = qt.groupBy("term").agg(count(lit(1)).as("df"))
+    // expression SHAPES mirror the oracle verbatim so IEEE folds agree
+    val idf = log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+      + lit(1.0))
+    val tf = (col("cnt") * (lit(k1) + lit(1.0))) /
+      (col("cnt") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    qt.join(dl, "doc_id")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(avg))
+      .withColumn("micro", round(idf * tf * lit(1e6)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum("micro").cast("long").as("bm25_micro"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** C4-style boilerplate removal: a chunk (positional token window, the
     * [[chunkByTokens]] unit q64 uses) occurring in at least `minDocs`
     * DISTINCT documents is boilerplate — navigation bars, cookie banners,

@@ -469,6 +469,44 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(a == b && a.nonEmpty)
   }
 
+  test("bm25Search matches a hand-computed score, top-k cut, absent-term docs excluded") {
+    val docs = Seq(
+      (1L, "spark spark runs fast"),   // 2× "spark", dl 4
+      (2L, "spark hash join"),         // 1× each of two query terms, dl 3
+      (3L, "plain text only here")     // no query term — must not appear
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Search(docs, "doc_id", "text",
+        Seq("spark", "hash"), k = 10)
+      .orderBy(col("bm25_micro").desc, col("doc_id")).collect()
+    assert(out.length == 2)
+    // reference computation, same formula
+    val n = 3.0; val avgdl = (4 + 3 + 4) / 3.0
+    def idf(df: Int) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def tf(cnt: Long, dl: Long) =
+      (cnt * (1.2 + 1.0)) / (cnt + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    def micro(cnt: Long, dl: Long, df: Int) =
+      math.round(idf(df) * tf(cnt, dl) * 1e6)
+    val exp = Map(
+      1L -> (1L, micro(2, 4, 2)),
+      2L -> (2L, micro(1, 3, 2) + micro(1, 3, 1)))
+    val got = out.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == exp, s"got $got expected $exp")
+    // doc 3 (no query terms) is absent
+    assert(!got.contains(3L))
+  }
+
+  test("bm25Search k cuts deterministically and is repartition-invariant") {
+    val docs = (0L until 30L)
+      .map(i => (i, (0 to (i % 5).toInt).map(_ => "spark").mkString(" ") + " filler" * 3))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.bm25Search(docs, "doc_id", "text", Seq("spark"), k = 7)
+      .orderBy(col("bm25_micro").desc, col("doc_id")).collect().toSeq
+    val b = TextAnalysis.bm25Search(docs.repartition(11), "doc_id", "text",
+        Seq("spark"), k = 7)
+      .orderBy(col("bm25_micro").desc, col("doc_id")).collect().toSeq
+    assert(a == b && a.length == 7)
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
