@@ -1099,6 +1099,22 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // Quality-aware duplicate-group resolution: q25's connected components,
+    // but each group keeps its HIGHEST-quality member (ties -> lowest id)
+    // instead of the lowest id — integer micro-unit scores make the argmax
+    // engine-portable. Gate covers membership, winner choice, and the keep
+    // flags in one hash.
+    "q89_dedup_quality" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.3)
+      val scores = docs.select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")) * 1e6)
+          .cast("long").as("score_micro"))
+      Dedup.resolveByScore(pairs, scores, "doc_id", "score_micro")
+        .orderBy("doc_id")
+    }),
+
     // BM25 ranked search over a bag of query terms (Lucene's non-negative
     // idf variant): per-(doc, term) contributions round to integer
     // micro-units before the per-doc sum, so the score is exact 64-bit
@@ -2232,6 +2248,38 @@ object SparkEntry {
         |       sum(rgb)::BIGINT AS sum_rgb,
         |       (sum(rgb)::BIGINT * 1000) // (3 * count(*)::BIGINT) AS luma_milli
         |FROM px GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // q25's transitive closure + q58's quality-micro formula + an argmax
+    // window: the group winner is row_number 1 by (score desc, doc_id).
+    "q89_dedup_quality" ->
+      s"""WITH RECURSIVE sh AS ($ShinglesCte),
+         |pairs AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s)) /
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3),
+         |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |canon AS (SELECT u AS doc_id, least(u, min(v)) AS canon_id
+         |          FROM reach GROUP BY u),
+         |q AS (SELECT doc_id,
+         |    round((least(CAST(1.0 AS DOUBLE),
+         |          len(list_filter(string_split(text, ' '), w -> w <> '')) / CAST(100.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+         |    + (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))) * CAST(0.5 AS DOUBLE)) * 1e6)::BIGINT AS score_micro
+         |  FROM documents),
+         |m AS (SELECT c.doc_id, c.canon_id AS group_id, q.score_micro
+         |      FROM canon c JOIN q USING (doc_id)),
+         |k AS (SELECT group_id, doc_id AS keep_id,
+         |             row_number() OVER (PARTITION BY group_id
+         |                                ORDER BY score_micro DESC, doc_id) AS rk
+         |      FROM m),
+         |kk AS (SELECT group_id, keep_id FROM k WHERE rk = 1)
+         |SELECT m.doc_id, m.group_id, kk.keep_id,
+         |       (m.doc_id = kk.keep_id) AS keep, m.score_micro
+         |FROM m JOIN kk USING (group_id) ORDER BY m.doc_id""".stripMargin,
 
     // Okapi BM25 with expression shapes mirroring the Spark side verbatim
     // (same IEEE fold order), micro-rounded per (doc, term) before the

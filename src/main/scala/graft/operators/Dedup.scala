@@ -523,6 +523,35 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("canon_id"))
   }
 
+  /** Quality-aware duplicate-group resolution: [[canonicalIds]]' connected
+    * components, but the surviving member of each group is the one with
+    * the HIGHEST score (ties → lowest doc_id) instead of the lowest id —
+    * what a curation pipeline actually wants when near-duplicates differ
+    * in quality (keep the clean crawl, drop the boilerplate-ridden one).
+    * `scores` maps `idCol` → `scoreCol`; integer micro-unit scores keep
+    * the argmax engine-portable. Output per group member:
+    * (doc_id, group_id, keep_id, keep, <scoreCol>) — `group_id` is the
+    * component's canonical min-id label, `keep_id` the quality winner.
+    *
+    * Scale: one unique-key join onto the (already bounded) component
+    * frame, then a per-group `min(struct(-score, doc_id))` argmax —
+    * map-side combinable, one row per group out of the exchange.
+    */
+  def resolveByScore(pairs: DataFrame, scores: DataFrame, idCol: String,
+                     scoreCol: String, aCol: String = "doc_a",
+                     bCol: String = "doc_b"): DataFrame = {
+    val members = canonicalIds(pairs, aCol, bCol)
+      .join(scores.select(col(idCol).as("doc_id"),
+        col(scoreCol).cast("long").as("__score")), "doc_id")
+    val keep = members.groupBy("canon_id")
+      .agg(min(struct((col("__score") * -1).as("ns"), col("doc_id"))).as("w"))
+      .select(col("canon_id"), col("w.doc_id").as("keep_id"))
+    members.join(keep, "canon_id")
+      .select(col("doc_id"), col("canon_id").as("group_id"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("keep"),
+        col("__score").as(scoreCol))
+  }
+
   /** Driver-side union-find over a collected edge list — the
     * [[canonicalIds]] fast path. Union-by-min-root (the larger root always
     * attaches under the smaller) keeps every root the minimum id of its

@@ -382,4 +382,19 @@ class DedupSpec extends SparkTestBase {
     assert(rep(2L) == ((4L, 24L, 166666L)), rep(2L).toString)
     assert(!rep.contains(3L))                          // clean doc absent
   }
+
+  test("resolveByScore keeps the highest-quality member per group, tie -> lowest id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val scores = Seq((1L, 50L), (2L, 90L), (3L, 90L), (10L, 5L), (11L, 5L),
+      (99L, 77L) /* not in any pair — must not appear */)
+      .toDF("doc_id", "s")
+    val out = Dedup.resolveByScore(pairs, scores, "doc_id", "s")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // {1,2,3}: 2 and 3 tie at 90 -> keep 2 (lowest id among maxima);
+    // {10,11}: all tie -> keep 10; 99 is a singleton, absent (q25 contract)
+    assert(out.toSeq == Seq(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (10L, 10L, 10L, true), (11L, 10L, 10L, false)))
+  }
 }
