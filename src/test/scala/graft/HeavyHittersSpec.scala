@@ -91,6 +91,34 @@ class HeavyHittersSpec extends SparkTestBase {
           ("g2", "p", 2L, 1L), ("g2", "q", 1L, 2L)))
   }
 
+  test("streaming (complete mode) equals batch: summary state survives the state store") {
+    graft.functions.HeavyHitters.ensureRegistered(spark)
+    import org.apache.spark.sql.DataFrame
+    import graft.streaming.BoundedStream
+    val dir = java.nio.file.Files.createTempDirectory("hh_stream").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("hh_ckpt").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "a.txt").toPath,
+      java.util.Arrays.asList("a b a", "c a"))
+    java.nio.file.Files.write(new java.io.File(dir, "b.txt").toPath,
+      java.util.Arrays.asList("b b c", "a"))
+    val transform = (df: DataFrame) =>
+      df.select(explode(split(col("line"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .agg(expr("graft_heavy_hitters(term, 8)").as("hh"))
+    // one file per micro-batch, so partial summaries MERGE through the
+    // streaming state store (serialize/deserialize round trip included)
+    val streamed = BoundedStream.runAvailableNow(spark,
+      BoundedStream.textStream(spark, dir.getPath, maxFilesPerTrigger = Some(1)),
+      transform, ckpt.getPath, "hh_stream_parity")
+    def rows(df: DataFrame) = df.select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.cnt_lb"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = transform(
+      spark.read.text(dir.getPath).withColumnRenamed("value", "line"))
+    assert(rows(streamed) == Seq(("a", 4L), ("b", 3L), ("c", 2L)))
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("plan fact: the aggregate runs as ObjectHashAggregate (partial + final)") {
     graft.functions.HeavyHitters.ensureRegistered(spark)
     val plan = Seq("a", "b").toDF("term")
