@@ -1314,6 +1314,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("id").as("id_sum"))
         .orderBy("status")
     }),
+
+    // PERSISTED IVF INDEX (build once, query many): codebook + postings
+    // written to disk with the inverted file realized as a
+    // partition-per-cell parquet layout, then searched through the pruned
+    // read path. Gated against q20's own oracle — a hash match proves the
+    // disk round trip (build → partitioned write → probe-pruned read →
+    // rank) reproduces the in-memory IVF answer exactly.
+    "q90_ivf_index" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivf").toString
+      SnapshotDirs.add(root)
+      Similarity.buildIvfIndex(e, "vec_id", "embedding", root, centStep = 25)
+      Similarity.searchIvfIndex(s, root, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -1390,9 +1407,9 @@ object SparkEntry {
   private val StreamArtifacts =
     new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, String, String)]()
 
-  /** Temp snapshot roots created by q84 runs — drained with the stream
-    * artifacts so a harness running queries repeatedly doesn't accumulate
-    * written snapshot directories.
+  /** Temp roots created by the on-disk round-trip queries (q84 snapshots,
+    * q90 IVF index) — drained with the stream artifacts so a harness
+    * running queries repeatedly doesn't accumulate written directories.
     */
   private val SnapshotDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -1443,7 +1460,10 @@ object SparkEntry {
       "q66_decontam_bloom" -> "q34_decontam",
       // the versioned-snapshot round trip (write → partition-pruned
       // get-versions read → diff) must reproduce the in-memory diff
-      "q84_snapshot_versions" -> "q72_corpus_diff")
+      "q84_snapshot_versions" -> "q72_corpus_diff",
+      // the PERSISTED inverted file (build → partition-per-cell write →
+      // pruned read → search) must reproduce the in-memory IVF answer
+      "q90_ivf_index" -> "q20_ivf_ann")
       .map { case (aliasQ, libQ) => aliasQ -> oracleSqlBase(libQ) }
   }
 

@@ -3,7 +3,7 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -303,6 +303,62 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("cid").as("cell"))
     val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     assigned.select(col("id").as("neighbor_id"), col("v"), col("cell"))
+      .join(broadcast(probes), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineFast(col("qv"), col("v")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Persist an IVF index to disk — the "build once, query many" form of
+    * [[ivfTopK]], which recomputes codebook + assignment on every call.
+    * Layout: `dir/centroids` (one small parquet, ≤ maxCentroids rows) and
+    * `dir/postings` PARTITIONED BY cell — the inverted file realized as
+    * the physical directory layout, so a probe of `nprobe` cells reads
+    * exactly those partitions and the corpus-sized remainder is never
+    * opened (the q84 partition-per-version idea applied to ANN).
+    *
+    * Scale: the one-time build cost is [[ivfTopK]]'s assignment pass plus
+    * a cluster-by-cell write (one exchange — the sort IS the product, the
+    * q69 writeShuffled argument); every subsequent query pays only
+    * centroid probing (broadcast codebook) + an `nprobe`-partition scan.
+    */
+  def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                    dir: String, centStep: Int = 25,
+                    maxCentroids: Int = 4096): Unit = {
+    val cents = sampleCentroids(df, idCol, vecCol, centStep, maxCentroids)
+    val sp = df.sparkSession
+    import sp.implicits._
+    cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
+      .coalesce(1) // bounded by maxCentroids — one small model file
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    ivfAssign(df, idCol, vecCol, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
+  }
+
+  /** Query a [[buildIvfIndex]] index: same probe + rank semantics as
+    * [[ivfTopK]] (bit-identical results by construction — gated), but the
+    * corpus side is the on-disk postings list: the broadcast probe join's
+    * cell keys prune the partitioned scan (dynamic partition pruning), so
+    * a query touches `nprobe` cells' files, not the corpus.
+    */
+  def searchIvfIndex(spark: SparkSession, dir: String, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     nprobe: Int = 2): DataFrame = {
+    graft.functions.CosineSim.ensureRegistered(spark)
+    val centDf = spark.read.parquet(s"$dir/centroids")
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("pcos").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("pcos", cosineFast(col("qv"), col("cv")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid").as("cell"))
+    val postings = spark.read.parquet(s"$dir/postings")
+    val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    postings.select(col("id").as("neighbor_id"), col("v"), col("cell"))
       .join(broadcast(probes), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosineFast(col("qv"), col("v")))

@@ -92,6 +92,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.toSeq == Seq((0L, 1L), (0L, 2L)))
   }
 
+  test("persisted IVF index: disk round trip reproduces ivfTopK, postings partitioned by cell") {
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.1f)), (2L, Array(0.98f, 0.2f)),
+      (3L, Array(0.97f, 0.3f)),
+      (4L, Array(0.0f, 1.0f)), (5L, Array(0.1f, 0.99f)), (6L, Array(0.2f, 0.98f)),
+      (7L, Array(0.3f, 0.97f)),
+    ).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.buildIvfIndex(vs, "vec_id", "embedding", dir, centStep = 4)
+    val qs = vs.filter(col("vec_id") < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val fromIndex = Similarity.searchIvfIndex(spark, dir, qs,
+      "vec_id", "embedding", k = 2, nprobe = 2)
+    val direct = Similarity.ivfTopK(vs, qs, "vec_id", "embedding",
+      k = 2, nprobe = 2, centStep = 4)
+    assert(rows(fromIndex) == rows(direct) && rows(direct).nonEmpty)
+    // the inverted file IS the directory layout: one partition per cell
+    val cells = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cells.toSeq == Seq("cell=0", "cell=4"))
+    // searching with nprobe=1 must read only the probed cell's rows — the
+    // pruned-scan contract, visible as a single-cell candidate set
+    val oneCell = Similarity.searchIvfIndex(spark, dir,
+      vs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 10, nprobe = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(oneCell == Set(1L, 2L, 3L), s"nprobe=1 leaked: $oneCell")
+  }
+
   test("annTopK only pairs vectors in the same bucket and ranks within it") {
     val out = Similarity.annTopK(vecs, vecs, "vec_id", "embedding",
       k = 3, planes = 4, dim = 3)
