@@ -1331,6 +1331,24 @@ object SparkEntry {
           "vec_id", "embedding", k = 3, nprobe = 2)
         .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
     }),
+
+    // Per-language document-length quantile profile — the distribution-
+    // drift check a split/mix pipeline runs (is each language's length
+    // distribution what the mix assumed?). One exact-percentile hash
+    // aggregation over bounded group keys. The probed points are
+    // DELIBERATELY binary fractions (0, ¼, ½, ¾, 1): `p·(n-1)` and its
+    // fractional part are then exact doubles, so the linear interpolation
+    // `lo + frac·(hi-lo)` over integer lengths is exact in BOTH engines
+    // regardless of how each associates the multiply — the documented
+    // round(double) hash-mismatch class can't arise. quantileProfileApprox
+    // is the same call shape with sketch state for unbounded-cardinality
+    // value columns (gated by SamplingSpec tolerance, not the oracle —
+    // sketches are engine-specific).
+    "q91_quantile_profile" -> ((s, dir) => {
+      Sampling.quantileProfile(Tables(s, dir).documents, "lang", "n_chars",
+          Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+        .orderBy("lang")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -1468,6 +1486,19 @@ object SparkEntry {
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
+
+    // exact quantile_cont uses the same p·(n-1) linear-interpolation rule
+    // as Spark's `percentile`; the probed ps are binary fractions so the
+    // interpolation over integer lengths is exact in both engines (no
+    // round(double) boundary hazard — see the query-site comment)
+    "q91_quantile_profile" ->
+      """SELECT lang, count(*) AS n,
+        |       round(quantile_cont(n_chars, 0.0), 6) AS p0,
+        |       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+        |       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |       round(quantile_cont(n_chars, 0.75), 6) AS p75,
+        |       round(quantile_cont(n_chars, 1.0), 6) AS p100
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q1_wordcount" ->
       """SELECT word, count(*) AS cnt
