@@ -1349,6 +1349,18 @@ object SparkEntry {
           Seq(0.0, 0.25, 0.5, 0.75, 1.0))
         .orderBy("lang")
     }),
+
+    // Perceptual image near-dup: REAL PNG decode → 8×8 aHash (two 32-bit
+    // halves) → 4×16-bit banded Hamming join, complete for hamming ≤ 3 by
+    // pigeonhole. The oracle recomputes the sampled-pixel formula
+    // arithmetically and mirrors the banding — it never decodes a PNG, so
+    // a hash match proves the engine's decode+downsample is real (the q59
+    // recipe extended from features to SIGNATURES).
+    "q92_image_dups" -> ((s, dir) => {
+      Multimodal.imageDups(s, Tables(s, dir).documents,
+          seedMod = 97, maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -1499,6 +1511,53 @@ object SparkEntry {
         |       round(quantile_cont(n_chars, 0.75), 6) AS p75,
         |       round(quantile_cont(n_chars, 1.0), 6) AS p100
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // arithmetic re-derivation of Multimodal.syntheticPng's pixel formula
+    // at the aHash sample grid (x = i·w/8, y = j·h/8), the strict
+    // 64·luma > Σluma bit rule, 32-bit halves (shift ≤ 31 — no BIGINT sign
+    // hazard), and the same 4×16-bit banding + bit_count(xor) verify
+    "q92_image_dups" ->
+      """WITH geo AS (
+        |  SELECT doc_id, doc_id % 97 AS seed,
+        |         3 + (doc_id % 97) % 5 AS w, 2 + (doc_id % 97) % 4 AS h
+        |  FROM documents),
+        |grid AS (
+        |  SELECT doc_id, seed, j, i, (i * w) // 8 AS x, (j * h) // 8 AS y
+        |  FROM geo, (SELECT unnest(generate_series(0, 7)) AS j),
+        |            (SELECT unnest(generate_series(0, 7)) AS i)),
+        |samp AS (
+        |  SELECT doc_id, j * 8 + i AS k,
+        |         ((seed*7 + x*13 + y*31) % 256) + ((seed*11 + x*17 + y*5) % 256)
+        |           + ((seed*3 + x*29 + y*7) % 256) AS luma
+        |  FROM grid),
+        |bits AS (
+        |  SELECT doc_id, k,
+        |         CASE WHEN 64 * luma > sum(luma) OVER (PARTITION BY doc_id)
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM samp),
+        |hash AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN k >= 32 THEN bit::BIGINT << (k - 32) ELSE 0 END)::BIGINT AS hash_hi,
+        |         sum(CASE WHEN k < 32 THEN bit::BIGINT << k ELSE 0 END)::BIGINT AS hash_lo
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |         CASE b WHEN 0 THEN hash_lo % 65536 WHEN 1 THEN hash_lo // 65536
+        |                WHEN 2 THEN hash_hi % 65536 ELSE hash_hi // 65536 END AS bv
+        |  FROM hash, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |       (bit_count(xor(a.hash_hi, b.hash_hi))
+        |          + bit_count(xor(a.hash_lo, b.hash_lo)))::BIGINT AS hamming
+        |FROM cand
+        |JOIN hash a ON a.doc_id = doc_a
+        |JOIN hash b ON b.doc_id = doc_b
+        |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+        |        + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q1_wordcount" ->
       """SELECT word, count(*) AS cnt

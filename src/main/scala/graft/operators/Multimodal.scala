@@ -26,6 +26,17 @@ final case class ImageFeatures(doc_id: Long, mime: String, decoded: Boolean,
                                n_px: Long, sum_rgb: Long, mean_luma: Double,
                                size_bytes: Long)
 
+/** 64-bit perceptual average-hash of a REAL image decode
+  * ([[Multimodal.imagePHash]]), split into two 32-bit halves (bits 0–31 in
+  * `hash_lo`, 32–63 in `hash_hi`, each in [0, 2³²)) so neither engine ever
+  * touches the sign bit of a 64-bit integer — DuckDB BIGINT cannot hold
+  * `1 << 63` unsigned, and a split hash keeps every shift ≤ 31 on both
+  * sides of the oracle. `decoded = false` rows carry zero halves and are
+  * excluded from dedup.
+  */
+final case class ImagePHash(doc_id: Long, decoded: Boolean,
+                            hash_hi: Long, hash_lo: Long)
+
 /** Features from a REAL audio decode ([[Multimodal.decodeAudio]]).
   * `decoded = false` rows are the fallback (unknown mime, undecodable or
   * non-16-bit-PCM payload): rate/channels/frames are -1/0 and the sums 0,
@@ -221,6 +232,138 @@ object Multimodal {
     import spark.implicits._
     decodeImages(syntheticImages(spark, docs)).toDF()
   }
+
+  /** Perceptual average-hash (aHash) over a REAL image decode: sample an
+    * 8×8 grid of pixels by nearest-neighbor downscale (`x = i·w/8`,
+    * `y = j·h/8` — the classic aHash reduction, exact integer index
+    * arithmetic instead of an interpolating resampler so an external
+    * oracle can reproduce it), take per-sample luma as the exact integer
+    * r+g+b, and set bit `k = j·8+i` iff `64·luma > Σ luma` (the
+    * strictly-above-mean rule kept in integer space — no division, no
+    * float mean). Same degradation contract as [[decodeImages]]: unknown
+    * mime or undecodable payload → `decoded = false`, never a failed
+    * stage.
+    *
+    * Scale: `mapPartitions`, map-side only — the signature leaves each
+    * executor as 2 longs per image regardless of image size, the
+    * [[graft.functions.MinHashSig]] property that makes downstream dedup
+    * independent of payload skew.
+    */
+  def imagePHash(ds: Dataset[MediaRow]): Dataset[ImagePHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // once per partition
+      it.map { r =>
+        val img =
+          if (ImageMimes.contains(r.mime)) {
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.data)))
+            catch { case _: java.io.IOException => None }
+          } else None
+        img match {
+          case Some(im) =>
+            val w = im.getWidth
+            val h = im.getHeight
+            val luma = new Array[Long](64)
+            var total = 0L
+            var j = 0
+            while (j < 8) {
+              var i = 0
+              while (i < 8) {
+                val p = im.getRGB(i * w / 8, j * h / 8)
+                val l = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong
+                luma(j * 8 + i) = l
+                total += l
+                i += 1
+              }
+              j += 1
+            }
+            var lo = 0L
+            var hi = 0L
+            var k = 0
+            while (k < 64) {
+              if (64L * luma(k) > total) {
+                if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+              }
+              k += 1
+            }
+            ImagePHash(r.doc_id, decoded = true, hi, lo)
+          case None =>
+            ImagePHash(r.doc_id, decoded = false, 0L, 0L)
+        }
+      }
+    }
+  }
+
+  /** Fixture image corpus WITH genuine perceptual duplicates: the pixel
+    * seed (and the geometry, so equal seeds mean pixel-identical images)
+    * is `doc_id % seedMod` — every residue class is one duplicate cluster,
+    * the structure [[perceptualDups]] exists to find. [[syntheticImages]]
+    * keeps per-doc-unique seeds for the decode-features gate (q59).
+    */
+  def syntheticImagesSeeded(spark: SparkSession, docs: DataFrame,
+                            seedMod: Int = 97): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val seed = id % seedMod
+      val w = (3 + seed % 5).toInt
+      val h = (2 + seed % 4).toInt
+      MediaRow(id, "image/png", syntheticPng(seed, w, h), w, h)
+    }
+  }
+
+  /** Near-duplicate image pairs by banded Hamming join over [[imagePHash]]
+    * signatures: the 64-bit hash splits into 4 bands of 16 bits; docs
+    * sharing any band's value are candidates; candidates verify by exact
+    * Hamming distance (`bit_count(xor)` on each 32-bit half).
+    *
+    * For `maxHamming ≤ 3` the candidate set is COMPLETE by pigeonhole: ≤ 3
+    * differing bits cannot touch all 4 bands, so some band is intact and
+    * the pair is a candidate — banding is a pure cost optimization, not a
+    * recall trade (the LSH-band argument of [[Dedup.minHashDedup]], here
+    * made exact). Above 3 it becomes approximate, like any LSH.
+    *
+    * Scale: candidates are generated per 16-bit band bucket, never
+    * all-pairs; a cluster of identical hashes is quadratic WITHIN its
+    * bucket — inherent to emitting its pairs (the output is that big), and
+    * the duplicate-cluster resolution path ([[Dedup.canonicalIds]] over
+    * these pairs) is the consumer that caps it.
+    */
+  def perceptualDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"maxHamming must be in [0, 64]: $maxHamming")
+    val h = CacheScope.persisted(
+      hashes.filter(col("decoded"))
+        .select(col("doc_id"), col("hash_hi"), col("hash_lo")))
+    val bands = h.select(col("doc_id"), posexplode(array(
+        col("hash_lo").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("hash_lo"), 16),
+        col("hash_hi").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("hash_hi"), 16))).as(Seq("band", "bv")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(h.select(col("doc_id").as("doc_a"),
+        col("hash_hi").as("a_hi"), col("hash_lo").as("a_lo")), Seq("doc_a"))
+      .join(h.select(col("doc_id").as("doc_b"),
+        col("hash_hi").as("b_hi"), col("hash_lo").as("b_lo")), Seq("doc_b"))
+      .withColumn("hamming",
+        (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+          bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** End-to-end perceptual image dedup: documents → seeded synthetic PNGs →
+    * REAL decode + aHash → banded Hamming pairs.
+    */
+  def imageDups(spark: SparkSession, docs: DataFrame,
+                seedMod: Int = 97, maxHamming: Int = 3): DataFrame =
+    perceptualDups(imagePHash(syntheticImagesSeeded(spark, docs, seedMod)).toDF(),
+      maxHamming)
 
   /** Mimes [[decodeAudio]] hands to `javax.sound.sampled` — the JRE ships
     * WAV/AIFF/AU readers; compressed codecs (mp3, opus…) would arrive via

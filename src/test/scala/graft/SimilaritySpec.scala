@@ -608,6 +608,91 @@ class MultimodalSpec extends SparkTestBase {
       assert(r.getAs[Int]("height") == (2 + id % 4).toInt)
     }
   }
+
+  /** In-test reference of the aHash bit rule over the synthetic pixel
+    * formula — what the q92 oracle computes in SQL.
+    */
+  private def refAHash(seed: Long, w: Int, h: Int): (Long, Long) = {
+    val luma = Array.tabulate(64) { k =>
+      val i = k % 8; val j = k / 8
+      val x = i * w / 8; val y = j * h / 8
+      (seed * 7 + x * 13 + y * 31) % 256 +
+        (seed * 11 + x * 17 + y * 5) % 256 +
+        (seed * 3 + x * 29 + y * 7) % 256
+    }
+    val total = luma.sum
+    var hi = 0L; var lo = 0L
+    for (k <- 0 until 64 if 64L * luma(k) > total)
+      if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+    (hi, lo)
+  }
+
+  test("imagePHash: real PNG decode reproduces the arithmetic aHash; corrupt degrades") {
+    import graft.operators.MediaRow
+    val (seed, w, h) = (7L, 5, 4)
+    val png = Multimodal.syntheticPng(seed, w, h)
+    val rows = Multimodal.imagePHash(Seq(
+      MediaRow(1L, "image/png", png, w, h),
+      MediaRow(2L, "image/png", png, w, h),          // same bytes, same hash
+      MediaRow(3L, "image/png", png.take(20), w, h), // truncated
+      MediaRow(4L, "application/pdf", png, w, h)     // unknown mime
+    ).toDS()).collect().sortBy(_.doc_id)
+    val (hi, lo) = refAHash(seed, w, h)
+    assert(rows(0).decoded && rows(0).hash_hi == hi && rows(0).hash_lo == lo)
+    assert(rows(1).hash_hi == hi && rows(1).hash_lo == lo)
+    assert(!rows(2).decoded && !rows(3).decoded)
+    // halves never touch the sign bit (the oracle's BIGINT-shift contract)
+    assert(rows.forall(r => r.hash_hi >= 0 && r.hash_hi < (1L << 32)
+      && r.hash_lo >= 0 && r.hash_lo < (1L << 32)))
+  }
+
+  test("perceptualDups: pigeonhole-complete at hamming ≤ 3, exact vs brute force") {
+    def flip(h: (Long, Long), bits: Seq[Int]): (Long, Long) =
+      bits.foldLeft(h) { case ((hi, lo), k) =>
+        if (k < 32) (hi, lo ^ (1L << k)) else (hi ^ (1L << (k - 32)), lo)
+      }
+    val base = refAHash(11L, 6, 5)
+    val rows = Seq(
+      (1L, true, base),
+      (2L, true, flip(base, Seq(0, 1, 2))),    // ham 3, all in band 0 → kept
+      (3L, true, flip(base, Seq(5, 21, 40))),  // ham 3 across 3 bands → kept
+      (4L, true, flip(base, Seq(3, 17, 35, 50))), // ham 4, one per band → no intact band
+      (5L, true, flip(base, Seq(8, 9, 10, 11))),  // ham 4 in one band → candidate, filtered
+      (6L, false, base)                        // undecoded: excluded entirely
+    ).map { case (id, d, (hi, lo)) => (id, d, hi, lo) }
+      .toDF("doc_id", "decoded", "hash_hi", "hash_lo")
+    val out = Multimodal.perceptualDups(rows, maxHamming = 3)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute force over the decoded rows at hamming ≤ 3
+    val hs = Seq(1L -> base, 2L -> flip(base, Seq(0, 1, 2)),
+      3L -> flip(base, Seq(5, 21, 40)), 4L -> flip(base, Seq(3, 17, 35, 50)),
+      5L -> flip(base, Seq(8, 9, 10, 11)))
+    val brute = for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      ham = java.lang.Long.bitCount(ha._1 ^ hb._1) +
+        java.lang.Long.bitCount(ha._2 ^ hb._2)
+      if ham <= 3
+    } yield (a, b, ham.toLong)
+    assert(out.toSeq.sorted == brute.sorted,
+      s"banded ${out.toSeq} != brute $brute")
+    // the ≤3 pairs ARE present (completeness), the =4 constructions absent
+    val pairs = out.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L))
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("imageDups end-to-end: equal-seed docs collapse to hamming-0 pairs") {
+    val ids = spark.range(0, 200).select(col("id").as("doc_id"))
+    val out = Multimodal.imageDups(spark, ids, seedMod = 97, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc pairs (i, i+97) share seed AND geometry → identical image
+    for (i <- 0L until 103L) {
+      val p = out.find(t => t._1 == i && t._2 == i + 97)
+      assert(p.exists(_._3 == 0L), s"missing exact pair ($i, ${i + 97})")
+    }
+  }
 }
 
 /** Int8 embedding quantization: the engine-portable floor-rounding rule,
