@@ -1361,6 +1361,20 @@ object SparkEntry {
           seedMod = 97, maxHamming = 3)
         .orderBy("doc_a", "doc_b")
     }),
+
+    // IVF ANN under the √n centroid POLICY (centStep = ⌈√n⌉ instead of
+    // q20's fixed 25): the gated answer to the one superlinear family in
+    // the 10× scaling runs — a fixed step grows the codebook linearly with
+    // the corpus; ⌈√n⌉ keeps codebook and expected cell population both at
+    // √n until the 4096 cap flattens it. The oracle computes the same
+    // ⌈√n⌉ from its own count, so the POLICY (not just the search) is
+    // under the hash.
+    "q93_ivf_adaptive" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.ivfTopKAdaptive(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -1511,6 +1525,38 @@ object SparkEntry {
         |       round(quantile_cont(n_chars, 0.75), 6) AS p75,
         |       round(quantile_cont(n_chars, 1.0), 6) AS p100
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q20's IVF pipeline with the centroid step computed as ceil(sqrt(n))
+    // from the oracle's own count — IEEE double sqrt/ceil of an exact
+    // long, identical in both engines
+    "q93_ivf_adaptive" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |st AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS s FROM e),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e, st WHERE vec_id % st.s = 0),
+        |asg AS (SELECT id, v, cell FROM (
+        |    SELECT e.vec_id AS id, e.v, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, c.cv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS rk
+        |    FROM e CROSS JOIN cents c) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |probes AS (SELECT query_id, qv, cell FROM (
+        |    SELECT q.query_id, q.qv, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |             list_dot_product(q.qv, c.cv) /
+        |             (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS prk
+        |    FROM q CROSS JOIN cents c) WHERE prk <= 2),
+        |s AS (SELECT p.query_id, a.id AS neighbor_id,
+        |             list_dot_product(p.qv, a.v) /
+        |             (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS c
+        |      FROM probes p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.id),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+        |      FROM s)
+        |SELECT query_id, neighbor_id, round(c, 4) + 0 AS cos FROM r WHERE rk <= 3
+        |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
 
     // arithmetic re-derivation of Multimodal.syntheticPng's pixel formula
     // at the aHash sample grid (x = i·w/8, y = j·h/8), the strict

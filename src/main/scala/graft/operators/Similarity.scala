@@ -224,6 +224,41 @@ object Similarity {
     cents
   }
 
+  /** The √n centroid POLICY: `centStep = ⌈√n⌉`, giving a ≈√n-cell codebook
+    * (until [[sampleCentroids]]' `maxCentroids` cap takes over at
+    * n > cap², keeping the codebook a bounded model). This is the measured
+    * answer to the fixed-`centStep` scale hazard (SCALE.md): a constant
+    * step grows the codebook LINEARLY with the corpus, so per-row
+    * assignment FLOPs grow ~n and total assignment ~n² — the only
+    * superlinear family in the 10× bench. At ⌈√n⌉ the codebook and the
+    * expected cell population both track √n — the classical IVF balance
+    * point that minimizes probe cost (codebook scan + one cell's rows) —
+    * and per-row assignment cost grows only √n until the cap flattens it.
+    *
+    * One `count()` decides the step — the cheapest possible corpus action
+    * (no columns read), same bounded-driver-scalar discipline as every
+    * other collect site. `⌈√n⌉` is computed identically by Spark and the
+    * oracle (IEEE double sqrt/ceil of an exact long), so the policy itself
+    * sits under the q93 gate.
+    */
+  def sqrtCentStep(df: DataFrame, idCol: String): Int = {
+    val n = df.count()
+    require(n > 0, "sqrtCentStep needs a non-empty corpus")
+    math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+  }
+
+  /** [[ivfTopK]] under the [[sqrtCentStep]] policy — the form to reach for
+    * when the corpus size is not known in advance (i.e. always, in a
+    * pipeline): the codebook tracks √n instead of silently degenerating
+    * toward brute force (step too small) or one mega-cell (step too
+    * large) as the corpus grows.
+    */
+  def ivfTopKAdaptive(corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int, nprobe: Int,
+                      maxCentroids: Int = 4096): DataFrame =
+    ivfTopK(corpus, queries, idCol, vecCol, k, nprobe,
+      centStep = sqrtCentStep(corpus, idCol), maxCentroids = maxCentroids)
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023: cluster the
     * embedding space, then drop near-identical members within each
     * cluster): vectors are assigned MAP-SIDE to their IVF cell

@@ -146,6 +146,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(small.map(_._1) == Seq(0L, 5L, 10L, 15L, 20L, 25L, 30L, 35L))
   }
 
+  test("sqrtCentStep: ceil-sqrt policy, codebook tracks √n, adaptive ≡ explicit step") {
+    def corpus(n: Int) = (0 until n).map(i =>
+      (i.toLong, Array.fill(4)((i % 7).toFloat + 1))).toDF("vec_id", "embedding")
+    assert(Similarity.sqrtCentStep(corpus(100), "vec_id") == 10)
+    assert(Similarity.sqrtCentStep(corpus(101), "vec_id") == 11) // ceil, not round
+    assert(Similarity.sqrtCentStep(corpus(1), "vec_id") == 1)
+    // codebook size tracks √n: 400 rows → step 20 → 20 cells
+    val cents = Similarity.sampleCentroids(corpus(400), "vec_id", "embedding",
+      Similarity.sqrtCentStep(corpus(400), "vec_id"))
+    assert(cents.size == 20)
+    // the adaptive form is exactly ivfTopK at the computed step
+    val vs = (0 until 36).map(i =>
+      (i.toLong, Array(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val qs = vs.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val adaptive = Similarity.ivfTopKAdaptive(vs, qs, "vec_id", "embedding",
+      k = 2, nprobe = 2)
+    val explicit = Similarity.ivfTopK(vs, qs, "vec_id", "embedding",
+      k = 2, nprobe = 2, centStep = 6) // ceil(sqrt(36)) = 6
+    assert(rows(adaptive) == rows(explicit) && rows(explicit).nonEmpty)
+  }
+
   test("ivfAssign at the 4096-centroid cap: one-literal codebook, codegen'd plan") {
     // The documented maxCentroids cap × 64 dims. The codebook travels as ONE
     // typedLit matrix consumed by the codegen'd graft_argmax_cosine, so this
