@@ -1375,6 +1375,36 @@ object SparkEntry {
           "vec_id", "embedding", k = 3, nprobe = 2)
         .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
     }),
+
+    // Incremental curation: docs < 300 are the already-curated base, the
+    // rest arrive as a new batch — quality gate + within-batch dedup +
+    // anti-join against the base's fingerprints + REMAINING per-source
+    // quota (20 − |base members|, base never evicted) + the same per-id
+    // split. Cost ∝ batch: the base contributes one skinny fingerprint
+    // column and one bounded per-group count. The append-only semantics
+    // (vs full recompute) are the documented contract — see
+    // Curation.curateIncremental.
+    "q94_incremental_curate" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val existing = Curation.curate(docs.filter(col("doc_id") < 300),
+        "doc_id", "text", groupCol = "source", maxPerGroup = 20,
+        minTokens = 10, maxTokens = 1000)
+      Curation.curateIncremental(existing, docs.filter(col("doc_id") >= 300),
+          "doc_id", "text", groupCol = "source", maxPerGroup = 20,
+          minTokens = 10, maxTokens = 1000)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Feature-hashing vectorizer (hashing trick): text → fixed-32-dim
+    // signed-count vector with no vocabulary or model — the embedding-free
+    // entry into the similarity family. Exact integer arithmetic; the
+    // sparse (doc, dim, value) cells sit under the hash value-for-value.
+    "q95_feature_hash" -> ((s, dir) => {
+      TextAnalysis.hashingVectors(Tables(s, dir).documents, "doc_id", "text",
+          dims = 32)
+        .orderBy("doc_id", "dim_idx")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -1525,6 +1555,63 @@ object SparkEntry {
         |       round(quantile_cont(n_chars, 0.75), 6) AS p75,
         |       round(quantile_cont(n_chars, 1.0), 6) AS p100
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the hashing trick in SQL: dim = 60-bit md5 prefix mod 32, sign =
+    // 16th md5 hex digit parity, exact signed integer sums, zero cells
+    // dropped by both engines on the same integer
+    "q95_feature_hash" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT doc_id, w, count(*)::BIGINT AS cnt FROM t WHERE w <> '' GROUP BY doc_id, w),
+        |v AS (SELECT doc_id,
+        |        ('0x' || substr(md5(w), 1, 15))::BIGINT % 32 AS dim_idx,
+        |        CASE WHEN ('0x' || substr(md5(w), 16, 1))::BIGINT % 2 = 0
+        |             THEN cnt ELSE -cnt END AS sv
+        |      FROM c)
+        |SELECT doc_id, dim_idx, sum(sv)::BIGINT AS value
+        |FROM v GROUP BY doc_id, dim_idx HAVING sum(sv) <> 0
+        |ORDER BY doc_id, dim_idx""".stripMargin,
+
+    // q45's curate pipeline for the base (doc_id < 300), then the
+    // incremental contract verbatim: within-batch dedup, NOT EXISTS
+    // against the base's fingerprints, per-source rank capped at the
+    // REMAINING quota (20 − base members), q45's split rule
+    "q94_incremental_curate" ->
+      """WITH f AS (SELECT doc_id, text, source,
+        |    len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens,
+        |    round(length(replace(text, ' ', '')) /
+        |          nullif(len(list_filter(string_split(text, ' '), w -> w <> '')), 0), 4) AS mean_wl,
+        |    round(len(regexp_extract_all(text, '[#{}<>|\\]')) /
+        |          nullif(length(text), 0)::DOUBLE, 6) AS symbol_frac,
+        |    contains(text, 'lorem ipsum') AS has_lorem
+        |  FROM documents),
+        |k AS (SELECT doc_id, text, source, n_tokens FROM f
+        |      WHERE (n_tokens BETWEEN 10 AND 1000) AND (mean_wl BETWEEN 3.0 AND 10.0)
+        |        AND symbol_frac < 0.1 AND NOT has_lorem),
+        |old_d AS (SELECT doc_id, text, source, n_tokens,
+        |        row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+        |      FROM k WHERE doc_id < 300),
+        |old_c AS (SELECT doc_id, text, source, n_tokens,
+        |        row_number() OVER (PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        |      FROM old_d WHERE rn = 1),
+        |base AS (SELECT doc_id, text, source, n_tokens FROM old_c WHERE rk <= 20),
+        |new_d AS (SELECT doc_id, text, source, n_tokens,
+        |        row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+        |      FROM k WHERE doc_id >= 300),
+        |fresh AS (SELECT d.doc_id, d.text, d.source, d.n_tokens FROM new_d d
+        |      WHERE d.rn = 1 AND NOT EXISTS (
+        |        SELECT 1 FROM base b WHERE md5(lower(trim(b.text))) = md5(lower(trim(d.text))))),
+        |used AS (SELECT source, count(*) AS u FROM base GROUP BY source),
+        |cap AS (SELECT doc_id, source, n_tokens,
+        |        row_number() OVER (PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        |      FROM fresh),
+        |sel AS (SELECT c.doc_id, c.source, c.n_tokens FROM cap c
+        |        LEFT JOIN used ON c.source = used.source
+        |        WHERE c.rk <= 20 - coalesce(used.u, 0))
+        |SELECT doc_id, source, n_tokens,
+        |       CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |            WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM sel ORDER BY doc_id""".stripMargin,
 
     // q20's IVF pipeline with the centroid step computed as ceil(sqrt(n))
     // from the oracle's own count — IEEE double sqrt/ceil of an exact

@@ -52,6 +52,74 @@ object Curation {
     Sampling.hashSplit(capped, idCol, trainPct, valPct)
   }
 
+  /** INCREMENTAL curation — curate a NEW batch against an already-curated
+    * corpus at cost ∝ batch, never ∝ corpus: the shape of a production
+    * pipeline that ingests a daily crawl into a 100 TB curated base and
+    * cannot re-run [[curate]] over everything (the reason
+    * [[Dedup.minHashAgainst]] exists for fuzzy dedup — this is its
+    * exact-curation counterpart).
+    *
+    * Semantics — APPEND-ONLY, stated precisely because they deliberately
+    * differ from a full recompute:
+    *   - batch docs pass the same quality gate;
+    *   - exact dedup within the batch (min id wins) AND against the
+    *     existing corpus (anti-join on content fingerprint — the existing
+    *     copy always wins, regardless of id);
+    *   - each group admits only its REMAINING quota
+    *     `maxPerGroup − |existing members|`, filled in the same
+    *     deterministic md5(id) order as [[Sampling.capPerGroup]];
+    *   - the split column is the same pure per-id function, so a doc gets
+    *     the same split whether it arrived in the base load or a batch.
+    * Existing members are never evicted or re-split. A full recompute
+    * over old ∪ batch could instead evict an old doc whose md5 ranks
+    * below a new one's, or re-canonicalize a duplicate pair toward a
+    * lower new id — re-writing already-trained-on data, which is exactly
+    * what an append-only pipeline must not do.
+    *
+    * Scale shape: every stage touches the batch; the corpus contributes
+    * one skinny fingerprint column (distinct, then a fingerprint-keyed
+    * anti-join — md5-uniform, no skew, no broadcast needed when the
+    * corpus is huge) and one bounded per-group count. The variable-quota
+    * cut runs AFTER a literal-k [[Sampling.capPerGroup]] prefilter — a
+    * lossless prune (quota ≤ maxPerGroup) that keeps the WindowGroupLimit
+    * rank pushdown, so the re-rank only ever sees ≤ maxPerGroup rows per
+    * group.
+    */
+  def curateIncremental(existing: DataFrame, batch: DataFrame,
+                        idCol: String, textCol: String,
+                        groupCol: String, maxPerGroup: Int,
+                        minTokens: Int = 5, maxTokens: Int = 100000,
+                        trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val flags = TextAnalysis.qualityRules(batch, idCol, textCol,
+      minTokens, maxTokens)
+    val kept = batch.join(
+      flags.filter(col("keep")).select(col("doc_id").as(idCol), col("n_tokens")),
+      idCol)
+    val dedupW = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol).asc)
+    val inBatch = kept
+      .withColumn("__rn", row_number().over(dedupW))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val oldFps = existing
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct()
+    val fresh = inBatch
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(oldFps, Seq("__fp"), "left_anti")
+      .drop("__fp")
+    val used = existing.groupBy(groupCol).agg(count(lit(1)).as("__used"))
+    val pre = Sampling.capPerGroup(fresh, groupCol, idCol, maxPerGroup)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    val capped = pre
+      .withColumn("__rk", row_number().over(w))
+      .join(used, Seq(groupCol), "left")
+      .na.fill(0L, Seq("__used"))
+      .filter(col("__rk") <= lit(maxPerGroup.toLong) - col("__used"))
+      .drop("__rk", "__used")
+    Sampling.hashSplit(capped, idCol, trainPct, valPct)
+  }
+
   /** Concat-and-chunk sequence packing: documents are laid end-to-end in
     * deterministic `idCol` order within each `groupCol` value and chopped
     * into fixed `seqLen`-token training sequences — the packing a

@@ -953,4 +953,57 @@ object TextAnalysis {
         (col("tok_micro") + col("prior_micro")).as("score_micro"),
         (col("tok_micro") + col("prior_micro") > 0).as("pred"))
   }
+
+  /** Feature-hashing vectorizer (the hashing trick — Weinberger et al.
+    * 2009, arXiv:0902.2206): each token maps to a dimension
+    * `md5(w) mod dims` with a ±1 sign from an independent md5 digit, and
+    * the document's vector is the signed sum of its token counts. Text
+    * becomes a fixed-`dims` vector with NO vocabulary, NO model and NO
+    * training pass — the embedding-free bridge from the text operators
+    * into the similarity family ([[Similarity.annTopK]] / `knnBrute` run
+    * on [[hashingVectorsDense]] unchanged). The ± sign makes collisions
+    * cancel in expectation instead of biasing counts upward (the paper's
+    * unbiasedness device), and everything is exact integer arithmetic —
+    * the sparse form is oracle-comparable value-for-value.
+    *
+    * Returns the SPARSE form `(doc_id, dim_idx, value)`, zero-sum cells
+    * filtered (both engines filter on the same exact integer, so the row
+    * sets agree). Scale shape: q65's — (doc, token) counts pre-reduce
+    * map-side, then one (doc, dim) aggregate; no shuffle ever keys by
+    * token alone, so stopword skew cannot concentrate a partition.
+    */
+  def hashingVectors(df: DataFrame, idCol: String, textCol: String,
+                     dims: Int): DataFrame = {
+    require(dims > 0, s"dims must be positive: $dims")
+    val counts = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val bucket =
+      (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % dims)
+        .as("dim_idx")
+    val signed = when(
+      conv(substring(md5(col("w")), 16, 1), 16, 10).cast("long") % 2 === 0,
+      col("cnt")).otherwise(-col("cnt"))
+    counts.select(col("doc_id"), bucket, signed.as("sv"))
+      .groupBy("doc_id", "dim_idx")
+      .agg(sum("sv").cast("long").as("value"))
+      .filter(col("value") =!= 0)
+  }
+
+  /** [[hashingVectors]] densified to `(doc_id, vec: array<double>)` — the
+    * input shape the ANN/kNN/clustering operators consume. One map-side
+    * pivot of the per-doc sparse cells; documents with no tokens are
+    * absent (matching the sparse form).
+    */
+  def hashingVectorsDense(df: DataFrame, idCol: String, textCol: String,
+                          dims: Int): DataFrame =
+    hashingVectors(df, idCol, textCol, dims)
+      .groupBy("doc_id")
+      .agg(map_from_entries(
+        collect_list(struct(col("dim_idx").cast("int"), col("value")))).as("__m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0L)).cast("double"))
+          .as("vec"))
 }

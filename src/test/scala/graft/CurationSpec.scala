@@ -41,6 +41,51 @@ class CurationSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("curateIncremental: quota is the remainder, base dups rejected, append-only") {
+    val base = Curation.curate(corpus, "doc_id", "text", "source",
+      maxPerGroup = 5, minTokens = 5)
+    // batch: one dup of a base doc, one within-batch dup pair, fresh docs
+    val batch = (
+      Seq((100L, good, "s1"),                                   // dup of base doc 0
+          (101L, s"$good batch pair", "s1"), (102L, s"$good batch pair", "s1"),
+          (103L, "too short", "s1"))                            // quality drop
+        ++ (110L until 130L).map(i => (i, s"$good fresh token number$i", "s2"))
+    ).toDF("doc_id", "text", "source")
+    val inc = Curation.curateIncremental(base, batch, "doc_id", "text",
+      "source", maxPerGroup = 8, minTokens = 5)
+    val ids = inc.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(100L), "base duplicate must be rejected")
+    assert(ids.contains(101L) && !ids.contains(102L), "within-batch dedup keeps min id")
+    assert(!ids.contains(103L), "quality gate applies to the batch")
+    // s1 base has 1 member → quota 7 but only 1 fresh candidate; s2 base
+    // has 5 members → quota 3 of the 20 fresh candidates
+    val bySource = inc.select("source").collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(bySource("s1") == 1 && bySource("s2") == 3, bySource.toString)
+    // append-only union: no fingerprint dup, group sizes ≤ maxPerGroup
+    val union = base.select("doc_id", "text", "source")
+      .unionAll(inc.select("doc_id", "text", "source"))
+    assert(union.groupBy(graft.operators.TextAnalysis.fingerprint(col("text")))
+      .count().filter(col("count") > 1).count() == 0)
+    assert(union.groupBy("source").count()
+      .filter(col("count") > 8).count() == 0)
+    // splits are the same pure per-id function as the base load's
+    val sp = inc.filter(col("doc_id") === 101L).select("split")
+    val full = Curation.curate(batch.filter(col("doc_id") === 101L),
+      "doc_id", "text", "source", 8, minTokens = 5).select("split")
+    assert(sp.collect().head.getString(0) == full.collect().head.getString(0))
+  }
+
+  test("curateIncremental is deterministic under repartitioning") {
+    val base = Curation.curate(corpus, "doc_id", "text", "source", 5, minTokens = 5)
+    val batch = (110L until 130L).map(i =>
+      (i, s"$good fresh token number$i", "s2")).toDF("doc_id", "text", "source")
+    def ids(b: org.apache.spark.sql.DataFrame, ba: org.apache.spark.sql.DataFrame) =
+      Curation.curateIncremental(b, ba, "doc_id", "text", "source", 8, minTokens = 5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(base, batch) == ids(base.repartition(7), batch.repartition(13)))
+  }
+
   test("packSequences: placements follow the running total, straddling allowed") {
     // tokens: 3, 4, 5 in one group at seqLen=4 → cums 3,7,12
     val docs = Seq(

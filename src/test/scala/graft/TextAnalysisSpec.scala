@@ -548,4 +548,59 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(0).getLong(2) == 0L)   // no chunk dropped
     assert(out(0).getLong(3) == 10L)  // both copies survive
   }
+
+  /** In-test mirror of the hashing-trick dim/sign rule (what the q95
+    * oracle computes in SQL).
+    */
+  private def hashCell(w: String, dims: Int): (Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(w.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val dim = java.lang.Long.parseLong(hex.substring(0, 15), 16) % dims
+    val sign = if (java.lang.Long.parseLong(hex.substring(15, 16), 16) % 2 == 0) 1L else -1L
+    (dim, sign)
+  }
+
+  test("hashingVectors: signed counts land on the md5 dims, zero cells dropped") {
+    val docs = Seq((1L, "a a b"), (2L, ""), (3L, "a")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashingVectors(docs, "doc_id", "text", dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (da, sa) = hashCell("a", 8)
+    val (db, sb) = hashCell("b", 8)
+    val expect = Seq((1L, da) -> 2 * sa, (1L, db) -> sb, (3L, da) -> sa)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).filter(_._2 != 0).toMap
+    assert(out == expect, s"$out != $expect")
+    assert(!out.keys.exists(_._1 == 2L)) // empty doc absent
+  }
+
+  test("hashingVectors: collisions cancel through the sign (exact integers)") {
+    // force every token into one dim: dims = 1; values are pure sign sums
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashingVectors(docs, "doc_id", "text", dims = 1)
+      .collect()
+    val signSum = Seq("a", "b", "c", "d").map(w => hashCell(w, 1)._2).sum
+    if (signSum == 0) assert(out.isEmpty)
+    else assert(out.head.getLong(2) == signSum)
+  }
+
+  test("hashingVectorsDense pivots the sparse cells; identical docs are cosine-1 in knnBrute") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta eta")).toDF("doc_id", "text")
+    val dense = TextAnalysis.hashingVectorsDense(docs, "doc_id", "text", dims = 16)
+    val sparse = TextAnalysis.hashingVectors(docs, "doc_id", "text", dims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    dense.collect().foreach { r =>
+      val id = r.getLong(0)
+      val vec = r.getSeq[Double](1)
+      assert(vec.length == 16)
+      vec.zipWithIndex.foreach { case (v, i) =>
+        assert(v == sparse.getOrElse((id, i.toLong), 0L).toDouble)
+      }
+    }
+    val knn = graft.operators.Similarity.knnBrute(
+      dense.select(col("doc_id").as("vec_id"), col("vec").as("embedding")),
+      dense.filter(col("doc_id") === 1L)
+        .select(col("doc_id").as("vec_id"), col("vec").as("embedding")),
+      "vec_id", "embedding", k = 1).collect().head
+    assert(knn.getLong(1) == 2L && math.abs(knn.getDouble(2) - 1.0) < 1e-12)
+  }
 }
