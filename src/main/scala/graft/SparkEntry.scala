@@ -1405,6 +1405,25 @@ object SparkEntry {
           dims = 32)
         .orderBy("doc_id", "dim_idx")
     }),
+
+    // Table profiler: per-column row/null/distinct counts and min/max in
+    // ONE full-scan aggregation — the ANALYZE-style statistics pass an
+    // ingest runs first (q80's skew report is the per-key drill-down this
+    // summary points at).
+    "q96_profile" -> ((s, dir) => {
+      Relational.profile(Tables(s, dir).documents,
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("col_name")
+    }),
+
+    // Packing-efficiency sweep: the cost of q50's concat-and-chunk rule
+    // at five candidate sequence lengths, computed from per-group token
+    // totals without running the packer — exact integer seqs/pad/ppm.
+    "q97_packing_sweep" -> ((s, dir) => {
+      Curation.packingSweep(Tables(s, dir).documents, "doc_id", "text",
+          groupCol = "source", seqLens = Seq(64, 128, 256, 512, 1024))
+        .orderBy("seq_len")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -1555,6 +1574,46 @@ object SparkEntry {
         |       round(quantile_cont(n_chars, 0.75), 6) AS p75,
         |       round(quantile_cont(n_chars, 1.0), 6) AS p100
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // one stats row per column via UNION ALL of single-pass aggregates;
+    // min/max rendered as VARCHAR (binary string ordering in both
+    // engines), exact DISTINCT counts
+    "q96_profile" ->
+      """SELECT col_name, n_rows, n_null, n_distinct, min_value, max_value FROM (
+        |  SELECT 'doc_id' AS col_name, count(*)::BIGINT AS n_rows,
+        |         (count(*) - count(doc_id))::BIGINT AS n_null,
+        |         count(DISTINCT doc_id)::BIGINT AS n_distinct,
+        |         min(doc_id)::VARCHAR AS min_value, max(doc_id)::VARCHAR AS max_value
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'text', count(*)::BIGINT, (count(*) - count(text))::BIGINT,
+        |         count(DISTINCT text)::BIGINT, min(text), max(text) FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(*)::BIGINT, (count(*) - count(lang))::BIGINT,
+        |         count(DISTINCT lang)::BIGINT, min(lang), max(lang) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*)::BIGINT, (count(*) - count(source))::BIGINT,
+        |         count(DISTINCT source)::BIGINT, min(source), max(source) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*)::BIGINT, (count(*) - count(n_chars))::BIGINT,
+        |         count(DISTINCT n_chars)::BIGINT, min(n_chars)::VARCHAR, max(n_chars)::VARCHAR
+        |  FROM documents)
+        |ORDER BY col_name""".stripMargin,
+
+    // ceil-division packing cost per (group, seq_len), exact integer pad
+    // accounting; ppm in integer floor division like every ppm gate
+    "q97_packing_sweep" ->
+      """WITH g AS (SELECT source,
+        |    sum(len(list_filter(string_split(text, ' '), w -> w <> '')))::BIGINT AS toks
+        |  FROM documents GROUP BY source),
+        |e AS (SELECT seq_len, toks, (toks + seq_len - 1) // seq_len AS n_seqs
+        |      FROM g, (SELECT unnest([64, 128, 256, 512, 1024]) AS seq_len))
+        |SELECT seq_len::BIGINT AS seq_len, sum(n_seqs)::BIGINT AS n_seqs,
+        |       sum(toks)::BIGINT AS n_tokens,
+        |       (sum(n_seqs * seq_len) - sum(toks))::BIGINT AS n_pad,
+        |       (((sum(n_seqs * seq_len) - sum(toks)) * 1000000)
+        |          // (sum(n_seqs) * seq_len))::BIGINT AS pad_ppm
+        |FROM e GROUP BY seq_len ORDER BY seq_len""".stripMargin,
 
     // the hashing trick in SQL: dim = 60-bit md5 prefix mod 32, sign =
     // 16th md5 hex digit parity, exact signed integer sums, zero cells

@@ -232,6 +232,45 @@ object Curation {
           .as("token_ppm"))
   }
 
+  /** Sequence-length sweep — the packing-efficiency planner: for every
+    * candidate `seqLen` L, the corpus-wide cost of [[packSequences]]'
+    * concat-and-chunk rule without running the packer — per group,
+    * `n_seqs = ⌈tokens/L⌉` (only each group's final sequence pads, so
+    * `pad = n_seqs·L − tokens`), summed over groups, with the pad share
+    * in exact ppm of emitted positions (`pad·10⁶ div (n_seqs·L)`). The
+    * seqLen sibling of [[thresholdSweep]]: one row per knob value, so the
+    * "pick L" decision reads a |seqLens|-row frame instead of running
+    * the packer per candidate.
+    *
+    * Exact integer arithmetic end-to-end. Scale: one token-count scan +
+    * one bounded-key group aggregate; the sweep explodes |seqLens| rows
+    * per GROUP (not per doc), then reduces to |seqLens| rows.
+    */
+  def packingSweep(df: DataFrame, idCol: String, textCol: String,
+                   groupCol: String, seqLens: Seq[Int]): DataFrame = {
+    require(seqLens.nonEmpty && seqLens.forall(_ > 0),
+      s"seqLens must be positive: $seqLens")
+    val perGroup = df
+      .select(col(groupCol).as("grp"),
+        TextAnalysis.tokenCountFromTokens(TextAnalysis.tokens(col(textCol)))
+          .cast("long").as("n_tok"))
+      .groupBy("grp").agg(sum("n_tok").as("toks"))
+    perGroup
+      .select(col("toks"),
+        explode(typedLit(seqLens.map(_.toLong))).as("seq_len"))
+      .select(col("seq_len"), col("toks"),
+        expr("(toks + seq_len - 1) div seq_len").as("n_seqs"))
+      .groupBy("seq_len")
+      .agg(sum("n_seqs").cast("long").as("n_seqs"),
+        sum("toks").cast("long").as("n_tokens"),
+        (sum(col("n_seqs") * col("seq_len")) - sum("toks"))
+          .cast("long").as("n_pad"))
+      .withColumn("pad_ppm",
+        expr("(n_pad * 1000000) div (n_seqs * seq_len)"))
+      .select(col("seq_len"), col("n_seqs"), col("n_tokens"),
+        col("n_pad"), col("pad_ppm"))
+  }
+
   /** CORPUS DIFF between two snapshots of a document set — the dataset
     * versioning primitive: which ids were added, removed, changed
     * (content fingerprint moved), or are unchanged. A 100 TB pipeline

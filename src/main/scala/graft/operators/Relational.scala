@@ -276,4 +276,43 @@ object Relational {
         expr("(cnt * 1000000) div n_rows").as("share_ppm"),
         col("n_rows"), col("n_keys"))
   }
+
+  /** Table profiler — per-column row/null/distinct counts and min/max, the
+    * ANALYZE-style statistics pass an ingest runs before anything else
+    * (partition sizing, join-side choice, skew triage all read these
+    * numbers; [[skewReport]] is the per-KEY drill-down this summary points
+    * at). One row per profiled column, values rendered as strings so
+    * heterogeneous column types share one output schema.
+    *
+    * ONE full-scan aggregation computes every column's stats in a single
+    * pass (no per-column scans): all counts are map-side combinable, and
+    * exact `count(DISTINCT …)` over k columns plans as Spark's standard
+    * expand (k× the rows into partial aggregates) — exact ndv is the
+    * documented trade; at extreme cardinality swap `approx_count_distinct`
+    * in, the [[approxDistinctPerKey]] treatment. min/max of strings use
+    * binary (UTF-8) ordering — the engine's comparator and DuckDB's.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        count_distinct(col(c)).as(s"__ndv_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val total = count(lit(1)).as("__rows")
+    val one = df.agg(total, aggs: _*)
+    // pivot the single stats row to one row per column — a driver-free
+    // explode over a literal column-name array, not a collect
+    val entries = array(cols.map(c => struct(
+      lit(c).as("col_name"),
+      col("__rows").cast("long").as("n_rows"),
+      (col("__rows") - col(s"__n_$c")).cast("long").as("n_null"),
+      col(s"__ndv_$c").cast("long").as("n_distinct"),
+      col(s"__min_$c").as("min_value"),
+      col(s"__max_$c").as("max_value"))): _*)
+    one.select(explode(entries).as("e")).select("e.*")
+  }
 }

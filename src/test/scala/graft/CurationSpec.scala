@@ -32,6 +32,29 @@ class CurationSpec extends SparkTestBase {
     assert(n == 11, n.toString)
   }
 
+  test("packingSweep: hand-computed ceil-division packing cost per seq_len") {
+    // s1: 7 + 3 = 10 tokens; s2: 5 tokens
+    val docs = Seq(
+      (1L, "a b c d e f g", "s1"), (2L, "h i j", "s1"),
+      (3L, "k l m n o", "s2")).toDF("doc_id", "text", "source")
+    val out = Curation.packingSweep(docs, "doc_id", "text", "source",
+        Seq(4, 8, 16))
+      .orderBy("seq_len").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // L=4: s1 ceil(10/4)=3, s2 ceil(5/4)=2 → 5 seqs, pad 20-15=5, ppm 5e6/20
+    // L=8: s1 2, s2 1 → 3 seqs, pad 24-15=9; L=16: 1+1 → pad 32-15=17
+    assert(out.toSeq == Seq(
+      (4L, 5L, 15L, 5L, 250000L),
+      (8L, 3L, 15L, 9L, 375000L),
+      (16L, 2L, 15L, 17L, 531250L)))
+    // agrees with actually running the packer: max seq index + 1 per group
+    val packed = Curation.packSequences(docs, "doc_id", "text", "source", seqLen = 4)
+    val nSeqs = packed.groupBy("source")
+      .agg(max("seq_last").as("m")).collect()
+      .map(r => r.getLong(1) + 1).sum
+    assert(nSeqs == 5L)
+  }
+
   test("curate is deterministic under repartitioning") {
     val a = Curation.curate(corpus, "doc_id", "text", "source", 5, minTokens = 5)
       .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -227,4 +227,22 @@ class RelationalSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("profile: per-column counts/nulls/ndv/min/max in one pass, string-rendered") {
+    import TestSpark.spark.implicits._
+    val df = Seq(
+      (1L, Some("b"), 10L), (2L, Some("a"), 20L),
+      (3L, None, 10L), (4L, Some("a"), 30L)
+    ).toDF("id", "s", "v")
+    val out = Relational.profile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(out("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(out("s") == ((4L, 1L, 2L, "a", "b")))   // null excluded from ndv/min/max
+    assert(out("v") == ((4L, 0L, 3L, "10", "30")))
+    // single full-scan aggregation: exactly one scan of the input in the plan
+    val plan = Relational.profile(df, Seq("id", "s", "v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("LocalTableScan").length <= 3, plan) // one data scan (+1 for split semantics)
+  }
 }
