@@ -1051,12 +1051,15 @@ object SparkEntry {
       withShufflePartitions(s, 4) { child =>
         val docs = Tables(child, dir).documents
         val vocab = Bpe.segment(docs, "text", numMerges = 8)
-        val enc = Bpe.encode(docs, "doc_id", "text", vocab)
-          .withColumn("ids_checksum",
-            aggregate(zip_with(col("token_ids"),
-                sequence(lit(1L), size(col("token_ids")).cast("long")),
-                (id, pos) => id.cast("long") * pos),
-              lit(0L), (acc, x) => acc + x))
+        // persisted: the BPE encode feeds BOTH the packing input and the
+        // checksum re-join below — without this it would run twice
+        val enc = graft.operators.CacheScope.persisted(
+          Bpe.encode(docs, "doc_id", "text", vocab)
+            .withColumn("ids_checksum",
+              aggregate(zip_with(col("token_ids"),
+                  sequence(lit(1L), size(col("token_ids")).cast("long")),
+                  (id, pos) => id.cast("long") * pos),
+                lit(0L), (acc, x) => acc + x)))
         Curation.packSequencesBy(
             docs.select(col("source"), col("doc_id")).join(enc, "doc_id"),
             "doc_id", "n_bpe_tokens", "source", seqLen = 512)

@@ -60,7 +60,7 @@ object CacheScope {
     * branches and can exceed memory at scale), registering it with the
     * innermost enclosing [[withCaches]] scope, if any.
     */
-  private[operators] def persisted(df: DataFrame): DataFrame = {
+  private[graft] def persisted(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     val stack = active.get()
     if (stack != null && stack.nonEmpty) stack.head += p
