@@ -1427,6 +1427,18 @@ object SparkEntry {
           groupCol = "source", seqLens = Seq(64, 128, 256, 512, 1024))
         .orderBy("seq_len")
     }),
+
+    // q92's pairs resolved to duplicate GROUPS (connected components):
+    // output is one row per clustered doc — LINEAR in docs where the pair
+    // list is quadratic in cluster size. This is the documented
+    // mega-cluster mitigation for perceptual dedup, measured against the
+    // 10× fixture's 100× pair explosion (SCALE.md round-10 note), now
+    // under its own hash.
+    "q98_image_dup_groups" -> ((s, dir) => {
+      val pairs = Multimodal.imageDups(s, Tables(s, dir).documents,
+        seedMod = 97, maxHamming = 3)
+      Dedup.canonicalIds(pairs).orderBy("doc_id")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -1706,6 +1718,56 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, neighbor_id, round(c, 4) + 0 AS cos FROM r WHERE rk <= 3
         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+    // q92's aHash/banding pipeline, then q25's recursive transitive
+    // closure over the verified pairs: one (doc, canon) row per clustered
+    // doc
+    "q98_image_dup_groups" ->
+      """WITH RECURSIVE geo AS (
+        |  SELECT doc_id, doc_id % 97 AS seed,
+        |         3 + (doc_id % 97) % 5 AS w, 2 + (doc_id % 97) % 4 AS h
+        |  FROM documents),
+        |grid AS (
+        |  SELECT doc_id, seed, j, i, (i * w) // 8 AS x, (j * h) // 8 AS y
+        |  FROM geo, (SELECT unnest(generate_series(0, 7)) AS j),
+        |            (SELECT unnest(generate_series(0, 7)) AS i)),
+        |samp AS (
+        |  SELECT doc_id, j * 8 + i AS k,
+        |         ((seed*7 + x*13 + y*31) % 256) + ((seed*11 + x*17 + y*5) % 256)
+        |           + ((seed*3 + x*29 + y*7) % 256) AS luma
+        |  FROM grid),
+        |bits AS (
+        |  SELECT doc_id, k,
+        |         CASE WHEN 64 * luma > sum(luma) OVER (PARTITION BY doc_id)
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM samp),
+        |hash AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN k >= 32 THEN bit::BIGINT << (k - 32) ELSE 0 END)::BIGINT AS hash_hi,
+        |         sum(CASE WHEN k < 32 THEN bit::BIGINT << k ELSE 0 END)::BIGINT AS hash_lo
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |         CASE b WHEN 0 THEN hash_lo % 65536 WHEN 1 THEN hash_lo // 65536
+        |                WHEN 2 THEN hash_hi % 65536 ELSE hash_hi // 65536 END AS bv
+        |  FROM hash, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        |pairs AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM cand
+        |  JOIN hash a ON a.doc_id = doc_a
+        |  JOIN hash b ON b.doc_id = doc_b
+        |  WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+        |          + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT u AS doc_id, least(u, min(v)) AS canon_id
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
 
     // arithmetic re-derivation of Multimodal.syntheticPng's pixel formula
     // at the aHash sample grid (x = i·w/8, y = j·h/8), the strict
