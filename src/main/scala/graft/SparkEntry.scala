@@ -1439,6 +1439,18 @@ object SparkEntry {
         seedMod = 97, maxHamming = 3)
       Dedup.canonicalIds(pairs).orderBy("doc_id")
     }),
+
+    // Perceptual AUDIO near-dup: REAL streaming WAV decode → 64-block
+    // above-mean loudness fingerprint → the SAME modality-agnostic banded
+    // Hamming join as images (perceptualDups consumes the signatures
+    // unchanged). The oracle recomputes the sampled loudness formula
+    // arithmetically — it never parses a WAV — completing the q92 recipe
+    // across modalities.
+    "q99_audio_dups" -> ((s, dir) => {
+      Multimodal.audioDups(s, Tables(s, dir).documents,
+          seedMod = 89, maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -1718,6 +1730,53 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, neighbor_id, round(c, 4) + 0 AS cos FROM r WHERE rk <= 3
         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+    // arithmetic re-derivation of the seeded WAV loudness at the 64
+    // sampled frames (frame = b·n/64, loud = Σ_ch |sample|), the strict
+    // above-mean bit rule, and q92's banding + bit_count(xor) verify
+    "q99_audio_dups" ->
+      """WITH geo AS (
+        |  SELECT doc_id, doc_id % 89 AS seed,
+        |         40 + (doc_id % 89) % 25 AS n, 1 + (doc_id % 89) % 2 AS ch
+        |  FROM documents),
+        |blocks AS (
+        |  SELECT doc_id, b, (b * n) // 64 AS frame, seed, ch
+        |  FROM geo, (SELECT unnest(generate_series(0, 63)) AS b)),
+        |vals AS (
+        |  SELECT doc_id, b,
+        |    abs(((seed*31 + frame*40503) % 65536) - 32768)
+        |      + CASE WHEN ch = 2
+        |             THEN abs(((seed*31 + frame*40503 + 7) % 65536) - 32768)
+        |             ELSE 0 END AS loud
+        |  FROM blocks),
+        |bits AS (
+        |  SELECT doc_id, b AS k,
+        |         CASE WHEN 64 * loud > sum(loud) OVER (PARTITION BY doc_id)
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM vals),
+        |hash AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN k >= 32 THEN bit::BIGINT << (k - 32) ELSE 0 END)::BIGINT AS hash_hi,
+        |         sum(CASE WHEN k < 32 THEN bit::BIGINT << k ELSE 0 END)::BIGINT AS hash_lo
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |         CASE b WHEN 0 THEN hash_lo % 65536 WHEN 1 THEN hash_lo // 65536
+        |                WHEN 2 THEN hash_hi % 65536 ELSE hash_hi // 65536 END AS bv
+        |  FROM hash, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |       (bit_count(xor(a.hash_hi, b.hash_hi))
+        |          + bit_count(xor(a.hash_lo, b.hash_lo)))::BIGINT AS hamming
+        |FROM cand
+        |JOIN hash a ON a.doc_id = doc_a
+        |JOIN hash b ON b.doc_id = doc_b
+        |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+        |        + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // q92's aHash/banding pipeline, then q25's recursive transitive
     // closure over the verified pairs: one (doc, canon) row per clustered

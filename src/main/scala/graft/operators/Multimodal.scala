@@ -442,6 +442,122 @@ object Multimodal {
     }
   }
 
+  /** Perceptual audio fingerprint — the [[imagePHash]] recipe applied to
+    * WAV: sample 64 frames by nearest-neighbor downscale over the frame
+    * axis (`frame_b = b·n/64`, the aHash reduction applied to time), take
+    * per-sample "loudness" as the exact integer Σ_channels |sample|, and
+    * set bit `b` iff `64·loud_b > Σ loud` — the same strictly-above-mean
+    * integer rule, same two 32-bit halves, so [[perceptualDups]] consumes
+    * these signatures UNCHANGED (one banded-Hamming join implementation
+    * for every modality). Decode is the REAL `javax.sound.sampled` stream
+    * ([[decodeAudio]]'s contract: 16-bit LE PCM, incremental reads, a
+    * corrupt payload degrades to `decoded = false`).
+    *
+    * The sampled positions are visited with a sorted-pointer sweep over
+    * ONE streaming pass — no random access, no frames×channels buffering
+    * — so an hour-long recording costs one sequential read, the
+    * [[decodeAudio]] scale contract.
+    */
+  def audioPHash(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        var result: (Long, Boolean, Long, Long) = (r.doc_id, false, 0L, 0L)
+        if (AudioMimes.contains(r.mime)) {
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.data))
+            try {
+              val fmt = ais.getFormat
+              val ok = fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+                ais.getFrameLength > 0 && ais.getFrameLength <= Int.MaxValue
+              if (ok) {
+                val ch = fmt.getChannels
+                val n = ais.getFrameLength.toInt
+                val pos = Array.tabulate(64)(b => b * n / 64) // non-decreasing
+                val vals = new Array[Long](64)
+                val frameBytes = ch * 2
+                val buf = new Array[Byte](frameBytes)
+                var frame = 0
+                var b = 0
+                var short = false
+                while (frame < n && !short) {
+                  // read exactly one frame (the stream may return partials)
+                  var got = 0
+                  var r0 = 0
+                  while (got < frameBytes && r0 >= 0) {
+                    r0 = ais.read(buf, got, frameBytes - got)
+                    if (r0 > 0) got += r0
+                  }
+                  if (got < frameBytes) short = true
+                  else {
+                    if (b < 64 && pos(b) == frame) {
+                      var loud = 0L
+                      var c = 0
+                      while (c < ch) {
+                        val s = ((buf(2 * c + 1) << 8) | (buf(2 * c) & 0xff))
+                          .toShort.toLong
+                        loud += math.abs(s)
+                        c += 1
+                      }
+                      while (b < 64 && pos(b) == frame) { vals(b) = loud; b += 1 }
+                    }
+                    frame += 1
+                  }
+                }
+                if (!short) {
+                  var total = 0L
+                  var k = 0
+                  while (k < 64) { total += vals(k); k += 1 }
+                  var lo = 0L; var hi = 0L
+                  k = 0
+                  while (k < 64) {
+                    if (64L * vals(k) > total) {
+                      if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+                    }
+                    k += 1
+                  }
+                  result = (r.doc_id, true, hi, lo)
+                }
+              }
+            } finally ais.close()
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+            case _: java.io.IOException => ()
+          }
+        }
+        result
+      }
+    }.toDF("doc_id", "decoded", "hash_hi", "hash_lo")
+  }
+
+  /** Fixture audio corpus WITH genuine perceptual duplicates — the
+    * [[syntheticImagesSeeded]] device for WAV: seed (and geometry, so
+    * equal seeds mean sample-identical audio) is `doc_id % seedMod`.
+    */
+  def syntheticAudioSeeded(spark: SparkSession, docs: DataFrame,
+                           seedMod: Int = 89): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val seed = id % seedMod
+      val nFrames = (40 + seed % 25).toInt
+      val ch = (1 + seed % 2).toInt
+      MediaRow(id, "audio/wav",
+        syntheticWav(seed, nFrames, ch, frameMul = 40503L), 0, 0)
+    }
+  }
+
+  /** End-to-end perceptual AUDIO dedup: documents → seeded synthetic WAVs →
+    * REAL streaming decode + 64-block fingerprint → the SAME banded
+    * Hamming join as images ([[perceptualDups]] is modality-agnostic).
+    */
+  def audioDups(spark: SparkSession, docs: DataFrame,
+                seedMod: Int = 89, maxHamming: Int = 3): DataFrame =
+    perceptualDups(audioPHash(syntheticAudioSeeded(spark, docs, seedMod)),
+      maxHamming)
+
   /** Deterministic synthetic 16-bit PCM WAV: sample (frame i, channel c)
     * is an exact integer function of (seed, i, c), RIFF-encoded by hand
     * (44-byte canonical header + little-endian PCM). Like
@@ -450,8 +566,16 @@ object Multimodal {
     * (wrong endianness, channel deinterleave, off-by-one frame count)
     * breaks the hash.
     */
+  /** `frameMul` is the per-frame coefficient of the sample formula. The
+    * default 13 (q82's oracle constant) makes a slow sawtooth —
+    * |sample| is LINEAR across a short clip, which is exactly wrong for a
+    * fingerprint fixture (every clip ranks its blocks identically, all
+    * signatures collapse); [[syntheticAudioSeeded]] passes a
+    * wraparound-heavy 40503 so block loudness is pseudo-random and the
+    * q99 signatures discriminate.
+    */
   def syntheticWav(seed: Long, nFrames: Int, channels: Int,
-                   sampleRate: Int = 8000): Array[Byte] = {
+                   sampleRate: Int = 8000, frameMul: Long = 13L): Array[Byte] = {
     require(nFrames > 0 && channels > 0, s"audio must be non-empty: ${nFrames}x$channels")
     val dataLen = nFrames * channels * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
@@ -471,7 +595,7 @@ object Multimodal {
     while (i < nFrames) {
       var c = 0
       while (c < channels) {
-        bb.putShort((((seed * 31 + i.toLong * 13 + c.toLong * 7) % 65536) - 32768).toShort)
+        bb.putShort((((seed * 31 + i.toLong * frameMul + c.toLong * 7) % 65536) - 32768).toShort)
         c += 1
       }
       i += 1

@@ -708,6 +708,50 @@ class MultimodalSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  /** In-test reference of the audio fingerprint (what the q99 oracle
+    * computes in SQL): loudness at 64 nearest-neighbor sampled frames,
+    * strict above-mean bits.
+    */
+  private def refAudioHash(seed: Long, n: Int, ch: Int): (Long, Long) = {
+    val vals = Array.tabulate(64) { b =>
+      val frame = b * n / 64
+      (0 until ch).map { c =>
+        math.abs(((seed * 31 + frame.toLong * 40503L + c * 7) % 65536) - 32768)
+      }.sum
+    }
+    val total = vals.sum
+    var hi = 0L; var lo = 0L
+    for (k <- 0 until 64 if 64L * vals(k) > total)
+      if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+    (hi, lo)
+  }
+
+  test("audioPHash: real streaming WAV decode reproduces the arithmetic fingerprint") {
+    import graft.operators.MediaRow
+    val (seed, n, ch) = (7L, 47, 2)
+    val wav = Multimodal.syntheticWav(seed, n, ch, frameMul = 40503L)
+    val rows = Multimodal.audioPHash(Seq(
+      MediaRow(1L, "audio/wav", wav, 0, 0),
+      MediaRow(2L, "audio/wav", wav.take(50), 0, 0),  // truncated
+      MediaRow(3L, "text/plain", wav, 0, 0)           // unknown mime
+    ).toDS()).orderBy("doc_id").collect()
+    val (hi, lo) = refAudioHash(seed, n, ch)
+    assert(rows(0).getBoolean(1)
+      && rows(0).getLong(2) == hi && rows(0).getLong(3) == lo,
+      s"${rows(0)} != ($hi, $lo)")
+    assert(!rows(1).getBoolean(1) && !rows(2).getBoolean(1))
+  }
+
+  test("audioDups end-to-end: equal-seed docs collapse to hamming-0 pairs") {
+    val ids = spark.range(0, 180).select(col("id").as("doc_id"))
+    val out = Multimodal.audioDups(spark, ids, seedMod = 89, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (i <- 0L until 91L) {
+      val p = out.find(t => t._1 == i && t._2 == i + 89)
+      assert(p.exists(_._3 == 0L), s"missing exact pair ($i, ${i + 89})")
+    }
+  }
+
   test("imageDups end-to-end: equal-seed docs collapse to hamming-0 pairs") {
     val ids = spark.range(0, 200).select(col("id").as("doc_id"))
     val out = Multimodal.imageDups(spark, ids, seedMod = 97, maxHamming = 3)
