@@ -4,8 +4,8 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.operators.Dedup
-import graft.streaming.{Stateful, StreamingMinHash}
+import graft.operators.{Dedup, Multimodal}
+import graft.streaming.{Stateful, StreamingMinHash, StreamingPHash}
 
 /** Streaming exact dedup: first occurrence wins across micro-batches,
   * duplicate-tracking state bounded by the watermark. Streaming FUZZY
@@ -39,6 +39,44 @@ class StreamingDedupSpec extends SparkTestBase {
     val out = spark.table("sd").as[(Timestamp, String, String)].collect()
       .map(r => r._2 -> r._3).toMap
     assert(out == Map("A" -> "first-A", "B" -> "first-B", "C" -> "first-C"))
+  }
+
+  test("streaming perceptual pairs across micro-batches equal batch perceptualDups") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(Stateful.TransformWithStateConf._1)
+    spark.conf.set(Stateful.TransformWithStateConf._1, Stateful.TransformWithStateConf._2)
+    try {
+      import org.apache.spark.sql.functions.col
+      // seeded image hashes (real decode) with engineered dup clusters,
+      // streamed in three micro-batches
+      val ids = spark.range(0, 150).select(col("id").as("doc_id"))
+      val hashes = Multimodal.imagePHash(
+          Multimodal.syntheticImagesSeeded(spark, ids, seedMod = 47)).toDF()
+        .as[(Long, Boolean, Long, Long)].collect().toSeq
+      val batches = hashes.grouped((hashes.size + 2) / 3).toSeq
+      val mem = MemoryStream[(Long, Boolean, Long, Long)]
+      val q = StreamingPHash.dupPairs(
+          mem.toDF().toDF("doc_id", "decoded", "hash_hi", "hash_lo"),
+          maxHamming = 3)
+        .writeStream.format("memory").queryName("sph").outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory("sph-ckpt").toString)
+        .start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      val streamed = spark.table("sph").as[(Long, Long, Long)]
+        .collect().toSeq.sorted
+      val batch = Multimodal.perceptualDups(
+          hashes.toDF("doc_id", "decoded", "hash_hi", "hash_lo"), maxHamming = 3)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(batch.nonEmpty, "seeded fixture should contain perceptual dups")
+      assert(streamed == batch)
+      assert(streamed.map(p => (p._1, p._2)).distinct.size == streamed.size)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(Stateful.TransformWithStateConf._1, v)
+        case None => spark.conf.unset(Stateful.TransformWithStateConf._1)
+      }
+    }
   }
 
   test("streaming minhash pairs across micro-batches equal the batch pipeline") {
