@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
 
 import graft.operators.{Analytics, AsOf, Bpe, Curation, Dedup, Multimodal, RangeJoin, Relational, Sampling, Similarity, TextAnalysis, Windowed}
 import graft.sources.{CsvSource, JsonSource, LogLines}
-import graft.streaming.BoundedStream
+import graft.streaming.{BoundedStream, Stateful, StreamingPHash}
 
 /** Driver contract — every implemented operator from SURVEY.md §2 (plus the
   * LLM-data-pipeline extensions) is declared here as a named query over the
@@ -1451,6 +1451,33 @@ object SparkEntry {
           seedMod = 89, maxHamming = 3)
         .orderBy("doc_a", "doc_b")
     }),
+
+    // The STREAMING perceptual-dedup runtime under q92's oracle hash: the
+    // same seeded image hashes (real decode) arrive as a parquet file
+    // stream, dedup runs as per-(band, value) transformWithState buckets
+    // on RocksDB, and the drained pair stream must equal the batch banded
+    // join pair-for-pair — the q23/q63 recipe applied to perceptual
+    // dedup.
+    "q100_stream_phash" -> ((s, dir) => {
+      withShufflePartitions(s, 8) { child =>
+        child.conf.set(Stateful.TransformWithStateConf._1,
+          Stateful.TransformWithStateConf._2)
+        val hashes = Multimodal.imagePHash(
+          Multimodal.syntheticImagesSeeded(child, Tables(child, dir).documents,
+            seedMod = 97)).toDF()
+        val root = java.nio.file.Files.createTempDirectory("phash-src").toString
+        SnapshotDirs.add(root)
+        hashes.write.mode("overwrite").parquet(s"$root/hashes")
+        val schema = child.read.parquet(s"$root/hashes").schema
+        val src = child.readStream.schema(schema).parquet(s"$root/hashes")
+        val name = s"q100_sink_${StreamRunSeq.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("q100-ckpt").toString
+        StreamArtifacts.add((child, name, ckpt))
+        BoundedStream.runAvailableNow(child, src,
+          df => StreamingPHash.dupPairs(df, maxHamming = 3).toDF(),
+          ckpt, name, outputMode = "append")
+      }.orderBy("doc_a", "doc_b")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -1583,7 +1610,11 @@ object SparkEntry {
       "q84_snapshot_versions" -> "q72_corpus_diff",
       // the PERSISTED inverted file (build → partition-per-cell write →
       // pruned read → search) must reproduce the in-memory IVF answer
-      "q90_ivf_index" -> "q20_ivf_ann")
+      "q90_ivf_index" -> "q20_ivf_ann",
+      // the STREAMING perceptual-dedup runtime (file stream → per-bucket
+      // transformWithState on RocksDB → drained pairs) must reproduce the
+      // batch banded join's answer
+      "q100_stream_phash" -> "q92_image_dups")
       .map { case (aliasQ, libQ) => aliasQ -> oracleSqlBase(libQ) }
   }
 
