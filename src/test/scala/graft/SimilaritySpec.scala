@@ -171,6 +171,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows(adaptive) == rows(explicit) && rows(explicit).nonEmpty)
   }
 
+  test("persisted IVF index built under the sqrt-n policy reproduces the adaptive search") {
+    val vs = (0 until 36).map(i =>
+      (i.toLong, Array(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val qs = vs.filter(col("vec_id") < 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_sqrt").toString
+    Similarity.buildIvfIndex(vs, "vec_id", "embedding", dir,
+      centStep = Similarity.sqrtCentStep(vs, "vec_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val fromIndex = Similarity.searchIvfIndex(spark, dir, qs,
+      "vec_id", "embedding", k = 2, nprobe = 2)
+    val adaptive = Similarity.ivfTopKAdaptive(vs, qs, "vec_id", "embedding",
+      k = 2, nprobe = 2)
+    assert(rows(fromIndex) == rows(adaptive) && rows(adaptive).nonEmpty)
+  }
+
   test("ivfAssign at the 4096-centroid cap: one-literal codebook, codegen'd plan") {
     // The documented maxCentroids cap × 64 dims. The codebook travels as ONE
     // typedLit matrix consumed by the codegen'd graft_argmax_cosine, so this
