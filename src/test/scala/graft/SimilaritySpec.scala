@@ -770,6 +770,35 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("perceptualDups equals brute force on random signatures (5 seeded trials)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      // 30 random hashes + 10 near-dups made by flipping ≤3 random bits
+      val base = (0L until 30L).map(i =>
+        (i, rnd.nextLong() & 0xFFFFFFFFL, rnd.nextLong() & 0xFFFFFFFFL))
+      val nearDups = (0 until 10).map { j =>
+        val (of, hi, lo) = base(rnd.nextInt(base.size))
+        val flips = Seq.fill(rnd.nextInt(4))(rnd.nextInt(64))
+        val (fhi, flo) = flips.foldLeft((hi, lo)) { case ((h, l), k) =>
+          if (k < 32) (h, l ^ (1L << k)) else (h ^ (1L << (k - 32)), l)
+        }
+        (100L + j, fhi, flo)
+      }
+      val all = base ++ nearDups
+      val out = Multimodal.perceptualDups(
+          all.map { case (id, hi, lo) => (id, true, hi, lo) }
+            .toDF("doc_id", "decoded", "hash_hi", "hash_lo"), maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      val brute = (for {
+        (a, ahi, alo) <- all; (b, bhi, blo) <- all if a < b
+        ham = java.lang.Long.bitCount(ahi ^ bhi) + java.lang.Long.bitCount(alo ^ blo)
+        if ham <= 3
+      } yield (a, b, ham.toLong)).sorted
+      assert(out == brute, s"banded $out != brute $brute")
+      assert(brute.nonEmpty, "trial should contain near-dups")
+    }
+  }
+
   test("imageDups end-to-end: equal-seed docs collapse to hamming-0 pairs") {
     val ids = spark.range(0, 200).select(col("id").as("doc_id"))
     val out = Multimodal.imageDups(spark, ids, seedMod = 97, maxHamming = 3)
