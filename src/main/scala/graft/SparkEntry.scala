@@ -1428,16 +1428,18 @@ object SparkEntry {
         .orderBy("seq_len")
     }),
 
-    // q92's pairs resolved to duplicate GROUPS (connected components):
-    // output is one row per clustered doc — LINEAR in docs where the pair
-    // list is quadratic in cluster size. This is the documented
-    // mega-cluster mitigation for perceptual dedup, measured against the
-    // 10× fixture's 100× pair explosion (SCALE.md round-10 note), now
-    // under its own hash.
+    // q92's graph resolved to duplicate GROUPS — via the LINEAR path:
+    // identical hashes collapse to one representative (one hash agg, the
+    // q8 shape), the quadratic banded join runs on DISTINCT signatures
+    // only, and star edges reconnect members — components provably equal
+    // the all-pairs graph's, which is exactly what the oracle (all-pairs
+    // recursive closure) checks. The mega-cluster mitigation for
+    // perceptual dedup, measured against the 10× fixture's 100× pair
+    // explosion (SCALE.md round-10 note).
     "q98_image_dup_groups" -> ((s, dir) => {
-      val pairs = Multimodal.imageDups(s, Tables(s, dir).documents,
-        seedMod = 97, maxHamming = 3)
-      Dedup.canonicalIds(pairs).orderBy("doc_id")
+      val hashes = Multimodal.imagePHash(Multimodal.syntheticImagesSeeded(
+        s, Tables(s, dir).documents, seedMod = 97)).toDF()
+      Multimodal.perceptualDupGroups(hashes, maxHamming = 3).orderBy("doc_id")
     }),
 
     // Perceptual AUDIO near-dup: REAL streaming WAV decode → 64-block

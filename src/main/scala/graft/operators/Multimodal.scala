@@ -365,6 +365,48 @@ object Multimodal {
     perceptualDups(imagePHash(syntheticImagesSeeded(spark, docs, seedMod)).toDF(),
       maxHamming)
 
+  /** Perceptual duplicate GROUPS — connected components of the
+    * hamming ≤ `maxHamming` graph, WITHOUT enumerating the quadratic pair
+    * list inside identical-hash clusters. The 10× scaling run measured
+    * [[perceptualDups]]' pair output growing ~100× when duplicate
+    * clusters grow 10× (quadratic in cluster size, inherent to emitting
+    * pairs); this operator is the linear path:
+    *
+    *  1. collapse identical hashes to one REPRESENTATIVE (min doc id) —
+    *     one hash aggregate, the exact-dedup (q8) shape, LINEAR;
+    *  2. run the banded Hamming join on DISTINCT signatures only — the
+    *     quadratic step now scales with signature diversity, not corpus
+    *     size (a million copies of one image contribute ONE row);
+    *  3. connect members to their representative by star edges (linear)
+    *     and feed star ∪ representative-pairs to [[Dedup.canonicalIds]].
+    *
+    * The components equal the all-pairs graph's exactly: identical-hash
+    * members are hamming-0 (≤ any threshold) so the star keeps them
+    * connected, and for differing hashes the Hamming distance is a pure
+    * function of the hash values, so an edge exists between two clusters
+    * iff it exists between their representatives. Gated: q98 runs THIS
+    * operator against the all-pairs transitive-closure oracle.
+    *
+    * Output: (doc_id, canon_id), one row per doc in a non-singleton
+    * component — [[Dedup.canonicalIds]]' contract.
+    */
+  def perceptualDupGroups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val h = CacheScope.persisted(
+      hashes.filter(col("decoded"))
+        .select(col("doc_id"), col("hash_hi"), col("hash_lo")))
+    val groups = CacheScope.persisted(
+      h.groupBy("hash_hi", "hash_lo")
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n")))
+    val star = h.join(groups, Seq("hash_hi", "hash_lo"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val repPairs = perceptualDups(
+      groups.select(col("rep").as("doc_id"), lit(true).as("decoded"),
+        col("hash_hi"), col("hash_lo")), maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+    Dedup.canonicalIds(star.unionAll(repPairs))
+  }
+
   /** Mimes [[decodeAudio]] hands to `javax.sound.sampled` — the JRE ships
     * WAV/AIFF/AU readers; compressed codecs (mp3, opus…) would arrive via
     * native libraries and take the byte-level fallback here.

@@ -799,6 +799,28 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("perceptualDupGroups equals pairs→components, without the in-cluster pair list") {
+    val rnd = new scala.util.Random(7)
+    // identical-hash clusters of size 5 + near-dup links between some
+    val reps = (0 until 8).map(_ =>
+      (rnd.nextLong() & 0xFFFFFFFFL, rnd.nextLong() & 0xFFFFFFFFL))
+    val rows = for {
+      (r, ci) <- reps.zipWithIndex
+      m <- 0 until 5
+    } yield (ci * 10L + m, true, r._1, r._2)
+    // link cluster 0 to cluster 1 by a 2-bit-flipped bridge doc
+    val bridge = (99L, true, reps(0)._1 ^ 3L, reps(0)._2)
+    val bridge2 = (98L, true, reps(1)._1, reps(1)._2 ^ (1L << 5))
+    val df = (rows :+ bridge :+ bridge2)
+      .toDF("doc_id", "decoded", "hash_hi", "hash_lo")
+    def comp(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaGroups = comp(Multimodal.perceptualDupGroups(df, maxHamming = 3))
+    val viaPairs = comp(graft.operators.Dedup.canonicalIds(
+      Multimodal.perceptualDups(df, maxHamming = 3)))
+    assert(viaGroups == viaPairs && viaGroups.nonEmpty)
+  }
+
   test("imageDups end-to-end: equal-seed docs collapse to hamming-0 pairs") {
     val ids = spark.range(0, 200).select(col("id").as("doc_id"))
     val out = Multimodal.imageDups(spark, ids, seedMod = 97, maxHamming = 3)
