@@ -1480,6 +1480,17 @@ object SparkEntry {
           ckpt, name, outputMode = "append")
       }.orderBy("doc_a", "doc_b")
     }),
+
+    // Perceptual VIDEO near-dup, completing the modality triple: strided
+    // REAL PNG-frame decode over the GVID container → XOR of per-frame
+    // aHashes → the same banded Hamming join. The oracle re-derives each
+    // sampled frame's aHash arithmetically and XORs with bit_xor — it
+    // never parses a container or decodes a frame.
+    "q101_video_dups" -> ((s, dir) => {
+      Multimodal.videoDups(s, Tables(s, dir).documents,
+          seedMod = 83, stride = 2, maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -1763,6 +1774,60 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, neighbor_id, round(c, 4) + 0 AS cos FROM r WHERE rk <= 3
         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+    // per-sampled-frame aHash (frame seeds seed·100 + f·7, frames 0 and 2
+    // at stride 2) re-derived arithmetically, XOR-combined with bit_xor,
+    // then q92's banding + verify
+    "q101_video_dups" ->
+      """WITH geo AS (
+        |  SELECT doc_id, doc_id % 83 AS seed,
+        |         2 + (doc_id % 83) % 3 AS n,
+        |         3 + (doc_id % 83) % 5 AS w, 2 + (doc_id % 83) % 4 AS h
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, seed * 100 + f * 7 AS fs, w, h, f
+        |  FROM geo, (SELECT unnest(generate_series(0, 2, 2)) AS f)
+        |  WHERE f < n),
+        |grid AS (
+        |  SELECT doc_id, f, fs, j, i, (i * w) // 8 AS x, (j * h) // 8 AS y
+        |  FROM fr, (SELECT unnest(generate_series(0, 7)) AS j),
+        |           (SELECT unnest(generate_series(0, 7)) AS i)),
+        |samp AS (
+        |  SELECT doc_id, f, j * 8 + i AS k,
+        |         ((fs*7 + x*13 + y*31) % 256) + ((fs*11 + x*17 + y*5) % 256)
+        |           + ((fs*3 + x*29 + y*7) % 256) AS luma
+        |  FROM grid),
+        |bits AS (
+        |  SELECT doc_id, f, k,
+        |         CASE WHEN 64 * luma > sum(luma) OVER (PARTITION BY doc_id, f)
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM samp),
+        |fhash AS (
+        |  SELECT doc_id, f,
+        |         sum(CASE WHEN k >= 32 THEN bit::BIGINT << (k - 32) ELSE 0 END)::BIGINT AS fhi,
+        |         sum(CASE WHEN k < 32 THEN bit::BIGINT << k ELSE 0 END)::BIGINT AS flo
+        |  FROM bits GROUP BY doc_id, f),
+        |hash AS (
+        |  SELECT doc_id, bit_xor(fhi)::BIGINT AS hash_hi, bit_xor(flo)::BIGINT AS hash_lo
+        |  FROM fhash GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |         CASE b WHEN 0 THEN hash_lo % 65536 WHEN 1 THEN hash_lo // 65536
+        |                WHEN 2 THEN hash_hi % 65536 ELSE hash_hi // 65536 END AS bv
+        |  FROM hash, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |       (bit_count(xor(a.hash_hi, b.hash_hi))
+        |          + bit_count(xor(a.hash_lo, b.hash_lo)))::BIGINT AS hamming
+        |FROM cand
+        |JOIN hash a ON a.doc_id = doc_a
+        |JOIN hash b ON b.doc_id = doc_b
+        |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+        |        + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // arithmetic re-derivation of the seeded WAV loudness at the 64
     // sampled frames (frame = b·n/64, loud = Σ_ch |sample|), the strict

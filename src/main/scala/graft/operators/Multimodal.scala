@@ -262,37 +262,47 @@ object Multimodal {
           } else None
         img match {
           case Some(im) =>
-            val w = im.getWidth
-            val h = im.getHeight
-            val luma = new Array[Long](64)
-            var total = 0L
-            var j = 0
-            while (j < 8) {
-              var i = 0
-              while (i < 8) {
-                val p = im.getRGB(i * w / 8, j * h / 8)
-                val l = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong
-                luma(j * 8 + i) = l
-                total += l
-                i += 1
-              }
-              j += 1
-            }
-            var lo = 0L
-            var hi = 0L
-            var k = 0
-            while (k < 64) {
-              if (64L * luma(k) > total) {
-                if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
-              }
-              k += 1
-            }
+            val (hi, lo) = aHash64(im)
             ImagePHash(r.doc_id, decoded = true, hi, lo)
           case None =>
             ImagePHash(r.doc_id, decoded = false, 0L, 0L)
         }
       }
     }
+  }
+
+  /** The aHash kernel over a decoded image: 8×8 nearest-neighbor sampled
+    * luma, strict `64·luma > Σ luma` bits, two 32-bit halves — shared by
+    * [[imagePHash]] and [[videoPHash]] so every modality hashes by the
+    * same rule.
+    */
+  private def aHash64(im: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = im.getWidth
+    val h = im.getHeight
+    val luma = new Array[Long](64)
+    var total = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        val p = im.getRGB(i * w / 8, j * h / 8)
+        val l = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong
+        luma(j * 8 + i) = l
+        total += l
+        i += 1
+      }
+      j += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    var k = 0
+    while (k < 64) {
+      if (64L * luma(k) > total) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    (hi, lo)
   }
 
   /** Fixture image corpus WITH genuine perceptual duplicates: the pixel
@@ -598,6 +608,95 @@ object Multimodal {
   def audioDups(spark: SparkSession, docs: DataFrame,
                 seedMod: Int = 89, maxHamming: Int = 3): DataFrame =
     perceptualDups(audioPHash(syntheticAudioSeeded(spark, docs, seedMod)),
+      maxHamming)
+
+  /** Perceptual VIDEO fingerprint — the [[imagePHash]] recipe applied to
+    * the GVID frame container: every `stride`-th frame is PNG-decoded
+    * (skipped frames advance by their length prefix, the
+    * [[decodeVideoFrames]] contract — decode CPU is corpus/stride), each
+    * sampled frame takes the shared [[aHash64]] kernel, and the video's
+    * signature is the XOR of its sampled-frame hashes — order-insensitive
+    * within the sampled set, sensitive to any frame's content, and still
+    * two 32-bit halves, so [[perceptualDups]] consumes it UNCHANGED
+    * (images, audio and video all dedup through the one banded join).
+    * Corrupt containers/frames degrade to `decoded = false`.
+    */
+  def videoPHash(ds: Dataset[MediaRow], stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // once per partition
+      it.map { r =>
+        var result: (Long, Boolean, Long, Long) = (r.doc_id, false, 0L, 0L)
+        if (r.mime == VideoMime) {
+          val bb = java.nio.ByteBuffer.wrap(r.data)
+          val okMagic = bb.remaining >= 8 && bb.get() == 'G' && bb.get() == 'V' &&
+            bb.get() == 'I' && bb.get() == 'D'
+          if (okMagic) {
+            val nFrames = bb.getInt()
+            var hi = 0L
+            var lo = 0L
+            var idx = 0
+            var corrupt = nFrames <= 0
+            while (!corrupt && idx < nFrames) {
+              if (bb.remaining < 4) corrupt = true
+              else {
+                val len = bb.getInt()
+                if (len < 0 || bb.remaining < len) corrupt = true
+                else if (idx % stride != 0) bb.position(bb.position() + len)
+                else {
+                  val frame = new Array[Byte](len)
+                  bb.get(frame)
+                  val im =
+                    try Option(javax.imageio.ImageIO.read(
+                      new java.io.ByteArrayInputStream(frame)))
+                    catch { case _: java.io.IOException => None }
+                  im match {
+                    case Some(i) =>
+                      val (fhi, flo) = aHash64(i)
+                      hi ^= fhi
+                      lo ^= flo
+                    case None => corrupt = true
+                  }
+                }
+                if (!corrupt) idx += 1
+              }
+            }
+            if (!corrupt) result = (r.doc_id, true, hi, lo)
+          }
+        }
+        result
+      }
+    }.toDF("doc_id", "decoded", "hash_hi", "hash_lo")
+  }
+
+  /** Fixture video corpus WITH genuine perceptual duplicates — the seeded
+    * generator for GVID containers: seed (and frame count / geometry) is
+    * `doc_id % seedMod`, frame `f`'s pixel seed is `seed·100 + f·7` (the
+    * q85 frame-seed shape, but seeded so residue classes are
+    * frame-identical).
+    */
+  def syntheticVideosSeeded(spark: SparkSession, docs: DataFrame,
+                            seedMod: Int = 83): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val seed = id % seedMod
+      val n = (2 + seed % 3).toInt
+      val w = (3 + seed % 5).toInt
+      val h = (2 + seed % 4).toInt
+      MediaRow(id, VideoMime,
+        packFrames((0 until n).map(f => syntheticPng(seed * 100 + f * 7, w, h))),
+        w, h)
+    }
+  }
+
+  /** End-to-end perceptual VIDEO dedup: documents → seeded GVID containers
+    * → strided REAL frame decode + XOR'd aHash → the SAME banded Hamming
+    * join as images and audio.
+    */
+  def videoDups(spark: SparkSession, docs: DataFrame, seedMod: Int = 83,
+                stride: Int = 2, maxHamming: Int = 3): DataFrame =
+    perceptualDups(videoPHash(syntheticVideosSeeded(spark, docs, seedMod), stride),
       maxHamming)
 
   /** Deterministic synthetic 16-bit PCM WAV: sample (frame i, channel c)

@@ -760,6 +760,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(!rows(1).getBoolean(1) && !rows(2).getBoolean(1))
   }
 
+  test("videoPHash: strided real frame decode XORs the per-frame aHashes; corrupt degrades") {
+    import graft.operators.MediaRow
+    val (seed, w, h) = (5L, 6, 4)
+    val frames = (0 until 3).map(f =>
+      Multimodal.syntheticPng(seed * 100 + f * 7, w, h))
+    val vid = Multimodal.packFrames(frames)
+    val rows = Multimodal.videoPHash(Seq(
+      MediaRow(1L, Multimodal.VideoMime, vid, w, h),
+      MediaRow(2L, Multimodal.VideoMime, vid.take(10), w, h), // truncated
+      MediaRow(3L, "image/png", vid, w, h)                    // wrong mime
+    ).toDS(), stride = 2).orderBy("doc_id").collect()
+    // expected: XOR of refAHash at frame seeds f=0 and f=2
+    val (h0hi, h0lo) = refAHash(seed * 100, w, h)
+    val (h2hi, h2lo) = refAHash(seed * 100 + 14, w, h)
+    assert(rows(0).getBoolean(1)
+      && rows(0).getLong(2) == (h0hi ^ h2hi) && rows(0).getLong(3) == (h0lo ^ h2lo))
+    assert(!rows(1).getBoolean(1) && !rows(2).getBoolean(1))
+  }
+
+  test("videoDups end-to-end: equal-seed docs collapse to hamming-0 pairs") {
+    val ids = spark.range(0, 170).select(col("id").as("doc_id"))
+    val out = Multimodal.videoDups(spark, ids, seedMod = 83)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (i <- 0L until 87L) {
+      val p = out.find(t => t._1 == i && t._2 == i + 83)
+      assert(p.exists(_._3 == 0L), s"missing exact pair ($i, ${i + 83})")
+    }
+  }
+
   test("audioDups end-to-end: equal-seed docs collapse to hamming-0 pairs") {
     val ids = spark.range(0, 180).select(col("id").as("doc_id"))
     val out = Multimodal.audioDups(spark, ids, seedMod = 89, maxHamming = 3)
