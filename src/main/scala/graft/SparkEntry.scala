@@ -1491,6 +1491,16 @@ object SparkEntry {
           seedMod = 83, stride = 2, maxHamming = 3)
         .orderBy("doc_a", "doc_b")
     }),
+
+    // Embedding-space diversity: per-IVF-cell occupancy, exact ppm share,
+    // and integer micro-nat entropy contributions — the measurement
+    // behind codebook sizing and cluster-balanced sampling (q80's skew
+    // report applied to embedding space).
+    "q102_cell_entropy" -> ((s, dir) => {
+      Similarity.cellOccupancy(Tables(s, dir).embeddings, "vec_id",
+          "embedding", centStep = 25)
+        .orderBy("cell")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -1774,6 +1784,26 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, neighbor_id, round(c, 4) + 0 AS cos FROM r WHERE rk <= 3
         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+    // q20's assignment CTE, then per-cell counts, integer ppm shares, and
+    // the q57 micro-nat device: round each cell's c·ln(n/c)·1e6 BEFORE
+    // any sum, so both engines produce identical integers
+    "q102_cell_entropy" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+        |asg AS (SELECT id, cell FROM (
+        |    SELECT e.vec_id AS id, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, c.cv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS rk
+        |    FROM e CROSS JOIN cents c) WHERE rk = 1),
+        |c AS (SELECT cell, count(*)::BIGINT AS n_vecs FROM asg GROUP BY cell),
+        |t AS (SELECT sum(n_vecs)::BIGINT AS n FROM c)
+        |SELECT cell, n_vecs,
+        |       (n_vecs * 1000000) // t.n AS share_ppm,
+        |       round(n_vecs * ln(t.n * 1.0 / n_vecs) * 1e6)::BIGINT AS h_micro
+        |FROM c CROSS JOIN t ORDER BY cell""".stripMargin,
 
     // per-sampled-frame aHash (frame seeds seed·100 + f·7, frames 0 and 2
     // at stride 2) re-derived arithmetically, XOR-combined with bit_xor,

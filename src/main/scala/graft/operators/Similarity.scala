@@ -259,6 +259,37 @@ object Similarity {
     ivfTopK(corpus, queries, idCol, vecCol, k, nprobe,
       centStep = sqrtCentStep(corpus, idCol), maxCentroids = maxCentroids)
 
+  /** IVF cell-occupancy report — the embedding-space DIVERSITY and
+    * cluster-balance measurement: per cell, its population, exact ppm
+    * share, and its entropy contribution `round(c·ln(n/c)·10⁶)` in
+    * integer micro-nats (summing `h_micro/10⁶/n` over cells gives the
+    * occupancy entropy H = Σ (c/n)·ln(n/c) — maximal when the corpus
+    * spreads evenly over cells, 0 when one cell holds everything). This
+    * is the number behind two knobs the engine already exposes: codebook
+    * sizing (a skewed occupancy says grow the codebook — [[sqrtCentStep]])
+    * and cluster-balanced sampling (q54 caps exactly the hot cells this
+    * report ranks). The [[graft.operators.Relational.skewReport]] idea
+    * applied to embedding space.
+    *
+    * Scale: map-side assignment (broadcast codebook), ONE bounded-key
+    * aggregate (≤ maxCentroids rows), a broadcast 1-row total; the
+    * per-term micro-nat rounding before the integer sum is the
+    * [[TextAnalysis.tokenDivergence]] cross-engine determinism device.
+    */
+  def cellOccupancy(df: DataFrame, idCol: String, vecCol: String,
+                    centStep: Int, maxCentroids: Int = 4096): DataFrame = {
+    val assigned = ivfAssign(df, idCol, vecCol,
+      sampleCentroids(df, idCol, vecCol, centStep, maxCentroids))
+    val counts = CacheScope.persisted(
+      assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs")))
+    val total = broadcast(counts.agg(sum("n_vecs").cast("long").as("n")))
+    counts.crossJoin(total)
+      .select(col("cell"), col("n_vecs").cast("long").as("n_vecs"),
+        expr("(n_vecs * 1000000) div n").as("share_ppm"),
+        round(col("n_vecs") * log(col("n") * lit(1.0) / col("n_vecs")) * 1e6)
+          .cast("long").as("h_micro"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023: cluster the
     * embedding space, then drop near-identical members within each
     * cluster): vectors are assigned MAP-SIDE to their IVF cell

@@ -146,6 +146,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(small.map(_._1) == Seq(0L, 5L, 10L, 15L, 20L, 25L, 30L, 35L))
   }
 
+  test("cellOccupancy: exact shares and micro-nat entropy terms per cell") {
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.1f)), (2L, Array(0.98f, 0.2f)),
+      (3L, Array(0.97f, 0.3f)),
+      (4L, Array(0.0f, 1.0f)), (5L, Array(0.1f, 0.99f)), (6L, Array(0.2f, 0.98f)),
+      (7L, Array(0.3f, 0.97f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.cellOccupancy(vs, "vec_id", "embedding", centStep = 4)
+      .orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // two balanced cells of 4: share 50% each, h term = round(4·ln(2)·1e6)
+    val h = math.round(4.0 * math.log(2.0) * 1e6)
+    assert(out.toSeq == Seq((0L, 4L, 500000L, h), (4L, 4L, 500000L, h)))
+    // entropy of the balanced split is ln 2 (to micro precision)
+    val ent = out.map(_._4).sum / 1e6 / out.map(_._2).sum
+    assert(math.abs(ent - math.log(2.0)) < 1e-5)
+  }
+
   test("sqrtCentStep: ceil-sqrt policy, codebook tracks √n, adaptive ≡ explicit step") {
     def corpus(n: Int) = (0 until n).map(i =>
       (i.toLong, Array.fill(4)((i % 7).toFloat + 1))).toDF("vec_id", "embedding")
