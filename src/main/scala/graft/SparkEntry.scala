@@ -1806,8 +1806,10 @@ object SparkEntry {
         |FROM c CROSS JOIN t ORDER BY cell""".stripMargin,
 
     // per-sampled-frame aHash (frame seeds seed·100 + f·7, frames 0 and 2
-    // at stride 2) re-derived arithmetically, XOR-combined with bit_xor,
-    // then q92's banding + verify
+    // at stride 2) re-derived arithmetically, each half ROTATED left by
+    // the sampled ordinal (rotl32 as multiply-mod-2³² + floor-div, exact
+    // for values < 2³²) before the bit_xor combine — the positional mix
+    // that stops repeated frames cancelling — then q92's banding + verify
     "q101_video_dups" ->
       """WITH geo AS (
         |  SELECT doc_id, doc_id % 83 AS seed,
@@ -1833,12 +1835,16 @@ object SparkEntry {
         |              THEN 1 ELSE 0 END AS bit
         |  FROM samp),
         |fhash AS (
-        |  SELECT doc_id, f,
+        |  SELECT doc_id, f, (f // 2) % 32 AS r,
         |         sum(CASE WHEN k >= 32 THEN bit::BIGINT << (k - 32) ELSE 0 END)::BIGINT AS fhi,
         |         sum(CASE WHEN k < 32 THEN bit::BIGINT << k ELSE 0 END)::BIGINT AS flo
         |  FROM bits GROUP BY doc_id, f),
         |hash AS (
-        |  SELECT doc_id, bit_xor(fhi)::BIGINT AS hash_hi, bit_xor(flo)::BIGINT AS hash_lo
+        |  SELECT doc_id,
+        |         bit_xor(((fhi * (1::BIGINT << r)) % 4294967296)
+        |                 + (fhi // (1::BIGINT << (32 - r))))::BIGINT AS hash_hi,
+        |         bit_xor(((flo * (1::BIGINT << r)) % 4294967296)
+        |                 + (flo // (1::BIGINT << (32 - r))))::BIGINT AS hash_lo
         |  FROM fhash GROUP BY doc_id),
         |bands AS (
         |  SELECT doc_id, b,

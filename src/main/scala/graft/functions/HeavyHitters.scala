@@ -131,7 +131,15 @@ case class HeavyHitters(
   }
 
   override def eval(buffer: MgSummary): Any = {
-    val sorted = buffer.counts.toArray.sortBy { case (t, c) => (-c, t) }
+    // UTF-8-binary tie-break (UTF8String.binaryCompare's ordering), NOT
+    // Scala's UTF-16 code-unit order — the oracle's ORDER BY term is byte
+    // order, and the two disagree for supplementary-plane vs U+E000..FFFF
+    // terms tied on count (the Bpe.trainLocal comparator class of bug)
+    val sorted = buffer.counts.toArray.sortWith { case ((ta, ca), (tb, cb)) =>
+      ca > cb || (ca == cb && java.util.Arrays.compareUnsigned(
+        ta.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        tb.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0)
+    }
     new GenericArrayData(sorted.map { case (t, c) =>
       InternalRow(UTF8String.fromString(t), c, buffer.err)
     })

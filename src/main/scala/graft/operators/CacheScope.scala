@@ -44,8 +44,7 @@ private[operators] object Checkpoints {
     dir match {
       case Some(d) =>
         val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty || sc.getCheckpointDir != Some(d))
-          sc.setCheckpointDir(d)
+        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }

@@ -329,11 +329,18 @@ object Curation {
     * lookup.
     */
   def snapshotVersions(rootDir: String): Seq[Long] = {
-    val kids = Option(new java.io.File(rootDir).listFiles())
-      .getOrElse(Array.empty)
-    kids.iterator
-      .filter(f => f.isDirectory && f.getName.startsWith("version="))
-      .map(_.getName.stripPrefix("version=").toLong)
+    // Hadoop FileSystem listing, NOT java.io.File: the store's pitch is
+    // the production get-versions path, and a java.io listing would
+    // return nothing for an HDFS/S3 root even though writeSnapshot (via
+    // Spark) succeeded there. Resolves the scheme from the active
+    // session's Hadoop conf, local paths included.
+    val path = new org.apache.hadoop.fs.Path(rootDir)
+    val fs = path.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("version="))
+      .map(_.getPath.getName.stripPrefix("version=").toLong)
       .toSeq.sorted
   }
 

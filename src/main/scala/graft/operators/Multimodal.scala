@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One media object: opaque bytes plus typed metadata. In a real pipeline
@@ -339,17 +339,26 @@ object Multimodal {
     * the duplicate-cluster resolution path ([[Dedup.canonicalIds]] over
     * these pairs) is the consumer that caps it.
     */
+  /** THE 4×16-bit band split of a 64-bit hash held as two 32-bit halves,
+    * band 0 = low 16 bits of the low half. One definition: the batch join
+    * ([[perceptualDups]]), the streaming bucket keys
+    * ([[graft.streaming.StreamingPHash]]), and the streaming ownership
+    * rule's JVM mirror must all agree on it (the q100 gate checks that
+    * agreement end-to-end) — a band-width or ordering change must happen
+    * HERE, not drift per site.
+    */
+  private[graft] def bandSplit(hi: Column, lo: Column): Column = array(
+    lo.bitwiseAND(lit(0xFFFFL)), shiftright(lo, 16),
+    hi.bitwiseAND(lit(0xFFFFL)), shiftright(hi, 16))
+
   def perceptualDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64,
       s"maxHamming must be in [0, 64]: $maxHamming")
     val h = CacheScope.persisted(
       hashes.filter(col("decoded"))
         .select(col("doc_id"), col("hash_hi"), col("hash_lo")))
-    val bands = h.select(col("doc_id"), posexplode(array(
-        col("hash_lo").bitwiseAND(lit(0xFFFFL)),
-        shiftright(col("hash_lo"), 16),
-        col("hash_hi").bitwiseAND(lit(0xFFFFL)),
-        shiftright(col("hash_hi"), 16))).as(Seq("band", "bv")))
+    val bands = h.select(col("doc_id"),
+      posexplode(bandSplit(col("hash_hi"), col("hash_lo"))).as(Seq("band", "bv")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -528,7 +537,10 @@ object Multimodal {
               if (ok) {
                 val ch = fmt.getChannels
                 val n = ais.getFrameLength.toInt
-                val pos = Array.tabulate(64)(b => b * n / 64) // non-decreasing
+                // Long multiply: b·n overflows Int past ~34M frames
+                // (~13 min at 44.1 kHz) and a wrapped position would
+                // silently zero the tail of the fingerprint
+                val pos = Array.tabulate(64)(b => (b.toLong * n / 64).toInt) // non-decreasing
                 val vals = new Array[Long](64)
                 val frameBytes = ch * 2
                 val buf = new Array[Byte](frameBytes)
@@ -614,12 +626,18 @@ object Multimodal {
     * the GVID frame container: every `stride`-th frame is PNG-decoded
     * (skipped frames advance by their length prefix, the
     * [[decodeVideoFrames]] contract — decode CPU is corpus/stride), each
-    * sampled frame takes the shared [[aHash64]] kernel, and the video's
-    * signature is the XOR of its sampled-frame hashes — order-insensitive
-    * within the sampled set, sensitive to any frame's content, and still
-    * two 32-bit halves, so [[perceptualDups]] consumes it UNCHANGED
-    * (images, audio and video all dedup through the one banded join).
-    * Corrupt containers/frames degrade to `decoded = false`.
+    * sampled frame takes the shared [[aHash64]] kernel, each half is
+    * ROTATED left by the frame's sampled ordinal (mod 32) and the rotated
+    * hashes XOR into the signature. The rotation is positional mixing: a
+    * plain XOR cancels repeated frames pairwise, so every static video
+    * with an even sampled count would hash to (0, 0) and all collide as
+    * hamming-0 duplicates; rotated, identical frames at different
+    * ordinals no longer cancel, while a single changed frame still flips
+    * only `popcount(old⊕new)` bits (rotation preserves the delta's
+    * popcount) — the near-dup property the banded join needs. Still two
+    * 32-bit halves, so [[perceptualDups]] consumes it UNCHANGED (images,
+    * audio and video all dedup through the one banded join). Corrupt
+    * containers/frames degrade to `decoded = false`.
     */
   def videoPHash(ds: Dataset[MediaRow], stride: Int = 2): DataFrame = {
     require(stride >= 1, s"stride must be >= 1: $stride")
@@ -637,6 +655,7 @@ object Multimodal {
             var hi = 0L
             var lo = 0L
             var idx = 0
+            var ord = 0 // ordinal within the SAMPLED sequence
             var corrupt = nFrames <= 0
             while (!corrupt && idx < nFrames) {
               if (bb.remaining < 4) corrupt = true
@@ -654,8 +673,10 @@ object Multimodal {
                   im match {
                     case Some(i) =>
                       val (fhi, flo) = aHash64(i)
-                      hi ^= fhi
-                      lo ^= flo
+                      val rot = ord % 32
+                      hi ^= rotl32(fhi, rot)
+                      lo ^= rotl32(flo, rot)
+                      ord += 1
                     case None => corrupt = true
                   }
                 }
@@ -669,6 +690,13 @@ object Multimodal {
       }
     }.toDF("doc_id", "decoded", "hash_hi", "hash_lo")
   }
+
+  /** Rotate a 32-bit value (held in a Long's low half) left by `r` ∈
+    * [0, 32). `v >>> (32 − r)` is 0 at r = 0 because v < 2³², so the
+    * identity rotation is exact.
+    */
+  private def rotl32(v: Long, r: Int): Long =
+    ((v << r) | (v >>> (32 - r))) & 0xFFFFFFFFL
 
   /** Fixture video corpus WITH genuine perceptual duplicates — the seeded
     * generator for GVID containers: seed (and frame count / geometry) is

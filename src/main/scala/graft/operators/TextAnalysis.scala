@@ -570,34 +570,39 @@ object TextAnalysis {
     *
     * Scale shape: the term filter is an `isin` against the |terms|-sized
     * constant, applied map-side BEFORE any aggregation — only matching
-    * (doc, term) rows ever aggregate, ≤ |terms| rows per doc. Document
-    * lengths are one map-side-combined count agg; `avgdl` rides as a
-    * broadcast 1-row frame and the per-term document frequencies as a
-    * broadcast ≤|terms|-row frame. Final top-k is TakeOrderedAndProject:
-    * O(k) heap per partition, never a global sort.
+    * (doc, term) rows ever aggregate, ≤ |terms| rows per doc. The
+    * document-length frame is PERSISTED and serves three consumers (the
+    * corpus-size + avgdl statistics — folded into ONE broadcast 1-row
+    * agg — and the per-doc join), so the corpus is tokenized exactly
+    * twice (lengths + term scan), never four times; per-term document
+    * frequencies ride as a broadcast ≤|terms|-row frame. Final top-k is
+    * TakeOrderedAndProject: O(k) heap per partition, never a global sort.
     */
   def bm25Search(df: DataFrame, idCol: String, textCol: String,
                  terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
                  k: Int = 10): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     require(k >= 1, s"k must be >= 1: $k")
-    val nDocs = df.count() // corpus size (scalar, driver-safe — q27's rule)
-    val dl = df.select(col(idCol).as("doc_id"),
-      size(array_remove(tokens(col(textCol)), "")).cast("long").as("dl"))
-    val avg = dl.agg((sum("dl") * lit(1.0) / count(lit(1))).as("avgdl"))
+    val dl = CacheScope.persisted(df.select(col(idCol).as("doc_id"),
+      size(array_remove(tokens(col(textCol)), "")).cast("long").as("dl")))
+    // one agg over the persisted lengths yields BOTH statistics — same
+    // values (and the same IEEE expression shapes) as the former separate
+    // count()/avg pair, minus two corpus scans
+    val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+      (sum("dl") * lit(1.0) / count(lit(1))).as("avgdl"))
     val qt = df.select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
     val dfreq = qt.groupBy("term").agg(count(lit(1)).as("df"))
     // expression SHAPES mirror the oracle verbatim so IEEE folds agree
-    val idf = log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
       + lit(1.0))
     val tf = (col("cnt") * (lit(k1) + lit(1.0))) /
       (col("cnt") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
     qt.join(dl, "doc_id")
       .join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(avg))
+      .crossJoin(broadcast(stats))
       .withColumn("micro", round(idf * tf * lit(1e6)).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms_hit"),

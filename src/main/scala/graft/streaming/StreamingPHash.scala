@@ -55,11 +55,9 @@ object StreamingPHash {
     val banded = hashes.filter(col("decoded"))
       .select(col("doc_id").cast("long").as("docId"),
         col("hash_hi").as("hashHi"), col("hash_lo").as("hashLo"),
-        posexplode(array(
-          col("hash_lo").bitwiseAND(lit(0xFFFFL)),
-          shiftright(col("hash_lo"), 16),
-          col("hash_hi").bitwiseAND(lit(0xFFFFL)),
-          shiftright(col("hash_hi"), 16))).as(Seq("bandIdx", "bandVal")))
+        // the ONE band-split definition, shared with the batch join
+        posexplode(graft.operators.Multimodal.bandSplit(
+          col("hash_hi"), col("hash_lo"))).as(Seq("bandIdx", "bandVal")))
       .select("bandIdx", "bandVal", "docId", "hashHi", "hashLo")
       .as[PHashBandRow]
     val timeMode =
@@ -90,19 +88,25 @@ class PHashDedupProcessor(maxHamming: Int, ttl: TTLConfig)
     val present = ArrayBuffer.empty[PHashBandRow]
     seen.get().foreach(present += _)
     rows.foreach { row =>
-      present.foreach { other =>
-        if (other.docId != row.docId &&
-            PHashDedupProcessor.firstSharedBand(
+      // RE-ARRIVAL guard: an at-least-once upstream (re-crawl, replayed
+      // batch) can deliver a doc_id twice; without this, the second
+      // arrival re-emits every existing pair and double-appends state,
+      // breaking the pair-for-pair batch equality. The scan is O(bucket),
+      // which the comparison loop below already pays.
+      if (!present.exists(_.docId == row.docId)) {
+        present.foreach { other =>
+          if (PHashDedupProcessor.firstSharedBand(
               row.hashHi, row.hashLo, other.hashHi, other.hashLo) == key._1) {
-          val ham = java.lang.Long.bitCount(row.hashHi ^ other.hashHi) +
-            java.lang.Long.bitCount(row.hashLo ^ other.hashLo)
-          if (ham <= maxHamming)
-            out += PHashPair(math.min(row.docId, other.docId),
-              math.max(row.docId, other.docId), ham.toLong)
+            val ham = java.lang.Long.bitCount(row.hashHi ^ other.hashHi) +
+              java.lang.Long.bitCount(row.hashLo ^ other.hashLo)
+            if (ham <= maxHamming)
+              out += PHashPair(math.min(row.docId, other.docId),
+                math.max(row.docId, other.docId), ham.toLong)
+          }
         }
+        present += row
+        seen.appendValue(row)
       }
-      present += row
-      seen.appendValue(row)
     }
     out.iterator
   }
@@ -110,8 +114,10 @@ class PHashDedupProcessor(maxHamming: Int, ttl: TTLConfig)
 
 object PHashDedupProcessor {
 
-  /** The 4×16-bit band values of a split 64-bit hash, band 0 = low 16
-    * bits of the low half — the same order the band split explodes them.
+  /** JVM mirror of [[graft.operators.Multimodal.bandSplit]] (band 0 =
+    * low 16 bits of the low half, same order) — the ownership rule runs
+    * inside the processor where Column expressions don't reach; the q100
+    * gate pins the two in lockstep.
     */
   private def bandVals(hi: Long, lo: Long): Array[Long] =
     Array(lo & 0xFFFFL, lo >>> 16, hi & 0xFFFFL, hi >>> 16)

@@ -78,6 +78,21 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(got == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
   }
 
+  test("count ties break in UTF-8 BINARY order, not UTF-16 (supplementary plane)") {
+    graft.functions.HeavyHitters.ensureRegistered(spark)
+    // U+1F600 (😀, UTF-8 F0 9F 98 80; UTF-16 surrogate D83D DE00) vs
+    // U+FFFD (UTF-8 EF BF BD; UTF-16 FFFD): UTF-16 code-unit order puts
+    // the emoji FIRST, UTF-8 byte order (the oracle's ORDER BY) puts
+    // U+FFFD first — the orders disagree, pinning the comparator
+    val emoji = "😀"
+    val fffd = "�"
+    val got = Seq(emoji, fffd).toDF("term")
+      .agg(expr("graft_heavy_hitters(term, 8)").as("hh"))
+      .select(explode(col("hh")).as("e")).select(col("e.term"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(fffd, emoji), s"tie order was $got")
+  }
+
   test("heavyHitterTerms operator: per-group top-k with rank, bounded by k") {
     val df = Seq(
       ("g1", "x x x y y z"), ("g1", "x w"),

@@ -789,12 +789,36 @@ class MultimodalSpec extends SparkTestBase {
       MediaRow(2L, Multimodal.VideoMime, vid.take(10), w, h), // truncated
       MediaRow(3L, "image/png", vid, w, h)                    // wrong mime
     ).toDS(), stride = 2).orderBy("doc_id").collect()
-    // expected: XOR of refAHash at frame seeds f=0 and f=2
+    // expected: frame 0 at rotation 0 XOR frame 2 rotated by its sampled
+    // ordinal (1)
+    def rotl(v: Long, r: Int): Long = ((v << r) | (v >>> (32 - r))) & 0xFFFFFFFFL
     val (h0hi, h0lo) = refAHash(seed * 100, w, h)
     val (h2hi, h2lo) = refAHash(seed * 100 + 14, w, h)
     assert(rows(0).getBoolean(1)
-      && rows(0).getLong(2) == (h0hi ^ h2hi) && rows(0).getLong(3) == (h0lo ^ h2lo))
+      && rows(0).getLong(2) == (h0hi ^ rotl(h2hi, 1))
+      && rows(0).getLong(3) == (h0lo ^ rotl(h2lo, 1)))
     assert(!rows(1).getBoolean(1) && !rows(2).getBoolean(1))
+  }
+
+  test("videoPHash: static videos do NOT cancel to zero; different statics differ") {
+    import graft.operators.MediaRow
+    // 4 identical frames, stride 1 → an even sampled count: a plain XOR
+    // would cancel to (0, 0) and every static video would collide
+    def static(seed: Long) = Multimodal.packFrames(
+      Seq.fill(4)(Multimodal.syntheticPng(seed, 5, 4)))
+    // seeds chosen so the single-FRAME aHashes differ (nearby seeds of
+    // these smooth gradients rank their blocks identically)
+    assert(refAHash(17L, 5, 4) != refAHash(18L, 5, 4))
+    val rows = Multimodal.videoPHash(Seq(
+      MediaRow(1L, Multimodal.VideoMime, static(17L), 5, 4),
+      MediaRow(2L, Multimodal.VideoMime, static(18L), 5, 4)
+    ).toDS(), stride = 1).orderBy("doc_id").collect()
+    assert(rows.forall(_.getBoolean(1)))
+    assert((rows(0).getLong(2), rows(0).getLong(3)) != ((0L, 0L)),
+      "static video cancelled to zero")
+    assert((rows(0).getLong(2), rows(0).getLong(3)) !=
+      ((rows(1).getLong(2), rows(1).getLong(3))),
+      "different static videos collided")
   }
 
   test("videoDups end-to-end: equal-seed docs collapse to hamming-0 pairs") {

@@ -62,6 +62,10 @@ class StreamingDedupSpec extends SparkTestBase {
         .option("checkpointLocation", Files.createTempDirectory("sph-ckpt").toString)
         .start()
       batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      // RE-ARRIVAL: replay the first batch (at-least-once upstream) — the
+      // per-bucket guard must make it a no-op, not a pair re-emission
+      mem.addData(batches.head)
+      q.processAllAvailable()
       q.stop()
       val streamed = spark.table("sph").as[(Long, Long, Long)]
         .collect().toSeq.sorted
