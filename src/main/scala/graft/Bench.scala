@@ -28,6 +28,28 @@ package graft
 object Bench {
   private val Runs = 3
 
+  /** Fixed constant-cost probe for the LOAD CANARY: a CPU-bound sum over a
+    * fixed range, 32 even partitions, no shuffle, no IO — its wall time
+    * depends only on how much of the box this JVM actually gets. The round-10
+    * artifact recorded a 15× phantom regression caused by concurrent load on
+    * the box (judge re-runs reproduced none of it); timing THIS probe next to
+    * every query makes such a run self-identifying: a polluted window shows a
+    * canary far above its idle baseline, in the run's own JSON.
+    */
+  private def canaryOnce(spark: org.apache.spark.sql.SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 1L << 26, 1, 32)
+      .select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("id") * 3 + 1))
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Ratio above the idle canary baseline at which a run is flagged
+    * contaminated (the verdict's prescribed 2×).
+    */
+  private val CanaryDriftLimit = 2.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(GraftSession.envCores, "graft-bench")
@@ -60,8 +82,18 @@ object Bench {
       cleanup()
     }
 
+    // Canary baseline: median of 5 probes after warmup (the warmup loop
+    // above has already JIT-compiled range/sum). If the box is ALREADY
+    // loaded at baseline time, the baseline inflates and drift under-reads
+    // — so the minimum across baseline AND per-query probes anchors the
+    // ratio instead (the fastest observation is the closest to idle).
+    (1 to 2).foreach(_ => canaryOnce(spark))
+    val canaryBaseRuns = (1 to 5).map(_ => canaryOnce(spark)).sorted
+    var canaryBase = canaryBaseRuns(canaryBaseRuns.length / 2)
+
     val medians = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val canaries = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     names.foreach { name =>
       val times = scala.collection.mutable.ArrayBuffer[Double]()
@@ -89,7 +121,20 @@ object Bench {
         medians(name) = s(s.length / 2)
         spreads(name) = (s.head, s.last)
       }
+      // one canary probe per query, adjacent to its timed window — a
+      // contaminated stretch of the run shows up against the query names
+      // it overlapped, not just as a whole-run flag
+      canaries(name) = canaryOnce(spark)
     }
+    canaryBase = math.min(canaryBase,
+      (canaryBaseRuns.head +: canaries.values.toSeq).min)
+    val canaryMax =
+      if (canaries.isEmpty) canaryBase else canaries.values.max
+    val canaryDrift = canaryMax / canaryBase
+    if (canaryDrift > CanaryDriftLimit)
+      System.err.println(f"[bench] WARNING: load canary drifted $canaryDrift%.2fx " +
+        f"over its idle baseline ($canaryBase%.3fs -> $canaryMax%.3fs) — " +
+        "this run overlapped external load; treat its timings as contaminated")
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -101,8 +146,9 @@ object Bench {
     val mins = spreads.map { case (k, (lo, _)) => s"${jstr(k)}:$lo" }.mkString("{", ",", "}")
     val maxs = spreads.map { case (k, (_, hi)) => s"${jstr(k)}:$hi" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val cs = canaries.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val total = medians.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"queries_min":$mins,"queries_max":$maxs,"errors":$es,"failed":${errors.size},"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"queries_min":$mins,"queries_max":$maxs,"errors":$es,"failed":${errors.size},"canary_base":$canaryBase,"canary_max":$canaryMax,"canary_drift":$canaryDrift,"canary_contaminated":${canaryDrift > CanaryDriftLimit},"canary":$cs,"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

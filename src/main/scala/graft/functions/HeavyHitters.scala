@@ -135,12 +135,16 @@ case class HeavyHitters(
     // Scala's UTF-16 code-unit order — the oracle's ORDER BY term is byte
     // order, and the two disagree for supplementary-plane vs U+E000..FFFF
     // terms tied on count (the Bpe.trainLocal comparator class of bug)
-    val sorted = buffer.counts.toArray.sortWith { case ((ta, ca), (tb, cb)) =>
-      ca > cb || (ca == cb && java.util.Arrays.compareUnsigned(
-        ta.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        tb.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0)
-    }
-    new GenericArrayData(sorted.map { case (t, c) =>
+    // each term's UTF-8 bytes encoded ONCE up front — the comparator runs
+    // O(n log n) times and re-encoding inside it would allocate per
+    // comparison (capacity is small, but eval runs once per group)
+    val sorted = buffer.counts.toArray
+      .map { case (t, c) =>
+        (t, t.getBytes(java.nio.charset.StandardCharsets.UTF_8), c) }
+      .sortWith { case ((_, ba, ca), (_, bb, cb)) =>
+        ca > cb || (ca == cb && java.util.Arrays.compareUnsigned(ba, bb) < 0)
+      }
+    new GenericArrayData(sorted.map { case (t, _, c) =>
       InternalRow(UTF8String.fromString(t), c, buffer.err)
     })
   }

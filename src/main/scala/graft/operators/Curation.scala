@@ -266,7 +266,10 @@ object Curation {
         (sum(col("n_seqs") * col("seq_len")) - sum("toks"))
           .cast("long").as("n_pad"))
       .withColumn("pad_ppm",
-        expr("(n_pad * 1000000) div (n_seqs * seq_len)"))
+        // nullif guards the all-empty-corpus degenerate (every group's
+        // token total 0 ⇒ n_seqs 0): ANSI mode would throw
+        // DIVIDE_BY_ZERO; null pad_ppm is the qualityRules treatment
+        expr("(n_pad * 1000000) div nullif(n_seqs * seq_len, 0)"))
       .select(col("seq_len"), col("n_seqs"), col("n_tokens"),
         col("n_pad"), col("pad_ppm"))
   }
@@ -328,15 +331,21 @@ object Curation {
     * Directory-listing only (no data read), like the reference's counter
     * lookup.
     */
-  def snapshotVersions(rootDir: String): Seq[Long] = {
+  def snapshotVersions(rootDir: String,
+                       conf: Option[org.apache.hadoop.conf.Configuration] = None): Seq[Long] = {
     // Hadoop FileSystem listing, NOT java.io.File: the store's pitch is
     // the production get-versions path, and a java.io listing would
     // return nothing for an HDFS/S3 root even though writeSnapshot (via
-    // Spark) succeeded there. Resolves the scheme from the active
-    // session's Hadoop conf, local paths included.
+    // Spark) succeeded there. Scheme resolution prefers the caller's
+    // Configuration, then the active session's Hadoop conf, then a plain
+    // `new Configuration()` — so listing versions works session-free
+    // (the pre-round-10 java.io contract) AND against an HDFS/S3 root.
     val path = new org.apache.hadoop.fs.Path(rootDir)
-    val fs = path.getFileSystem(org.apache.spark.sql.SparkSession.active
-      .sparkContext.hadoopConfiguration)
+    val resolved = conf
+      .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration))
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = path.getFileSystem(resolved)
     if (!fs.exists(path)) Seq.empty
     else fs.listStatus(path).iterator
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("version="))

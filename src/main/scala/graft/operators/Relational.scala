@@ -294,25 +294,30 @@ object Relational {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.distinct.size == cols.size,
+      s"profile columns must be distinct: ${cols.mkString(", ")}")
     val spark = df.sparkSession
     import spark.implicits._
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__n_$c"),
-        count_distinct(col(c)).as(s"__ndv_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+    // internal aliases are INDEX-based (`__n_0`), never derived from the
+    // user's column names — a column literally named like another's alias
+    // would otherwise produce an ambiguous-attribute analysis error
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(col(c)).as(s"__n_$i"),
+        count_distinct(col(c)).as(s"__ndv_$i"),
+        min(col(c)).cast("string").as(s"__min_$i"),
+        max(col(c)).cast("string").as(s"__max_$i"))
     }
     val total = count(lit(1)).as("__rows")
     val one = df.agg(total, aggs: _*)
     // pivot the single stats row to one row per column — a driver-free
     // explode over a literal column-name array, not a collect
-    val entries = array(cols.map(c => struct(
+    val entries = array(cols.zipWithIndex.map { case (c, i) => struct(
       lit(c).as("col_name"),
       col("__rows").cast("long").as("n_rows"),
-      (col("__rows") - col(s"__n_$c")).cast("long").as("n_null"),
-      col(s"__ndv_$c").cast("long").as("n_distinct"),
-      col(s"__min_$c").as("min_value"),
-      col(s"__max_$c").as("max_value"))): _*)
+      (col("__rows") - col(s"__n_$i")).cast("long").as("n_null"),
+      col(s"__ndv_$i").cast("long").as("n_distinct"),
+      col(s"__min_$i").as("min_value"),
+      col(s"__max_$i").as("max_value")) }: _*)
     one.select(explode(entries).as("e")).select("e.*")
   }
 }

@@ -88,14 +88,25 @@ class PHashDedupProcessor(maxHamming: Int, ttl: TTLConfig)
     val present = ArrayBuffer.empty[PHashBandRow]
     seen.get().foreach(present += _)
     rows.foreach { row =>
-      // RE-ARRIVAL guard: an at-least-once upstream (re-crawl, replayed
-      // batch) can deliver a doc_id twice; without this, the second
-      // arrival re-emits every existing pair and double-appends state,
-      // breaking the pair-for-pair batch equality. The scan is O(bucket),
-      // which the comparison loop below already pays.
-      if (!present.exists(_.docId == row.docId)) {
+      // RE-ARRIVAL guard on the FULL (docId, hash) observation: an
+      // at-least-once upstream (re-crawl, replayed batch) can deliver a
+      // row twice; without this, the second arrival re-emits every
+      // existing pair and double-appends state, breaking the
+      // pair-for-pair batch equality. The guard deliberately compares the
+      // whole tuple, not just docId — a doc_id re-delivered with a NEW
+      // hash (content update) is a new observation, inserted and compared
+      // in EVERY bucket its bands land in (a docId-only guard would drop
+      // it exactly in the buckets where a band value happens to coincide
+      // with the old hash, leaving state incoherently mixed). A pair may
+      // then legitimately re-emit with the updated hamming; downstream
+      // consumers that want only the latest content dedup on arrival
+      // time. The scan is O(bucket), which the comparison loop below
+      // already pays.
+      if (!present.exists(p => p.docId == row.docId &&
+          p.hashHi == row.hashHi && p.hashLo == row.hashLo)) {
         present.foreach { other =>
-          if (PHashDedupProcessor.firstSharedBand(
+          // never pair a doc with its own earlier observation
+          if (other.docId != row.docId && PHashDedupProcessor.firstSharedBand(
               row.hashHi, row.hashLo, other.hashHi, other.hashLo) == key._1) {
             val ham = java.lang.Long.bitCount(row.hashHi ^ other.hashHi) +
               java.lang.Long.bitCount(row.hashLo ^ other.hashLo)
