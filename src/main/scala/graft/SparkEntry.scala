@@ -1501,6 +1501,108 @@ object SparkEntry {
           "embedding", centStep = 25)
         .orderBy("cell")
     }),
+
+    // q98's group form for AUDIO: the same representative-collapse path
+    // over audioPHash signatures, against the all-pairs transitive-closure
+    // oracle — the mega-cluster answer now gated for the modality whose
+    // 10× run measured ~14M enumerated pairs.
+    "q103_audio_dup_groups" -> ((s, dir) => {
+      Multimodal.audioDupGroups(s, Tables(s, dir).documents,
+          seedMod = 89, maxHamming = 3)
+        .orderBy("doc_id")
+    }),
+
+    // q98's group form for VIDEO, completing the per-modality group
+    // coverage (q98 images, q103 audio): rotated-XOR frame signatures →
+    // representative collapse → closure, vs the all-pairs oracle.
+    "q104_video_dup_groups" -> ((s, dir) => {
+      Multimodal.videoDupGroups(s, Tables(s, dir).documents,
+          seedMod = 83, stride = 2, maxHamming = 3)
+        .orderBy("doc_id")
+    }),
+
+    // The PERSISTED IVF index built under the √n centroid policy — q93's
+    // gated recipe applied to the index BUILD (the one-time cost the
+    // operator exists to amortize, and the one place the fixed step
+    // remained: 13.5× build at 10× data, SCALE.md round-10). The oracle
+    // (q93's) computes ⌈√n⌉ from its own count, so the adaptive build +
+    // disk round trip + pruned search sit under one hash.
+    "q105_ivf_index_adaptive" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivf-adaptive").toString
+      SnapshotDirs.add(root)
+      Similarity.buildIvfIndexAdaptive(e, "vec_id", "embedding", root)
+      Similarity.searchIvfIndex(s, root, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+    }),
+
+    // q100's DEPLOYMENT drain under the same oracle: the identical
+    // transformWithState pipeline, but drained through foreachBatch
+    // parquet appends — executors write, the driver never materializes a
+    // result table — then read back for the gate. Closes q100's
+    // documented memory-sink-only caveat: the path a 100 TB stream
+    // actually runs is now the one under the hash.
+    "q106_stream_phash_drain" -> ((s, dir) => {
+      withShufflePartitions(s, 8) { child =>
+        child.conf.set(Stateful.TransformWithStateConf._1,
+          Stateful.TransformWithStateConf._2)
+        val hashes = Multimodal.imagePHash(
+          Multimodal.syntheticImagesSeeded(child, Tables(child, dir).documents,
+            seedMod = 97)).toDF()
+        val root = java.nio.file.Files.createTempDirectory("phash-drain").toString
+        SnapshotDirs.add(root)
+        hashes.write.mode("overwrite").parquet(s"$root/hashes")
+        val schema = child.read.parquet(s"$root/hashes").schema
+        val src = child.readStream.schema(schema).parquet(s"$root/hashes")
+        val ckpt = java.nio.file.Files.createTempDirectory("q106-ckpt").toString
+        SnapshotDirs.add(ckpt)
+        BoundedStream.runAvailableNowToParquet(child, src,
+          df => StreamingPHash.dupPairs(df, maxHamming = 3).toDF(),
+          ckpt, s"$root/pairs", outputMode = "append")
+      }.orderBy("doc_a", "doc_b")
+    }),
+
+    // Unicode normalization: NFC + case-fold over a text column whose
+    // suffix cycles through NFC/NFD spellings of the same string — the
+    // most common real-corpus dedup miss (visually-identical NFC/NFD
+    // strings fingerprinting as distinct). Gated value-for-value against
+    // DuckDB's nfc_normalize; the fp column is exactly the normalized
+    // fingerprint the dedup family consumes (TextAnalysis.fingerprint ∘
+    // normalizeText).
+    "q107_normalize" -> ((s, dir) => {
+      val decorated = Tables(s, dir).documents
+        .withColumn("text2", concat(col("text"), lit(" "),
+          // doc_id % 3 == 0: NFC 'é' (U+00E9); == 1: NFD 'e'+U+0301
+          // (combining acute) — same rendered string, different bytes;
+          // == 2: plain ASCII control
+          when(col("doc_id") % 3 === 0, lit("caf\u00e9"))
+            .when(col("doc_id") % 3 === 1, lit("cafe\u0301"))
+            .otherwise(lit("cafe"))))
+      decorated.select(col("doc_id"),
+          TextAnalysis.normalizeText(s, col("text2"), caseFold = false)
+            .as("norm_text"),
+          (TextAnalysis.normalizeText(s, col("text2"), caseFold = false)
+            =!= col("text2")).cast("int").as("changed"),
+          TextAnalysis.fingerprint(
+            TextAnalysis.normalizeText(s, col("text2"), caseFold = false))
+            .as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // GPT-2-style regex pre-tokenization (contractions, letter runs, digit
+    // runs, punctuation classes) — the rule that stops "word," and "word"
+    // training as unrelated BPE types. Gated as the pre-token frequency
+    // table vs DuckDB's regexp_extract_all over the same RE2-compatible
+    // pattern; Bpe.trainMerges/encode take it via their tokenizer
+    // parameter (BpeSpec pins the trained merges under it).
+    "q108_pretokenize" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(explode(TextAnalysis.preTokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy("tok")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -1637,7 +1739,15 @@ object SparkEntry {
       // the STREAMING perceptual-dedup runtime (file stream → per-bucket
       // transformWithState on RocksDB → drained pairs) must reproduce the
       // batch banded join's answer
-      "q100_stream_phash" -> "q92_image_dups")
+      "q100_stream_phash" -> "q92_image_dups",
+      // the √n-policy index BUILD + disk round trip must reproduce the
+      // in-memory adaptive IVF answer (q93's oracle computes ⌈√n⌉ itself,
+      // so the build policy is under the hash, not just the search)
+      "q105_ivf_index_adaptive" -> "q93_ivf_adaptive",
+      // the parquet-drain deployment path (foreachBatch appends, driver
+      // holds nothing) must reproduce the batch banded join's answer —
+      // q100's recipe minus the gate-only memory sink
+      "q106_stream_phash_drain" -> "q92_image_dups")
       .map { case (aliasQ, libQ) => aliasQ -> oracleSqlBase(libQ) }
   }
 
@@ -1911,6 +2021,147 @@ object SparkEntry {
         |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
         |        + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q99's audio-fingerprint derivation, then q98's recursive transitive
+    // closure over the verified pairs — the group form's oracle stays
+    // all-pairs (the thing the linear representative-collapse path must
+    // provably equal)
+    "q103_audio_dup_groups" ->
+      """WITH RECURSIVE geo AS (
+        |  SELECT doc_id, doc_id % 89 AS seed,
+        |         40 + (doc_id % 89) % 25 AS n, 1 + (doc_id % 89) % 2 AS ch
+        |  FROM documents),
+        |blocks AS (
+        |  SELECT doc_id, b, (b * n) // 64 AS frame, seed, ch
+        |  FROM geo, (SELECT unnest(generate_series(0, 63)) AS b)),
+        |vals AS (
+        |  SELECT doc_id, b,
+        |    abs(((seed*31 + frame*40503) % 65536) - 32768)
+        |      + CASE WHEN ch = 2
+        |             THEN abs(((seed*31 + frame*40503 + 7) % 65536) - 32768)
+        |             ELSE 0 END AS loud
+        |  FROM blocks),
+        |bits AS (
+        |  SELECT doc_id, b AS k,
+        |         CASE WHEN 64 * loud > sum(loud) OVER (PARTITION BY doc_id)
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM vals),
+        |hash AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN k >= 32 THEN bit::BIGINT << (k - 32) ELSE 0 END)::BIGINT AS hash_hi,
+        |         sum(CASE WHEN k < 32 THEN bit::BIGINT << k ELSE 0 END)::BIGINT AS hash_lo
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |         CASE b WHEN 0 THEN hash_lo % 65536 WHEN 1 THEN hash_lo // 65536
+        |                WHEN 2 THEN hash_hi % 65536 ELSE hash_hi // 65536 END AS bv
+        |  FROM hash, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        |pairs AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM cand
+        |  JOIN hash a ON a.doc_id = doc_a
+        |  JOIN hash b ON b.doc_id = doc_b
+        |  WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+        |          + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT u AS doc_id, least(u, min(v)) AS canon_id
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // q101's rotated-XOR frame-hash derivation, then the same recursive
+    // closure — video's group form under the all-pairs oracle
+    "q104_video_dup_groups" ->
+      """WITH RECURSIVE geo AS (
+        |  SELECT doc_id, doc_id % 83 AS seed,
+        |         2 + (doc_id % 83) % 3 AS n,
+        |         3 + (doc_id % 83) % 5 AS w, 2 + (doc_id % 83) % 4 AS h
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, seed * 100 + f * 7 AS fs, w, h, f
+        |  FROM geo, (SELECT unnest(generate_series(0, 2, 2)) AS f)
+        |  WHERE f < n),
+        |grid AS (
+        |  SELECT doc_id, f, fs, j, i, (i * w) // 8 AS x, (j * h) // 8 AS y
+        |  FROM fr, (SELECT unnest(generate_series(0, 7)) AS j),
+        |           (SELECT unnest(generate_series(0, 7)) AS i)),
+        |samp AS (
+        |  SELECT doc_id, f, j * 8 + i AS k,
+        |         ((fs*7 + x*13 + y*31) % 256) + ((fs*11 + x*17 + y*5) % 256)
+        |           + ((fs*3 + x*29 + y*7) % 256) AS luma
+        |  FROM grid),
+        |bits AS (
+        |  SELECT doc_id, f, k,
+        |         CASE WHEN 64 * luma > sum(luma) OVER (PARTITION BY doc_id, f)
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM samp),
+        |fhash AS (
+        |  SELECT doc_id, f, (f // 2) % 32 AS r,
+        |         sum(CASE WHEN k >= 32 THEN bit::BIGINT << (k - 32) ELSE 0 END)::BIGINT AS fhi,
+        |         sum(CASE WHEN k < 32 THEN bit::BIGINT << k ELSE 0 END)::BIGINT AS flo
+        |  FROM bits GROUP BY doc_id, f),
+        |hash AS (
+        |  SELECT doc_id,
+        |         bit_xor(((fhi * (1::BIGINT << r)) % 4294967296)
+        |                 + (fhi // (1::BIGINT << (32 - r))))::BIGINT AS hash_hi,
+        |         bit_xor(((flo * (1::BIGINT << r)) % 4294967296)
+        |                 + (flo // (1::BIGINT << (32 - r))))::BIGINT AS hash_lo
+        |  FROM fhash GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |         CASE b WHEN 0 THEN hash_lo % 65536 WHEN 1 THEN hash_lo // 65536
+        |                WHEN 2 THEN hash_hi % 65536 ELSE hash_hi // 65536 END AS bv
+        |  FROM hash, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        |pairs AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM cand
+        |  JOIN hash a ON a.doc_id = doc_a
+        |  JOIN hash b ON b.doc_id = doc_b
+        |  WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+        |          + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT u AS doc_id, least(u, min(v)) AS canon_id
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // DuckDB's nfc_normalize IS the ground truth for the engine's
+    // graft_nfc expression; chr(233) = NFC é, chr(769) = the NFD
+    // combining acute — the decorated suffixes rebuild the Spark side's
+    // literals codepoint-for-codepoint
+    "q107_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         text || ' ' || CASE doc_id % 3
+        |           WHEN 0 THEN 'caf' || chr(233)
+        |           WHEN 1 THEN 'cafe' || chr(769)
+        |           ELSE 'cafe' END AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |       nfc_normalize(text2) AS norm_text,
+        |       CAST(nfc_normalize(text2) <> text2 AS INT) AS changed,
+        |       md5(lower(trim(nfc_normalize(text2)))) AS fp
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the same RE2-compatible GPT-2-style pattern, evaluated by DuckDB's
+    // regexp_extract_all — both engines use leftmost-first alternation
+    // with greedy runs, so the token multisets must agree exactly
+    "q108_pretokenize" ->
+      """SELECT tok, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_extract_all(text,
+        |        '''s|''t|''re|''ve|''m|''ll|''d|\p{L}+|\p{N}+|[^ \t\n\r\p{L}\p{N}]+')) AS tok
+        |      FROM documents)
+        |GROUP BY tok ORDER BY tok""".stripMargin,
 
     // q92's aHash/banding pipeline, then q25's recursive transitive
     // closure over the verified pairs: one (doc, canon) row per clustered

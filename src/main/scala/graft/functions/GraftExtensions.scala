@@ -47,6 +47,8 @@ object GraftExtensions {
       e => Quant8Vec(e.head)),
     ("graft_heavy_hitters", classOf[HeavyHitters],
       e => HeavyHitters(e.head, e(1))),
+    ("graft_nfc", classOf[NfcNormalize],
+      e => NfcNormalize(e.head)),
     // Spark's own runtime-filter primitives, exposed to the text surface
     // (they exist in catalyst but are not SQL-registered): build a Bloom
     // filter over xxhash64 values / probe it. The probe's Bloom argument

@@ -5,7 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** IN-ENGINE BPE tokenizer training — the classic byte-pair-encoding
   * algorithm (Sennrich et al. 2016, arXiv:1508.07909) over the corpus's
-  * whitespace-pre-tokenized words, as a Spark job.
+  * pre-tokenized words, as a Spark job. The pre-tokenization rule is
+  * pluggable (`tokenizer` parameter on every entry point): the default is
+  * the fixture's single-space split; [[TextAnalysis.preTokens]] is the
+  * GPT-2-style regex rule (contractions / letter runs / digit runs /
+  * punctuation classes) a real tokenizer trains under — BpeSpec pins the
+  * trainer under BOTH rules, and q108 gates the regex segmentation itself.
   *
   * The key scale property is the classic one: BPE trains on the WORD
   * FREQUENCY TABLE, not the corpus. One corpus-sized aggregation builds
@@ -63,9 +68,15 @@ object Bpe {
     */
   private val CheckpointEvery = 8
 
-  /** `(w, freq)` word-frequency table — the ONE corpus-sized pass. */
-  def wordFreq(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+  /** `(w, freq)` word-frequency table — the ONE corpus-sized pass.
+    * `tokenizer` is the PRE-TOKENIZATION rule (default: the fixture's
+    * single-space [[TextAnalysis.tokens]]; pass
+    * [[TextAnalysis.preTokens]] for the GPT-2-style regex rule that
+    * keeps "word," from training as a type unrelated to "word").
+    */
+  def wordFreq(df: DataFrame, textCol: String,
+               tokenizer: Column => Column = TextAnalysis.tokens): DataFrame =
+    df.select(explode(tokenizer(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
@@ -100,11 +111,13 @@ object Bpe {
   def trainMerges(df: DataFrame, textCol: String, numMerges: Int,
                   minFreq: Long = 2L,
                   driverVocabCap: Long = DefaultDriverVocabCap,
-                  checkpointDir: Option[String] = None): DataFrame = {
+                  checkpointDir: Option[String] = None,
+                  tokenizer: Column => Column = TextAnalysis.tokens): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val (merges, _) =
-      trainInternal(df, textCol, numMerges, minFreq, driverVocabCap, checkpointDir)
+      trainInternal(df, textCol, numMerges, minFreq, driverVocabCap,
+        checkpointDir, tokenizer)
     merges.zipWithIndex
       .map { case ((a, b, f), i) => (i.toLong, a, b, a + b, f) }
       .toDF("rank", "left", "right", "merged", "pair_freq")
@@ -118,8 +131,10 @@ object Bpe {
   def segment(df: DataFrame, textCol: String, numMerges: Int,
               minFreq: Long = 2L,
               driverVocabCap: Long = DefaultDriverVocabCap,
-              checkpointDir: Option[String] = None): DataFrame =
-    trainInternal(df, textCol, numMerges, minFreq, driverVocabCap, checkpointDir)._2
+              checkpointDir: Option[String] = None,
+              tokenizer: Column => Column = TextAnalysis.tokens): DataFrame =
+    trainInternal(df, textCol, numMerges, minFreq, driverVocabCap,
+      checkpointDir, tokenizer)._2
 
   /** APPLY the tokenizer to a corpus: per-document whitespace-word and
     * BPE-token counts under `vocab` (a [[segment]] frame — usually trained
@@ -136,10 +151,11 @@ object Bpe {
     * no shuffle ever keys by word, so stopword skew is impossible.
     */
   def tokenizeCorpus(df: DataFrame, idCol: String, textCol: String,
-                     vocab: DataFrame): DataFrame = {
+                     vocab: DataFrame,
+                     tokenizer: Column => Column = TextAnalysis.tokens): DataFrame = {
     val counts = df
       .select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("w"))
+        explode(tokenizer(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
     val sizes = vocab.select(col("w"), size(col("syms")).as("n_sym"))
@@ -185,11 +201,12 @@ object Bpe {
     * token are absent, matching [[tokenizeCorpus]]'s aggregate form.
     */
   def encode(df: DataFrame, idCol: String, textCol: String,
-             vocab: DataFrame): DataFrame = {
+             vocab: DataFrame,
+             tokenizer: Column => Column = TextAnalysis.tokens): DataFrame = {
     val ids = vocabIds(vocab)
     val words = df
       .select(col(idCol).as("doc_id"),
-        posexplode(filter(TextAnalysis.tokens(col(textCol)), w => w =!= ""))
+        posexplode(filter(tokenizer(col(textCol)), w => w =!= ""))
           .as(Seq("wpos", "w")))
     val syms = words
       .join(broadcast(vocab.select(col("w"), col("syms"))), Seq("w"), "left")
@@ -230,12 +247,13 @@ object Bpe {
 
   private def trainInternal(df: DataFrame, textCol: String, numMerges: Int,
                             minFreq: Long, driverVocabCap: Long,
-                            checkpointDir: Option[String] = None)
+                            checkpointDir: Option[String] = None,
+                            tokenizer: Column => Column = TextAnalysis.tokens)
       : (Seq[(String, String, Long)], DataFrame) = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(minFreq >= 1, s"minFreq must be >= 1, got $minFreq")
     val base = CacheScope.persisted(
-      wordFreq(df, textCol)
+      wordFreq(df, textCol, tokenizer)
         .select(col("w"), col("freq"), initialSymbols(col("w")).as("syms")))
     // one cheap action on the persisted vocab-sized frame decides the path
     // (and materializes the cache either way)

@@ -622,6 +622,18 @@ object Multimodal {
     perceptualDups(audioPHash(syntheticAudioSeeded(spark, docs, seedMod)),
       maxHamming)
 
+  /** [[audioDups]]' GROUP form — [[perceptualDupGroups]] over the same
+    * audio fingerprints: the mega-cluster-safe path (identical fingerprints
+    * collapse to one representative before the quadratic banded step) for
+    * the modality whose 10× run measured ~14M enumerated pairs. Gated
+    * (q103) against the all-pairs transitive-closure oracle, q98's recipe —
+    * the modality-agnostic claim proven end-to-end, not just asserted.
+    */
+  def audioDupGroups(spark: SparkSession, docs: DataFrame,
+                     seedMod: Int = 89, maxHamming: Int = 3): DataFrame =
+    perceptualDupGroups(audioPHash(syntheticAudioSeeded(spark, docs, seedMod)),
+      maxHamming)
+
   /** Perceptual VIDEO fingerprint — the [[imagePHash]] recipe applied to
     * the GVID frame container: every `stride`-th frame is PNG-decoded
     * (skipped frames advance by their length prefix, the
@@ -725,6 +737,17 @@ object Multimodal {
   def videoDups(spark: SparkSession, docs: DataFrame, seedMod: Int = 83,
                 stride: Int = 2, maxHamming: Int = 3): DataFrame =
     perceptualDups(videoPHash(syntheticVideosSeeded(spark, docs, seedMod), stride),
+      maxHamming)
+
+  /** [[videoDups]]' GROUP form — [[perceptualDupGroups]] over the same
+    * XOR'd frame signatures; gated (q104) against the all-pairs closure
+    * oracle, completing the per-modality group coverage (q98 images,
+    * q103 audio, this video).
+    */
+  def videoDupGroups(spark: SparkSession, docs: DataFrame, seedMod: Int = 83,
+                     stride: Int = 2, maxHamming: Int = 3): DataFrame =
+    perceptualDupGroups(
+      videoPHash(syntheticVideosSeeded(spark, docs, seedMod), stride),
       maxHamming)
 
   /** Deterministic synthetic 16-bit PCM WAV: sample (frame i, channel c)

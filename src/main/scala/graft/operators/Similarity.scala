@@ -390,6 +390,21 @@ object Similarity {
     * q69 writeShuffled argument); every subsequent query pays only
     * centroid probing (broadcast codebook) + an `nprobe`-partition scan.
     */
+  /** [[buildIvfIndex]] under the [[sqrtCentStep]] policy — the form a
+    * pipeline should reach for: the BUILD is the one-time cost the index
+    * exists to amortize, and a fixed `centStep` is exactly where the 10×
+    * scaling runs measured superlinear growth (13.5× build at 10× data —
+    * SCALE.md): constant step ⇒ codebook grows linearly with the corpus ⇒
+    * per-row assignment FLOPs grow ~n. At ⌈√n⌉ the codebook and expected
+    * cell population both track √n until the `maxCentroids` cap flattens
+    * it — the same argument, and the same gated recipe (the oracle
+    * recomputes ⌈√n⌉ from its own count), as [[ivfTopKAdaptive]].
+    */
+  def buildIvfIndexAdaptive(df: DataFrame, idCol: String, vecCol: String,
+                            dir: String, maxCentroids: Int = 4096): Unit =
+    buildIvfIndex(df, idCol, vecCol, dir,
+      centStep = sqrtCentStep(df, idCol), maxCentroids = maxCentroids)
+
   def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
                     dir: String, centStep: Int = 25,
                     maxCentroids: Int = 4096): Unit = {

@@ -40,6 +40,57 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
 
+  /** GPT-2-style PRE-TOKENIZER rule: English contractions, Unicode letter
+    * runs, Unicode digit runs, punctuation runs — the segmentation a real
+    * BPE trainer runs before learning merges, so "word," and "word" train
+    * as the same type plus a punctuation token instead of two unrelated
+    * vocabulary entries (the whitespace-only [[tokens]] inflates the vocab
+    * and distorts merge statistics exactly that way).
+    *
+    * Engine-portable by construction (gated value-for-value in q108): the
+    * pattern avoids the two Java-regex constructs DuckDB's RE2 cannot or
+    * does not reproduce — the lookahead GPT-2 uses for trailing-space
+    * handling (RE2 has no lookahead), and the `\s` shorthand (Java's
+    * includes U+000B, RE2's does not — spelled as an explicit class
+    * instead). Both engines use leftmost-first alternation with greedy
+    * repetition, so the token streams agree. Leading-space capture (GPT-2's
+    * " ?" prefix) is deliberately dropped: [[graft.operators.Bpe]] marks
+    * word boundaries with the `</w>` suffix symbol, so a space prefix would
+    * double-encode the boundary and break the detokenize round trip.
+    */
+  val PreTokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d|\\p{L}+|\\p{N}+|[^ \\t\\n\\r\\p{L}\\p{N}]+"
+
+  /** The pre-token array of `text` under [[PreTokenPattern]] — the
+    * drop-in `tokenizer` argument for [[graft.operators.Bpe]]'s trainer
+    * and encoder (BpeSpec pins the trained merges under it).
+    */
+  def preTokens(text: Column): Column =
+    regexp_extract_all(text, lit(PreTokenPattern), lit(0))
+
+  /** Unicode NFC normalization (+ optional case-fold) — the opt-in step
+    * before [[fingerprint]]/shingle hashing that makes NFD and NFC
+    * spellings of the same rendered string dedup together (they md5
+    * differently raw; DedupSpec proves the pair collapses after this).
+    * Native codegen'd expression ([[graft.functions.NfcNormalize]]) with
+    * an already-normalized (ASCII) fast path, so the corpus-wide map-side
+    * fingerprint pass keeps its zero-allocation common case. Gated vs
+    * DuckDB `nfc_normalize` (q107).
+    */
+  def normalizeText(text: Column, caseFold: Boolean = false): Column =
+    normalizeText(org.apache.spark.sql.SparkSession.active, text, caseFold)
+
+  /** [[normalizeText]] with an EXPLICIT session — the multi-session-JVM
+    * form (the [[rollingFingerprint]] contract: the convenience overload
+    * registers on `SparkSession.active` at Column-construction time).
+    */
+  def normalizeText(spark: org.apache.spark.sql.SparkSession, text: Column,
+                    caseFold: Boolean): Column = {
+    graft.functions.NfcNormalize.ensureRegistered(spark)
+    val nfc = call_function("graft_nfc", text)
+    if (caseFold) lower(nfc) else nfc
+  }
+
   /** Word n-gram shingles, '_'-joined, distinct. Documents shorter than n
     * tokens yield an empty array (guarded: Spark's `sequence(1, k)` with
     * k < 1 would produce a DESCENDING sequence, not an empty one).

@@ -66,19 +66,24 @@ object BoundedStream {
     spark.table(queryName)
   }
 
-  /** The SCALE form of [[runAvailableNow]]: drain to EOF with the final
-    * state written to parquet — each batch's rows land distributed across
-    * executors (foreachBatch + overwrite for complete-mode aggregates;
-    * the last batch's overwrite is the final state), and the returned
-    * frame re-reads the files, so the driver never materializes the
-    * result. Same checkpoint-resume semantics as the memory-sink form.
+  /** The SCALE form of [[runAvailableNow]]: drain to EOF with the result
+    * written to parquet — each batch's rows land distributed across
+    * executors, and the returned frame re-reads the files, so the driver
+    * never materializes the result. The write mode follows the output
+    * mode: complete-mode aggregates OVERWRITE (each batch is the whole
+    * state; the last batch's overwrite is the final answer), append-mode
+    * streams APPEND (each batch is a delta — overwriting would keep only
+    * the final micro-batch's rows). Same checkpoint-resume semantics as
+    * the memory-sink form; for append mode a resumed run must keep its
+    * outDir (the checkpoint guarantees each batch lands exactly once).
     */
   def runAvailableNowToParquet(spark: SparkSession, source: DataFrame,
                                transform: DataFrame => DataFrame,
                                checkpoint: String, outDir: String,
                                outputMode: String = "complete"): DataFrame = {
+    val writeMode = if (outputMode == "append") "append" else "overwrite"
     runForeachBatch(source, transform, checkpoint, outputMode) { (batch, _) =>
-      batch.write.mode("overwrite").parquet(outDir)
+      batch.write.mode(writeMode).parquet(outDir)
     }
     spark.read.parquet(outDir)
   }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Bpe
+import graft.operators.{Bpe, TextAnalysis}
 
 /** The distributed BPE trainer is gated against an INDEPENDENT single-node
   * reference implementation (the textbook dict-of-words algorithm below):
@@ -182,6 +182,63 @@ class BpeSpec extends SparkTestBase {
     val counts = Bpe.tokenizeCorpus(corpus, "doc_id", "text", vocab)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(enc.view.mapValues(_._2).toMap == counts)
+  }
+
+  // ---- GPT-2-style regex pre-tokenizer (TextAnalysis.preTokens) ----
+
+  /** JVM mirror of the engine's pre-tokenization: the same pattern
+    * compiled by java.util.regex (exactly what Spark's regexp_extract_all
+    * runs), applied by repeated find — so the reference word-freq table is
+    * segmented by the identical rule.
+    */
+  private def regexTokens(s: String): Seq[String] = {
+    val m = java.util.regex.Pattern
+      .compile(TextAnalysis.PreTokenPattern).matcher(s)
+    val buf = Seq.newBuilder[String]
+    while (m.find()) buf += m.group()
+    buf.result()
+  }
+
+  private val punctCorpus = Seq(
+    (0L, "low, low low! don't don't lower... newest"),
+    (1L, "newest; newest newest (newest) widest widest's widest"),
+    (2L, "low lower, newest widest don't aaaa aaaa, aaaa 1984 1984."),
+  ).toDF("doc_id", "text")
+
+  test("pre-tokenizer: trainMerges equals the reference over regex pre-tokens (both paths)") {
+    val freq = punctCorpus.collect()
+      .flatMap(r => regexTokens(r.getString(1))).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // the rule actually does its job on this fixture: punctuation splits
+    // off ("low," never trains as a type), contractions split ("'t"),
+    // digit runs are their own tokens
+    assert(freq.contains("low") && freq.contains(",") && !freq.contains("low,"))
+    assert(freq.contains("'t") && freq.contains("don") && !freq.contains("don't"))
+    assert(freq.contains("1984") && !freq.contains("1984."))
+    val (refMerges, _) = refBpe(freq, numMerges = 10, minFreq = 2)
+    assert(refMerges.nonEmpty)
+    for (cap <- Seq(Bpe.DefaultDriverVocabCap, 0L)) {
+      val got = Bpe.trainMerges(punctCorpus, "text", numMerges = 10,
+          driverVocabCap = cap, tokenizer = TextAnalysis.preTokens)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toList
+      assert(got == refMerges, s"cap=$cap")
+    }
+  }
+
+  test("pre-tokenizer: encode/detokenize round-trips to the pre-token stream") {
+    val vocab = Bpe.segment(punctCorpus, "text", numMerges = 8,
+      tokenizer = TextAnalysis.preTokens)
+    val enc = Bpe.encode(punctCorpus, "doc_id", "text", vocab,
+      tokenizer = TextAnalysis.preTokens)
+    val back = Bpe.detokenize(enc, vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // lossless up to the pre-tokenizer (the documented contract): the
+    // round trip returns the pre-token stream joined by single spaces
+    val expect = punctCorpus.collect().map { r =>
+      r.getLong(0) -> regexTokens(r.getString(1)).filter(_.nonEmpty).mkString(" ")
+    }.toMap
+    assert(back == expect)
   }
 
   test("detokenize round-trips encode; OOV characters render as UNK") {

@@ -31,6 +31,34 @@ class DedupSpec extends SparkTestBase {
     assert(out.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("NFC normalization makes NFD/NFC spellings dedup together (opt-in)") {
+    // "café" composed (U+00E9) vs decomposed ("e" + U+0301): identical
+    // rendered text, different bytes — raw exact dedup keeps both
+    val df = Seq((0L, "café au lait"), (1L, "café au lait"))
+      .toDF("doc_id", "text")
+    val raw = Dedup.exact(df, "doc_id", "text").collect()
+    assert(raw.length == 2, "NFD/NFC must differ WITHOUT normalization")
+    // the opt-in step: normalize before dedup — the pair collapses
+    val out = Dedup.exact(
+        df.withColumn("text",
+          TextAnalysis.normalizeText(TestSpark.spark, col("text"), caseFold = false)),
+        "doc_id", "text")
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 0L && out.head.getLong(2) == 2L)
+    // ASCII fast path is the identity (same object semantics are an
+    // implementation detail; value equality is the contract)
+    val same = df.select(
+      TextAnalysis.normalizeText(TestSpark.spark, lit("plain ascii"), caseFold = false))
+      .collect().head.getString(0)
+    assert(same == "plain ascii")
+    // caseFold composes: NFC then lower
+    val folded = df.select(
+      TextAnalysis.normalizeText(TestSpark.spark, lit("CAFÉ"), caseFold = true))
+      .collect().head.getString(0)
+    assert(folded == "café")
+  }
+
   test("jaccard pairs finds exact and near duplicates, never self-pairs") {
     val out = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.3)
       .orderBy("doc_a", "doc_b").collect()

@@ -195,8 +195,7 @@ class SimilaritySpec extends SparkTestBase {
       .toDF("vec_id", "embedding")
     val qs = vs.filter(col("vec_id") < 3)
     val dir = java.nio.file.Files.createTempDirectory("ivf_sqrt").toString
-    Similarity.buildIvfIndex(vs, "vec_id", "embedding", dir,
-      centStep = Similarity.sqrtCentStep(vs, "vec_id"))
+    Similarity.buildIvfIndexAdaptive(vs, "vec_id", "embedding", dir)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq

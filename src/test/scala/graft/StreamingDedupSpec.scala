@@ -83,6 +83,44 @@ class StreamingDedupSpec extends SparkTestBase {
     }
   }
 
+  test("phash re-arrival: identical rows are no-ops, an updated hash is a new observation, never a self-pair") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(Stateful.TransformWithStateConf._1)
+    spark.conf.set(Stateful.TransformWithStateConf._1, Stateful.TransformWithStateConf._2)
+    try {
+      val mem = MemoryStream[(Long, Boolean, Long, Long)]
+      val q = StreamingPHash.dupPairs(
+          mem.toDF().toDF("doc_id", "decoded", "hash_hi", "hash_lo"),
+          maxHamming = 3)
+        .writeStream.format("memory").queryName("sph_upd").outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory("sphu-ckpt").toString)
+        .start()
+      val (h1hi, h1lo) = (0x12345678L, 0x0000ABCDL)
+      mem.addData(Seq((1L, true, h1hi, h1lo), (2L, true, h1hi, h1lo)))
+      q.processAllAvailable() // identical hashes -> pair (1,2,0)
+      // CONTENT UPDATE: doc 1 re-arrives with bit 0 of the low half
+      // flipped — a new observation, inserted in every bucket its bands
+      // land in; vs doc 2's standing hash it is hamming 1
+      mem.addData(Seq((1L, true, h1hi, h1lo ^ 1L)))
+      q.processAllAvailable()
+      // exact re-delivery of the updated observation: full-tuple guard
+      // makes it a no-op
+      mem.addData(Seq((1L, true, h1hi, h1lo ^ 1L)))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("sph_upd").as[(Long, Long, Long)]
+        .collect().toSeq.sorted
+      // no (1,1,·) self-pair from doc 1's two observations, no duplicate
+      // emission from the replay
+      assert(out == Seq((1L, 2L, 0L), (1L, 2L, 1L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(Stateful.TransformWithStateConf._1, v)
+        case None => spark.conf.unset(Stateful.TransformWithStateConf._1)
+      }
+    }
+  }
+
   test("streaming minhash pairs across micro-batches equal the batch pipeline") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption(Stateful.TransformWithStateConf._1)
