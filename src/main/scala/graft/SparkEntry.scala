@@ -1603,6 +1603,15 @@ object SparkEntry {
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
         .orderBy("tok")
     }),
+
+    // Per-language tokenizer fertility: pre-tokens per whitespace word and
+    // chars per pre-token in exact integer ppm — where a tokenizer that
+    // fragments one language worse than another shows up before training
+    // does. One map-side pass + one bounded-group aggregate.
+    "q109_token_fertility" -> ((s, dir) => {
+      TextAnalysis.tokenFertility(Tables(s, dir).documents, "lang", "text")
+        .orderBy("lang")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -2152,6 +2161,25 @@ object SparkEntry {
         |       CAST(nfc_normalize(text2) <> text2 AS INT) AS changed,
         |       md5(lower(trim(nfc_normalize(text2)))) AS fp
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q108's pattern again, plus the whitespace word count and character
+    // length, reduced per language with exact integer-ppm ratios. The
+    // oracle divides UNGUARDED (the fixture has no empty group, and a
+    // nullable division would stringify 1000000 as "1000000.0" in the
+    // driver's pandas compare — the q97 convention: the null guard lives
+    // on the engine side only)
+    "q109_token_fertility" ->
+      """WITH t AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |         sum(length(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS n_words,
+        |         sum(length(regexp_extract_all(text,
+        |           '''s|''t|''re|''ve|''m|''ll|''d|\p{L}+|\p{N}+|[^ \t\n\r\p{L}\p{N}]+')))::BIGINT AS n_pretokens,
+        |         sum(length(text))::BIGINT AS n_chars
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, n_docs, n_words, n_pretokens, n_chars,
+        |       (n_pretokens * 1000000) // n_words AS fertility_ppm,
+        |       (n_chars * 1000000) // n_pretokens AS chars_per_tok_ppm
+        |FROM t ORDER BY lang""".stripMargin,
 
     // the same RE2-compatible GPT-2-style pattern, evaluated by DuckDB's
     // regexp_extract_all — both engines use leftmost-first alternation

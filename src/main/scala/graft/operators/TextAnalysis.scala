@@ -68,6 +68,35 @@ object TextAnalysis {
   def preTokens(text: Column): Column =
     regexp_extract_all(text, lit(PreTokenPattern), lit(0))
 
+  /** Per-group tokenizer FERTILITY report — the metric a tokenizer
+    * evaluation reads per language: how many pre-tokens ([[preTokens]],
+    * the GPT-2-style rule) the corpus produces per whitespace word
+    * (`fertility_ppm`, exact integer ppm) and how many characters each
+    * pre-token carries (`chars_per_tok_ppm`). A tokenizer that fragments
+    * one language 3× worse than another starves it of effective context
+    * at a fixed sequence budget — this report is where that shows up
+    * before training does. Null ratios for a group with no words/tokens
+    * (the [[graft.operators.Curation.packingSweep]] nullif treatment).
+    *
+    * Scale: one map-side pass (two regex/array passes per row, zero
+    * shuffle before the bounded-group agg) + ONE hash aggregate on the
+    * group key.
+    */
+  def tokenFertility(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.select(col(groupCol),
+        tokenCount(col(textCol)).cast("long").as("__w"),
+        size(preTokens(col(textCol))).cast("long").as("__t"),
+        length(col(textCol)).cast("long").as("__c"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__w").cast("long").as("n_words"),
+        sum("__t").cast("long").as("n_pretokens"),
+        sum("__c").cast("long").as("n_chars"))
+      .withColumn("fertility_ppm",
+        expr("(n_pretokens * 1000000) div nullif(n_words, 0)"))
+      .withColumn("chars_per_tok_ppm",
+        expr("(n_chars * 1000000) div nullif(n_pretokens, 0)"))
+
   /** Unicode NFC normalization (+ optional case-fold) — the opt-in step
     * before [[fingerprint]]/shingle hashing that makes NFD and NFC
     * spellings of the same rendered string dedup together (they md5

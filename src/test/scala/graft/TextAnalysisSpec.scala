@@ -603,4 +603,22 @@ class TextAnalysisSpec extends SparkTestBase {
       "vec_id", "embedding", k = 1).collect().head
     assert(knn.getLong(1) == 2L && math.abs(knn.getDouble(2) - 1.0) < 1e-12)
   }
+
+  test("tokenFertility: exact ppm ratios, null-guarded degenerate group") {
+    import TestSpark.spark.implicits._
+    val df = Seq((0L, "en", "ab cd,"), (1L, "en", "x"), (2L, "zz", ""))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.tokenFertility(df, "lang", "text")
+      .orderBy("lang").collect()
+    // en: words {ab, cd,} + {x} = 3; pretokens {ab, cd, ","} + {x} = 4;
+    // chars 6 + 1 = 7 → fertility 4e6 div 3, chars/tok 7e6 div 4
+    val en = out(0)
+    assert(en.getString(0) == "en" && en.getLong(1) == 2L &&
+      en.getLong(2) == 3L && en.getLong(3) == 4L && en.getLong(4) == 7L)
+    assert(en.getLong(5) == 1333333L && en.getLong(6) == 1750000L)
+    // zz: empty text → zero words/pretokens → null ratios, not a throw
+    val zz = out(1)
+    assert(zz.getLong(2) == 0L && zz.getLong(3) == 0L)
+    assert(zz.isNullAt(5) && zz.isNullAt(6))
+  }
 }
