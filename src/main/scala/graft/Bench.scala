@@ -35,10 +35,16 @@ object Bench {
     * the box (judge re-runs reproduced none of it); timing THIS probe next to
     * every query makes such a run self-identifying: a polluted window shows a
     * canary far above its idle baseline, in the run's own JSON.
+    *
+    * Sized to ~0.3s deliberately: a first cut at 2²⁶ rows (~40 ms) false-
+    * alarmed on an idle box — scheduler/GC jitter on a 40 ms probe reads as
+    * 10× "load". At ~0.3s a transient stall adds percents, not multiples,
+    * and real concurrent load (the failure mode this detects — sustained,
+    * minutes-long in the r10 artifact) still shows as a clean multiple.
     */
   private def canaryOnce(spark: org.apache.spark.sql.SparkSession): Double = {
     val t0 = System.nanoTime()
-    spark.range(0, 1L << 26, 1, 32)
+    spark.range(0, 1L << 29, 1, 32)
       .select(org.apache.spark.sql.functions.sum(
         org.apache.spark.sql.functions.col("id") * 3 + 1))
       .collect()
@@ -46,7 +52,16 @@ object Bench {
   }
 
   /** Ratio above the idle canary baseline at which a run is flagged
-    * contaminated (the verdict's prescribed 2×).
+    * contaminated (the verdict's prescribed 2×). Applied to the MEDIAN
+    * probe: external load that actually pollutes query medians is
+    * sustained over many queries (622s vs 72s in the r10 artifact — the
+    * median probe under that load sits far past 2×), while the probes
+    * adjacent to heavy streaming/BPE queries run up to ~3× base from
+    * intra-JVM residue (GC of the just-finished query, stream cleanup
+    * threads) even on an idle box — measured, which is why neither the
+    * max nor a consecutive-pair rule is the flag. The max still reports
+    * as `canary_spike`/`canary_max`, and the full per-query map lands in
+    * `canary` so a polluted STRETCH is localizable after the fact.
     */
   private val CanaryDriftLimit = 2.0
 
@@ -130,10 +145,15 @@ object Bench {
       (canaryBaseRuns.head +: canaries.values.toSeq).min)
     val canaryMax =
       if (canaries.isEmpty) canaryBase else canaries.values.max
-    val canaryDrift = canaryMax / canaryBase
+    // sustained drift = the MEDIAN probe vs base (see CanaryDriftLimit)
+    val canarySeq = canaries.values.toSeq.sorted
+    val canaryMedian =
+      if (canarySeq.isEmpty) canaryBase else canarySeq(canarySeq.length / 2)
+    val canarySpike = canaryMax / canaryBase
+    val canaryDrift = canaryMedian / canaryBase
     if (canaryDrift > CanaryDriftLimit)
       System.err.println(f"[bench] WARNING: load canary drifted $canaryDrift%.2fx " +
-        f"over its idle baseline ($canaryBase%.3fs -> $canaryMax%.3fs) — " +
+        f"(median probe) over its idle baseline ($canaryBase%.3fs) — " +
         "this run overlapped external load; treat its timings as contaminated")
 
     def jstr(s: String): String =
@@ -148,7 +168,7 @@ object Bench {
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val cs = canaries.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val total = medians.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"queries_min":$mins,"queries_max":$maxs,"errors":$es,"failed":${errors.size},"canary_base":$canaryBase,"canary_max":$canaryMax,"canary_drift":$canaryDrift,"canary_contaminated":${canaryDrift > CanaryDriftLimit},"canary":$cs,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"queries_min":$mins,"queries_max":$maxs,"errors":$es,"failed":${errors.size},"canary_base":$canaryBase,"canary_max":$canaryMax,"canary_spike":$canarySpike,"canary_drift":$canaryDrift,"canary_contaminated":${canaryDrift > CanaryDriftLimit},"canary":$cs,"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
