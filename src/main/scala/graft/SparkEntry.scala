@@ -1612,6 +1612,28 @@ object SparkEntry {
       TextAnalysis.tokenFertility(Tables(s, dir).documents, "lang", "text")
         .orderBy("lang")
     }),
+
+    // ANN recall audit: per-query recall@3 of the q13 LSH path against the
+    // q12 exact baseline — the measurement that justifies (or rejects) the
+    // plane/probe budget before an approximate index eats a 100 TB corpus.
+    // Both sides are already-gated operators; the report is their exact
+    // integer intersection.
+    "q110_ann_recall" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.recallReport(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, planes = 8, dim = 64)
+        .orderBy("query_id")
+    }),
+
+    // MinHash estimator accuracy: for every banded LSH candidate pair, the
+    // k=12-slot Jaccard ESTIMATE next to the verified TRUE Jaccard — the
+    // evidence behind the whole near-dup family's k/band budget (q110's
+    // role, for the text-dedup sketch).
+    "q112_minhash_accuracy" -> ((s, dir) => {
+      Dedup.minHashAccuracy(Tables(s, dir).documents, "doc_id", "text",
+          n = 3, k = 12, rowsPerBand = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -2180,6 +2202,55 @@ object SparkEntry {
         |       (n_pretokens * 1000000) // n_words AS fertility_ppm,
         |       (n_chars * 1000000) // n_pretokens AS chars_per_tok_ppm
         |FROM t ORDER BY lang""".stripMargin,
+
+    // q12's exact top-3 and q13's LSH top-3 recomputed side by side, then
+    // the per-query intersection — recall in exact integer ppm. LEFT joins
+    // from the query set so an empty LSH bucket reports 0, not absence.
+    "q110_ann_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 20),
+        |sx AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |              list_dot_product(q.v, e.v) /
+        |              (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS c
+        |       FROM q JOIN e ON q.vec_id <> e.vec_id),
+        |rx AS (SELECT query_id, neighbor_id FROM (
+        |         SELECT query_id, neighbor_id,
+        |                row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+        |         FROM sx) WHERE rk <= 3),
+        |planes AS (
+        |  SELECT p, CAST(list_transform(range(0, 64), d ->
+        |           CASE WHEN ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1))::BIGINT % 2 = 1
+        |                THEN 1.0 ELSE -1.0 END) AS DOUBLE[]) AS w
+        |  FROM range(0, 8) t(p)),
+        |sig AS (SELECT e.vec_id, e.v,
+        |               sum(CASE WHEN list_dot_product(e.v, planes.w) > 0
+        |                        THEN (1::BIGINT << planes.p) ELSE 0 END)::BIGINT AS bucket
+        |        FROM e CROSS JOIN planes GROUP BY e.vec_id, e.v),
+        |qq AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig WHERE vec_id < 20),
+        |sa AS (SELECT qq.query_id, c.vec_id AS neighbor_id,
+        |              list_dot_product(qq.qv, c.v) /
+        |              (sqrt(list_dot_product(qq.qv, qq.qv)) * sqrt(list_dot_product(c.v, c.v))) AS c
+        |       FROM qq JOIN sig c ON qq.bucket = c.bucket AND qq.query_id <> c.vec_id),
+        |ra AS (SELECT query_id, neighbor_id FROM (
+        |         SELECT query_id, neighbor_id,
+        |                row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+        |         FROM sa) WHERE rk <= 3),
+        |nx AS (SELECT query_id, count(*) AS n FROM rx GROUP BY query_id),
+        |na AS (SELECT query_id, count(*) AS n FROM ra GROUP BY query_id),
+        |nh AS (SELECT rx.query_id, count(*) AS n
+        |       FROM rx JOIN ra ON rx.query_id = ra.query_id AND rx.neighbor_id = ra.neighbor_id
+        |       GROUP BY rx.query_id)
+        |SELECT q.vec_id AS query_id,
+        |       coalesce(nx.n, 0)::BIGINT AS n_exact,
+        |       coalesce(na.n, 0)::BIGINT AS n_approx,
+        |       coalesce(nh.n, 0)::BIGINT AS n_hit,
+        |       (coalesce(nh.n, 0) * 1000000 // 3)::BIGINT AS recall_ppm
+        |FROM q LEFT JOIN nx ON nx.query_id = q.vec_id
+        |       LEFT JOIN na ON na.query_id = q.vec_id
+        |       LEFT JOIN nh ON nh.query_id = q.vec_id
+        |ORDER BY query_id""".stripMargin,
+
+    "q112_minhash_accuracy" -> minHashAccuracyOracle,
 
     // the same RE2-compatible GPT-2-style pattern, evaluated by DuckDB's
     // regexp_extract_all — both engines use leftmost-first alternation
@@ -3718,6 +3789,45 @@ object SparkEntry {
        |FROM cand JOIN sh x ON x.doc_id = cand.doc_a JOIN sh y ON y.doc_id = cand.doc_b
        |WHERE len(list_intersect(x.s, y.s)) /
        |      (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Oracle twin of [[graft.operators.Dedup.minHashAccuracy]]: the
+    * [[minHashOracle]] signature/band/candidate SQL, then per candidate
+    * pair the slot-match count against the verified true Jaccard — no
+    * threshold cut (the report wants the estimator's misses too).
+    */
+  private def minHashAccuracyOracle: String = {
+    val k = 12; val rowsPerBand = 3; val bands = k / rowsPerBand
+    val sigCols = Dedup.hashConsts(k).zipWithIndex.map { case ((a, b), i) =>
+      s"min((('0x' || substr(md5(sg), 1, 7))::BIGINT * $a + $b) % ${Dedup.HashP}) AS h$i"
+    }.mkString(",\n    ")
+    val bandCases = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => s"h${b * rowsPerBand + r}::VARCHAR").mkString(" || '|' || ")
+      s"WHEN $b THEN md5($parts)"
+    }.mkString(" ")
+    val matchSum = (0 until k)
+      .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH sh AS ($ShinglesCte),
+       |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM ex GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b.band_idx,
+       |    CASE b.band_idx $bandCases END AS band_hash
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS band_idx) b),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM bands a JOIN bands c
+       |    ON a.band_idx = c.band_idx AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id),
+       |m AS (SELECT cand.doc_a, cand.doc_b, ($matchSum)::BIGINT AS n_match
+       |  FROM cand JOIN sig a ON a.doc_id = cand.doc_a
+       |            JOIN sig b ON b.doc_id = cand.doc_b)
+       |SELECT m.doc_a, m.doc_b, m.n_match,
+       |       (m.n_match * 1000000 // $k)::BIGINT AS est_ppm,
+       |       round(len(list_intersect(x.s, y.s)) /
+       |             (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 4) AS jaccard
+       |FROM m JOIN sh x ON x.doc_id = m.doc_a JOIN sh y ON y.doc_id = m.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

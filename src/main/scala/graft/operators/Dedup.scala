@@ -411,6 +411,47 @@ object Dedup {
     verifyPairs(cand, sh, threshold)
   }
 
+  /** MinHash ACCURACY report — per candidate pair, the sketch's Jaccard
+    * ESTIMATE (matching signature slots / k, the unbiased MinHash
+    * estimator) next to the TRUE Jaccard from the full shingle sets. The
+    * whole near-dup family ([[minHashDedup]], [[minHashAgainst]], the
+    * streaming twin) stands on "k slots approximate Jaccard well enough
+    * for the band threshold" — this operator MEASURES that premise on the
+    * corpus at hand, so the k/band budget is chosen from evidence, the
+    * same role [[Similarity.recallReport]] plays for the ANN index.
+    *
+    * Output: (doc_a, doc_b, n_match, est_ppm, jaccard) for every banded
+    * LSH candidate (no threshold cut — the report wants the misses too);
+    * `est_ppm = n_match·10⁶ div k` exact-integer, `jaccard` the verified
+    * truth. Cost is the [[minHashDedup]] pipeline's own: per-row fused
+    * signatures, the banded candidate join, and ONE verification join —
+    * the k-slot comparison rides the signature join for free (k fixed
+    * columns, no explode).
+    */
+  def minHashAccuracy(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, k: Int = 12,
+                      rowsPerBand: Int = 3): DataFrame = {
+    graft.functions.SortedIntersectCount.ensureRegistered(df.sparkSession)
+    val sh = CacheScope.persisted(hashedShingleFrame(df, idCol, textCol, n))
+    val sig = CacheScope.persisted(signatureOfHashed(sh, k))
+    val cand = lshCandidates(sig, k, rowsPerBand)
+    val nMatch = (0 until k)
+      .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("a"), col("doc_a") === col("a.id"))
+      .join(sig.as("b"), col("doc_b") === col("b.id"))
+      .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
+      .join(sh.select(col("id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("common", call_function("graft_common", col("sha"), col("shb")))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        expr(s"CAST(n_match * 1000000 DIV $k AS BIGINT)").as("est_ppm"),
+        round(col("common") /
+          (size(col("sha")) + size(col("shb")) - col("common")), 4)
+          .as("jaccard"))
+  }
+
   /** Duplicate-GROUP resolution: the similarity joins emit PAIRS, but a
     * dedup pipeline needs each document mapped to ONE canonical
     * representative — i.e. connected components over the near-dup graph

@@ -593,6 +593,49 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** ANN RECALL report — per-query recall of the LSH path ([[annTopK]])
+    * against the exact baseline ([[knnBrute]]), the measurement a pipeline
+    * makes BEFORE committing a 100 TB corpus to an approximate index:
+    * recall is the one number that says whether the LSH plane/probe budget
+    * is adequate, and it must come from the engine itself (a sampled
+    * query set against the exact answer), not from faith in the sketch.
+    *
+    * Output: one row per query — (query_id, n_exact, n_approx, n_hit,
+    * recall_ppm) where `n_hit = |approx top-k ∩ exact top-k|` and
+    * `recall_ppm = n_hit·10⁶ div k` (exact integer ppm, no float drift).
+    * Queries whose LSH bucket is empty still appear (zero rows would hide
+    * exactly the failures the report exists to surface).
+    *
+    * Scale shape: the exact side is [[knnBrute]] — linear in corpus, run
+    * over a SAMPLED query set (the operator's contract: callers pass a
+    * bounded probe set, not the corpus); the approx side is the bucketed
+    * join. Both end in per-query top-k frames of ≤ k rows, so the
+    * intersection join and the count aggregates move #queries·k rows —
+    * driver never collects anything.
+    */
+  def recallReport(corpus: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, k: Int,
+                   planes: Int = 8, dim: Int = 64, probes: Int = 0): DataFrame = {
+    val exact = knnBrute(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annTopK(corpus, queries, idCol, vecCol, k, planes, dim, probes)
+      .select(col("query_id"), col("neighbor_id"))
+    val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    val nApprox = approx.groupBy("query_id").agg(count(lit(1)).as("n_approx"))
+    val nHit = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    queries.select(col(idCol).cast("long").as("query_id"))
+      .join(nExact, Seq("query_id"), "left")
+      .join(nApprox, Seq("query_id"), "left")
+      .join(nHit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_ppm",
+        expr(s"CAST(n_hit * 1000000 DIV $k AS BIGINT)"))
+  }
+
   /** Symmetric INT8 quantization of an embedding column — the 4× storage /
     * bandwidth cut an embedding store applies before similarity search at
     * 100 TB (the vectors, not the text, dominate an embedded corpus's

@@ -425,4 +425,39 @@ class DedupSpec extends SparkTestBase {
       (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
       (10L, 10L, 10L, true), (11L, 10L, 10L, false)))
   }
+
+  test("minHashAccuracy: identical docs estimate 1.0 exactly; estimate stays in [0,1]") {
+    val df = Seq(
+      (0L, "a b c d e f g"), (1L, "a b c d e f g"),   // identical
+      (2L, "a b c d e f x"),                          // near-dup of 0/1
+      (3L, "z y x w v u t")                           // unrelated
+    ).toDF("doc_id", "text")
+    val out = Dedup.minHashAccuracy(df, "doc_id", "text", n = 3, k = 12, rowsPerBand = 3)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val exactPair = out.find(t => t._1 == 0L && t._2 == 1L)
+    assert(exactPair.isDefined, s"identical docs must band-collide: ${out.toSeq}")
+    assert(exactPair.get._3 == 12L && exactPair.get._4 == 1000000L && exactPair.get._5 == 1.0)
+    out.foreach { case (_, _, nMatch, ppm, jac) =>
+      assert(nMatch >= 0L && nMatch <= 12L)
+      assert(ppm == nMatch * 1000000L / 12L)
+      assert(jac >= 0.0 && jac <= 1.0)
+    }
+  }
+
+  test("minHashAccuracy reports the candidates minHashDedup would cut (no threshold)") {
+    // two docs sharing ~half their shingles: banded candidates at some
+    // bands, but true jaccard may fall below a high dedup threshold — the
+    // accuracy report must still show the pair (the estimator's miss is
+    // the datum)
+    val df = Seq(
+      (0L, "a b c d e f g h"), (1L, "a b c d m n o p")
+    ).toDF("doc_id", "text")
+    val acc = Dedup.minHashAccuracy(df, "doc_id", "text").collect()
+    val strict = Dedup.minHashDedup(df, "doc_id", "text", threshold = 0.9).collect()
+    if (acc.nonEmpty) {
+      assert(strict.isEmpty)                     // the 0.9 cut drops the pair...
+      assert(acc.head.getDouble(4) < 0.9)        // ...which the report keeps, with truth
+    }
+  }
 }

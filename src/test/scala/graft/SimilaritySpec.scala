@@ -1049,4 +1049,45 @@ class QuantizeSpec extends SparkTestBase {
       assert(s.getLong(4) == 127L)              // max element pins 127
     }
   }
+
+  test("recallReport: exact integer ppm, bounded by both sides, matches a manual intersection") {
+    val rnd = new scala.util.Random(23)
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 10)
+    val k = 4
+    val rep = Similarity.recallReport(corpus, queries, "vec_id", "embedding",
+        k, planes = 8, dim = 16)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rep.length == 10)                    // every query reports, even empty buckets
+    rep.foreach { case (_, nExact, nApprox, nHit, ppm) =>
+      assert(nExact == k)                       // 300-vector corpus always fills top-k
+      assert(nHit <= math.min(nExact, nApprox))
+      assert(ppm == nHit * 1000000L / k)        // exact integer ppm, no float path
+    }
+    // manual cross-check: the report's n_hit equals the set intersection of
+    // the two gated operators it composes
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.knnBrute(corpus, queries, "vec_id", "embedding", k))
+    val approx = pairs(Similarity.annTopK(corpus, queries, "vec_id", "embedding",
+      k, planes = 8, dim = 16))
+    val manual = (exact intersect approx).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    rep.foreach { case (q, _, _, nHit, _) =>
+      assert(nHit == manual.getOrElse(q, 0L), s"query $q")
+    }
+  }
+
+  test("recallReport: multi-probe recall dominates single-probe") {
+    val rnd = new scala.util.Random(29)
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 10)
+    def total(probes: Int): Long =
+      Similarity.recallReport(corpus, queries, "vec_id", "embedding",
+          k = 4, planes = 8, dim = 16, probes = probes)
+        .agg(sum("n_hit")).head.getLong(0)
+    assert(total(8) >= total(0))  // probing more buckets never loses hits
+  }
 }
