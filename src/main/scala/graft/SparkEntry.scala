@@ -1625,6 +1625,26 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Incremental IVF maintenance: build the adaptive index on the EVEN
+    // half (the standing corpus), APPEND the odd half as an ingest batch
+    // against the frozen codebook — cost ∝ batch, no rebuild — then search
+    // the combined index. The oracle assigns corpus ∪ batch to the
+    // even-corpus ⌈√n⌉ centroids from scratch, so build + append + pruned
+    // search sit under one hash.
+    "q111_ivf_append" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivf-append").toString
+      SnapshotDirs.add(root)
+      Similarity.buildIvfIndexAdaptive(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", root)
+      Similarity.appendIvfIndex(s, root,
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      Similarity.searchIvfIndex(s, root, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+    }),
+
     // MinHash estimator accuracy: for every banded LSH candidate pair, the
     // k=12-slot Jaccard ESTIMATE next to the verified TRUE Jaccard — the
     // evidence behind the whole near-dup family's k/band budget (q110's
@@ -2251,6 +2271,40 @@ object SparkEntry {
         |ORDER BY query_id""".stripMargin,
 
     "q112_minhash_accuracy" -> minHashAccuracyOracle,
+
+    // q93's adaptive recipe with the codebook drawn from the EVEN corpus
+    // only (⌈√n_even⌉ step), every vector — corpus and appended batch —
+    // assigned to those frozen centroids: the append-equals-rebuild
+    // contract of appendIvfIndex.
+    "q111_ivf_append" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corp AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+        |st AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS s FROM corp),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM corp, st WHERE vec_id % st.s = 0),
+        |asg AS (SELECT id, v, cell FROM (
+        |    SELECT e.vec_id AS id, e.v, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, c.cv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS rk
+        |    FROM e CROSS JOIN cents c) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |probes AS (SELECT query_id, qv, cell FROM (
+        |    SELECT q.query_id, q.qv, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |             list_dot_product(q.qv, c.cv) /
+        |             (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS prk
+        |    FROM q CROSS JOIN cents c) WHERE prk <= 2),
+        |s AS (SELECT p.query_id, a.id AS neighbor_id,
+        |             list_dot_product(p.qv, a.v) /
+        |             (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS c
+        |      FROM probes p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.id),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+        |      FROM s)
+        |SELECT query_id, neighbor_id, round(c, 4) + 0 AS cos FROM r WHERE rk <= 3
+        |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
 
     // the same RE2-compatible GPT-2-style pattern, evaluated by DuckDB's
     // regexp_extract_all — both engines use leftmost-first alternation

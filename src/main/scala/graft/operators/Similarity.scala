@@ -418,6 +418,33 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
   }
 
+  /** INCREMENTAL index maintenance: assign a new `batch` to an EXISTING
+    * [[buildIvfIndex]] index's centroids and append its postings — the
+    * daily-ingest path. A 100 TB corpus with a daily crawl increment must
+    * not rebuild its index per batch (the build scans the whole corpus);
+    * appending costs one broadcast-codebook assignment over the BATCH
+    * alone plus a partitioned parquet append that touches only the cells
+    * the batch lands in. The codebook is deliberately FROZEN: queries stay
+    * consistent (probe ranking unchanged), and the index's answer equals a
+    * from-scratch assignment of corpus ∪ batch to the original centroids —
+    * which is exactly what the q111 oracle recomputes. Codebook drift
+    * (enough appends that √n centroids no longer fit the data) is a
+    * rebuild decision, made from [[cellOccupancy]]'s evidence, not
+    * silently inside the append.
+    *
+    * The centroid read is the same bounded driver scalar as everywhere
+    * else (≤ `maxCentroids` rows by construction of the build).
+    */
+  def appendIvfIndex(spark: SparkSession, dir: String, batch: DataFrame,
+                     idCol: String, vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    require(cents.nonEmpty, s"no centroids at $dir/centroids — build first")
+    ivfAssign(batch, idCol, vecCol, cents)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/postings")
+  }
+
   /** Query a [[buildIvfIndex]] index: same probe + rank semantics as
     * [[ivfTopK]] (bit-identical results by construction — gated), but the
     * corpus side is the on-disk postings list: the broadcast probe join's

@@ -1090,4 +1090,38 @@ class QuantizeSpec extends SparkTestBase {
         .agg(sum("n_hit")).head.getLong(0)
     assert(total(8) >= total(0))  // probing more buckets never loses hits
   }
+
+  test("appendIvfIndex: append-then-search equals a from-scratch build over the union") {
+    val rnd = new scala.util.Random(31)
+    val all = (0 until 120).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val even = all.filter(col("vec_id") % 2 === 0)
+    val odd = all.filter(col("vec_id") % 2 === 1)
+    // centStep 4 picks ids % 4 == 0 — all even, so the even-only build and
+    // the full build choose the IDENTICAL codebook; any difference below
+    // is then the append path's fault, which is the point of the test
+    val incr = java.nio.file.Files.createTempDirectory("ivf_incr").toString
+    Similarity.buildIvfIndex(even, "vec_id", "embedding", incr, centStep = 4)
+    Similarity.appendIvfIndex(spark, incr, odd, "vec_id", "embedding")
+    val full = java.nio.file.Files.createTempDirectory("ivf_full").toString
+    Similarity.buildIvfIndex(all, "vec_id", "embedding", full, centStep = 4)
+    val qs = all.filter(col("vec_id") < 6)
+    def rows(dir: String) =
+      Similarity.searchIvfIndex(spark, dir, qs, "vec_id", "embedding",
+          k = 3, nprobe = 2)
+        .orderBy("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val (incremental, rebuilt) = (rows(incr), rows(full))
+    assert(incremental == rebuilt && rebuilt.nonEmpty)
+    // odd ids really landed in the postings (the appended half is searchable)
+    assert(incremental.exists(_._2 % 2 == 1))
+  }
+
+  test("appendIvfIndex refuses an empty index directory") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_missing").toString
+    val batch = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    intercept[Exception] {
+      Similarity.appendIvfIndex(spark, dir, batch, "vec_id", "embedding")
+    }
+  }
 }
