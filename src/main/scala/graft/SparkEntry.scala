@@ -1654,6 +1654,17 @@ object SparkEntry {
           n = 3, k = 12, rowsPerBand = 3)
         .orderBy("doc_a", "doc_b")
     }),
+
+    // All three modalities through ONE scoped group dedup: image + audio +
+    // video signatures union'd, modality as the band-join scope key — the
+    // end-to-end form of the "one banded join serves every modality"
+    // claim, with the scope key proving an image can never collide into an
+    // audio clip. Oracle: union of the q98/q103/q104 derivations, one
+    // closure.
+    "q113_modality_dup_union" -> ((s, dir) => {
+      Multimodal.crossModalDupGroups(s, Tables(s, dir).documents)
+        .orderBy("modality", "doc_id")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -2271,6 +2282,124 @@ object SparkEntry {
         |ORDER BY query_id""".stripMargin,
 
     "q112_minhash_accuracy" -> minHashAccuracyOracle,
+
+    // the q98 (image), q103 (audio) and q104 (video) hash derivations with
+    // prefixed CTEs, union'd on ids remapped to doc_id*4+code, then ONE
+    // banded candidate join scoped by modality (m = id % 4) and ONE
+    // recursive closure — the oracle twin of the engine's single scoped
+    // dedup pass
+    "q113_modality_dup_union" ->
+      """WITH RECURSIVE ig_geo AS (
+        |  SELECT doc_id, doc_id % 97 AS seed,
+        |         3 + (doc_id % 97) % 5 AS w, 2 + (doc_id % 97) % 4 AS h
+        |  FROM documents),
+        |ig_grid AS (
+        |  SELECT doc_id, seed, j, i, (i * w) // 8 AS x, (j * h) // 8 AS y
+        |  FROM ig_geo, (SELECT unnest(generate_series(0, 7)) AS j),
+        |              (SELECT unnest(generate_series(0, 7)) AS i)),
+        |ig_samp AS (
+        |  SELECT doc_id, j * 8 + i AS k,
+        |         ((seed*7 + x*13 + y*31) % 256) + ((seed*11 + x*17 + y*5) % 256)
+        |           + ((seed*3 + x*29 + y*7) % 256) AS luma
+        |  FROM ig_grid),
+        |ig_bits AS (
+        |  SELECT doc_id, k,
+        |         CASE WHEN 64 * luma > sum(luma) OVER (PARTITION BY doc_id)
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM ig_samp),
+        |ig_hash AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN k >= 32 THEN bit::BIGINT << (k - 32) ELSE 0 END)::BIGINT AS hash_hi,
+        |         sum(CASE WHEN k < 32 THEN bit::BIGINT << k ELSE 0 END)::BIGINT AS hash_lo
+        |  FROM ig_bits GROUP BY doc_id),
+        |au_geo AS (
+        |  SELECT doc_id, doc_id % 89 AS seed,
+        |         40 + (doc_id % 89) % 25 AS n, 1 + (doc_id % 89) % 2 AS ch
+        |  FROM documents),
+        |au_blocks AS (
+        |  SELECT doc_id, b, (b * n) // 64 AS frame, seed, ch
+        |  FROM au_geo, (SELECT unnest(generate_series(0, 63)) AS b)),
+        |au_vals AS (
+        |  SELECT doc_id, b,
+        |    abs(((seed*31 + frame*40503) % 65536) - 32768)
+        |      + CASE WHEN ch = 2
+        |             THEN abs(((seed*31 + frame*40503 + 7) % 65536) - 32768)
+        |             ELSE 0 END AS loud
+        |  FROM au_blocks),
+        |au_bits AS (
+        |  SELECT doc_id, b AS k,
+        |         CASE WHEN 64 * loud > sum(loud) OVER (PARTITION BY doc_id)
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM au_vals),
+        |au_hash AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN k >= 32 THEN bit::BIGINT << (k - 32) ELSE 0 END)::BIGINT AS hash_hi,
+        |         sum(CASE WHEN k < 32 THEN bit::BIGINT << k ELSE 0 END)::BIGINT AS hash_lo
+        |  FROM au_bits GROUP BY doc_id),
+        |vi_geo AS (
+        |  SELECT doc_id, doc_id % 83 AS seed,
+        |         2 + (doc_id % 83) % 3 AS n,
+        |         3 + (doc_id % 83) % 5 AS w, 2 + (doc_id % 83) % 4 AS h
+        |  FROM documents),
+        |vi_fr AS (
+        |  SELECT doc_id, seed * 100 + f * 7 AS fs, w, h, f
+        |  FROM vi_geo, (SELECT unnest(generate_series(0, 2, 2)) AS f)
+        |  WHERE f < n),
+        |vi_grid AS (
+        |  SELECT doc_id, f, fs, j, i, (i * w) // 8 AS x, (j * h) // 8 AS y
+        |  FROM vi_fr, (SELECT unnest(generate_series(0, 7)) AS j),
+        |             (SELECT unnest(generate_series(0, 7)) AS i)),
+        |vi_samp AS (
+        |  SELECT doc_id, f, j * 8 + i AS k,
+        |         ((fs*7 + x*13 + y*31) % 256) + ((fs*11 + x*17 + y*5) % 256)
+        |           + ((fs*3 + x*29 + y*7) % 256) AS luma
+        |  FROM vi_grid),
+        |vi_bits AS (
+        |  SELECT doc_id, f, k,
+        |         CASE WHEN 64 * luma > sum(luma) OVER (PARTITION BY doc_id, f)
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM vi_samp),
+        |vi_fhash AS (
+        |  SELECT doc_id, f, (f // 2) % 32 AS r,
+        |         sum(CASE WHEN k >= 32 THEN bit::BIGINT << (k - 32) ELSE 0 END)::BIGINT AS fhi,
+        |         sum(CASE WHEN k < 32 THEN bit::BIGINT << k ELSE 0 END)::BIGINT AS flo
+        |  FROM vi_bits GROUP BY doc_id, f),
+        |vi_hash AS (
+        |  SELECT doc_id,
+        |         bit_xor(((fhi * (1::BIGINT << r)) % 4294967296)
+        |                 + (fhi // (1::BIGINT << (32 - r))))::BIGINT AS hash_hi,
+        |         bit_xor(((flo * (1::BIGINT << r)) % 4294967296)
+        |                 + (flo // (1::BIGINT << (32 - r))))::BIGINT AS hash_lo
+        |  FROM vi_fhash GROUP BY doc_id),
+        |un AS (
+        |  SELECT doc_id * 4 + 0 AS id, hash_hi, hash_lo FROM ig_hash
+        |  UNION ALL SELECT doc_id * 4 + 1, hash_hi, hash_lo FROM au_hash
+        |  UNION ALL SELECT doc_id * 4 + 2, hash_hi, hash_lo FROM vi_hash),
+        |bands AS (
+        |  SELECT id, id % 4 AS m, b,
+        |         CASE b WHEN 0 THEN hash_lo % 65536 WHEN 1 THEN hash_lo // 65536
+        |                WHEN 2 THEN hash_hi % 65536 ELSE hash_hi // 65536 END AS bv
+        |  FROM un, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS ia, y.id AS ib
+        |  FROM bands x JOIN bands y
+        |    ON x.m = y.m AND x.b = y.b AND x.bv = y.bv AND x.id < y.id),
+        |pairs AS (
+        |  SELECT ia AS u, ib AS v FROM cand
+        |  JOIN un a ON a.id = ia
+        |  JOIN un b ON b.id = ib
+        |  WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+        |          + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cc AS (SELECT u AS id, least(u, min(v)) AS canon
+        |       FROM reach GROUP BY u)
+        |SELECT CASE id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |       id // 4 AS doc_id, canon // 4 AS canon_id
+        |FROM cc ORDER BY modality, doc_id""".stripMargin,
 
     // q93's adaptive recipe with the codebook drawn from the EVEN corpus
     // only (⌈√n_even⌉ step), every vector — corpus and appended batch —

@@ -351,17 +351,31 @@ object Multimodal {
     lo.bitwiseAND(lit(0xFFFFL)), shiftright(lo, 16),
     hi.bitwiseAND(lit(0xFFFFL)), shiftright(hi, 16))
 
-  def perceptualDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** `scopeCols` (both forms): optional partition-key columns carried on
+    * the signature frame — candidates only form between rows agreeing on
+    * every scope column (the band-bucket join key includes them). This is
+    * how a MIXED frame dedups safely: a 64-bit image aHash and a 64-bit
+    * audio fingerprint can collide numerically, but comparing them is
+    * meaningless — scoping by a modality column makes the one banded join
+    * serve all modalities at once without ever crossing them. Caller
+    * contract: `doc_id` must be unique ACROSS scopes (the group form feeds
+    * one id space to [[Dedup.canonicalIds]]).
+    */
+  def perceptualDups(hashes: DataFrame, maxHamming: Int = 3,
+                     scopeCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64,
       s"maxHamming must be in [0, 64]: $maxHamming")
+    val scope = scopeCols.map(col)
     val h = CacheScope.persisted(
       hashes.filter(col("decoded"))
-        .select(col("doc_id"), col("hash_hi"), col("hash_lo")))
-    val bands = h.select(col("doc_id"),
-      posexplode(bandSplit(col("hash_hi"), col("hash_lo"))).as(Seq("band", "bv")))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
+        .select(col("doc_id") +: scope :+ col("hash_hi") :+ col("hash_lo"): _*))
+    val bands = h.select(col("doc_id") +: scope :+
+      posexplode(bandSplit(col("hash_hi"), col("hash_lo"))).as(Seq("band", "bv")): _*)
+    val scoped = scopeCols
+      .map(c => col(s"x.$c") === col(s"y.$c"))
+      .foldLeft(col("x.band") === col("y.band") &&
+        col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))(_ && _)
+    val cand = bands.as("x").join(bands.as("y"), scoped)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     cand
@@ -409,21 +423,57 @@ object Multimodal {
     * Output: (doc_id, canon_id), one row per doc in a non-singleton
     * component — [[Dedup.canonicalIds]]' contract.
     */
-  def perceptualDupGroups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def perceptualDupGroups(hashes: DataFrame, maxHamming: Int = 3,
+                          scopeCols: Seq[String] = Nil): DataFrame = {
+    val scope = scopeCols.map(col)
     val h = CacheScope.persisted(
       hashes.filter(col("decoded"))
-        .select(col("doc_id"), col("hash_hi"), col("hash_lo")))
+        .select(col("doc_id") +: scope :+ col("hash_hi") :+ col("hash_lo"): _*))
     val groups = CacheScope.persisted(
-      h.groupBy("hash_hi", "hash_lo")
+      h.groupBy(scope :+ col("hash_hi") :+ col("hash_lo"): _*)
         .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n")))
-    val star = h.join(groups, Seq("hash_hi", "hash_lo"))
+    val star = h.join(groups, scopeCols :+ "hash_hi" :+ "hash_lo")
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
     val repPairs = perceptualDups(
-      groups.select(col("rep").as("doc_id"), lit(true).as("decoded"),
-        col("hash_hi"), col("hash_lo")), maxHamming)
+      groups.select(col("rep").as("doc_id") +: lit(true).as("decoded") +:
+        scope :+ col("hash_hi") :+ col("hash_lo"): _*), maxHamming, scopeCols)
       .select(col("doc_a"), col("doc_b"))
     Dedup.canonicalIds(star.unionAll(repPairs))
+  }
+
+  /** ALL THREE modalities through ONE scoped dedup: image aHashes, audio
+    * loudness fingerprints and video rotated-XOR signatures, tagged and
+    * union'd into a single frame, grouped by [[perceptualDupGroups]] with
+    * `modality` as the scope key — one representative collapse, one banded
+    * join, one connected-components pass serve the whole media corpus,
+    * and the scope key guarantees an image never "duplicates" an audio
+    * clip whose 64 bits happen to land nearby. Ids are disambiguated as
+    * `doc_id·4 + modality-code` internally (the union carries each doc
+    * three times) and decoded back in the output: (modality, doc_id,
+    * canon_id), canon_id always within the same modality.
+    *
+    * Gated (q113) against the union of the three per-modality all-pairs
+    * closure oracles — the end-to-end form of the modality-agnostic claim
+    * q98/q103/q104 prove one modality at a time.
+    */
+  def crossModalDupGroups(spark: SparkSession, docs: DataFrame,
+                          imageSeedMod: Int = 97, audioSeedMod: Int = 89,
+                          videoSeedMod: Int = 83, stride: Int = 2,
+                          maxHamming: Int = 3): DataFrame = {
+    def tag(df: DataFrame, code: Int): DataFrame =
+      df.select((col("doc_id") * 4 + code).as("doc_id"), col("decoded"),
+        lit(code).as("modality"), col("hash_hi"), col("hash_lo"))
+    val sigs = tag(imagePHash(syntheticImagesSeeded(spark, docs, imageSeedMod)).toDF(), 0)
+      .unionAll(tag(audioPHash(syntheticAudioSeeded(spark, docs, audioSeedMod)), 1))
+      .unionAll(tag(videoPHash(syntheticVideosSeeded(spark, docs, videoSeedMod), stride), 2))
+    perceptualDupGroups(sigs, maxHamming, scopeCols = Seq("modality"))
+      .select(
+        when(col("doc_id") % 4 === 0, "image")
+          .when(col("doc_id") % 4 === 1, "audio")
+          .otherwise("video").as("modality"),
+        expr("doc_id DIV 4").as("doc_id"),
+        expr("canon_id DIV 4").as("canon_id"))
   }
 
   /** Mimes [[decodeAudio]] hands to `javax.sound.sampled` — the JRE ships

@@ -891,6 +891,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(viaGroups == viaPairs && viaGroups.nonEmpty)
   }
 
+  test("scoped perceptualDups: identical hashes in different scopes never pair") {
+    val df = Seq(
+      (0L, true, 0x1234L, 0x5678L, 0),   // image scope
+      (1L, true, 0x1234L, 0x5678L, 1),   // audio scope — same 64 bits
+      (2L, true, 0x1234L, 0x5678L, 0),   // image again: pairs with 0
+      (3L, true, 0x1234L, 0x567AL, 1)    // audio, hamming 1 from doc 1
+    ).toDF("doc_id", "decoded", "hash_hi", "hash_lo", "modality")
+    val scoped = Multimodal.perceptualDups(df, maxHamming = 3,
+        scopeCols = Seq("modality"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(scoped == Set((0L, 2L), (1L, 3L)))   // never (0,1)/(0,3)/(2,3)…
+    // unscoped, the numeric collisions DO pair — which is exactly the
+    // cross-modality nonsense the scope key exists to forbid
+    val unscoped = Multimodal.perceptualDups(df.drop("modality"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unscoped.contains((0L, 1L)))
+    // group form under the same scope: components stay modality-pure
+    val groups = Multimodal.perceptualDupGroups(df, maxHamming = 3,
+        scopeCols = Seq("modality"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(groups == Set((0L, 0L), (2L, 0L), (1L, 1L), (3L, 1L)))
+  }
+
   test("imageDups end-to-end: equal-seed docs collapse to hamming-0 pairs") {
     val ids = spark.range(0, 200).select(col("id").as("doc_id"))
     val out = Multimodal.imageDups(spark, ids, seedMod = 97, maxHamming = 3)
