@@ -1655,6 +1655,20 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Range-partition planning (the sorted-write / TeraSort primitive):
+    // md5-deterministic 10% sample → 7 exact rank-quantile boundaries →
+    // map-side partition assignment → per-partition balance report. The
+    // whole plan is reproducible arithmetic, so the oracle re-derives
+    // boundaries AND assignment from scratch. Key = whole cents of
+    // o_totalprice (floor is IEEE-exact in both engines; a raw
+    // double→bigint cast is not — DuckDB rounds, Spark truncates).
+    "q114_range_plan" -> ((s, dir) => {
+      val o = Tables(s, dir).orders
+        .select(col("o_orderkey").as("id"),
+          floor(col("o_totalprice") * 100).cast("long").as("key"))
+      Sampling.rangePartitionProfile(o, "id", "key", numParts = 8, pct = 10)
+    }),
+
     // All three modalities through ONE scoped group dedup: image + audio +
     // video signatures union'd, modality as the band-join scope key — the
     // end-to-end form of the "one banded join serves every modality"
@@ -2282,6 +2296,26 @@ object SparkEntry {
         |ORDER BY query_id""".stripMargin,
 
     "q112_minhash_accuracy" -> minHashAccuracyOracle,
+
+    // q26's md5-bucket sample predicate, exact rank quantiles over the
+    // sample under the total order (key, id), boundary i at rank
+    // max(1, (i*n)//8), assignment = count of boundaries below the key
+    "q114_range_plan" ->
+      """WITH k AS (SELECT o_orderkey AS id,
+        |            CAST(floor(o_totalprice * 100) AS BIGINT) AS key FROM orders),
+        |samp AS (SELECT id, key FROM k
+        |         WHERE ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT % 100 < 10),
+        |ns AS (SELECT count(*) AS n FROM samp),
+        |ranked AS (SELECT key, row_number() OVER (ORDER BY key, id) AS rk FROM samp),
+        |bounds AS (SELECT i, r.key AS bkey
+        |           FROM (SELECT unnest(generate_series(1, 7)) AS i), ns, ranked r
+        |           WHERE r.rk = greatest(1, (i * ns.n) // 8)),
+        |asg AS (SELECT k.id, k.key,
+        |               (SELECT count(*) FROM bounds b WHERE k.key > b.bkey) AS pid
+        |        FROM k)
+        |SELECT pid::INTEGER AS pid, count(*)::BIGINT AS n_rows,
+        |       min(key) AS min_key, max(key) AS max_key
+        |FROM asg GROUP BY pid ORDER BY pid""".stripMargin,
 
     // the q98 (image), q103 (audio) and q104 (video) hash derivations with
     // prefixed CTEs, union'd on ids remapped to doc_id*4+code, then ONE

@@ -293,4 +293,74 @@ object Sampling {
       count(lit(1)).as("n"),
       ps.map(p => round(approx_percentile(col(valCol), lit(p), lit(accuracy)), 6)
         .as(s"p${(p * 100).round}")): _*)
+
+  /** Range-partition PLANNER — the boundary computation behind a globally
+    * SORTED 100 TB write (the TeraSort primitive): take a deterministic
+    * [[deterministicSample]] of the corpus, read `numParts - 1` boundary
+    * keys off the sample's exact rank quantiles, and let every row compute
+    * its partition as "how many boundaries are below my key" — a pure
+    * map-side expression against a broadcast boundary list. Spark's own
+    * `repartitionByRange` does exactly this shape but with reservoir
+    * sampling (RNG — a re-run plans different boundaries); here membership
+    * and boundaries are md5-deterministic, so the plan is reproducible,
+    * auditable, and oracle-checkable (q114).
+    *
+    * Boundary `i` (1-based) is the sample key at rank
+    * `max(1, ⌊i·n_s/numParts⌋)` under the TOTAL order (key, id) —
+    * duplicate ranks (tiny samples) intentionally emit duplicate
+    * boundaries so the boundary list always has `numParts - 1` entries
+    * and the assignment rule stays a pure fold. The rank window runs on
+    * the SAMPLE (pct-bounded — the classic collect-the-boundaries step of
+    * every range partitioner); only `numParts - 1` keys reach the driver.
+    */
+  def rangeBoundaries(df: DataFrame, idCol: String, keyCol: String,
+                      numParts: Int, pct: Int = 10): Seq[Long] = {
+    require(numParts >= 1, s"numParts must be >= 1: $numParts")
+    if (numParts == 1) return Nil
+    val samp = CacheScope.persisted(deterministicSample(
+      df.select(col(idCol).as("id"), col(keyCol).cast("long").as("key")),
+      "id", pct))
+    val n = samp.count()
+    require(n >= numParts,
+      s"sample too small for $numParts partitions: $n rows — raise pct")
+    val ranks = (1 until numParts).map(i => math.max(1L, i * n / numParts))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("key"), col("id"))
+    val byRank = samp.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk").isin(ranks.distinct: _*))
+      .select("rk", "key").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ranks.map(byRank)
+  }
+
+  /** Assign each row its range partition against a planned boundary list:
+    * `pid = |{b : key > b}|` — keys ≤ the first boundary land in 0, keys
+    * above the last in `numParts - 1`. A codegen'd fold over a literal
+    * list (boundaries are numParts-bounded); zero shuffle — the WRITE
+    * side then clusters by `pid` (`partitionBy("pid")`, or a
+    * `repartition(col("pid")) + sortWithinPartitions(key)` for a
+    * globally-sorted layout).
+    */
+  def assignRangePartition(df: DataFrame, keyCol: String,
+                           boundaries: Seq[Long]): DataFrame = {
+    val key = col(keyCol).cast("long")
+    val pid = boundaries.map(b => when(key > b, 1).otherwise(0))
+      .foldLeft(lit(0))(_ + _)
+    df.withColumn("pid", pid.cast("int"))
+  }
+
+  /** The planner's AUDIT: plan boundaries, assign every row, report per
+    * partition (pid, n_rows, min_key, max_key) — the balance evidence
+    * (skewed n_rows says raise pct or pick a better key) and the q114
+    * gate surface. One sample pass + one bounded-key aggregate.
+    */
+  def rangePartitionProfile(df: DataFrame, idCol: String, keyCol: String,
+                            numParts: Int, pct: Int = 10): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"), col(keyCol).cast("long").as("key"))
+    val bounds = rangeBoundaries(keyed, "id", "key", numParts, pct)
+    assignRangePartition(keyed, "key", bounds)
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n_rows"), min("key").as("min_key"),
+        max("key").as("max_key"))
+      .orderBy("pid")
+  }
 }

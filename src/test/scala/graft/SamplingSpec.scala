@@ -247,4 +247,37 @@ class SamplingSpec extends SparkTestBase {
         s"col $i: approx=${approx(1).getDouble(i)} exact=${exact(1).getDouble(i)}")
     }
   }
+
+  test("rangeBoundaries: numParts-1 sorted boundaries, deterministic across runs") {
+    val df = (0 until 2000).map(i => (i.toLong, (i * 37 % 5000).toLong))
+      .toDF("id", "key")
+    val b1 = Sampling.rangeBoundaries(df, "id", "key", numParts = 8, pct = 20)
+    val b2 = Sampling.rangeBoundaries(df, "id", "key", numParts = 8, pct = 20)
+    assert(b1 == b2)                               // md5 plan, not RNG
+    assert(b1.length == 7 && b1 == b1.sorted)
+    assert(Sampling.rangeBoundaries(df, "id", "key", numParts = 1) == Nil)
+  }
+
+  test("assignRangePartition: contiguous key ranges, all rows kept, balance sane") {
+    val df = (0 until 2000).map(i => (i.toLong, (i * 37 % 5000).toLong))
+      .toDF("id", "key")
+    val prof = Sampling.rangePartitionProfile(df, "id", "key", numParts = 8, pct = 20)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(prof.map(_._1).toSeq == (0 until 8))    // every partition populated
+    assert(prof.map(_._2).sum == 2000L)            // no row lost or duplicated
+    prof.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 < b._3, s"ranges overlap: $a vs $b")  // strictly disjoint
+    }
+    // a 20% sample of a near-uniform key space must not plan a degenerate
+    // partitioning (no partition more than 3x the even share)
+    assert(prof.map(_._2).max <= 3 * 2000 / 8)
+  }
+
+  test("assignRangePartition boundary semantics: key == boundary stays below it") {
+    val out = Sampling.assignRangePartition(
+        Seq((1L, 5L), (2L, 10L), (3L, 11L), (4L, 20L), (5L, 21L))
+          .toDF("id", "key"), "key", boundaries = Seq(10L, 20L))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(out == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 2))
+  }
 }
