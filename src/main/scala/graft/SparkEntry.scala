@@ -1655,6 +1655,17 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Count-Min sketch audit: one corpus-wide 4×512 sketch (16 KB of
+    // aggregation state regardless of vocabulary — the "how frequent is
+    // this term" sibling of q86's Misra-Gries "which terms are frequent"),
+    // point estimates for the exact top-100 terms next to their true
+    // counts. md5-derived hashes, so the oracle rebuilds the identical
+    // sketch in SQL and the one-sided error is under the hash.
+    "q115_cms_counts" -> ((s, dir) => {
+      TextAnalysis.cmsFrequencyReport(Tables(s, dir).documents, "text",
+        k = 100, depth = 4, width = 512)
+    }),
+
     // Range-partition planning (the sorted-write / TeraSort primitive):
     // md5-deterministic 10% sample → 7 exact rank-quantile boundaries →
     // map-side partition assignment → per-partition balance report. The
@@ -2296,6 +2307,8 @@ object SparkEntry {
         |ORDER BY query_id""".stripMargin,
 
     "q112_minhash_accuracy" -> minHashAccuracyOracle,
+
+    "q115_cms_counts" -> cmsOracle,
 
     // q26's md5-bucket sample predicate, exact rank quantiles over the
     // sample under the total order (key, id), boundary i at rank
@@ -4007,6 +4020,33 @@ object SparkEntry {
        |WHERE len(list_intersect(x.s, y.s)) /
        |      (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.3
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Oracle twin of [[graft.operators.TextAnalysis.cmsFrequencyReport]]:
+    * rebuilds the 4×512 Count-Min sketch cell-for-cell in SQL (same
+    * 28-bit md5 base hash, same [[Dedup.hashConsts]] universal-hash rows
+    * as the MinHash oracle), then evaluates the min-over-rows point
+    * estimate for the exact top-100 terms.
+    */
+  private def cmsOracle: String = {
+    val depth = 4; val width = 512
+    val consts = Dedup.hashConsts(depth)
+    val cellSelects = consts.zipWithIndex.map { case ((a, b), r) =>
+      s"SELECT $r AS r, (($a * h + $b) % ${Dedup.HashP}) % $width AS c, count(*) AS cnt FROM base GROUP BY c"
+    }.mkString("\n  UNION ALL ")
+    val estLookups = consts.zipWithIndex.map { case ((a, b), r) =>
+      s"coalesce((SELECT cnt FROM cells WHERE r = $r AND c = (($a * t.h + $b) % ${Dedup.HashP}) % $width), 0)"
+    }.mkString(",\n         ")
+    s"""WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       |           FROM documents),
+       |base AS (SELECT term, ('0x' || substr(md5(term), 1, 7))::BIGINT AS h FROM w),
+       |cells AS (
+       |  $cellSelects),
+       |top AS (SELECT term, min(h) AS h, count(*) AS true_cnt FROM base GROUP BY term
+       |        ORDER BY true_cnt DESC, term LIMIT 100)
+       |SELECT term, true_cnt::BIGINT AS true_cnt,
+       |       least($estLookups)::BIGINT AS est_cnt
+       |FROM top t ORDER BY true_cnt DESC, term""".stripMargin
   }
 
   /** Oracle twin of [[graft.operators.Dedup.minHashAccuracy]]: the

@@ -47,6 +47,8 @@ object GraftExtensions {
       e => Quant8Vec(e.head)),
     ("graft_heavy_hitters", classOf[HeavyHitters],
       e => HeavyHitters(e.head, e(1))),
+    ("graft_cms", classOf[CountMinSketch],
+      e => CountMinSketch(e.head, e(1), e(2))),
     ("graft_nfc", classOf[NfcNormalize],
       e => NfcNormalize(e.head)),
     // Spark's own runtime-filter primitives, exposed to the text surface

@@ -624,6 +624,51 @@ object TextAnalysis {
     * path needed. With `capacity` >= the group's distinct-term count no
     * decrement ever fires and the result is exact (q86's oracle regime).
     */
+  /** Query-side point lookup over a `graft_cms` sketch array: the min
+    * over the sketch's `depth` hashed cells for `term` — the classical
+    * CMS estimate, always >= the true count. Pure column expression: the
+    * sketch rides along as a (broadcast) literal-sized array, the hashes
+    * are the same md5/modular arithmetic the aggregate used, so lookup
+    * needs no UDF and stays inside codegen.
+    */
+  def cmsEstimate(sketch: Column, term: Column,
+                  depth: Int = 4, width: Int = 512): Column = {
+    val base = conv(substring(md5(term), 1, 7), 16, 10).cast("long")
+    val P = graft.functions.CountMinSketch.P
+    val lookups = graft.functions.CountMinSketch.consts.take(depth).zipWithIndex
+      .map { case ((a, b), r) =>
+        element_at(sketch,
+          (lit(r * width) + ((lit(a) * base + lit(b)) % lit(P)) % lit(width)
+            + 1).cast("int"))
+      }
+    least(lookups: _*)
+  }
+
+  /** Frequency-estimation audit (q115): build ONE corpus-wide Count-Min
+    * sketch over the token stream — `depth·width` longs of aggregation
+    * state, never a per-term shuffle — then report, for the exact top
+    * `k` terms, the true count next to the sketch's estimate. The
+    * measured one-sided error (est - true >= 0 always) is the evidence
+    * for sizing `width` before trusting the sketch at 100 TB, exactly
+    * [[Similarity.recallReport]]'s role for the ANN index. The exact
+    * side exists for the audit; production reads the sketch alone.
+    */
+  def cmsFrequencyReport(df: DataFrame, textCol: String, k: Int,
+                         depth: Int = 4, width: Int = 512): DataFrame = {
+    graft.functions.CountMinSketch.ensureRegistered(df.sparkSession)
+    val toks = CacheScope.persisted(
+      df.select(explode(tokens(col(textCol))).as("term"))
+        .filter(col("term") =!= ""))
+    val sketch = toks.agg(
+      call_function("graft_cms", col("term"), lit(depth), lit(width)).as("sk"))
+    toks.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("term")).limit(k)
+      .crossJoin(broadcast(sketch))
+      .select(col("term"), col("true_cnt"),
+        cmsEstimate(col("sk"), col("term"), depth, width).as("est_cnt"))
+      .orderBy(col("true_cnt").desc, col("term"))
+  }
+
   def heavyHitterTerms(df: DataFrame, groupCol: String, textCol: String,
                        capacity: Int, k: Int): DataFrame = {
     require(k >= 1 && capacity >= k, s"need 1 <= k <= capacity: k=$k cap=$capacity")
