@@ -1655,6 +1655,19 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Decontamination SCRUB (q34 detects, this removes): drop every
+    // 20-token train paragraph sharing a 13-gram with the test split,
+    // stitch the survivors back byte-exact — the surgical path that costs
+    // a contaminated page one paragraph, not the whole document.
+    "q116_decontam_scrub" -> ((s, dir) => {
+      val split = Sampling.hashSplit(Tables(s, dir).documents, "doc_id",
+        trainPct = 80, valPct = 10)
+      Dedup.decontaminate(
+        split.filter(col("split") === "train"), "doc_id", "text",
+        split.filter(col("split") === "test"), "text", n = 13, window = 20)
+        .orderBy("doc_id")
+    }),
+
     // Count-Min sketch audit: one corpus-wide 4×512 sketch (16 KB of
     // aggregation state regardless of vocabulary — the "how frequent is
     // this term" sibling of q86's Misra-Gries "which terms are frequent"),
@@ -2309,6 +2322,44 @@ object SparkEntry {
     "q112_minhash_accuracy" -> minHashAccuracyOracle,
 
     "q115_cms_counts" -> cmsOracle,
+
+    // q34's split + eval-gram table, q64's positional chunking and
+    // reassembly, NOT EXISTS as the anti-join — paragraphs with no full
+    // 13-gram (len < 13) are never dropped, the detector's own rule
+    "q116_decontam_scrub" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+         |           FROM documents),
+         |etoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM b WHERE bucket >= 90),
+         |es AS (SELECT ${hashedShinglesSql(13)} AS h FROM etoks WHERE len(t) >= 13),
+         |esh AS (SELECT DISTINCT h FROM es),
+         |ctoks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM b WHERE bucket < 80),
+         |c AS (SELECT doc_id, toks,
+         |             unnest(generate_series(1, greatest(len(toks), 1), 20)) AS start
+         |      FROM ctoks),
+         |p AS (SELECT doc_id, ((start - 1) / 20)::BIGINT AS pos,
+         |             toks[start : start + 19] AS t
+         |      FROM c),
+         |pp AS (SELECT doc_id, pos, len(t)::BIGINT AS n_toks,
+         |              array_to_string(t, ' ') AS para
+         |       FROM p),
+         |psh AS (SELECT doc_id, pos, ${hashedShinglesSql(13)} AS h
+         |        FROM p WHERE len(t) >= 13),
+         |dirty AS (SELECT DISTINCT doc_id, pos FROM psh JOIN esh USING (h)),
+         |kept AS (SELECT * FROM pp
+         |         WHERE NOT EXISTS (SELECT 1 FROM dirty d
+         |                           WHERE d.doc_id = pp.doc_id AND d.pos = pp.pos)),
+         |reb AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |               sum(n_toks)::BIGINT AS kept_toks,
+         |               md5(string_agg(para, ' ' ORDER BY pos)) AS kept_fp
+         |        FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*)::BIGINT AS n_paras FROM pp GROUP BY doc_id)
+         |SELECT tot.doc_id, tot.n_paras,
+         |       coalesce(reb.n_kept, 0)::BIGINT AS n_kept,
+         |       coalesce(reb.kept_toks, 0)::BIGINT AS kept_toks,
+         |       coalesce(reb.kept_fp, md5('')) AS kept_fp
+         |FROM tot LEFT JOIN reb USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // q26's md5-bucket sample predicate, exact rank quantiles over the
     // sample under the total order (key, id), boundary i at rank

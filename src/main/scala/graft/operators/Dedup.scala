@@ -802,6 +802,60 @@ object Dedup {
     * task. Reassembly order is explicit (`sort_array` on (pos, text)
     * structs), never collect_list encounter order.
     */
+  /** Decontamination SCRUB — [[contaminatedDocs]] detects, this REMOVES:
+    * split each corpus document into positional `window`-token paragraphs,
+    * drop every paragraph sharing ANY `n`-gram with the (broadcast
+    * distinct) eval-set gram table, and stitch the survivors back in
+    * order, byte-exact ([[paragraphDedup]]'s reassembly contract). The
+    * surgical alternative to dropping whole documents: a 10k-token page
+    * quoting one eval question loses one paragraph, not its other 9950
+    * tokens — the volume argument that matters when decontamination runs
+    * over the entire training corpus, not a sample.
+    *
+    * Paragraphs shorter than `n` tokens carry no `n`-gram and are never
+    * dropped (same rule as the detector — containment needs a full
+    * n-gram). Output per corpus doc: (doc_id, n_paras, n_kept, kept_toks,
+    * kept_fp).
+    *
+    * Scale shape: eval grams are the asymmetric broadcast side (eval
+    * suites are MBs); the corpus pays one chunk-explode + one gram
+    * explode map-side, one broadcast semi-join, and one per-doc
+    * aggregate — no corpus-keyed join ever shuffles text except the final
+    * doc_id groupBy, the [[paragraphDedup]] inventory.
+    */
+  def decontaminate(corpus: DataFrame, corpusId: String, corpusText: String,
+                    evalSet: DataFrame, evalTextCol: String,
+                    n: Int = 13, window: Int = 50,
+                    broadcastEval: Boolean = true): DataFrame = {
+    graft.functions.HashedShingles.ensureRegistered(corpus.sparkSession)
+    val evalGrams = evalSet
+      .select(explode(
+        call_function("graft_shingles64", col(evalTextCol), lit(n))).as("h"))
+      .distinct()
+    val paras = CacheScope.persisted(
+      TextAnalysis.chunkByTokens(corpus, corpusId, corpusText, window, overlap = 0)
+        .select(col("doc_id"), col("chunk_idx").as("pos"),
+          col("n_toks"), col("chunk"),
+          call_function("graft_shingles64", col("chunk"), lit(n)).as("sh")))
+    val dirty = paras
+      .select(col("doc_id"), col("pos"), explode(col("sh")).as("h"))
+      .join(if (broadcastEval) broadcast(evalGrams) else evalGrams, "h")
+      .select("doc_id", "pos").distinct()
+    val rebuilt = paras.join(dirty, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_toks")).cast("long").as("kept_toks"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("chunk")))),
+          p => p("chunk")), " ")).as("kept_fp"))
+    paras.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_toks"), lit(0L)).as("kept_toks"),
+        coalesce(col("kept_fp"), md5(lit(""))).as("kept_fp"))
+  }
+
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      window: Int = 50): DataFrame = {
     val paras = CacheScope.persisted(

@@ -460,4 +460,32 @@ class DedupSpec extends SparkTestBase {
       assert(acc.head.getDouble(4) < 0.9)        // ...which the report keeps, with truth
     }
   }
+
+  test("decontaminate drops exactly the paragraph containing the eval n-gram, stitches the rest") {
+    // doc 0: three 5-token paragraphs; the middle one quotes the eval doc
+    val corpus = Seq(
+      (0L, "a1 a2 a3 a4 a5 q1 q2 q3 q4 q5 b1 b2 b3 b4 b5"),
+      (1L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")  // clean
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "x0 q1 q2 q3 q4 q5 x1")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, "doc_id", "text", eval_, "text",
+        n = 5, window = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out(0)._2 == 3L && out(0)._3 == 2L && out(0)._4 == 10L)
+    // reassembly is byte-exact: survivors in order, single-space joined
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s2: String) = md.digest(s2.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(out(0)._5 == h("a1 a2 a3 a4 a5 b1 b2 b3 b4 b5"))
+    assert(out(1)._2 == 2L && out(1)._3 == 2L)          // clean doc untouched
+    assert(out(1)._5 == h("c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"))
+  }
+
+  test("decontaminate: paragraphs shorter than n are never dropped") {
+    val corpus = Seq((0L, "q1 q2 q3")).toDF("doc_id", "text")   // 3 < n=5
+    val eval_ = Seq((1L, "q1 q2 q3 q4 q5")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, "doc_id", "text", eval_, "text",
+        n = 5, window = 5).collect()
+    assert(out.head.getLong(2) == 1L)   // kept — no full 5-gram to match
+  }
 }
