@@ -582,6 +582,24 @@ object Similarity {
     codebook
   }
 
+  /** The [[kmeans]] LOOP's gate surface: the full per-(cell, dim) mean
+    * frame after the `iters`-th Lloyd iteration — iterations 1..iters-1
+    * run through [[kmeans]] (codebook carried as the bounded driver
+    * model), the final step re-emitted as a DataFrame in [[kmeansStep]]'s
+    * exact shape. q53 gates ONE step; q117 puts the ITERATION itself —
+    * collect-refine-reassign, the part a distributed k-means can get
+    * wrong — under the oracle hash, with the second round's centroids
+    * re-derived arithmetically from the first round's fixed-point means.
+    */
+  def kmeansIterReport(df: DataFrame, idCol: String, vecCol: String,
+                       iters: Int, centStep: Int = 25,
+                       maxCentroids: Int = 4096): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val codebook = kmeans(df, idCol, vecCol, iters - 1, centStep, maxCentroids)
+    meanPool(ivfAssign(df, idCol, vecCol, codebook)
+      .select(col("cell"), col("v")), "cell", "v")
+  }
+
   /** LSH-accelerated top-k: candidates are same-bucket vectors only
     * (equi-join on bucket — never a cross join), ranked by exact cosine.
     * Lower recall than [[knnBrute]] by construction; that trade is the

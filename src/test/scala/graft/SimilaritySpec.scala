@@ -891,6 +891,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(viaGroups == viaPairs && viaGroups.nonEmpty)
   }
 
+  test("kmeansIterReport: iters=1 is the gated single step; a fixed point repeats") {
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.2f)),
+      (4L, Array(0.0f, 1.0f)), (5L, Array(0.2f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("cell", "dim_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSeq
+    val one = rows(Similarity.kmeansIterReport(vs, "vec_id", "embedding",
+      iters = 1, centStep = 4))
+    assert(one == rows(Similarity.kmeansStep(vs, "vec_id", "embedding", centStep = 4)))
+    // this geometry's assignment is stable after one step, so the second
+    // iteration reproduces the identical fixed-point means
+    val two = rows(Similarity.kmeansIterReport(vs, "vec_id", "embedding",
+      iters = 2, centStep = 4))
+    assert(two == one)
+  }
+
   test("scoped perceptualDups: identical hashes in different scopes never pair") {
     val df = Seq(
       (0L, true, 0x1234L, 0x5678L, 0),   // image scope
