@@ -1655,6 +1655,16 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // The sequence-side packing manifest (q50 is the doc-side index):
+    // per (source, sequence) — occupants, attention-reset boundary count,
+    // fill, and exact integer digests of the boundary offsets. What a
+    // training loader asks of the packing, gated end-to-end.
+    "q118_seq_index" -> ((s, dir) => {
+      Curation.sequenceIndex(Tables(s, dir).documents, "doc_id", "text",
+          "source", seqLen = 256)
+        .orderBy("source", "seq_id")
+    }),
+
     // The k-means LOOP under the hash (q53 gates one step): two full Lloyd
     // iterations — assign, fixed-point means, codebook collect, reassign,
     // means again — with the oracle re-deriving round 2's centroids from
@@ -2333,6 +2343,37 @@ object SparkEntry {
     "q112_minhash_accuracy" -> minHashAccuracyOracle,
 
     "q115_cms_counts" -> cmsOracle,
+
+    // q50's running-total CTE, each doc exploded to the sequences it
+    // touches, per-sequence offsets by the boundary cases, one aggregate
+    "q118_seq_index" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |t1 AS (SELECT * FROM t WHERE n_tokens >= 1),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |      FROM t1),
+        |d AS (SELECT source, doc_id, n_tokens, cum,
+        |        ((cum - n_tokens) // 256)::BIGINT AS seq_first,
+        |        ((cum - 1) // 256)::BIGINT AS seq_last,
+        |        ((cum - n_tokens) % 256)::BIGINT AS seq_offset
+        |      FROM c),
+        |x0 AS (SELECT source, doc_id, seq_first, seq_last, seq_offset, cum,
+        |              unnest(generate_series(seq_first, seq_last)) AS sq
+        |       FROM d),
+        |x AS (SELECT source, doc_id, sq,
+        |             CASE WHEN sq = seq_first THEN seq_offset ELSE 0 END AS s_off,
+        |             CASE WHEN sq = seq_last THEN (cum - 1) % 256 ELSE 255 END AS e_off,
+        |             CASE WHEN sq = seq_first THEN 1 ELSE 0 END AS starts
+        |      FROM x0)
+        |SELECT source, sq AS seq_id, count(*)::BIGINT AS n_docs,
+        |       sum(starts)::BIGINT AS n_starts,
+        |       sum(e_off - s_off + 1)::BIGINT AS fill_tokens,
+        |       sum(CASE WHEN starts = 1 THEN s_off ELSE 0 END)::BIGINT AS start_off_sum,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM x GROUP BY source, sq ORDER BY source, seq_id""".stripMargin,
 
     // q53's round with the second Lloyd iteration unrolled: cents2 =
     // round-1 micro-means / 1e6 (the exact double the engine's codebook

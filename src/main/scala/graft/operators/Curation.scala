@@ -175,6 +175,48 @@ object Curation {
         ((col("__cum") - col(countCol)) % seqLen).cast("long").as("seq_offset"))
   }
 
+  /** The SEQUENCE-side view of [[packSequences]] — the loader manifest:
+    * one row per (group, sequence) with how many documents occupy it, how
+    * many START in it (`n_starts` = the attention-reset boundaries a
+    * block-diagonal mask needs), the filled token count (= `seqLen`
+    * everywhere except each group's final partial sequence), and exact
+    * integer digests of the boundary offsets (`start_off_sum`) and
+    * occupant ids (`min_doc`/`max_doc`). [[packSequences]] answers "where
+    * did my document land"; this answers "what is IN sequence s" — the
+    * query a training loader actually issues, materializable without
+    * re-scanning text.
+    *
+    * Scale shape: each document explodes to one row per sequence it
+    * touches, so total rows = Σ tokens/seqLen + #docs — linear in corpus
+    * tokens; then ONE aggregate on (group, seq). The explode reuses
+    * [[packSequencesBy]]'s outputs arithmetically (first/last token
+    * derived from seq_first·seqLen + offset), no second corpus pass.
+    */
+  def sequenceIndex(df: DataFrame, idCol: String, textCol: String,
+                    groupCol: String, seqLen: Int): DataFrame = {
+    val placed = packSequences(df, idCol, textCol, groupCol, seqLen)
+    val lastOff = (col("seq_first") * seqLen + col("seq_offset")
+      + col("n_tokens") - 1) % seqLen
+    placed
+      .withColumn("sq", explode(sequence(col("seq_first"), col("seq_last"))))
+      .select(col(groupCol), col(idCol),
+        col("sq").cast("long").as("seq_id"),
+        when(col("sq") === col("seq_first"), col("seq_offset"))
+          .otherwise(lit(0L)).as("s_off"),
+        when(col("sq") === col("seq_last"), lastOff)
+          .otherwise(lit(seqLen - 1).cast("long")).as("e_off"),
+        when(col("sq") === col("seq_first"), lit(1L)).otherwise(lit(0L))
+          .as("starts"))
+      .groupBy(col(groupCol), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("starts").cast("long").as("n_starts"),
+        sum(col("e_off") - col("s_off") + 1).cast("long").as("fill_tokens"),
+        sum(when(col("starts") === 1L, col("s_off")).otherwise(lit(0L)))
+          .cast("long").as("start_off_sum"),
+        min(col(idCol)).as("min_doc"), max(col(idCol)).as("max_doc"))
+      .orderBy(col(groupCol), col("seq_id"))
+  }
+
   /** Quality-THRESHOLD SWEEP: for each candidate threshold, the documents
     * and tokens that would survive filtering at `score >= threshold`, plus
     * their corpus share in exact integer ppm — the operating-curve a curation run

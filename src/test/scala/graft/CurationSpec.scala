@@ -252,4 +252,24 @@ class CurationSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == expect)
   }
+
+  test("sequenceIndex: hand-computed occupants, boundaries, fill, and the straddle case") {
+    // seqLen 10; docs of 7, 8, 12 tokens -> cum 7, 15, 27
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, "s", words(7)), (2L, "s", words(8)), (3L, "s", words(12))
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.sequenceIndex(df, "doc_id", "text", "source", seqLen = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.toSeq == Seq(
+      // seq 0: doc1 fully (starts at 0), doc2's head (starts at 7)
+      ("s", 0L, 2L, 2L, 10L, 7L, 1L, 2L),
+      // seq 1: doc2's tail (no start), doc3 starts at offset 5
+      ("s", 1L, 2L, 1L, 10L, 5L, 2L, 3L),
+      // seq 2: doc3's tail alone — partial fill 7
+      ("s", 2L, 1L, 0L, 7L, 0L, 3L, 3L)))
+    // conservation: per-sequence fills sum to the corpus token count
+    assert(out.map(_._5).sum == 27L)
+  }
 }
