@@ -1655,6 +1655,27 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // STREAMING heavy hitters: the native Misra-Gries aggregate as a
+    // streaming aggregation — partial MG buffers merge across
+    // micro-batches through the state store (mergeable summaries is
+    // exactly the streaming-agg contract), complete-mode emission. At
+    // capacity >= vocabulary the final table must equal q86's EXACT
+    // batch oracle, so the sketch's state-store round trip sits under
+    // the hash.
+    "q119_stream_heavy_hitters" -> ((s, dir) => {
+      withShufflePartitions(s, 8) { child =>
+        val schema = child.read.parquet(s"$dir/documents.parquet").schema
+        val src = child.readStream.schema(schema).parquet(s"$dir/documents*.parquet")
+        val name = s"q119_sink_${StreamRunSeq.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("q119-ckpt").toString
+        StreamArtifacts.add((child, name, ckpt))
+        BoundedStream.runAvailableNow(child, src,
+          df => TextAnalysis.heavyHitterTerms(df, "source", "text",
+            capacity = 4096, k = 20),
+          ckpt, name, outputMode = "complete")
+      }.orderBy("source", "rk")
+    }),
+
     // The sequence-side packing manifest (q50 is the doc-side index):
     // per (source, sequence) — occupants, attention-reset boundary count,
     // fill, and exact integer digests of the boundary offsets. What a
@@ -1868,7 +1889,11 @@ object SparkEntry {
       // the parquet-drain deployment path (foreachBatch appends, driver
       // holds nothing) must reproduce the batch banded join's answer —
       // q100's recipe minus the gate-only memory sink
-      "q106_stream_phash_drain" -> "q92_image_dups")
+      "q106_stream_phash_drain" -> "q92_image_dups",
+      // the Misra-Gries aggregate run as a STREAMING aggregation
+      // (buffers serialized through the state store between batches)
+      // must, at capacity >= vocab, reproduce the exact batch top-k
+      "q119_stream_heavy_hitters" -> "q86_heavy_hitters")
       .map { case (aliasQ, libQ) => aliasQ -> oracleSqlBase(libQ) }
   }
 
