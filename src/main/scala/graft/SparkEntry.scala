@@ -1655,6 +1655,16 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Temperature mixture sampling (α = 0.5): weights ∝ √n flatten the
+    // source-size head — the multilingual-mix standard — with quotas in
+    // exact integer micro-units and membership under the capPerGroup md5
+    // rank. sqrt is IEEE-correctly-rounded, so the whole policy is under
+    // the hash (pow would not be — documented in the operator).
+    "q120_temperature_mix" -> ((s, dir) => {
+      Sampling.temperatureMix(Tables(s, dir).documents, "doc_id", "source",
+        budget = 200, alpha = 0.5)
+    }),
+
     // STREAMING heavy hitters: the native Misra-Gries aggregate as a
     // streaming aggregation — partial MG buffers merge across
     // micro-batches through the state store (mergeable summaries is
@@ -2368,6 +2378,27 @@ object SparkEntry {
     "q112_minhash_accuracy" -> minHashAccuracyOracle,
 
     "q115_cms_counts" -> cmsOracle,
+
+    // per-source counts → floor(sqrt·1e6) micro-weights → integer quota →
+    // md5-rank membership, all re-derived from scratch
+    "q120_temperature_mix" ->
+      """WITH g AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, n, floor(sqrt(n) * 1e6)::BIGINT AS wm FROM g),
+        |tot AS (SELECT sum(wm)::BIGINT AS tw FROM w),
+        |q AS (SELECT source, n, wm, ((200 * wm) // tot.tw)::BIGINT AS quota
+        |      FROM w, tot),
+        |r AS (SELECT doc_id, source,
+        |             row_number() OVER (PARTITION BY source
+        |                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        |      FROM documents),
+        |k AS (SELECT r.source, count(*)::BIGINT AS n_kept,
+        |             sum(doc_id)::BIGINT AS id_sum
+        |      FROM r JOIN q USING (source) WHERE r.rk <= q.quota
+        |      GROUP BY r.source)
+        |SELECT q.source, q.n AS n_docs, q.wm AS weight_micro, q.quota,
+        |       coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+        |       coalesce(k.id_sum, 0)::BIGINT AS id_sum
+        |FROM q LEFT JOIN k USING (source) ORDER BY source""".stripMargin,
 
     // q50's running-total CTE, each doc exploded to the sequences it
     // touches, per-sequence offsets by the boundary cases, one aggregate

@@ -294,6 +294,59 @@ object Sampling {
       ps.map(p => round(approx_percentile(col(valCol), lit(p), lit(accuracy)), 6)
         .as(s"p${(p * 100).round}")): _*)
 
+  /** TEMPERATURE mixture sampling — the multilingual/multi-source mix
+    * standard (weights ∝ n^α, α < 1 flattens the head so dominant sources
+    * stop swamping tail ones; α = 1 is proportional, α → 0 uniform).
+    * Per group: `weight = ⌊n^α · 10⁶⌋` exact-integer micro-units, `quota =
+    * budget · weight div Σweights`, membership = the group's first `quota`
+    * documents under the [[capPerGroup]] md5 rank — deterministic end to
+    * end, so the whole mix policy (weights, quotas, membership) is
+    * reproducible and oracle-checkable.
+    *
+    * α = 0.5 (the default, and the q120 gate) computes via `sqrt`, which
+    * IEEE 754 requires to be correctly rounded — bit-identical in every
+    * engine. Other α go through `pow`, which libms round differently; a
+    * cross-engine gate for those would need a rational-power ladder, so
+    * they are supported but documented as engine-local.
+    *
+    * Output per group: (group, n_docs, weight_micro, quota, n_kept,
+    * id_sum) — the audit frame; callers wanting the kept ROWS join the
+    * quota frame and reuse the same rank (the [[tokenBudgetMix]] shape).
+    *
+    * Scale: one bounded-group count, one broadcast quota join, one
+    * rank-limited window per group (rank pushdown applies — quota is a
+    * per-group constant after the join).
+    */
+  def temperatureMix(df: DataFrame, idCol: String, groupCol: String,
+                     budget: Long, alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    val weightOf =
+      if (alpha == 0.5) sqrt(col("n")) else pow(col("n"), lit(alpha))
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .withColumn("weight_micro", floor(weightOf * 1e6).cast("long"))
+    // corpus-wide weight total as a broadcast 1-row frame (the q57
+    // pattern), never a driver scalar or a global window
+    val quotas = CacheScope.persisted(
+      counts.crossJoin(broadcast(counts.agg(sum("weight_micro").as("__tw"))))
+        .select(col(groupCol), col("n").as("n_docs"), col("weight_micro"),
+          expr(s"($budget * weight_micro) div __tw").as("quota")))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    val kept = df.select(col(groupCol), col(idCol))
+      .join(broadcast(quotas.select(col(groupCol), col("quota"))), Seq(groupCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("quota"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_kept"), sum(col(idCol)).cast("long").as("id_sum"))
+    quotas.join(kept, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"), col("weight_micro"), col("quota"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+      .orderBy(col(groupCol))
+  }
+
   /** Range-partition PLANNER — the boundary computation behind a globally
     * SORTED 100 TB write (the TeraSort primitive): take a deterministic
     * [[deterministicSample]] of the corpus, read `numParts - 1` boundary

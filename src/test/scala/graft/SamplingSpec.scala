@@ -280,4 +280,38 @@ class SamplingSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
     assert(out == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 2))
   }
+
+  test("temperatureMix: sqrt flattens the head, quotas exact-integer, membership capped") {
+    // sources of 400 / 100 / 4 docs: proportional quotas would be 100:25:1;
+    // sqrt weights are 20:10:2 -> the head is flattened 5x vs proportional
+    val df = ((0 until 400).map(i => (i.toLong, "big")) ++
+      (1000 until 1100).map(i => (i.toLong, "mid")) ++
+      (2000 until 2004).map(i => (i.toLong, "tiny")))
+      .toDF("doc_id", "source")
+    val out = Sampling.temperatureMix(df, "doc_id", "source", budget = 160)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    val byS = out.map(t => t._1 -> t).toMap
+    assert(byS("big")._3 == 20000000L && byS("mid")._3 == 10000000L
+      && byS("tiny")._3 == 2000000L)                  // floor(sqrt(n)*1e6)
+    // quota_i = budget * w_i div sum(w) = 160*w/32e6 -> 100, 50, 10
+    assert(out.map(_._4) == List(100L, 50L, 10L))
+    assert(out.map(_._5) == List(100L, 50L, 4L))      // tiny capped at n=4
+    // sqrt ratio 2:1 between big and mid, where proportional would be 4:1
+    assert(byS("big")._4 == 2 * byS("mid")._4)
+    // deterministic: a second run reproduces every column exactly
+    val again = Sampling.temperatureMix(df, "doc_id", "source", budget = 160)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    assert(again == out)
+  }
+
+  test("temperatureMix alpha=1 is proportional") {
+    val df = ((0 until 300).map(i => (i.toLong, "a")) ++
+      (1000 until 1100).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
+    val out = Sampling.temperatureMix(df, "doc_id", "source",
+        budget = 40, alpha = 1.0)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(out("a") == 3 * out("b"))                  // 300:100 kept exactly
+  }
 }
