@@ -1655,6 +1655,36 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // STREAMING Count-Min sketch: graft_cms as a complete-mode streaming
+    // aggregation (fixed 4×512-long buffers merging through the state
+    // store — the bounded-state contract is exactly what streaming wants),
+    // then the q115 report evaluated against the STREAMED sketch. Must
+    // hash-match q115's batch oracle cell-for-cell.
+    "q121_stream_cms" -> ((s, dir) => {
+      withShufflePartitions(s, 8) { child =>
+        graft.functions.CountMinSketch.ensureRegistered(child)
+        val schema = child.read.parquet(s"$dir/documents.parquet").schema
+        val src = child.readStream.schema(schema).parquet(s"$dir/documents*.parquet")
+        val name = s"q121_sink_${StreamRunSeq.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("q121-ckpt").toString
+        StreamArtifacts.add((child, name, ckpt))
+        val sketch = BoundedStream.runAvailableNow(child, src,
+          df => df.select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+            .filter(col("term") =!= "")
+            .agg(call_function("graft_cms", col("term"), lit(4), lit(512)).as("sk")),
+          ckpt, name, outputMode = "complete")
+        Tables(child, dir).documents
+          .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy("term").agg(count(lit(1)).as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("term")).limit(100)
+          .crossJoin(broadcast(sketch))
+          .select(col("term"), col("true_cnt"),
+            TextAnalysis.cmsEstimate(col("sk"), col("term"), 4, 512).as("est_cnt"))
+          .orderBy(col("true_cnt").desc, col("term"))
+      }
+    }),
+
     // Temperature mixture sampling (α = 0.5): weights ∝ √n flatten the
     // source-size head — the multilingual-mix standard — with quotas in
     // exact integer micro-units and membership under the capPerGroup md5
@@ -1903,7 +1933,10 @@ object SparkEntry {
       // the Misra-Gries aggregate run as a STREAMING aggregation
       // (buffers serialized through the state store between batches)
       // must, at capacity >= vocab, reproduce the exact batch top-k
-      "q119_stream_heavy_hitters" -> "q86_heavy_hitters")
+      "q119_stream_heavy_hitters" -> "q86_heavy_hitters",
+      // the CMS built through streaming state-store merges must equal
+      // the batch sketch cell-for-cell (estimates are the witnesses)
+      "q121_stream_cms" -> "q115_cms_counts")
       .map { case (aliasQ, libQ) => aliasQ -> oracleSqlBase(libQ) }
   }
 

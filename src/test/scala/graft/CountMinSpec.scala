@@ -71,4 +71,29 @@ class CountMinSpec extends SparkTestBase {
       df.agg(expr("graft_cms(term, 99, 16)")).collect()
     }
   }
+
+  test("streaming (complete mode) sketch equals batch: buffers merge through the state store") {
+    graft.functions.CountMinSketch.ensureRegistered(spark)
+    import org.apache.spark.sql.DataFrame
+    import graft.streaming.BoundedStream
+    val dir = java.nio.file.Files.createTempDirectory("cms_stream").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("cms_ckpt").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "a.txt").toPath,
+      java.util.Arrays.asList("a b a c", "d a"))
+    java.nio.file.Files.write(new java.io.File(dir, "b.txt").toPath,
+      java.util.Arrays.asList("b b c e", "a f"))
+    val transform = (df: DataFrame) =>
+      df.select(explode(split(col("line"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .agg(call_function("graft_cms", col("term"), lit(4), lit(64)).as("sk"))
+    val streamed = BoundedStream.runAvailableNow(spark,
+      BoundedStream.textStream(spark, dir.getPath, maxFilesPerTrigger = Some(1)),
+      transform, ckpt.getPath, "cms_stream_parity")
+      .head.getSeq[Long](0)
+    val batch = transform(
+      spark.read.text(dir.getPath).withColumnRenamed("value", "line"))
+      .head.getSeq[Long](0)
+    assert(streamed == batch)          // cell-for-cell, total slot included
+    assert(streamed.last == 12L)
+  }
 }
