@@ -78,11 +78,12 @@ case class CountMinSketch(
     (first.dataType, second.dataType, third.dataType) match {
       case (StringType, IntegerType, IntegerType)
           if second.foldable && third.foldable =>
-        if (depth >= 1 && depth <= CountMinSketch.MaxDepth && width >= 1)
+        if (depth >= 1 && depth <= CountMinSketch.MaxDepth && width >= 1 &&
+            depth.toLong * width <= CountMinSketch.MaxCells)
           TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(
-          s"graft_cms needs 1 <= depth <= ${CountMinSketch.MaxDepth} and width >= 1, " +
-            s"got ${depth}x$width")
+          s"graft_cms needs 1 <= depth <= ${CountMinSketch.MaxDepth}, width >= 1, " +
+            s"and depth*width <= ${CountMinSketch.MaxCells} cells, got ${depth}x$width")
       case _ => TypeCheckResult.TypeCheckFailure(
         s"graft_cms expects (string, foldable int, foldable int), got " +
           s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
@@ -150,18 +151,35 @@ object CountMinSketch {
     * `δ = e^-depth` failure odds any sketch needs.
     */
   val MaxDepth = 16
+
+  /** Cell cap (2²⁴ longs = 128 MB): an Int-overflowing `depth·width`
+    * would wrap the buffer allocation size (NegativeArraySizeException on
+    * the executor — or worse, a small wrapped size that add() then writes
+    * past), and a sketch anywhere near this cap has stopped being a
+    * sketch. Checked as a Long product at analysis time.
+    */
+  val MaxCells: Long = 1L << 24
   private[graft] val P: Long = graft.operators.Dedup.HashP
   private[graft] lazy val consts: IndexedSeq[(Long, Long)] =
     graft.operators.Dedup.hashConsts(MaxDepth).toIndexedSeq
 
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** The 28-bit md5 base hash — `('0x' || substr(md5(term), 1, 7))::BIGINT`
-    * in the oracle's SQL, byte-identical here.
+    * in the oracle's SQL. The first 7 hex digits are the first 4 digest
+    * bytes right-shifted a nibble, read directly off the bytes
+    * ([[HashedShingles]]' device) — this runs once per TOKEN corpus-wide,
+    * so no per-row MessageDigest allocation and no hex-string detour.
     */
   private[graft] def baseHash(term: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(4).map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 7), 16)
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (((d(0) & 0xff) << 24 | (d(1) & 0xff) << 16 |
+      (d(2) & 0xff) << 8 | (d(3) & 0xff)) >>> 4).toLong
   }
 
   def ensureRegistered(spark: SparkSession): Unit =

@@ -49,9 +49,20 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 object NfcNormalize {
 
   /** Called from generated code. Returns the INPUT object unchanged when
-    * already NFC (the ASCII/common case — no copy, no allocation).
+    * already NFC. The ASCII check runs on the UTF-8 BYTES first — ASCII is
+    * closed under NFC, so an all-ASCII row (the overwhelming web-corpus
+    * case) returns with genuinely zero allocation; `toString` (a full
+    * String copy) is paid only by rows carrying non-ASCII bytes.
     */
   def compute(text: UTF8String): UTF8String = {
+    var i = 0
+    val n = text.numBytes()
+    var ascii = true
+    while (ascii && i < n) {
+      if ((text.getByte(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) return text
     val s = text.toString
     if (Normalizer.isNormalized(s, Normalizer.Form.NFC)) text
     else UTF8String.fromString(Normalizer.normalize(s, Normalizer.Form.NFC))

@@ -467,13 +467,17 @@ object Multimodal {
     val sigs = tag(imagePHash(syntheticImagesSeeded(spark, docs, imageSeedMod)).toDF(), 0)
       .unionAll(tag(audioPHash(syntheticAudioSeeded(spark, docs, audioSeedMod)), 1))
       .unionAll(tag(videoPHash(syntheticVideosSeeded(spark, docs, videoSeedMod), stride), 2))
+    // decode with pmod + exact floor division (subtract the residue, THEN
+    // divide): plain `%` keeps the dividend's sign and `DIV` truncates
+    // toward zero, so a negative doc_id would decode to the wrong
+    // modality and the wrong id — pmod is sign-safe for any Long
     perceptualDupGroups(sigs, maxHamming, scopeCols = Seq("modality"))
       .select(
-        when(col("doc_id") % 4 === 0, "image")
-          .when(col("doc_id") % 4 === 1, "audio")
+        when(pmod(col("doc_id"), lit(4)) === 0, "image")
+          .when(pmod(col("doc_id"), lit(4)) === 1, "audio")
           .otherwise("video").as("modality"),
-        expr("doc_id DIV 4").as("doc_id"),
-        expr("canon_id DIV 4").as("canon_id"))
+        expr("(doc_id - pmod(doc_id, 4)) DIV 4").as("doc_id"),
+        expr("(canon_id - pmod(canon_id, 4)) DIV 4").as("canon_id"))
   }
 
   /** Mimes [[decodeAudio]] hands to `javax.sound.sampled` — the JRE ships

@@ -328,10 +328,16 @@ object Sampling {
       .withColumn("weight_micro", floor(weightOf * 1e6).cast("long"))
     // corpus-wide weight total as a broadcast 1-row frame (the q57
     // pattern), never a driver scalar or a global window
+    // budget × weight_micro in DECIMAL(38,0): at the corpus scale this
+    // operator targets (budget ~1e9 docs, weight_micro ~1e11 for a 1e10-doc
+    // source) the Long product overflows past 2^63 and non-ANSI `*` wraps
+    // silently to a garbage quota — decimal keeps the product exact and
+    // floor-division brings it back to a Long
     val quotas = CacheScope.persisted(
       counts.crossJoin(broadcast(counts.agg(sum("weight_micro").as("__tw"))))
         .select(col(groupCol), col("n").as("n_docs"), col("weight_micro"),
-          expr(s"($budget * weight_micro) div __tw").as("quota")))
+          expr(s"CAST(floor(CAST($budget AS DECIMAL(38, 0)) * weight_micro" +
+            " / __tw) AS BIGINT)").as("quota")))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
     val kept = df.select(col(groupCol), col(idCol))

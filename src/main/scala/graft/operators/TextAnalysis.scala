@@ -641,7 +641,16 @@ object TextAnalysis {
           (lit(r * width) + ((lit(a) * base + lit(b)) % lit(P)) % lit(width)
             + 1).cast("int"))
       }
-    least(lookups: _*)
+    // geometry guard: a sketch built with different depth/width would make
+    // rows >= 1 index the WRONG cells — and an out-of-range element_at
+    // returns null, which least() skips, so the mismatch could silently
+    // UNDERCOUNT (breaking the sketch's one-sided-error guarantee). The
+    // array length encodes the geometry (depth·width + 1), so fail loudly.
+    when(size(sketch) === depth * width + 1, least(lookups: _*))
+      .otherwise(raise_error(concat(
+        lit(s"graft_cms geometry mismatch: estimate expects ${depth}x$width" +
+          s" (array length ${depth * width + 1}), sketch has "),
+        size(sketch).cast("string"))))
   }
 
   /** Frequency-estimation audit (q115): build ONE corpus-wide Count-Min

@@ -69,23 +69,37 @@ object BoundedStream {
   /** The SCALE form of [[runAvailableNow]]: drain to EOF with the result
     * written to parquet — each batch's rows land distributed across
     * executors, and the returned frame re-reads the files, so the driver
-    * never materializes the result. The write mode follows the output
-    * mode: complete-mode aggregates OVERWRITE (each batch is the whole
-    * state; the last batch's overwrite is the final answer), append-mode
-    * streams APPEND (each batch is a delta — overwriting would keep only
-    * the final micro-batch's rows). Same checkpoint-resume semantics as
-    * the memory-sink form; for append mode a resumed run must keep its
-    * outDir (the checkpoint guarantees each batch lands exactly once).
+    * never materializes the result. Complete-mode aggregates OVERWRITE
+    * the directory (each batch is the whole state; the last overwrite is
+    * the final answer). Append-mode streams write each delta into its own
+    * `batch=<id>` partition, OVERWRITING it — foreachBatch is
+    * at-least-once, so a replayed batchId must land idempotently (a plain
+    * directory append would double its rows on replay); the returned
+    * frame drops the partition key. Same checkpoint-resume semantics as
+    * the memory-sink form; a resumed append run must keep its outDir.
     */
   def runAvailableNowToParquet(spark: SparkSession, source: DataFrame,
                                transform: DataFrame => DataFrame,
                                checkpoint: String, outDir: String,
                                outputMode: String = "complete"): DataFrame = {
-    val writeMode = if (outputMode == "append") "append" else "overwrite"
-    runForeachBatch(source, transform, checkpoint, outputMode) { (batch, _) =>
-      batch.write.mode(writeMode).parquet(outDir)
+    if (outputMode == "append") {
+      // foreachBatch is AT-LEAST-once: a crash after the write but before
+      // the checkpoint commit replays the batchId on restart. A plain
+      // append would then double its rows — so each batch OVERWRITES its
+      // own batchId-keyed partition directory (idempotent replay: the
+      // rewrite is byte-identical), and the read drops the key column.
+      runForeachBatch(source, transform, checkpoint, outputMode) { (batch, id) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      spark.read.parquet(outDir).drop("batch")
+    } else {
+      // complete mode: each batch is the whole state; the final overwrite
+      // is the answer, and replaying it rewrites the same state.
+      runForeachBatch(source, transform, checkpoint, outputMode) { (batch, _) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      spark.read.parquet(outDir)
     }
-    spark.read.parquet(outDir)
   }
 
   /** Same drain-to-EOF execution, but delivering each micro-batch to a
