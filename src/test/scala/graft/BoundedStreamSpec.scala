@@ -105,4 +105,30 @@ class BoundedStreamSpec extends SparkTestBase {
     }
     assert(seen == Map("k" -> 2L, "j" -> 1L))
   }
+
+  test("append-mode parquet drain: multi-batch union, batch partitions, replay-idempotent layout") {
+    import org.apache.spark.sql.DataFrame
+    val in = tmpDir("graft-ap-in")
+    writeLines(in, "a.txt", Seq("x", "y"))
+    writeLines(in, "b.txt", Seq("z"))
+    val out = tmpDir("graft-ap-out")
+    val ckpt = tmpDir("graft-ap-ckpt")
+    val ident = (df: DataFrame) => df.select(col("line"))
+    // one file per trigger -> two micro-batches, each landing in its own
+    // batch=<id> partition (the idempotent-replay unit)
+    val drained = BoundedStream.runAvailableNowToParquet(spark,
+      BoundedStream.textStream(spark, in, maxFilesPerTrigger = Some(1)),
+      ident, ckpt, out, outputMode = "append")
+    assert(drained.collect().map(_.getString(0)).sorted.toSeq == Seq("x", "y", "z"))
+    assert(!drained.columns.contains("batch"))      // key column dropped
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(parts.length == 2, parts.toSeq)
+    // draining AGAIN on the same checkpoint (a completed-run restart —
+    // every batch already committed) must not duplicate any row
+    val again = BoundedStream.runAvailableNowToParquet(spark,
+      BoundedStream.textStream(spark, in, maxFilesPerTrigger = Some(1)),
+      ident, ckpt, out, outputMode = "append")
+    assert(again.collect().map(_.getString(0)).sorted.toSeq == Seq("x", "y", "z"))
+  }
 }
