@@ -1655,6 +1655,35 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Zipf slope of the term distribution: exact integer micro-nat
+    // log-log least squares over the top-100 terms, slope as an exact
+    // num/den ratio (no division → no truncate-vs-floor engine hazard) —
+    // the one-number template/boilerplate-corpus detector.
+    "q123_zipf_fit" -> ((s, dir) => {
+      TextAnalysis.zipfFit(Tables(s, dir).documents, "text", topN = 100)
+    }),
+
+    // Snapshot-fed incremental dedup: the standing corpus lives in the
+    // q84 versioned snapshot store (partition-pruned read of the latest
+    // version), the crawl increment checks against it with q41's
+    // asymmetric band join — the two families composed the way a daily
+    // pipeline actually runs them, gated against q41's oracle (the disk
+    // round trip must change nothing).
+    "q122_snapshot_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-snap-dedup").toString
+      SnapshotDirs.add(root)
+      Curation.writeSnapshot(
+        docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
+        root, version = 1L)
+      Dedup.minHashAgainst(
+        Curation.readSnapshots(s, root, lastN = 1).select("doc_id", "text"),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", n = 3, k = 12, rowsPerBand = 3, threshold = 0.3)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     // STREAMING Count-Min sketch: graft_cms as a complete-mode streaming
     // aggregation (fixed 4×512-long buffers merging through the state
     // store — the bounded-state contract is exactly what streaming wants),
@@ -1936,7 +1965,10 @@ object SparkEntry {
       "q119_stream_heavy_hitters" -> "q86_heavy_hitters",
       // the CMS built through streaming state-store merges must equal
       // the batch sketch cell-for-cell (estimates are the witnesses)
-      "q121_stream_cms" -> "q115_cms_counts")
+      "q121_stream_cms" -> "q115_cms_counts",
+      // the snapshot-store round trip feeding the incremental dedup must
+      // reproduce the in-memory batch-vs-corpus answer
+      "q122_snapshot_dedup" -> "q41_incremental_dedup")
       .map { case (aliasQ, libQ) => aliasQ -> oracleSqlBase(libQ) }
   }
 
@@ -2411,6 +2443,26 @@ object SparkEntry {
     "q112_minhash_accuracy" -> minHashAccuracyOracle,
 
     "q115_cms_counts" -> cmsOracle,
+
+    // top-100 term ranks, micro-nat log-log points (q40's rounding rule),
+    // moment sums and the slope ratio in pure integer arithmetic
+    "q123_zipf_fit" ->
+      """WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+        |           FROM documents),
+        |c AS (SELECT term, count(*)::BIGINT AS cnt FROM w GROUP BY term),
+        |top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 100),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rk FROM top),
+        |p AS (SELECT round(ln(rk) * 1e6)::BIGINT AS x,
+        |             round(ln(cnt) * 1e6)::BIGINT AS y
+        |      FROM r),
+        |m AS (SELECT count(*)::BIGINT AS n_pts, sum(x)::BIGINT AS sx,
+        |             sum(y)::BIGINT AS sy, sum(x*x)::BIGINT AS sxx,
+        |             sum(x*y)::BIGINT AS sxy
+        |      FROM p)
+        |SELECT n_pts, sx, sy, sxx, sxy,
+        |       (n_pts * sxy - sx * sy)::BIGINT AS slope_num,
+        |       (n_pts * sxx - sx * sx)::BIGINT AS slope_den
+        |FROM m""".stripMargin,
 
     // per-source counts → floor(sqrt·1e6) micro-weights → integer quota →
     // md5-rank membership, all re-derived from scratch

@@ -624,6 +624,42 @@ object TextAnalysis {
     * path needed. With `capacity` >= the group's distinct-term count no
     * decrement ever fires and the result is exact (q86's oracle regime).
     */
+  /** Zipf power-law fit of the term distribution — the corpus-health
+    * diagnostic (natural text follows freq ∝ 1/rank^s with s ≈ 1;
+    * boilerplate-heavy or template-generated corpora bend the curve, and
+    * the fitted slope is the one-number detector). Least squares over the
+    * exact top-`topN` (count desc, term asc) ranks in log-log space,
+    * points fixed to integer micro-nats (q40's round-before-sum rule, the
+    * cross-engine-stable ln convention), and the slope emitted as the
+    * exact integer RATIO `slope_num / slope_den` — no division ever runs,
+    * so there is no truncation-vs-floor engine divergence and no float
+    * fold; consumers divide (Zipfian text gives a ratio near −1·10⁶
+    * micro... i.e. num/den ≈ −1).
+    *
+    * Scale shape: one token-count aggregate, a TakeOrderedAndProject cut
+    * to `topN` rows, then the rank window and moment sums run on that
+    * bounded frame only.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    require(topN >= 2, s"a line fit needs topN >= 2: $topN")
+    import org.apache.spark.sql.expressions.Window
+    val top = df.select(explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(topN)
+    val w = Window.orderBy(col("cnt").desc, col("term")) // topN rows only
+    top.withColumn("rk", row_number().over(w))
+      .select(round(log(col("rk")) * 1e6).cast("long").as("x"),
+        round(log(col("cnt")) * 1e6).cast("long").as("y"))
+      .agg(count(lit(1)).as("n_pts"),
+        sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("x") * col("y")).cast("long").as("sxy"))
+      .select(col("n_pts"), col("sx"), col("sy"), col("sxx"), col("sxy"),
+        (col("n_pts") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_pts") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+  }
+
   /** Query-side point lookup over a `graft_cms` sketch array: the min
     * over the sketch's `depth` hashed cells for `term` — the classical
     * CMS estimate, always >= the true count. Pure column expression: the

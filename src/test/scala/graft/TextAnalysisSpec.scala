@@ -621,4 +621,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(zz.getLong(2) == 0L && zz.getLong(3) == 0L)
     assert(zz.isNullAt(5) && zz.isNullAt(6))
   }
+
+  test("zipfFit: a 1/rank corpus fits slope ~ -1, integer moments consistent") {
+    // term t_r appears floor(1200 / r) times, r = 1..40 — textbook Zipf
+    val text = (1 to 40).flatMap(r => Seq.fill(1200 / r)(s"t$r")).mkString(" ")
+    val out = TextAnalysis.zipfFit(Seq((1L, text)).toDF("doc_id", "text"), "text",
+        topN = 40)
+      .head
+    val (n, sx, sy, sxx, sxy) = (out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3), out.getLong(4))
+    assert(n == 40L)
+    assert(out.getLong(5) == n * sxy - sx * sy)   // slope_num from the moments
+    assert(out.getLong(6) == n * sxx - sx * sx)   // slope_den from the moments
+    val slope = out.getLong(5).toDouble / out.getLong(6)
+    assert(slope < -0.95 && slope > -1.05, s"slope=$slope")
+  }
+
+  test("zipfFit: a uniform corpus fits slope ~ 0 (the template-corpus signal)") {
+    val text = (1 to 40).flatMap(r => Seq.fill(30)(s"u$r")).mkString(" ")
+    val out = TextAnalysis.zipfFit(Seq((1L, text)).toDF("doc_id", "text"), "text",
+        topN = 40).head
+    assert(out.getLong(5) == 0L)   // all counts equal -> flat line exactly
+  }
 }
