@@ -1655,6 +1655,20 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // The persisted inverted TEXT index — q90's build-once/query-many
+    // treatment applied to BM25: postings partitioned by 64-way md5 term
+    // bucket, query scans only the buckets its terms hash to. Must
+    // hash-match q88's from-scratch scoring.
+    "q124_text_index" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-text-index").toString
+      SnapshotDirs.add(root)
+      TextAnalysis.buildTextIndex(Tables(s, dir).documents, "doc_id", "text", root)
+      TextAnalysis.searchTextIndex(s, root,
+          Seq("spark", "hash", "window"), k = 25)
+        .orderBy(col("bm25_micro").desc, col("doc_id"))
+    }),
+
     // Zipf slope of the term distribution: exact integer micro-nat
     // log-log least squares over the top-100 terms, slope as an exact
     // num/den ratio (no division → no truncate-vs-floor engine hazard) —
@@ -1968,7 +1982,10 @@ object SparkEntry {
       "q121_stream_cms" -> "q115_cms_counts",
       // the snapshot-store round trip feeding the incremental dedup must
       // reproduce the in-memory batch-vs-corpus answer
-      "q122_snapshot_dedup" -> "q41_incremental_dedup")
+      "q122_snapshot_dedup" -> "q41_incremental_dedup",
+      // the persisted inverted index (build → bucket-partitioned write →
+      // pruned read → score) must reproduce the from-scratch BM25 answer
+      "q124_text_index" -> "q88_bm25")
       .map { case (aliasQ, libQ) => aliasQ -> oracleSqlBase(libQ) }
   }
 

@@ -624,6 +624,95 @@ object TextAnalysis {
     * path needed. With `capacity` >= the group's distinct-term count no
     * decrement ever fires and the result is exact (q86's oracle regime).
     */
+  /** PERSISTED inverted text index — the [[Similarity.buildIvfIndex]]
+    * treatment applied to [[bm25Search]]: pay the corpus scan ONCE, store
+    * the postings partitioned by a 64-way md5 term bucket, and answer
+    * every later query from the buckets its terms hash to (partition-
+    * pruned scan — the retrieval shape a 100 TB corpus serves queries
+    * from; re-scanning text per query is the thing an index exists to
+    * kill). Layout under `dir`:
+    *
+    *  - `postings/` — (term, doc_id, cnt, dl), `partitionBy(bucket)`;
+    *    `dl` denormalized onto every posting so query time needs no
+    *    doc-length join;
+    *  - `terms/` — (term, df), same bucketing — document frequencies;
+    *  - `stats/` — one row (n_docs, avgdl), the corpus constants.
+    *
+    * [[searchTextIndex]] reproduces [[bm25Search]]'s exact micro-int
+    * scores from the files alone (gated: q124 must hash-match q88), and
+    * its IDF/TF expression SHAPES mirror [[bm25Search]] verbatim so the
+    * IEEE folds agree.
+    */
+  def buildTextIndex(df: DataFrame, idCol: String, textCol: String,
+                     dir: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val postings = CacheScope.persisted(
+      df.select(col(idCol).as("doc_id"),
+          size(array_remove(tokens(col(textCol)), "")).cast("long").as("dl"),
+          explode(tokens(col(textCol))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("cnt"))
+        .withColumn("bucket", termBucket(col("term"), buckets)))
+    postings.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    postings.groupBy("term", "bucket").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
+    postings.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        (sum("dl") * lit(1.0) / count(lit(1))).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** The md5 term bucket shared by build and search — the pruning key. */
+  private def termBucket(term: Column, buckets: Int): Column =
+    (conv(substring(md5(term), 1, 15), 16, 10).cast("long") % buckets)
+      .cast("int")
+
+  /** Query a [[buildTextIndex]] index: same scoring as [[bm25Search]]
+    * (bit-identical micro-int scores by construction — q124 gates it
+    * against q88's oracle), but the corpus side is the on-disk postings:
+    * the term filter's bucket set prunes the partitioned scan, so a query
+    * touches the few buckets its terms hash to, never the corpus.
+    *
+    * CAVEAT (documented, matching [[bm25Search]]'s own semantics): docs
+    * with NO query-term hit score zero and are absent — identical to the
+    * in-memory form, so the gate is apples-to-apples.
+    */
+  def searchTextIndex(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, terms: Seq[String],
+                      k1: Double = 1.2, b: Double = 0.75, k: Int = 10,
+                      buckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(k >= 1, s"k must be >= 1: $k")
+    // driver-side mirror of [[termBucket]] (a handful of query terms)
+    val wanted = terms.map { t =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % buckets).toInt
+    }.distinct
+    val stats = spark.read.parquet(s"$dir/stats")
+    val dfreq = spark.read.parquet(s"$dir/terms")
+      .filter(col("bucket").isin(wanted: _*))
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("df"))
+    val qt = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(wanted: _*))
+      .filter(col("term").isin(terms: _*))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+      + lit(1.0))
+    val tf = (col("cnt") * (lit(k1) + lit(1.0))) /
+      (col("cnt") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    qt.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("micro", round(idf * tf * lit(1e6)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum("micro").cast("long").as("bm25_micro"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Zipf power-law fit of the term distribution — the corpus-health
     * diagnostic (natural text follows freq ∝ 1/rank^s with s ≈ 1;
     * boilerplate-heavy or template-generated corpora bend the curve, and

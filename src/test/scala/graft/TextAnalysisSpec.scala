@@ -643,4 +643,31 @@ class TextAnalysisSpec extends SparkTestBase {
         topN = 40).head
     assert(out.getLong(5) == 0L)   // all counts equal -> flat line exactly
   }
+
+  test("persisted text index: search equals bm25Search; bucket partitions prune the scan") {
+    val docs = Seq(
+      (1L, "spark joins data with hash partitions"),
+      (2L, "window functions rank rows in spark"),
+      (3L, "a totally unrelated document about cats"),
+      (4L, "hash hash hash collisions everywhere"),
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("txt_idx").toString
+    TextAnalysis.buildTextIndex(docs, "doc_id", "text", dir, buckets = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("bm25_micro").desc, col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val fromIndex = TextAnalysis.searchTextIndex(spark, dir,
+      Seq("spark", "hash"), k = 10, buckets = 8)
+    val direct = TextAnalysis.bm25Search(docs, "doc_id", "text",
+      Seq("spark", "hash"), k = 10)
+    assert(rows(fromIndex) == rows(direct) && rows(direct).nonEmpty)
+    assert(!rows(fromIndex).exists(_._1 == 3L))      // no-hit doc absent (contract)
+    // the inverted file IS the directory layout: bucket partitions on disk
+    val parts = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName)
+    assert(parts.nonEmpty)
+    // pruned-scan contract: the postings scan carries a bucket partition filter
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*bucket""".r.findFirstIn(plan).isDefined, plan)
+  }
 }
