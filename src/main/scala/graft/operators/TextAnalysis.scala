@@ -646,19 +646,28 @@ object TextAnalysis {
   def buildTextIndex(df: DataFrame, idCol: String, textCol: String,
                      dir: String, buckets: Int = 64): Unit = {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val dl = CacheScope.persisted(df.select(col(idCol).as("doc_id"),
+      size(array_remove(tokens(col(textCol)), "")).cast("long").as("dl"),
+      tokens(col(textCol)).as("toks")))
     val postings = CacheScope.persisted(
-      df.select(col(idCol).as("doc_id"),
-          size(array_remove(tokens(col(textCol)), "")).cast("long").as("dl"),
-          explode(tokens(col(textCol))).as("term"))
+      dl.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
         .filter(col("term") =!= "")
         .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("cnt"))
-        .withColumn("bucket", termBucket(col("term"), buckets)))
+        .withColumn("bucket", termBucket(col("term"), buckets))
+        // CLUSTER by bucket before the partitioned write: without this,
+        // every shuffle partition writes a sliver into every bucket dir
+        // (partitions × buckets small files — the classic partitionBy
+        // mistake); clustered, each bucket is one writer's contiguous
+        // output, which is also the layout a pruned read wants
+        .repartition(col("bucket")))
     postings.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
     postings.groupBy("term", "bucket").agg(count(lit(1)).as("df"))
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
-    postings.select(col("doc_id"), col("dl")).distinct()
-      .agg(count(lit(1)).cast("long").as("n_docs"),
+    // corpus constants straight off the one-row-per-doc length frame —
+    // no distinct over the postings needed
+    dl.agg(count(lit(1)).cast("long").as("n_docs"),
         (sum("dl") * lit(1.0) / count(lit(1))).as("avgdl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
