@@ -1669,6 +1669,26 @@ object SparkEntry {
         .orderBy(col("bm25_micro").desc, col("doc_id"))
     }),
 
+    // Incremental text-index maintenance (q111's contract for the
+    // inverted index): build on the even half, append the odd half as an
+    // ingest segment — postings into the same bucket partitions, df rows
+    // summed per term at query time, stats totals merged — and the
+    // searched answer must equal q88's from-scratch scoring over the
+    // full corpus.
+    "q125_text_index_append" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-text-append").toString
+      SnapshotDirs.add(root)
+      TextAnalysis.buildTextIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root)
+      TextAnalysis.appendTextIndex(s, root,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      TextAnalysis.searchTextIndex(s, root,
+          Seq("spark", "hash", "window"), k = 25)
+        .orderBy(col("bm25_micro").desc, col("doc_id"))
+    }),
+
     // Zipf slope of the term distribution: exact integer micro-nat
     // log-log least squares over the top-100 terms, slope as an exact
     // num/den ratio (no division → no truncate-vs-floor engine hazard) —
@@ -1985,7 +2005,10 @@ object SparkEntry {
       "q122_snapshot_dedup" -> "q41_incremental_dedup",
       // the persisted inverted index (build → bucket-partitioned write →
       // pruned read → score) must reproduce the from-scratch BM25 answer
-      "q124_text_index" -> "q88_bm25")
+      "q124_text_index" -> "q88_bm25",
+      // build-even + append-odd segments, df and stats merged at query
+      // time, must reproduce the from-scratch full-corpus answer
+      "q125_text_index_append" -> "q88_bm25")
       .map { case (aliasQ, libQ) => aliasQ -> oracleSqlBase(libQ) }
   }
 

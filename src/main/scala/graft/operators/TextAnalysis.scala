@@ -665,11 +665,46 @@ object TextAnalysis {
     postings.groupBy("term", "bucket").agg(count(lit(1)).as("df"))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
-    // corpus constants straight off the one-row-per-doc length frame —
-    // no distinct over the postings needed
+    // corpus constants as RAW TOTALS (n_docs, sum_dl), not a precomputed
+    // avgdl: totals are mergeable — [[appendTextIndex]] adds a row per
+    // segment and search re-derives avgdl from the exact Long sums, so an
+    // appended index keeps bit-identical IDF/TF arithmetic
     dl.agg(count(lit(1)).cast("long").as("n_docs"),
-        (sum("dl") * lit(1.0) / count(lit(1))).as("avgdl"))
+        sum("dl").cast("long").as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** INCREMENTAL text-index maintenance — [[Similarity.appendIvfIndex]]'s
+    * contract for the inverted index: a crawl increment appends its
+    * postings into the same bucket partitions, its per-term document
+    * frequencies as ADDITIONAL rows (search sums df per term across
+    * segments), and its (n_docs, sum_dl) totals as one more stats row —
+    * no rebuild, no rescan of the standing corpus, and the merged answer
+    * is bit-identical to a from-scratch build over corpus ∪ batch (q125
+    * gates exactly that). Caller contract: batch doc ids are NEW
+    * documents (same as the IVF append).
+    */
+  def appendTextIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      batch: DataFrame, idCol: String, textCol: String,
+                      buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val dl = CacheScope.persisted(batch.select(col(idCol).as("doc_id"),
+      size(array_remove(tokens(col(textCol)), "")).cast("long").as("dl"),
+      tokens(col(textCol)).as("toks")))
+    val postings = CacheScope.persisted(
+      dl.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("cnt"))
+        .withColumn("bucket", termBucket(col("term"), buckets))
+        .repartition(col("bucket")))
+    postings.write.mode("append").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    postings.groupBy("term", "bucket").agg(count(lit(1)).as("df"))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/terms")
+    dl.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("dl").cast("long").as("sum_dl"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/stats")
   }
 
   /** The md5 term bucket shared by build and search — the pruning key. */
@@ -700,11 +735,17 @@ object TextAnalysis {
         .map(b => f"$b%02x").mkString
       (java.lang.Long.parseLong(hex.substring(0, 15), 16) % buckets).toInt
     }.distinct
+    // merge segment rows: totals sum exactly (Longs), and avgdl derives
+    // with the IDENTICAL `sum · 1.0 / count` expression shape bm25Search
+    // uses, so a one-segment index and an appended one score the same
     val stats = spark.read.parquet(s"$dir/stats")
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("sum_dl").cast("long").as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl") * lit(1.0) / col("n_docs"))
     val dfreq = spark.read.parquet(s"$dir/terms")
       .filter(col("bucket").isin(wanted: _*))
       .filter(col("term").isin(terms: _*))
-      .select(col("term"), col("df"))
+      .groupBy("term").agg(sum("df").cast("long").as("df"))
     val qt = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(wanted: _*))
       .filter(col("term").isin(terms: _*))

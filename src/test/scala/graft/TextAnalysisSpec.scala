@@ -670,4 +670,29 @@ class TextAnalysisSpec extends SparkTestBase {
     val plan = fromIndex.queryExecution.executedPlan.toString
     assert("""PartitionFilters: \[[^\]]*bucket""".r.findFirstIn(plan).isDefined, plan)
   }
+
+  test("appendTextIndex: segment-merged search equals a from-scratch build") {
+    val all = Seq(
+      (1L, "spark joins data with hash partitions"),
+      (2L, "window functions rank rows in spark"),
+      (3L, "cats and more cats"),
+      (4L, "hash hash collisions in spark window"),
+      (5L, "spark spark spark"),
+    ).toDF("doc_id", "text")
+    def rows(dir: String) =
+      TextAnalysis.searchTextIndex(spark, dir, Seq("spark", "hash"),
+          k = 10, buckets = 8)
+        .orderBy(col("bm25_micro").desc, col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val incr = java.nio.file.Files.createTempDirectory("txt_incr").toString
+    TextAnalysis.buildTextIndex(all.filter(col("doc_id") <= 2),
+      "doc_id", "text", incr, buckets = 8)
+    TextAnalysis.appendTextIndex(spark, incr, all.filter(col("doc_id") > 2),
+      "doc_id", "text", buckets = 8)
+    val full = java.nio.file.Files.createTempDirectory("txt_full").toString
+    TextAnalysis.buildTextIndex(all, "doc_id", "text", full, buckets = 8)
+    assert(rows(incr) == rows(full) && rows(full).nonEmpty)
+    // the appended segment's docs are searchable with correct merged stats
+    assert(rows(incr).exists(_._1 == 5L))
+  }
 }
