@@ -1669,6 +1669,16 @@ object SparkEntry {
         .orderBy(col("bm25_micro").desc, col("doc_id"))
     }),
 
+    // In-engine classifier TRAINING: full-batch logistic regression over
+    // the q95 hashed features, label = (lang = 'en'). Step-1 weights are
+    // transcendental-free exact integers (sigma(0) = 1/2); step 2's one
+    // sigmoid rounds to micro before any sum (q40's rule applied to exp),
+    // so the whole distributed GLM iteration sits under the hash.
+    "q126_logreg_train" -> ((s, dir) => {
+      TextAnalysis.logRegTrainReport(Tables(s, dir).documents,
+        "doc_id", "text", (col("lang") === "en").cast("int"), dims = 32)
+    }),
+
     // Incremental text-index maintenance (q111's contract for the
     // inverted index): build on the even half, append the odd half as an
     // ingest segment — postings into the same bucket partitions, df rows
@@ -2483,6 +2493,34 @@ object SparkEntry {
     "q112_minhash_accuracy" -> minHashAccuracyOracle,
 
     "q115_cms_counts" -> cmsOracle,
+
+    // q95's hashing CTE, then the two-step GLM arithmetic: integer g1 and
+    // w1 at sigma = 1/2 exactly, micro-rounded sigmoid feeding integer g2
+    "q126_logreg_train" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT doc_id, w, count(*)::BIGINT AS cnt FROM t WHERE w <> '' GROUP BY doc_id, w),
+        |v AS (SELECT doc_id,
+        |        ('0x' || substr(md5(w), 1, 15))::BIGINT % 32 AS dim_idx,
+        |        CASE WHEN ('0x' || substr(md5(w), 16, 1))::BIGINT % 2 = 0
+        |             THEN cnt ELSE -cnt END AS sv
+        |      FROM c),
+        |x AS (SELECT doc_id, dim_idx, sum(sv)::BIGINT AS value
+        |      FROM v GROUP BY doc_id, dim_idx HAVING sum(sv) <> 0),
+        |y AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |g1 AS (SELECT dim_idx, sum(x.value * (1 - 2*y.y))::BIGINT AS g1
+        |       FROM x JOIN y USING (doc_id) GROUP BY dim_idx),
+        |w1 AS (SELECT dim_idx, g1, (-500 * g1)::BIGINT AS w1_micro FROM g1),
+        |z AS (SELECT x.doc_id, sum(w1.w1_micro * x.value)::BIGINT AS z_micro
+        |      FROM x JOIN w1 USING (dim_idx) GROUP BY x.doc_id),
+        |sg AS (SELECT doc_id,
+        |         round(1e6 / (1 + exp(-(z_micro / 1e6))))::BIGINT AS sig_micro
+        |       FROM z),
+        |g2 AS (SELECT x.dim_idx,
+        |         sum(x.value * (sg.sig_micro - 1000000*y.y))::BIGINT AS grad2_micro
+        |       FROM x JOIN y USING (doc_id) JOIN sg USING (doc_id)
+        |       GROUP BY x.dim_idx)
+        |SELECT w1.dim_idx, w1.g1, w1.w1_micro, g2.grad2_micro
+        |FROM w1 JOIN g2 USING (dim_idx) ORDER BY dim_idx""".stripMargin,
 
     // top-100 term ranks, micro-nat log-log points (q40's rounding rule),
     // moment sums and the slope ratio in pure integer arithmetic

@@ -763,6 +763,58 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** In-engine QUALITY-CLASSIFIER TRAINING — full-batch logistic
+    * regression over [[hashingVectors]] features (the DCLM-style recipe:
+    * hash the text, fit a linear model on cheap labels, score the corpus
+    * with [[classifierScore]]'s family). Emitted per dimension, in exact
+    * integer arithmetic:
+    *
+    *  - `g1` = Σᵢ xᵢⱼ·(1 − 2yᵢ) — TWICE the step-1 gradient: at w₀ = 0
+    *    every σ is exactly ½, so the first gradient is half an integer
+    *    and 2·grad is exact with no transcendental at all;
+    *  - `w1_micro` = −500·g1 — the step-1 weights at lr = 10⁻³ in
+    *    micro-units (500 = lr·10⁶/2, exact);
+    *  - `grad2_micro` = Σᵢ xᵢⱼ·(σ_micro(zᵢ) − 10⁶·yᵢ) — the step-2
+    *    gradient: zᵢ = Σⱼ w1ⱼ·xᵢⱼ sums in LONG micro-units (order-free —
+    *    a double fold would be partial-aggregation-order dependent), and
+    *    the ONE transcendental, σ, rounds to integer micro before any
+    *    sum (q40's ln rule applied to exp — the micro grid absorbs the
+    *    libm 1-ulp spread).
+    *
+    * The update rule (w₂ = w₁ − lr·grad₂ or any schedule) is the
+    * caller's: emitting the gradient instead of applying it keeps signed
+    * integer division — whose truncate-vs-floor semantics DIVERGE between
+    * engines — out of the gate entirely.
+    *
+    * Scale shape: the classic distributed GLM iteration — features and
+    * labels co-shuffle on doc_id once per pass, the dims-bounded weight
+    * vector broadcasts back, gradients reduce in one bounded-key
+    * aggregate. Same loop skeleton as [[Similarity.kmeans]] (q117).
+    */
+  def logRegTrainReport(df: DataFrame, idCol: String, textCol: String,
+                        label: Column, dims: Int): DataFrame = {
+    val x = CacheScope.persisted(hashingVectors(df, idCol, textCol, dims))
+    val y = df.select(col(idCol).as("doc_id"), label.cast("long").as("y"))
+    val g1 = x.join(y, "doc_id").groupBy("dim_idx")
+      .agg(sum(col("value") * (lit(1L) - lit(2L) * col("y")))
+        .cast("long").as("g1"))
+    val w1 = CacheScope.persisted(
+      g1.withColumn("w1_micro", (lit(-500L) * col("g1")).cast("long")))
+    val z = x.join(broadcast(w1.select(col("dim_idx"), col("w1_micro"))), "dim_idx")
+      .groupBy("doc_id")
+      .agg(sum(col("w1_micro") * col("value")).cast("long").as("z_micro"))
+    val sg = z.select(col("doc_id"),
+      round(lit(1e6) / (lit(1.0) + exp(-(col("z_micro") / lit(1e6)))))
+        .cast("long").as("sig_micro"))
+    val g2 = x.join(y, "doc_id").join(sg, "doc_id")
+      .groupBy("dim_idx")
+      .agg(sum(col("value") * (col("sig_micro") - lit(1000000L) * col("y")))
+        .cast("long").as("grad2_micro"))
+    w1.join(g2, Seq("dim_idx"))
+      .select(col("dim_idx"), col("g1"), col("w1_micro"), col("grad2_micro"))
+      .orderBy("dim_idx")
+  }
+
   /** Zipf power-law fit of the term distribution — the corpus-health
     * diagnostic (natural text follows freq ∝ 1/rank^s with s ≈ 1;
     * boilerplate-heavy or template-generated corpora bend the curve, and

@@ -695,4 +695,39 @@ class TextAnalysisSpec extends SparkTestBase {
     // the appended segment's docs are searchable with correct merged stats
     assert(rows(incr).exists(_._1 == 5L))
   }
+
+  test("logRegTrainReport: per-dim arithmetic equals a driver reimplementation") {
+    val df = Seq(
+      (1L, "good clean prose with words", 1),
+      (2L, "spam spam spam buy now", 0),
+      (3L, "more good words here", 1),
+      (4L, "buy buy spam now now now", 0),
+    ).toDF("doc_id", "text", "y")
+    val dims = 8
+    val out = TextAnalysis.logRegTrainReport(df, "doc_id", "text",
+        col("y"), dims)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // reimplement the contract from the hashed features (same JVM exp)
+    val x = TextAnalysis.hashingVectors(df, "doc_id", "text", dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val y = Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L)
+    val g1 = x.groupBy(_._2).view.mapValues(_.map {
+      case (d, _, v) => v * (1 - 2 * y(d)) }.sum).toMap
+    val w1 = g1.view.mapValues(-500L * _).toMap
+    val z = x.groupBy(_._1).view.mapValues(_.map {
+      case (_, j, v) => w1(j) * v }.sum).toMap
+    val sig = z.view.mapValues(zm =>
+      math.round(1e6 / (1.0 + math.exp(-(zm / 1e6))))).toMap
+    val g2 = x.groupBy(_._2).view.mapValues(_.map {
+      case (d, _, v) => v * (sig(d) - 1000000L * y(d)) }.sum).toMap
+    assert(out.keySet == g1.keySet && out.nonEmpty)
+    out.foreach { case (j, (a, b, c)) =>
+      assert(a == g1(j) && b == w1(j) && c == g2(j), s"dim $j")
+    }
+    // step-1 weights point the right way: the classifier already separates
+    // the planted labels (positive score for the y=1 docs, negative for y=0)
+    val score = z.view.mapValues(_.toDouble).toMap
+    assert(score(1L) > 0 && score(3L) > 0 && score(2L) < 0 && score(4L) < 0)
+  }
 }
