@@ -1669,6 +1669,15 @@ object SparkEntry {
         .orderBy(col("bm25_micro").desc, col("doc_id"))
     }),
 
+    // Per-source near-dup rate: which source the duplication lives in, in
+    // exact integer ppm — the report a curation run reads before deciding
+    // which crawl to dedup harder. q10's verified pairs, one distinct
+    // member set, one bounded-group aggregate.
+    "q127_source_dup_rate" -> ((s, dir) => {
+      Dedup.dupRateByGroup(Tables(s, dir).documents, "doc_id", "text",
+        "source", n = 3, k = 12, rowsPerBand = 3, threshold = 0.3)
+    }),
+
     // In-engine classifier TRAINING: full-batch logistic regression over
     // the q95 hashed features, label = (lang = 'en'). Step-1 weights are
     // transcendental-free exact integers (sigma(0) = 1/2); step 2's one
@@ -2493,6 +2502,8 @@ object SparkEntry {
     "q112_minhash_accuracy" -> minHashAccuracyOracle,
 
     "q115_cms_counts" -> cmsOracle,
+
+    "q127_source_dup_rate" -> sourceDupRateOracle,
 
     // q95's hashing CTE, then the two-step GLM arithmetic: integer g1 and
     // w1 at sigma = 1/2 exactly, micro-rounded sigmoid feeding integer g2
@@ -4388,6 +4399,46 @@ object SparkEntry {
        |WHERE len(list_intersect(x.s, y.s)) /
        |      (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.3
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Oracle twin of [[graft.operators.Dedup.dupRateByGroup]] on source:
+    * [[minHashOracle]]'s verified pairs, the distinct member set, per-
+    * source totals with exact integer ppm.
+    */
+  private def sourceDupRateOracle: String = {
+    val k = 12; val rowsPerBand = 3; val bands = k / rowsPerBand
+    val sigCols = Dedup.hashConsts(k).zipWithIndex.map { case ((a, b), i) =>
+      s"min((('0x' || substr(md5(sg), 1, 7))::BIGINT * $a + $b) % ${Dedup.HashP}) AS h$i"
+    }.mkString(",\n    ")
+    val bandCases = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => s"h${b * rowsPerBand + r}::VARCHAR").mkString(" || '|' || ")
+      s"WHEN $b THEN md5($parts)"
+    }.mkString(" ")
+    s"""WITH sh AS ($ShinglesCte),
+       |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM ex GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b.band_idx,
+       |    CASE b.band_idx $bandCases END AS band_hash
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS band_idx) b),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM bands a JOIN bands c
+       |    ON a.band_idx = c.band_idx AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id),
+       |pairs AS (SELECT cand.doc_a, cand.doc_b
+       |  FROM cand JOIN sh x ON x.doc_id = cand.doc_a JOIN sh y ON y.doc_id = cand.doc_b
+       |  WHERE len(list_intersect(x.s, y.s)) /
+       |        (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.3),
+       |members AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)),
+       |d AS (SELECT source, documents.doc_id,
+       |             CASE WHEN members.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup
+       |      FROM documents LEFT JOIN members USING (doc_id))
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |       sum(dup)::BIGINT AS n_dup,
+       |       (sum(dup) * 1000000 // count(*))::BIGINT AS dup_ppm
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** Oracle twin of [[graft.operators.TextAnalysis.cmsFrequencyReport]]:

@@ -452,6 +452,36 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Per-GROUP near-dup rate — the curation diagnostic over
+    * [[minHashDedup]]'s pairs: for each `groupCol` value (source, domain,
+    * language…), how many documents participate in at least one verified
+    * near-dup pair, in exact integer ppm of the group. The report that
+    * says WHERE the duplication lives — which crawl source to dedup
+    * harder, which to drop — before any document is touched.
+    *
+    * Cost: the [[minHashDedup]] pipeline plus one distinct over the
+    * (small) pair-member set and one bounded-group aggregate; the group
+    * totals never touch text.
+    */
+  def dupRateByGroup(df: DataFrame, idCol: String, textCol: String,
+                     groupCol: String, n: Int = 3, k: Int = 12,
+                     rowsPerBand: Int = 3,
+                     threshold: Double = 0.3): DataFrame = {
+    val pairs = minHashDedup(df, idCol, textCol, n, k, rowsPerBand, threshold)
+    val dupDocs = pairs.select(col("doc_a").as("id"))
+      .unionAll(pairs.select(col("doc_b").as("id")))
+      .distinct()
+    val dups = df.select(col(groupCol), col(idCol).as("id"))
+      .join(dupDocs, "id")
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_dup"))
+    df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .join(dups, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_ppm", expr("n_dup * 1000000 div n_docs"))
+      .orderBy(col(groupCol))
+  }
+
   /** Duplicate-GROUP resolution: the similarity joins emit PAIRS, but a
     * dedup pipeline needs each document mapped to ONE canonical
     * representative — i.e. connected components over the near-dup graph

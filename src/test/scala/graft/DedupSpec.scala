@@ -488,4 +488,20 @@ class DedupSpec extends SparkTestBase {
         n = 5, window = 5).collect()
     assert(out.head.getLong(2) == 1L)   // kept — no full 5-gram to match
   }
+
+  test("dupRateByGroup: planted duplicates land in the right group's ppm") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon", "dirty"),
+      (1L, "alpha beta gamma delta epsilon", "dirty"),   // exact dup of 0
+      (2L, "one two three four five six", "dirty"),      // clean
+      (3L, "seven eight nine ten eleven", "clean"),
+      (4L, "twelve thirteen fourteen fifteen sixteen", "clean"),
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.dupRateByGroup(df, "doc_id", "text", "source",
+        threshold = 0.9)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("clean", 2L, 0L, 0L),
+      ("dirty", 3L, 2L, 2L * 1000000L / 3L)))
+  }
 }
