@@ -1669,6 +1669,32 @@ object SparkEntry {
         .orderBy(col("bm25_micro").desc, col("doc_id"))
     }),
 
+    // STREAMING decontamination: arrivals stream through the q34 detector
+    // against a STATIC broadcast eval-gram table — the shape a live
+    // ingest runs (check each crawl batch as it lands; the eval suite
+    // doesn't stream). Complete-mode aggregation state holds only the
+    // CONTAMINATED doc set — the hits, not the corpus. Must hash-match
+    // q34's batch answer.
+    "q128_stream_decontam" -> ((s, dir) => {
+      withShufflePartitions(s, 8) { child =>
+        graft.functions.HashedShingles.ensureRegistered(child)
+        val split = Sampling.hashSplit(Tables(child, dir).documents, "doc_id",
+          trainPct = 80, valPct = 10)
+        val evalSet = split.filter(col("split") === "test")
+        val schema = child.read.parquet(s"$dir/documents.parquet").schema
+        val src = child.readStream.schema(schema).parquet(s"$dir/documents*.parquet")
+        val name = s"q128_sink_${StreamRunSeq.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("q128-ckpt").toString
+        StreamArtifacts.add((child, name, ckpt))
+        BoundedStream.runAvailableNow(child, src,
+          df => Dedup.contaminatedDocs(
+            Sampling.hashSplit(df, "doc_id", trainPct = 80, valPct = 10)
+              .filter(col("split") === "train"),
+            "doc_id", "text", evalSet, "text", n = 13),
+          ckpt, name, outputMode = "complete")
+      }.orderBy("doc_id")
+    }),
+
     // Per-source near-dup rate: which source the duplication lives in, in
     // exact integer ppm — the report a curation run reads before deciding
     // which crawl to dedup harder. q10's verified pairs, one distinct
@@ -2027,7 +2053,11 @@ object SparkEntry {
       "q124_text_index" -> "q88_bm25",
       // build-even + append-odd segments, df and stats merged at query
       // time, must reproduce the from-scratch full-corpus answer
-      "q125_text_index_append" -> "q88_bm25")
+      "q125_text_index_append" -> "q88_bm25",
+      // the live-ingest decontamination check (stream-static broadcast
+      // join + hit-only aggregation state) must reproduce the batch
+      // detector's answer
+      "q128_stream_decontam" -> "q34_decontam")
       .map { case (aliasQ, libQ) => aliasQ -> oracleSqlBase(libQ) }
   }
 
