@@ -1669,6 +1669,18 @@ object SparkEntry {
         .orderBy(col("bm25_micro").desc, col("doc_id"))
     }),
 
+    // SEMANTIC decontamination: embedding-cosine leakage detection — the
+    // paraphrase-robust sibling of the q34 13-gram detector (vec_id < 100
+    // plays the eval suite, broadcast; the corpus streams once with no
+    // shuffle). Per flagged item: hit count + best-match eval id/cosine.
+    "q129_semantic_decontam" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.semanticContamination(
+          e.filter(col("vec_id") >= 100), e.filter(col("vec_id") < 100),
+          "vec_id", "embedding", threshold = 0.45)
+        .orderBy("doc_id")
+    }),
+
     // STREAMING decontamination: arrivals stream through the q34 detector
     // against a STATIC broadcast eval-gram table — the shape a live
     // ingest runs (check each crawl batch as it lands; the eval suite
@@ -2534,6 +2546,26 @@ object SparkEntry {
     "q115_cms_counts" -> cmsOracle,
 
     "q127_source_dup_rate" -> sourceDupRateOracle,
+
+    // brute cosine of every corpus vector against the broadcast eval
+    // slice, threshold, then best-match by (cos desc, eval_id) with a
+    // per-doc hit count — q12's arithmetic, q34's asymmetric shape
+    "q129_semantic_decontam" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ev AS (SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id < 100),
+        |c AS (SELECT vec_id AS doc_id, v AS cv FROM e WHERE vec_id >= 100),
+        |s AS (SELECT c.doc_id, ev.eval_id,
+        |             list_dot_product(c.cv, ev.evv) /
+        |             (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(ev.evv, ev.evv))) AS cos
+        |      FROM c CROSS JOIN ev WHERE c.doc_id <> ev.eval_id),
+        |h AS (SELECT doc_id, eval_id, cos FROM s WHERE cos >= 0.45),
+        |r AS (SELECT doc_id, eval_id, cos,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY cos DESC, eval_id) AS rk,
+        |             count(*) OVER (PARTITION BY doc_id) AS n_hits
+        |      FROM h)
+        |SELECT doc_id, n_hits::BIGINT AS n_hits, eval_id AS best_eval_id,
+        |       round(cos, 4) AS best_cos
+        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     // q95's hashing CTE, then the two-step GLM arithmetic: integer g1 and
     // w1 at sigma = 1/2 exactly, micro-rounded sigmoid feeding integer g2

@@ -681,6 +681,38 @@ object Similarity {
         expr(s"CAST(n_hit * 1000000 DIV $k AS BIGINT)"))
   }
 
+  /** SEMANTIC decontamination — the embedding-space sibling of the 13-gram
+    * detector ([[Dedup.contaminatedDocs]]): a corpus item is flagged when
+    * its cosine against ANY eval-set embedding reaches `threshold` —
+    * catching the leakage n-grams can't (paraphrased eval questions,
+    * translated benchmarks), which is how modern decontamination audits
+    * actually run alongside the exact-match pass.
+    *
+    * Asymmetric like the gram detector: the EVAL side broadcasts (eval
+    * suites are small), the corpus streams once map-side — a
+    * BroadcastNestedLoopJoin, no corpus shuffle, cost linear in corpus ×
+    * |eval|. Output per flagged corpus id: the hit count, the best
+    * (highest-cosine, lowest-eval-id) match and its cosine.
+    */
+  def semanticContamination(corpus: DataFrame, evalSet: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    graft.functions.CosineSim.ensureRegistered(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("doc_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val e = evalSet.select(col(idCol).as("eval_id"),
+      col(vecCol).cast("array<double>").as("ev"))
+    c.join(broadcast(e), col("doc_id") =!= col("eval_id"))
+      .withColumn("cos", cosineFast(col("cv"), col("ev")))
+      .filter(col("cos") >= threshold)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        max(struct(col("cos"), (-col("eval_id")).as("neg_id"))).as("best"))
+      .select(col("doc_id"), col("n_hits"),
+        (-col("best.neg_id")).cast("long").as("best_eval_id"),
+        round(col("best.cos"), 4).as("best_cos"))
+  }
+
   /** Symmetric INT8 quantization of an embedding column — the 4× storage /
     * bandwidth cut an embedding store applies before similarity search at
     * 100 TB (the vectors, not the text, dominate an embedded corpus's

@@ -891,6 +891,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(viaGroups == viaPairs && viaGroups.nonEmpty)
   }
 
+  test("semanticContamination: planted paraphrase flags, count and best-match tie-break") {
+    val eval_ = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.01f, 0.0f)),     // near-identical second eval item
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (100L, Array(0.99f, 0.05f, 0.0f)),  // "paraphrase" of eval 0 AND 1
+      (101L, Array(0.0f, 0.0f, 1.0f)),    // clean — orthogonal to all
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticContamination(corpus, eval_,
+        "vec_id", "embedding", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 1)
+    val (doc, hits, bestId, bestCos) = out.head
+    assert(doc == 100L && hits == 2L)
+    // ties/ranking: the higher-cosine eval item wins (eval 1 here — its
+    // direction is closer to the contaminated vector than eval 0's)
+    assert(bestId == 1L && bestCos > 0.99)
+  }
+
   test("kmeansIterReport: iters=1 is the gated single step; a fixed point repeats") {
     val vs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.2f)),
