@@ -2634,7 +2634,7 @@ object SparkEntry {
         |SELECT q.source, q.n AS n_docs, q.wm AS weight_micro, q.quota,
         |       coalesce(k.n_kept, 0)::BIGINT AS n_kept,
         |       coalesce(k.id_sum, 0)::BIGINT AS id_sum
-        |FROM q LEFT JOIN k USING (source) ORDER BY source""".stripMargin,
+        |FROM q LEFT JOIN k USING (source) ORDER BY source NULLS FIRST""".stripMargin,
 
     // q50's running-total CTE, each doc exploded to the sequences it
     // touches, per-sequence offsets by the boundary cases, one aggregate
@@ -2897,7 +2897,8 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |corp AS (SELECT * FROM e WHERE vec_id % 2 = 0),
         |st AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS s FROM corp),
-        |cents AS (SELECT vec_id AS cid, v AS cv FROM corp, st WHERE vec_id % st.s = 0),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM corp, st WHERE vec_id % st.s = 0
+        |          ORDER BY cid LIMIT 4096),
         |asg AS (SELECT id, v, cell FROM (
         |    SELECT e.vec_id AS id, e.v, c.cid AS cell,
         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -4500,7 +4501,7 @@ object SparkEntry {
        |SELECT source, count(*)::BIGINT AS n_docs,
        |       sum(dup)::BIGINT AS n_dup,
        |       (sum(dup) * 1000000 // count(*))::BIGINT AS dup_ppm
-       |FROM d GROUP BY source ORDER BY source""".stripMargin
+       |FROM d GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
   }
 
   /** Oracle twin of [[graft.operators.TextAnalysis.cmsFrequencyReport]]:

@@ -78,7 +78,13 @@ case class CountMinSketch(
     (first.dataType, second.dataType, third.dataType) match {
       case (StringType, IntegerType, IntegerType)
           if second.foldable && third.foldable =>
-        if (depth >= 1 && depth <= CountMinSketch.MaxDepth && width >= 1 &&
+        // Null-check BEFORE the lazy depth/width unbox: a foldable NULL
+        // (e.g. CAST(NULL AS INT)) must be a clean analysis error, not an
+        // NPE thrown from inside the analyzer.
+        if (second.eval(null) == null || third.eval(null) == null)
+          TypeCheckResult.TypeCheckFailure(
+            "graft_cms depth/width must be non-null")
+        else if (depth >= 1 && depth <= CountMinSketch.MaxDepth && width >= 1 &&
             depth.toLong * width <= CountMinSketch.MaxCells)
           TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(

@@ -101,7 +101,11 @@ case class HeavyHitters(
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (StringType, IntegerType) if right.foldable =>
-        if (capacity >= 1) TypeCheckResult.TypeCheckSuccess
+        // Null-check BEFORE the lazy capacity unbox (a foldable NULL must
+        // fail analysis cleanly, not NPE — same rule as graft_cms).
+        if (right.eval(null) == null) TypeCheckResult.TypeCheckFailure(
+          "graft_heavy_hitters capacity must be non-null")
+        else if (capacity >= 1) TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(
           s"graft_heavy_hitters capacity must be >= 1, got $capacity")
       case _ => TypeCheckResult.TypeCheckFailure(

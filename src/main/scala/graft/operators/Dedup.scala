@@ -853,10 +853,19 @@ object Dedup {
     * aggregate — no corpus-keyed join ever shuffles text except the final
     * doc_id groupBy, the [[paragraphDedup]] inventory.
     */
+  /** `emitText = true` additionally returns `kept_text` — the stitched
+    * scrubbed document itself (the exact `array_join` input of `kept_fp`,
+    * empty string when every paragraph was dropped) — so a pipeline can
+    * MATERIALIZE the cleaned corpus, not just audit its digest. Off by
+    * default: the digest-only form keeps the gate frame (and any report
+    * sink) skinny, while the text form is the one a real scrub job
+    * writes back out.
+    */
   def decontaminate(corpus: DataFrame, corpusId: String, corpusText: String,
                     evalSet: DataFrame, evalTextCol: String,
                     n: Int = 13, window: Int = 50,
-                    broadcastEval: Boolean = true): DataFrame = {
+                    broadcastEval: Boolean = true,
+                    emitText: Boolean = false): DataFrame = {
     graft.functions.HashedShingles.ensureRegistered(corpus.sparkSession)
     val evalGrams = evalSet
       .select(explode(
@@ -871,19 +880,23 @@ object Dedup {
       .select(col("doc_id"), col("pos"), explode(col("sh")).as("h"))
       .join(if (broadcastEval) broadcast(evalGrams) else evalGrams, "h")
       .select("doc_id", "pos").distinct()
+    val stitched = array_join(transform(
+      sort_array(collect_list(struct(col("pos"), col("chunk")))),
+      p => p("chunk")), " ")
+    val aggCols = Seq(
+      sum(col("n_toks")).cast("long").as("kept_toks"),
+      md5(stitched).as("kept_fp")) ++
+      (if (emitText) Seq(stitched.as("kept_text")) else Nil)
     val rebuilt = paras.join(dirty, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        sum(col("n_toks")).cast("long").as("kept_toks"),
-        md5(array_join(transform(
-          sort_array(collect_list(struct(col("pos"), col("chunk")))),
-          p => p("chunk")), " ")).as("kept_fp"))
+      .agg(count(lit(1)).as("n_kept"), aggCols: _*)
     paras.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
       .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_paras"),
+      .select((Seq(col("doc_id"), col("n_paras"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_toks"), lit(0L)).as("kept_toks"),
-        coalesce(col("kept_fp"), md5(lit(""))).as("kept_fp"))
+        coalesce(col("kept_fp"), md5(lit(""))).as("kept_fp")) ++
+        (if (emitText) Seq(coalesce(col("kept_text"), lit("")).as("kept_text")) else Nil)): _*)
   }
 
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,

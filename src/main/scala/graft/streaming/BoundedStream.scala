@@ -88,10 +88,18 @@ object BoundedStream {
       // append would then double its rows — so each batch OVERWRITES its
       // own batchId-keyed partition directory (idempotent replay: the
       // rewrite is byte-identical), and the read drops the key column.
+      // The partition key is a reserved graft-prefixed name so it cannot
+      // collide with a transform output column (a plain `batch=` key would
+      // silently shadow-and-drop a real `batch` column on the read-back).
+      // NOT underscore-prefixed: Spark's file index treats leading-`_`
+      // paths as hidden, so a `__x=<id>` partition dir would be invisible
+      // to the read. The require is belt-and-braces for the prefixed name.
       runForeachBatch(source, transform, checkpoint, outputMode) { (batch, id) =>
-        batch.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        require(!batch.columns.contains("graft_batch_id"),
+          "transform output must not contain the reserved graft_batch_id column")
+        batch.write.mode("overwrite").parquet(s"$outDir/graft_batch_id=$id")
       }
-      spark.read.parquet(outDir).drop("batch")
+      spark.read.parquet(outDir).drop("graft_batch_id")
     } else {
       // complete mode: each batch is the whole state; the final overwrite
       // is the answer, and replaying it rewrites the same state.

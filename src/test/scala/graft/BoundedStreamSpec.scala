@@ -115,14 +115,14 @@ class BoundedStreamSpec extends SparkTestBase {
     val ckpt = tmpDir("graft-ap-ckpt")
     val ident = (df: DataFrame) => df.select(col("line"))
     // one file per trigger -> two micro-batches, each landing in its own
-    // batch=<id> partition (the idempotent-replay unit)
+    // graft_batch_id=<id> partition (the idempotent-replay unit)
     val drained = BoundedStream.runAvailableNowToParquet(spark,
       BoundedStream.textStream(spark, in, maxFilesPerTrigger = Some(1)),
       ident, ckpt, out, outputMode = "append")
     assert(drained.collect().map(_.getString(0)).sorted.toSeq == Seq("x", "y", "z"))
-    assert(!drained.columns.contains("batch"))      // key column dropped
+    assert(!drained.columns.contains("graft_batch_id")) // key column dropped
     val parts = new java.io.File(out).listFiles()
-      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+      .filter(_.getName.startsWith("graft_batch_id=")).map(_.getName).sorted
     assert(parts.length == 2, parts.toSeq)
     // draining AGAIN on the same checkpoint (a completed-run restart —
     // every batch already committed) must not duplicate any row
