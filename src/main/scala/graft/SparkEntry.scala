@@ -1857,6 +1857,18 @@ object SparkEntry {
         .orderBy("cell", "dim_idx")
     }),
 
+    // q117's Lloyd LOOP under the √n centroid POLICY — the last
+    // fixed-step family moved under the hash (q105's recipe applied to
+    // the iteration): the oracle computes ⌈√n⌉ from its own count, seeds
+    // the same capped codebook, and re-derives round 2's centroids from
+    // round 1's exact fixed-point micro-means. q117 stays as the
+    // fixed-step regression anchor.
+    "q130_kmeans_adaptive" -> ((s, dir) => {
+      Similarity.kmeansIterReportAdaptive(Tables(s, dir).embeddings,
+          "vec_id", "embedding", iters = 2)
+        .orderBy("cell", "dim_idx")
+    }),
+
     // Decontamination SCRUB (q34 detects, this removes): drop every
     // 20-token train paragraph sharing a 13-gram with the test split,
     // stitch the survivors back byte-exact — the surgical path that costs
@@ -2670,6 +2682,54 @@ object SparkEntry {
     // q53's round with the second Lloyd iteration unrolled: cents2 =
     // round-1 micro-means / 1e6 (the exact double the engine's codebook
     // collect produces), then the identical assign + fixed-point mean
+    // q117 under the √n policy: the identical two-round unroll, but the
+    // seed codebook derives from ⌈√n⌉ of the oracle's own count (q93's st
+    // CTE) with sampleCentroids' 4096 cap made explicit
+    "q130_kmeans_adaptive" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |st AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS s FROM e),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e, st WHERE vec_id % st.s = 0
+        |          ORDER BY cid LIMIT 4096),
+        |asg AS (SELECT id, v, cell FROM (
+        |    SELECT e.vec_id AS id, e.v, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, c.cv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS rk
+        |    FROM e CROSS JOIN cents c) WHERE rk = 1),
+        |x AS (SELECT cell, unnest(v) AS val,
+        |             generate_subscripts(v, 1) - 1 AS dim
+        |      FROM asg),
+        |m AS (SELECT cell, dim, sum(round(val * 1e6)::BIGINT)::BIGINT AS s,
+        |             count(*) AS n
+        |      FROM x GROUP BY cell, dim),
+        |m2 AS (SELECT cell, dim, n,
+        |         (((2 * abs(s) + n) // (2 * n)) *
+        |          (CASE WHEN s < 0 THEN -1 ELSE 1 END))::BIGINT AS mean_micro
+        |       FROM m),
+        |cents2 AS (SELECT cell AS cid, list(mean_micro / 1e6 ORDER BY dim) AS cv
+        |           FROM m2 GROUP BY cell),
+        |asg2 AS (SELECT id, v, cell FROM (
+        |    SELECT e.vec_id AS id, e.v, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, c.cv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS rk
+        |    FROM e CROSS JOIN cents2 c) WHERE rk = 1),
+        |x2 AS (SELECT cell, unnest(v) AS val,
+        |              generate_subscripts(v, 1) - 1 AS dim
+        |       FROM asg2),
+        |mm AS (SELECT cell, dim, sum(round(val * 1e6)::BIGINT)::BIGINT AS s,
+        |              count(*) AS n
+        |       FROM x2 GROUP BY cell, dim),
+        |mm2 AS (SELECT cell, dim, n,
+        |          (((2 * abs(s) + n) // (2 * n)) *
+        |           (CASE WHEN s < 0 THEN -1 ELSE 1 END))::BIGINT AS mean_micro
+        |        FROM mm)
+        |SELECT cell, dim::BIGINT AS dim_idx, mean_micro / 1e6 AS mean_val,
+        |       mean_micro, n
+        |FROM mm2 ORDER BY cell, dim_idx""".stripMargin,
+
     "q117_kmeans_iters" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),

@@ -600,6 +600,22 @@ object Similarity {
       .select(col("cell"), col("v")), "cell", "v")
   }
 
+  /** [[kmeansIterReport]] under the [[sqrtCentStep]] POLICY — the form a
+    * pipeline actually runs (the fixed-step form is the regression
+    * anchor, same division of labor as [[ivfTopK]]/[[ivfTopKAdaptive]]
+    * and [[buildIvfIndex]]/[[buildIvfIndexAdaptive]]). This closes the
+    * last fixed-step family: the Lloyd LOOP itself —
+    * collect-refine-reassign across `iters` rounds — now runs gated with
+    * the ⌈√n⌉ seed codebook the oracle re-derives from its own count, so
+    * assignment FLOPs track n·√n instead of n·(n/step) as the corpus
+    * grows.
+    */
+  def kmeansIterReportAdaptive(df: DataFrame, idCol: String, vecCol: String,
+                               iters: Int,
+                               maxCentroids: Int = 4096): DataFrame =
+    kmeansIterReport(df, idCol, vecCol, iters,
+      centStep = sqrtCentStep(df, idCol), maxCentroids = maxCentroids)
+
   /** LSH-accelerated top-k: candidates are same-bucket vectors only
     * (equi-join on bucket — never a cross join), ranked by exact cosine.
     * Lower recall than [[knnBrute]] by construction; that trade is the
