@@ -1869,6 +1869,113 @@ object SparkEntry {
         .orderBy("cell", "dim_idx")
     }),
 
+    // DELETION from the persisted text index (the storage verb a crawl
+    // pipeline needs — takedowns, dedup-loser purges): build even +
+    // append odd + tombstone-delete doc_id % 7 == 3 (negative df/stats
+    // rows + anti-joined tombstones, no rewrite), then search. Must
+    // hash-equal q88's from-scratch scoring over the SURVIVORS.
+    "q131_text_index_delete" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-text-delete").toString
+      SnapshotDirs.add(root)
+      TextAnalysis.buildTextIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root)
+      TextAnalysis.appendTextIndex(s, root,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      TextAnalysis.deleteFromTextIndex(s, root,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id")
+      TextAnalysis.searchTextIndex(s, root,
+          Seq("spark", "hash", "window"), k = 25)
+        .orderBy(col("bm25_micro").desc, col("doc_id"))
+    }),
+
+    // q131 + COMPACTION: the tombstones drain into physical rewrites of
+    // ONLY the affected buckets (negative df rows merged away, stats
+    // collapsed to one row, doc-lengths purged), and the post-compaction
+    // search must still hash-equal the same from-scratch oracle — proving
+    // delete+compact ≡ build((corpus ∪ batch) ∖ ids) file-for-file
+    // semantics with zero tombstone overhead left at query time.
+    "q132_text_index_compact" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-text-compact").toString
+      SnapshotDirs.add(root)
+      TextAnalysis.buildTextIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root)
+      TextAnalysis.appendTextIndex(s, root,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      TextAnalysis.deleteFromTextIndex(s, root,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id")
+      TextAnalysis.compactTextIndex(s, root)
+      TextAnalysis.searchTextIndex(s, root,
+          Seq("spark", "hash", "window"), k = 25)
+        .orderBy(col("bm25_micro").desc, col("doc_id"))
+    }),
+
+    // DELETION from the persisted IVF index: build even (adaptive √n
+    // codebook) + append odd + tombstone-delete vec_id % 7 == 3, then the
+    // pruned search — deleted vectors stop matching immediately, the
+    // frozen codebook (pre-delete, like a real index) stays put. Must
+    // hash-equal a from-scratch assignment of the SURVIVORS to the same
+    // codebook.
+    "q133_ivf_delete" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivf-delete").toString
+      SnapshotDirs.add(root)
+      Similarity.buildIvfIndexAdaptive(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", root)
+      Similarity.appendIvfIndex(s, root,
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      Similarity.deleteFromIvfIndex(s, root,
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
+      Similarity.searchIvfIndex(s, root, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+    }),
+
+    // q133 + COMPACTION: tombstoned cells physically rewritten (only
+    // those cells — spec-asserted), tombstones cleared, same oracle.
+    "q134_ivf_compact" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivf-compact").toString
+      SnapshotDirs.add(root)
+      Similarity.buildIvfIndexAdaptive(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", root)
+      Similarity.appendIvfIndex(s, root,
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      Similarity.deleteFromIvfIndex(s, root,
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
+      Similarity.compactIvfIndex(s, root)
+      Similarity.searchIvfIndex(s, root, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+    }),
+
+    // Snapshot-store RETENTION (the SDFS `delete` verb the q84 store had
+    // not absorbed): three versions written, keepLast=2 prunes v0
+    // partition-granularly, and the surviving store reads back exactly
+    // the kept versions' rows — v0's absence is itself under the hash.
+    "q135_snapshot_retention" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.select("doc_id", "text")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-snap-retain").toString
+      SnapshotDirs.add(root)
+      Curation.writeSnapshot(docs.filter(col("doc_id") % 3 === 0), root, 0L)
+      Curation.writeSnapshot(docs.filter(col("doc_id") % 3 =!= 2), root, 1L)
+      Curation.writeSnapshot(docs, root, 2L)
+      val removed = Curation.pruneSnapshots(root, keepLast = 2)
+      require(removed == Seq(0L), s"expected to prune v0, got $removed")
+      Curation.readSnapshots(s, root, lastN = 10)
+        .groupBy("version")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").cast("long").as("id_sum"),
+          sum(length(col("text"))).cast("long").as("len_sum"))
+        .orderBy("version")
+    }),
+
     // Decontamination SCRUB (q34 detects, this removes): drop every
     // 20-token train paragraph sharing a 13-gram with the test split,
     // stitch the survivors back byte-exact — the surgical path that costs
@@ -2081,7 +2188,12 @@ object SparkEntry {
       // the live-ingest decontamination check (stream-static broadcast
       // join + hit-only aggregation state) must reproduce the batch
       // detector's answer
-      "q128_stream_decontam" -> "q34_decontam")
+      "q128_stream_decontam" -> "q34_decontam",
+      // post-compaction search (affected buckets physically rewritten,
+      // tombstones cleared) must reproduce the tombstone-era answer —
+      // both equal the from-scratch build over the survivors
+      "q132_text_index_compact" -> "q131_text_index_delete",
+      "q134_ivf_compact" -> "q133_ivf_delete")
       .map { case (aliasQ, libQ) => aliasQ -> oracleSqlBase(libQ) }
   }
 
@@ -2682,6 +2794,91 @@ object SparkEntry {
     // q53's round with the second Lloyd iteration unrolled: cents2 =
     // round-1 micro-means / 1e6 (the exact double the engine's codebook
     // collect produces), then the identical assign + fixed-point mean
+    // q88's BM25 scoring recomputed from scratch over the SURVIVORS of
+    // the delete (doc_id % 7 == 3 removed): the engine side answers from
+    // build(even) + append(odd) + tombstone-delete — negative df/stats
+    // segment rows and the anti-joined tombstone set must reproduce this
+    // exactly (and q132's post-compaction files must too)
+    "q131_text_index_delete" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),
+        |tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM d),
+        |t AS (SELECT doc_id, term FROM tt WHERE term <> ''),
+        |dl AS (SELECT doc_id,
+        |              len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS dl
+        |       FROM d),
+        |avg AS (SELECT sum(dl)::BIGINT * 1.0 / count(*) AS avgdl FROM dl),
+        |n AS (SELECT count(*)::BIGINT AS n_docs FROM d),
+        |qt AS (SELECT doc_id, term, count(*)::BIGINT AS cnt FROM t
+        |       WHERE term IN ('spark', 'hash', 'window') GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*)::BIGINT AS df FROM qt GROUP BY term),
+        |m AS (SELECT qt.doc_id,
+        |             round(ln((n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+        |                   ((qt.cnt * (1.2 + 1.0)) /
+        |                    (qt.cnt + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avg.avgdl)))
+        |                   * 1e6)::BIGINT AS micro
+        |      FROM qt JOIN dl USING (doc_id) JOIN dfq USING (term)
+        |      CROSS JOIN n CROSS JOIN avg),
+        |s AS (SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+        |             sum(micro)::BIGINT AS bm25_micro
+        |      FROM m GROUP BY doc_id),
+        |r AS (SELECT doc_id, n_terms_hit, bm25_micro,
+        |             row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rk
+        |      FROM s)
+        |SELECT doc_id, n_terms_hit, bm25_micro FROM r WHERE rk <= 25
+        |ORDER BY bm25_micro DESC, doc_id""".stripMargin,
+
+    // q111's append oracle with the delete applied: the codebook still
+    // derives from the PRE-DELETE even corpus (the frozen model), only
+    // corpus MEMBERSHIP (asg over `keep`) loses the deleted ids —
+    // assignment is per-vector, so filtering before assignment equals
+    // the engine's anti-join after it
+    "q133_ivf_delete" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corp AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+        |st AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS s FROM corp),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM corp, st WHERE vec_id % st.s = 0
+        |          ORDER BY cid LIMIT 4096),
+        |keep AS (SELECT * FROM e WHERE vec_id % 7 <> 3),
+        |asg AS (SELECT id, v, cell FROM (
+        |    SELECT k.vec_id AS id, k.v, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY k.vec_id ORDER BY
+        |             list_dot_product(k.v, c.cv) /
+        |             (sqrt(list_dot_product(k.v, k.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS rk
+        |    FROM keep k CROSS JOIN cents c) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |probes AS (SELECT query_id, qv, cell FROM (
+        |    SELECT q.query_id, q.qv, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |             list_dot_product(q.qv, c.cv) /
+        |             (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS prk
+        |    FROM q CROSS JOIN cents c) WHERE prk <= 2),
+        |s AS (SELECT p.query_id, a.id AS neighbor_id,
+        |             list_dot_product(p.qv, a.v) /
+        |             (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS c
+        |      FROM probes p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.id),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+        |      FROM s)
+        |SELECT query_id, neighbor_id, round(c, 4) + 0 AS cos FROM r WHERE rk <= 3
+        |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+    // the kept versions' rows re-derived from the same slice predicates
+    // the engine snapshotted; version 0's absence is under the hash by
+    // its absence here
+    "q135_snapshot_retention" ->
+      """SELECT 1::BIGINT AS version, count(*)::BIGINT AS n_docs,
+        |       sum(doc_id)::BIGINT AS id_sum,
+        |       sum(length(text))::BIGINT AS len_sum
+        |FROM documents WHERE doc_id % 3 <> 2
+        |UNION ALL
+        |SELECT 2::BIGINT, count(*)::BIGINT, sum(doc_id)::BIGINT,
+        |       sum(length(text))::BIGINT
+        |FROM documents
+        |ORDER BY version""".stripMargin,
+
     // q117 under the √n policy: the identical two-round unroll, but the
     // seed codebook derives from ⌈√n⌉ of the oracle's own count (q93's st
     // CTE) with sampleCentroids' 4096 cap made explicit

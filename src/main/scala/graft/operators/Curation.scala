@@ -395,6 +395,42 @@ object Curation {
       .toSeq.sorted
   }
 
+  /** DELETE one stored snapshot version — the reference's SDFS `delete`
+    * verb (`daemon/daemon.go:116-133`), the one storage op the snapshot
+    * store had not absorbed: a version directory is dropped wholesale
+    * (partition-granular, nothing else is touched or read). Returns
+    * whether the version existed. Deleting a version that later reads
+    * would have pruned away anyway costs them nothing; deleting the
+    * LATEST simply promotes the previous one — the store stays a plain
+    * directory-of-versions either way.
+    */
+  def deleteSnapshotVersion(rootDir: String, version: Long,
+                            conf: Option[org.apache.hadoop.conf.Configuration] = None): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(s"$rootDir/version=$version")
+    val resolved = conf
+      .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration))
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = path.getFileSystem(resolved)
+    fs.exists(path) && fs.delete(path, true)
+  }
+
+  /** RETENTION sweep: keep the newest `keepLast` versions, delete the
+    * rest (oldest-first), return the deleted version numbers — the
+    * policy a daily-snapshot pipeline runs so history length stays
+    * bounded while [[readSnapshots]]' pruned-scan guarantee keeps
+    * holding over whatever survives. Gated (q135): after a prune, the
+    * surviving store must read back exactly the kept versions' rows.
+    */
+  def pruneSnapshots(rootDir: String, keepLast: Int,
+                     conf: Option[org.apache.hadoop.conf.Configuration] = None): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val versions = snapshotVersions(rootDir, conf)
+    val doomed = versions.dropRight(keepLast)
+    doomed.foreach(v => deleteSnapshotVersion(rootDir, v, conf))
+    doomed
+  }
+
   /** Read the LAST `lastN` snapshot versions — the reference's
     * `get-versions n`. Returns the rows of those versions with their
     * `version` column; the version predicate is a PARTITION filter, so

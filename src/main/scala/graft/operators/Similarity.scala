@@ -445,6 +445,69 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/postings")
   }
 
+  /** DELETION from a [[buildIvfIndex]] index — [[
+    * graft.operators.TextAnalysis.deleteFromTextIndex]]'s contract for
+    * the vector store (the reference's SDFS `delete`,
+    * daemon/daemon.go:116-133): append the delete set as TOMBSTONES
+    * (id, cell) — never a corpus rewrite — and [[searchIvfIndex]]
+    * anti-joins them, so a deleted vector stops matching immediately.
+    * The cell rides along so [[compactIvfIndex]] knows exactly which
+    * cell partitions to rewrite. Centroids are untouched: the codebook
+    * is the frozen model (same argument as [[appendIvfIndex]]); enough
+    * deletion to warrant re-centering is a rebuild decision made from
+    * [[cellOccupancy]] evidence. Ids absent from the index or already
+    * tombstoned are no-ops, so a replayed delete batch is idempotent.
+    *
+    * Cost: one postings scan filtered to the delete set, at DELETE time
+    * only. Gated: q133 (delete → search ≡ from-scratch build over the
+    * survivors).
+    */
+  def deleteFromIvfIndex(spark: SparkSession, dir: String, ids: DataFrame,
+                         idCol: String): Unit = {
+    val del0 = ids.select(col(idCol).cast("long").as("id")).distinct()
+    val del =
+      if (graft.operators.StoreFs.exists(spark, s"$dir/tombstones"))
+        del0.join(
+          spark.read.parquet(s"$dir/tombstones").select("id").distinct(),
+          Seq("id"), "left_anti")
+      else del0
+    val delPost = spark.read.parquet(s"$dir/postings")
+      .join(broadcast(del), "id")
+      .select(col("id"), col("cell").cast("long").as("cell"))
+    if (!delPost.isEmpty)
+      delPost.write.mode("append").parquet(s"$dir/tombstones")
+  }
+
+  /** COMPACTION of a tombstoned [[buildIvfIndex]] index: physically
+    * rewrite ONLY the cell partitions the tombstones name (a bounded
+    * driver list — cells ≤ maxCentroids by construction) and clear the
+    * tombstones. Untouched cells' files are never read or rewritten, so
+    * compaction cost tracks the deleted vectors' cell footprint, not the
+    * corpus. Post-compaction searches answer identically with zero
+    * tombstone overhead (gated: q134 hash-equals q133's oracle).
+    */
+  def compactIvfIndex(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.StoreFs
+    if (!StoreFs.exists(spark, s"$dir/tombstones")) return
+    val tomb = spark.read.parquet(s"$dir/tombstones")
+    val tombIds = tomb.select("id").distinct()
+    val affected = tomb.select("cell").distinct().collect()
+      .map(_.getLong(0)).toSeq
+    if (affected.isEmpty) { StoreFs.delete(spark, s"$dir/tombstones"); return }
+    val tmp = s"$dir/compact_tmp"
+    StoreFs.delete(spark, tmp)
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("cell").isin(affected: _*))
+      .join(tombIds, Seq("id"), "left_anti")
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$tmp/postings")
+    affected.foreach { c =>
+      StoreFs.replace(spark, s"$tmp/postings/cell=$c", s"$dir/postings/cell=$c")
+    }
+    StoreFs.delete(spark, s"$dir/tombstones")
+    StoreFs.delete(spark, tmp)
+  }
+
   /** Query a [[buildIvfIndex]] index: same probe + rank semantics as
     * [[ivfTopK]] (bit-identical results by construction — gated), but the
     * corpus side is the on-disk postings list: the broadcast probe join's
@@ -464,7 +527,16 @@ object Similarity {
       .withColumn("prk", row_number().over(wProbe))
       .filter(col("prk") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid").as("cell"))
-    val postings = spark.read.parquet(s"$dir/postings")
+    val postings0 = spark.read.parquet(s"$dir/postings")
+    // tombstoned vectors are invisible to search (broadcast anti-join —
+    // tombstones stay delete-batch-sized because compactIvfIndex drains
+    // them into physical cell rewrites)
+    val postings =
+      if (graft.operators.StoreFs.exists(spark, s"$dir/tombstones"))
+        postings0.join(broadcast(
+          spark.read.parquet(s"$dir/tombstones").select("id").distinct()),
+          Seq("id"), "left_anti")
+      else postings0
     val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     postings.select(col("id").as("neighbor_id"), col("v"), col("cell"))
       .join(broadcast(probes), "cell")

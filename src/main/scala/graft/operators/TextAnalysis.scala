@@ -636,7 +636,16 @@ object TextAnalysis {
     *    `dl` denormalized onto every posting so query time needs no
     *    doc-length join;
     *  - `terms/` — (term, df), same bucketing — document frequencies;
-    *  - `stats/` — one row (n_docs, avgdl), the corpus constants.
+    *  - `stats/` — one row (n_docs, avgdl), the corpus constants;
+    *  - `docs/` — (doc_id, dl), `partitionBy(dbucket)` (md5 of the id) —
+    *    the doc-length table (Lucene's "norms"): the component
+    *    [[deleteFromTextIndex]] reads to adjust (n_docs, sum_dl) EXACTLY,
+    *    including docs with zero tokens, which have no postings row to
+    *    recover dl from;
+    *  - `tombstones/` — (doc_id, bucket), present only after a delete:
+    *    doc ids pending physical removal, with the postings buckets they
+    *    touch (bucket = -1 for postings-less docs) so
+    *    [[compactTextIndex]] rewrites only affected buckets.
     *
     * [[searchTextIndex]] reproduces [[bm25Search]]'s exact micro-int
     * scores from the files alone (gated: q124 must hash-match q88), and
@@ -672,6 +681,10 @@ object TextAnalysis {
     dl.agg(count(lit(1)).cast("long").as("n_docs"),
         sum("dl").cast("long").as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    dl.select(col("doc_id"), col("dl"))
+      .withColumn("dbucket", termBucket(col("doc_id").cast("string"), buckets))
+      .repartition(col("dbucket"))
+      .write.mode("overwrite").partitionBy("dbucket").parquet(s"$dir/docs")
   }
 
   /** INCREMENTAL text-index maintenance — [[Similarity.appendIvfIndex]]'s
@@ -705,6 +718,140 @@ object TextAnalysis {
     dl.agg(count(lit(1)).cast("long").as("n_docs"),
         sum("dl").cast("long").as("sum_dl"))
       .coalesce(1).write.mode("append").parquet(s"$dir/stats")
+    dl.select(col("doc_id"), col("dl"))
+      .withColumn("dbucket", termBucket(col("doc_id").cast("string"), buckets))
+      .repartition(col("dbucket"))
+      .write.mode("append").partitionBy("dbucket").parquet(s"$dir/docs")
+  }
+
+  /** DELETION from a [[buildTextIndex]] index — the storage verb a crawl
+    * pipeline cannot live without (takedowns, robots revocations,
+    * dedup-losers purged after resolution; the reference's SDFS supports
+    * `delete` — daemon/daemon.go:116-133 op dispatch — and the index
+    * stores absorb it here). TOMBSTONE-APPEND, not rewrite: a delete must
+    * not pay a corpus-sized rewrite, so it appends
+    *
+    *  - one NEGATIVE stats row (−n_deleted, −sum_dl_deleted) — exact,
+    *    from the `docs/` doc-length table, so token-less docs subtract
+    *    correctly — search's existing segment-sum arithmetic absorbs it
+    *    unchanged;
+    *  - NEGATIVE df rows per (term, bucket) touched by the deleted docs —
+    *    search's per-term df sum absorbs them the same way;
+    *  - the tombstone ids themselves, which [[searchTextIndex]]
+    *    anti-joins (broadcast — tombstones stay small because
+    *    [[compactTextIndex]] exists to drain them).
+    *
+    * The merged answer is bit-identical to a from-scratch build over the
+    * surviving docs (gated: q131). Cost: one pruned read of the deleted
+    * ids' `docs/` dbuckets plus one postings scan filtered to the delete
+    * set — paid at DELETE time, amortized across every later query.
+    *
+    * Ids not present in the index, or already tombstoned, are no-ops
+    * (the delete set is anti-joined against prior tombstones first), so
+    * a replayed delete batch cannot double-subtract.
+    */
+  def deleteFromTextIndex(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, ids: DataFrame, idCol: String,
+                          buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val del0 = ids.select(col(idCol).as("doc_id")).distinct()
+    val del =
+      if (StoreFs.exists(spark, s"$dir/tombstones"))
+        del0.join(
+          spark.read.parquet(s"$dir/tombstones").select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+      else del0
+    // dbucket pruning: the delete set's own id hashes name the docs/
+    // partitions to read (≤ `buckets` values — a bounded driver list)
+    val dbuckets = del.select(
+        termBucket(col("doc_id").cast("string"), buckets).as("dbucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (dbuckets.isEmpty) return // nothing new to delete
+    val deleted = CacheScope.persisted(
+      spark.read.parquet(s"$dir/docs")
+        .filter(col("dbucket").isin(dbuckets: _*))
+        .join(broadcast(del), "doc_id")
+        .select(col("doc_id"), col("dl")))
+    if (deleted.isEmpty) return // ids absent from the index entirely
+    deleted.agg((lit(0L) - count(lit(1))).cast("long").as("n_docs"),
+        (lit(0L) - coalesce(sum("dl"), lit(0L))).cast("long").as("sum_dl"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/stats")
+    val delPost = CacheScope.persisted(
+      spark.read.parquet(s"$dir/postings")
+        .join(broadcast(deleted.select("doc_id")), "doc_id"))
+    delPost.groupBy("term", "bucket")
+      .agg((lit(0L) - count(lit(1))).cast("long").as("df"))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/terms")
+    // tombstones carry the touched postings buckets (compaction's work
+    // list); a postings-less doc tombstones with bucket = -1
+    delPost.select(col("doc_id"), col("bucket").cast("int").as("bucket"))
+      .distinct()
+      .unionByName(deleted.select("doc_id")
+        .join(delPost.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+        .withColumn("bucket", lit(-1)))
+      .write.mode("append").parquet(s"$dir/tombstones")
+  }
+
+  /** COMPACTION of a tombstoned [[buildTextIndex]] index: physically
+    * rewrite ONLY the postings/terms buckets (and docs/ dbuckets) the
+    * tombstones touch — merging segment df rows and dropping negative
+    * pairs as it goes — collapse the stats segments to one exact total
+    * row, and clear the tombstones. Untouched buckets' files are never
+    * read or rewritten (spec-asserted), so compaction cost tracks the
+    * DELETED data's bucket footprint, not the corpus. After compaction a
+    * search answers identically with zero tombstone overhead (gated:
+    * q132 hash-equals q131's oracle). Single-writer contract, same as
+    * build/append.
+    */
+  def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, buckets: Int = 64): Unit = {
+    if (!StoreFs.exists(spark, s"$dir/tombstones")) return
+    val tomb = spark.read.parquet(s"$dir/tombstones")
+    val tombIds = CacheScope.persisted(tomb.select("doc_id").distinct())
+    val affected = tomb.filter(col("bucket") >= 0)
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    val affectedD = tombIds.select(
+        termBucket(col("doc_id").cast("string"), buckets).as("dbucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val tmp = s"$dir/compact_tmp"
+    StoreFs.delete(spark, tmp)
+    if (affected.nonEmpty) {
+      spark.read.parquet(s"$dir/postings")
+        .filter(col("bucket").isin(affected: _*))
+        .join(tombIds, Seq("doc_id"), "left_anti")
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$tmp/postings")
+      spark.read.parquet(s"$dir/terms")
+        .filter(col("bucket").isin(affected: _*))
+        .groupBy("term", "bucket").agg(sum("df").cast("long").as("df"))
+        .filter(col("df") > 0)
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$tmp/terms")
+    }
+    spark.read.parquet(s"$dir/docs")
+      .filter(col("dbucket").isin(affectedD: _*))
+      .join(tombIds, Seq("doc_id"), "left_anti")
+      .repartition(col("dbucket"))
+      .write.partitionBy("dbucket").parquet(s"$tmp/docs")
+    // stats: collapse every segment row (build + appends + negative
+    // delete rows) to ONE exact total row
+    spark.read.parquet(s"$dir/stats")
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("sum_dl").cast("long").as("sum_dl"))
+      .coalesce(1).write.parquet(s"$tmp/stats")
+    // swap: every read above has materialized, so the replaces are safe
+    affected.foreach { b =>
+      StoreFs.replace(spark, s"$tmp/postings/bucket=$b", s"$dir/postings/bucket=$b")
+      StoreFs.replace(spark, s"$tmp/terms/bucket=$b", s"$dir/terms/bucket=$b")
+    }
+    affectedD.foreach { b =>
+      StoreFs.replace(spark, s"$tmp/docs/dbucket=$b", s"$dir/docs/dbucket=$b")
+    }
+    StoreFs.replace(spark, s"$tmp/stats", s"$dir/stats")
+    StoreFs.delete(spark, s"$dir/tombstones")
+    StoreFs.delete(spark, tmp)
+    tombIds.unpersist()
   }
 
   /** The md5 term bucket shared by build and search — the pruning key. */
@@ -746,9 +893,19 @@ object TextAnalysis {
       .filter(col("bucket").isin(wanted: _*))
       .filter(col("term").isin(terms: _*))
       .groupBy("term").agg(sum("df").cast("long").as("df"))
-    val qt = spark.read.parquet(s"$dir/postings")
+    val qt0 = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(wanted: _*))
       .filter(col("term").isin(terms: _*))
+    // tombstoned docs are invisible to scoring (broadcast anti-join —
+    // tombstones stay delete-batch-sized because compactTextIndex drains
+    // them); df and stats need nothing here, their segment sums already
+    // absorb the delete's negative rows
+    val qt =
+      if (StoreFs.exists(spark, s"$dir/tombstones"))
+        qt0.join(broadcast(
+          spark.read.parquet(s"$dir/tombstones").select("doc_id").distinct()),
+          Seq("doc_id"), "left_anti")
+      else qt0
     val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
       + lit(1.0))
     val tf = (col("cnt") * (lit(k1) + lit(1.0))) /
