@@ -1726,6 +1726,21 @@ object SparkEntry {
         "doc_id", "text", (col("lang") === "en").cast("int"), dims = 32)
     }),
 
+    // q126 iterated to a TRAINED model and fed back to scoring — the full
+    // train→score pipeline under one hash: 3 full-batch gradient passes
+    // in exact micro-integer arithmetic (σ rounded to micro before any
+    // sum; the lr=1e-3 update via the half-away-from-zero integer step,
+    // so no signed integer division runs), final weights scoring every
+    // doc (featureless docs score z=0 → σ=½, never dropped). The oracle
+    // re-derives ALL passes in SQL.
+    "q136_logreg_pipeline" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val w = TextAnalysis.logRegTrain(docs, "doc_id", "text",
+        (col("lang") === "en").cast("int"), dims = 32, passes = 3)
+      TextAnalysis.logRegScore(docs, "doc_id", "text", w, dims = 32)
+        .orderBy("doc_id")
+    }),
+
     // Incremental text-index maintenance (q111's contract for the
     // inverted index): build on the even half, append the odd half as an
     // ingest segment — postings into the same bucket partitions, df rows
@@ -2693,6 +2708,11 @@ object SparkEntry {
 
     // q95's hashing CTE, then the two-step GLM arithmetic: integer g1 and
     // w1 at sigma = 1/2 exactly, micro-rounded sigmoid feeding integer g2
+    // all `passes` gradient steps re-derived in SQL (generated CTE chain
+    // — q117's unroll device applied to the GLM loop), then the final
+    // weights score every document
+    "q136_logreg_pipeline" -> logRegPipelineOracle(passes = 3),
+
     "q126_logreg_train" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |c AS (SELECT doc_id, w, count(*)::BIGINT AS cnt FROM t WHERE w <> '' GROUP BY doc_id, w),
@@ -4691,6 +4711,54 @@ object SparkEntry {
     * minima, 4 bands × 3 rows, exact-Jaccard verification at 0.3) —
     * signature/band SQL generated so both engines hash identical strings.
     */
+  /** Oracle twin of [[graft.operators.TextAnalysis.logRegTrain]] +
+    * [[graft.operators.TextAnalysis.logRegScore]]: q126's feature/label
+    * CTEs, then one (z, σ, grad, w) CTE quartet PER PASS — w₀ = 0 makes
+    * pass 1 fall out of the same generic round — and the final weights
+    * score every document (LEFT JOIN keeps featureless docs at z = 0).
+    * The update step `sign·((2|g|+1000)//2000)` mirrors the engine's
+    * half-away-from-zero integer division device exactly.
+    */
+  private def logRegPipelineOracle(passes: Int): String = {
+    require(passes >= 1)
+    val rounds = (1 to passes).map { p =>
+      s"""z$p AS (SELECT x.doc_id, sum(w${p - 1}.wm * x.value)::BIGINT AS z
+         |      FROM x JOIN w${p - 1} USING (dim_idx) GROUP BY x.doc_id),
+         |s$p AS (SELECT doc_id, round(1e6 / (1 + exp(-(z / 1e6))))::BIGINT AS sg
+         |      FROM z$p),
+         |g$p AS (SELECT x.dim_idx,
+         |         sum(x.value * (s$p.sg - 1000000 * y.y))::BIGINT AS g
+         |       FROM x JOIN y USING (doc_id) JOIN s$p USING (doc_id)
+         |       GROUP BY x.dim_idx),
+         |w$p AS (SELECT w${p - 1}.dim_idx,
+         |         (w${p - 1}.wm - ((2 * abs(g) + 1000) // 2000) *
+         |          (CASE WHEN g < 0 THEN -1 ELSE 1 END))::BIGINT AS wm
+         |       FROM w${p - 1} JOIN g$p USING (dim_idx)),""".stripMargin
+    }.mkString("\n")
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |c AS (SELECT doc_id, w, count(*)::BIGINT AS cnt FROM t WHERE w <> '' GROUP BY doc_id, w),
+       |v AS (SELECT doc_id,
+       |        ('0x' || substr(md5(w), 1, 15))::BIGINT % 32 AS dim_idx,
+       |        CASE WHEN ('0x' || substr(md5(w), 16, 1))::BIGINT % 2 = 0
+       |             THEN cnt ELSE -cnt END AS sv
+       |      FROM c),
+       |x AS (SELECT doc_id, dim_idx, sum(sv)::BIGINT AS value
+       |      FROM v GROUP BY doc_id, dim_idx HAVING sum(sv) <> 0),
+       |y AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+       |w0 AS (SELECT DISTINCT dim_idx, 0::BIGINT AS wm FROM x),
+       |$rounds
+       |zf AS (SELECT x.doc_id, sum(w$passes.wm * x.value)::BIGINT AS z
+       |       FROM x JOIN w$passes USING (dim_idx) GROUP BY x.doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(zf.z, 0)::BIGINT AS z_micro,
+       |       coalesce(round(1e6 / (1 + exp(-(zf.z / 1e6))))::BIGINT,
+       |                500000)::BIGINT AS sig_micro,
+       |       (coalesce(round(1e6 / (1 + exp(-(zf.z / 1e6))))::BIGINT,
+       |                 500000) > 500000) AS pred
+       |FROM documents d LEFT JOIN zf USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   private def minHashOracle: String = {
     val k = 12; val rowsPerBand = 3; val bands = k / rowsPerBand
     val sigCols = Dedup.hashConsts(k).zipWithIndex.map { case ((a, b), i) =>

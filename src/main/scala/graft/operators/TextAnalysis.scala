@@ -972,6 +972,86 @@ object TextAnalysis {
       .orderBy("dim_idx")
   }
 
+  /** Iterated logistic-regression TRAINING to a usable model —
+    * [[logRegTrainReport]] gates the first two unrolled steps; this runs
+    * the full loop for `passes` gradient steps and emits the FINAL
+    * weights (dim_idx, w_micro), every pass in the same exact
+    * micro-integer arithmetic (q117's unroll treatment applied to the
+    * GLM):
+    *
+    *  - zᵢ = Σⱼ wⱼ·xᵢⱼ sums in LONG micro-units (order-free);
+    *  - σ rounds to integer micro BEFORE any sum (the one transcendental
+    *    per pass; the micro grid absorbs the libm 1-ulp spread);
+    *  - the update w ← w − grad/1000 (lr = 10⁻³) uses the
+    *    half-away-from-zero integer step `sign·((2|g|+1000) div 2000)` —
+    *    [[Similarity.meanPool]]'s division device — so no signed integer
+    *    division (truncate-vs-floor engine divergence) ever runs.
+    *
+    * Pass 1 falls out of the generic loop: w₀ = 0 → z = 0 → σ = 500000
+    * exactly, reproducing [[logRegTrainReport]]'s w1_micro = −500·g1.
+    *
+    * Scale shape: per pass, features and labels co-shuffle on doc_id
+    * once and the dims-bounded weight frame broadcasts back — the
+    * classic distributed-GLM iteration; `passes` is a small constant
+    * (logreg over hashed features converges in a handful of full-batch
+    * steps), and each pass's weight frame persists so lineage stays one
+    * pass deep.
+    */
+  def logRegTrain(df: DataFrame, idCol: String, textCol: String,
+                  label: Column, dims: Int, passes: Int): DataFrame = {
+    require(passes >= 1, s"passes must be >= 1: $passes")
+    val x = CacheScope.persisted(hashingVectors(df, idCol, textCol, dims))
+    val y = df.select(col(idCol).as("doc_id"), label.cast("long").as("y"))
+    var w = CacheScope.persisted(
+      x.select("dim_idx").distinct().withColumn("w_micro", lit(0L)))
+    (1 to passes).foreach { _ =>
+      val sg = logRegSigmoid(x, w)
+      val grad = x.join(y, "doc_id").join(sg, "doc_id")
+        .groupBy("dim_idx")
+        .agg(sum(col("value") * (col("sig_micro") - lit(1000000L) * col("y")))
+          .cast("long").as("g"))
+      // half-away-from-zero grad/1000 step — exact, engine-agnostic
+      w = CacheScope.persisted(w.join(grad, Seq("dim_idx"))
+        .select(col("dim_idx"),
+          (col("w_micro") -
+            expr("(2 * abs(g) + 1000) div 2000") *
+              when(col("g") < 0, lit(-1L)).otherwise(lit(1L)))
+            .cast("long").as("w_micro")))
+    }
+    w
+  }
+
+  /** Per-doc z and σ under a weight frame — the shared kernel of the
+    * training loop and [[logRegScore]]. Docs with no features are absent
+    * here (they contribute nothing to any gradient); the scorer
+    * re-attaches them with z = 0.
+    */
+  private def logRegSigmoid(x: DataFrame, w: DataFrame): DataFrame =
+    x.join(broadcast(w), "dim_idx")
+      .groupBy("doc_id")
+      .agg(sum(col("w_micro") * col("value")).cast("long").as("z_micro"))
+      .select(col("doc_id"), col("z_micro"),
+        round(lit(1e6) / (lit(1.0) + exp(-(col("z_micro") / lit(1e6)))))
+          .cast("long").as("sig_micro"))
+
+  /** SCORE a corpus with a [[logRegTrain]] model: per doc, the exact
+    * micro-int logit, its σ, and the decision — training→scoring as one
+    * gated pipeline (q136). Docs with no features (empty text, or every
+    * hashed dimension cancelled) score z = 0 → σ = ½ → pred false, and
+    * they DO appear (silently dropping unscorable docs is how a quality
+    * filter loses corpus).
+    */
+  def logRegScore(df: DataFrame, idCol: String, textCol: String,
+                  weights: DataFrame, dims: Int): DataFrame = {
+    val x = hashingVectors(df, idCol, textCol, dims)
+    df.select(col(idCol).as("doc_id"))
+      .join(logRegSigmoid(x, weights), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("z_micro"), lit(0L)).as("z_micro"),
+        coalesce(col("sig_micro"), lit(500000L)).as("sig_micro"),
+        (coalesce(col("sig_micro"), lit(500000L)) > 500000L).as("pred"))
+  }
+
   /** Zipf power-law fit of the term distribution — the corpus-health
     * diagnostic (natural text follows freq ∝ 1/rank^s with s ≈ 1;
     * boilerplate-heavy or template-generated corpora bend the curve, and

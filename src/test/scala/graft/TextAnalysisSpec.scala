@@ -730,4 +730,34 @@ class TextAnalysisSpec extends SparkTestBase {
     val score = z.view.mapValues(_.toDouble).toMap
     assert(score(1L) > 0 && score(3L) > 0 && score(2L) < 0 && score(4L) < 0)
   }
+
+  test("logRegTrain/logRegScore: pass 1 equals the report's w1; training separates; no doc dropped") {
+    val df = Seq(
+      (1L, "good clean prose with words", 1),
+      (2L, "spam spam spam buy now", 0),
+      (3L, "more good words here", 1),
+      (4L, "buy buy spam now now now", 0),
+      (5L, "", 1), // featureless: must still be scored, at z = 0
+    ).toDF("doc_id", "text", "y")
+    val dims = 8
+    // the generic loop's pass 1 (w0=0, sigma=500000 exact) must reproduce
+    // the gated report's closed-form w1_micro = -500*g1
+    val w1FromLoop = TextAnalysis.logRegTrain(df, "doc_id", "text", col("y"),
+        dims, passes = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w1FromReport = TextAnalysis.logRegTrainReport(df, "doc_id", "text",
+        col("y"), dims)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w1FromLoop == w1FromReport)
+    // 3 trained passes, then score: every doc appears, labels separate,
+    // and the featureless doc sits exactly on the boundary
+    val w3 = TextAnalysis.logRegTrain(df, "doc_id", "text", col("y"), dims, 3)
+    val scored = TextAnalysis.logRegScore(df, "doc_id", "text", w3, dims)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(scored.size == 5)
+    assert(scored(1L)._3 && scored(3L)._3 && !scored(2L)._3 && !scored(4L)._3,
+      scored.toString)
+    assert(scored(5L) == ((0L, 500000L, false)))
+  }
 }
