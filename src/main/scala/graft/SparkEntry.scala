@@ -1733,6 +1733,21 @@ object SparkEntry {
     // so no signed integer division runs), final weights scoring every
     // doc (featureless docs score z=0 → σ=½, never dropped). The oracle
     // re-derives ALL passes in SQL.
+    // Byte-level BPE alphabet (q108's sibling for the byte fallback):
+    // every pre-token rendered as its GPT-2 byte-proxy symbol string —
+    // the SQL-expressible half of byte-level mode (the trainer itself is
+    // BpeSpec-pinned like q67). The oracle re-derives the proxy table
+    // from the byte values, so the 256-symbol construction sits under
+    // the hash.
+    "q137_byte_segmentation" -> ((s, dir) => {
+      Bpe.segment(Tables(s, dir).documents, "text", numMerges = 0,
+          tokenizer = TextAnalysis.preTokens, byteLevel = true)
+        .select(col("w"), col("freq"),
+          (size(col("syms")) - 1).cast("long").as("n_bytes"),
+          array_join(col("syms"), "").as("proxy_marked"))
+        .orderBy("w")
+    }),
+
     "q136_logreg_pipeline" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       val w = TextAnalysis.logRegTrain(docs, "doc_id", "text",
@@ -2712,6 +2727,32 @@ object SparkEntry {
     // — q117's unroll device applied to the GLM loop), then the final
     // weights score every document
     "q136_logreg_pipeline" -> logRegPipelineOracle(passes = 3),
+
+    // q108's regex pre-tokens, each rendered byte-by-byte through the
+    // GPT-2 bytes_to_unicode construction re-derived from the byte
+    // values: printables map to themselves, the 68 others to
+    // U+0100+rank (rank closed-form per range), marker U+2581 appended
+    "q137_byte_segmentation" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(text,
+        |        '''s|''t|''re|''ve|''m|''ll|''d|\p{L}+|\p{N}+|[^ \t\n\r\p{L}\p{N}]+')) AS w
+        |      FROM documents),
+        |wf AS (SELECT w, count(*)::BIGINT AS freq FROM tok WHERE w <> '' GROUP BY w),
+        |b AS (SELECT w, freq,
+        |             unnest(generate_series(1, octet_length(encode(w))::BIGINT)) AS i
+        |      FROM wf),
+        |pc AS (SELECT w, freq, i,
+        |         ('0x' || substr(hex(encode(w)), (2*i-1)::INT, 2))::INT AS bv
+        |       FROM b),
+        |px AS (SELECT w, freq, i,
+        |         CASE WHEN (bv BETWEEN 33 AND 126) OR (bv BETWEEN 161 AND 172)
+        |                   OR (bv BETWEEN 174 AND 255) THEN chr(bv)
+        |              WHEN bv <= 32 THEN chr(256 + bv)
+        |              WHEN bv BETWEEN 127 AND 160 THEN chr(162 + bv)
+        |              ELSE chr(323) END AS p
+        |       FROM pc)
+        |SELECT w, freq, count(*)::BIGINT AS n_bytes,
+        |       string_agg(p, '' ORDER BY i) || chr(9601) AS proxy_marked
+        |FROM px GROUP BY w, freq ORDER BY w""".stripMargin,
 
     "q126_logreg_train" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -88,6 +88,72 @@ object Bpe {
     // regex split on "" can emit a trailing empty string; drop any empties
     concat(filter(split(w, ""), s => s =!= ""), array(lit("</w>")))
 
+  // --- Byte-level alphabet (GPT-2's bytes_to_unicode) ----------------------
+  //
+  // Modern tokenizers (GPT-2, LLaMA) are BYTE-level beneath the regex
+  // rule: the base alphabet is the 256 byte values, each mapped to a
+  // printable stand-in character so merges stay plain strings — printable
+  // ASCII and Latin-1 bytes map to themselves, the 68 others (controls,
+  // DEL..NBSP, SHY) to U+0100+k in byte order. EVERY string is then
+  // encodable with zero OOV — a crawl's broken encodings, emoji unseen at
+  // training time, control bytes, all segment to in-alphabet symbols —
+  // which is the property the character-level alphabet cannot give
+  // (an unseen CHARACTER has no symbol; an unseen byte value cannot
+  // exist). The proxy table below is the standard published construction
+  // (Radford et al. 2019, GPT-2 encoder.py bytes_to_unicode).
+
+  /** Byte value → proxy character, the GPT-2 table. */
+  private[graft] val byteToProxy: Array[String] = {
+    val printable = (33 to 126) ++ (161 to 172) ++ (174 to 255)
+    val out = new Array[String](256)
+    var next = 256
+    (0 until 256).foreach { b =>
+      if (printable.contains(b)) out(b) = b.toChar.toString
+      else { out(b) = next.toChar.toString; next += 1 }
+    }
+    out
+  }
+
+  /** End-of-word marker for byte mode: U+2581 (the sentencepiece block
+    * char) — deliberately OUTSIDE the proxy alphabet (proxies occupy
+    * ASCII/Latin-1 printables and U+0100..U+0143), so the marker can
+    * never collide with real byte content the way "</w>" could inside a
+    * document that literally contains those four bytes.
+    */
+  private[graft] val ByteMarker = "▁"
+
+  /** UPPERCASE hex byte → proxy char, as a map literal (one vocab-sized
+    * CodegenFallback expression, same budget as the merge fold).
+    */
+  private def byteProxyMap: Column =
+    map((0 until 256).flatMap { b =>
+      Seq(lit(f"$b%02X"), lit(byteToProxy(b)))
+    }: _*)
+
+  /** Proxy char → UPPERCASE hex byte (the decode direction); the marker
+    * decodes to the 0x20 word separator.
+    */
+  private def proxyHexMap: Column =
+    map(((0 until 256).flatMap { b =>
+      Seq(lit(byteToProxy(b)), lit(f"$b%02X"))
+    } ++ Seq(lit(ByteMarker), lit("20"))): _*)
+
+  /** Byte-proxy symbols of `w` plus [[ByteMarker]] — the byte-level
+    * starting symbol list: UTF-8 bytes of the word, each as its proxy
+    * character.
+    */
+  private def byteSymbols(w: Column): Column =
+    concat(
+      transform(regexp_extract_all(
+        hex(org.apache.spark.sql.functions.encode(w, "UTF-8")),
+        lit(".."), lit(0)),
+        h => element_at(byteProxyMap, h)),
+      array(lit(ByteMarker)))
+
+  /** The symbol rule for a mode — every entry point threads this. */
+  private def symbolsOf(byteLevel: Boolean)(w: Column): Column =
+    if (byteLevel) byteSymbols(w) else initialSymbols(w)
+
   /** Left-fold merge of adjacent pair (a, b) → a+b over a symbol list:
     * leftmost-first, non-overlapping (a fold can never re-merge the symbol
     * it just produced with a consumed input).
@@ -112,12 +178,13 @@ object Bpe {
                   minFreq: Long = 2L,
                   driverVocabCap: Long = DefaultDriverVocabCap,
                   checkpointDir: Option[String] = None,
-                  tokenizer: Column => Column = TextAnalysis.tokens): DataFrame = {
+                  tokenizer: Column => Column = TextAnalysis.tokens,
+                  byteLevel: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val (merges, _) =
       trainInternal(df, textCol, numMerges, minFreq, driverVocabCap,
-        checkpointDir, tokenizer)
+        checkpointDir, tokenizer, byteLevel)
     merges.zipWithIndex
       .map { case ((a, b, f), i) => (i.toLong, a, b, a + b, f) }
       .toDF("rank", "left", "right", "merged", "pair_freq")
@@ -132,9 +199,10 @@ object Bpe {
               minFreq: Long = 2L,
               driverVocabCap: Long = DefaultDriverVocabCap,
               checkpointDir: Option[String] = None,
-              tokenizer: Column => Column = TextAnalysis.tokens): DataFrame =
+              tokenizer: Column => Column = TextAnalysis.tokens,
+              byteLevel: Boolean = false): DataFrame =
     trainInternal(df, textCol, numMerges, minFreq, driverVocabCap,
-      checkpointDir, tokenizer)._2
+      checkpointDir, tokenizer, byteLevel)._2
 
   /** APPLY the tokenizer to a corpus: per-document whitespace-word and
     * BPE-token counts under `vocab` (a [[segment]] frame — usually trained
@@ -176,11 +244,29 @@ object Bpe {
     * frame is vocab-sized (symbol types ≤ word types, Heaps-sublinear),
     * never corpus-sized.
     */
-  def vocabIds(vocab: DataFrame): DataFrame =
-    vocab.select(explode(col("syms")).as("token")).distinct()
+  def vocabIds(vocab: DataFrame): DataFrame = vocabIds(vocab, byteLevel = false)
+
+  /** Byte-level id table: the 256 byte proxies plus [[ByteMarker]] are
+    * SEEDED into the alphabet before the observed symbols union in —
+    * GPT-2's construction — so EVERY encodable input has an id even when
+    * training never saw some byte value. This is the no-OOV guarantee:
+    * under `byteLevel` the fallback segmentation of any word consists of
+    * seeded symbols only, so id -1 (UNK) is unreachable by construction.
+    */
+  def vocabIds(vocab: DataFrame, byteLevel: Boolean): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val observed = vocab.select(explode(col("syms")).as("token"))
+    val base =
+      if (byteLevel)
+        observed.unionByName(
+          (byteToProxy.toSeq :+ ByteMarker).toDF("token"))
+      else observed
+    base.distinct()
       .withColumn("token_id",
         (row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("token").asc)) - 1).cast("int"))
+  }
 
   /** ENCODE a corpus to token-id sequences — the artifact a pretraining
     * loader actually consumes (the [[tokenizeCorpus]] counts are its
@@ -202,8 +288,9 @@ object Bpe {
     */
   def encode(df: DataFrame, idCol: String, textCol: String,
              vocab: DataFrame,
-             tokenizer: Column => Column = TextAnalysis.tokens): DataFrame = {
-    val ids = vocabIds(vocab)
+             tokenizer: Column => Column = TextAnalysis.tokens,
+             byteLevel: Boolean = false): DataFrame = {
+    val ids = vocabIds(vocab, byteLevel)
     val words = df
       .select(col(idCol).as("doc_id"),
         posexplode(filter(tokenizer(col(textCol)), w => w =!= ""))
@@ -211,7 +298,7 @@ object Bpe {
     val syms = words
       .join(broadcast(vocab.select(col("w"), col("syms"))), Seq("w"), "left")
       .select(col("doc_id"), col("wpos"),
-        posexplode(coalesce(col("syms"), initialSymbols(col("w"))))
+        posexplode(coalesce(col("syms"), symbolsOf(byteLevel)(col("w"))))
           .as(Seq("spos", "token")))
     syms
       .join(broadcast(ids), Seq("token"), "left")
@@ -232,6 +319,29 @@ object Bpe {
     * lossless up to the pre-tokenizer, proven in BpeSpec). UNK ids (-1)
     * render as nothing.
     */
+  /** [[detokenize]] for a byte-level vocab: ids → merged proxy tokens in
+    * sequence order, [[ByteMarker]] and proxies back to their bytes (the
+    * marker to 0x20, the word separator), and the byte string decoded as
+    * UTF-8 — so `detokenizeBytes ∘ encode(byteLevel=true)` returns each
+    * document's pre-tokens joined by single spaces BYTE-exactly, for any
+    * input (no UNK is reachable — see [[vocabIds]]). The one trailing
+    * marker becomes a trailing space, trimmed.
+    */
+  def detokenizeBytes(encoded: DataFrame, vocab: DataFrame): DataFrame = {
+    val ids = vocabIds(vocab, byteLevel = true)
+    encoded
+      .select(col("doc_id"), posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+      .join(broadcast(ids), Seq("token_id"), "left")
+      .groupBy("doc_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("pos"), col("token")))),
+        t => t.getField("token"))).as("__joined"))
+      .select(col("doc_id"),
+        decode(unhex(rtrim(concat_ws("", transform(
+          filter(split(col("__joined"), ""), c => c =!= ""),
+          c => element_at(proxyHexMap, c))), "20")), "UTF-8").as("text"))
+  }
+
   def detokenize(encoded: DataFrame, vocab: DataFrame): DataFrame = {
     val ids = vocabIds(vocab)
     encoded
@@ -248,13 +358,14 @@ object Bpe {
   private def trainInternal(df: DataFrame, textCol: String, numMerges: Int,
                             minFreq: Long, driverVocabCap: Long,
                             checkpointDir: Option[String] = None,
-                            tokenizer: Column => Column = TextAnalysis.tokens)
+                            tokenizer: Column => Column = TextAnalysis.tokens,
+                            byteLevel: Boolean = false)
       : (Seq[(String, String, Long)], DataFrame) = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(minFreq >= 1, s"minFreq must be >= 1, got $minFreq")
     val base = CacheScope.persisted(
       wordFreq(df, textCol, tokenizer)
-        .select(col("w"), col("freq"), initialSymbols(col("w")).as("syms")))
+        .select(col("w"), col("freq"), symbolsOf(byteLevel)(col("w")).as("syms")))
     // one cheap action on the persisted vocab-sized frame decides the path
     // (and materializes the cache either way)
     if (base.count() <= driverVocabCap) trainLocal(base, numMerges, minFreq)

@@ -21,9 +21,10 @@ class BpeSpec extends SparkTestBase {
       else acc :+ x
     }
 
-  private def refBpe(words: Map[String, Long], numMerges: Int, minFreq: Long)
+  private def refBpe(words: Map[String, Long], numMerges: Int, minFreq: Long,
+                     symbols: String => List[String] = refSymbols)
       : (List[(String, String, Long)], Map[String, List[String]]) = {
-    var segs = words.map { case (w, _) => w -> refSymbols(w) }
+    var segs = words.map { case (w, _) => w -> symbols(w) }
     val merges = List.newBuilder[(String, String, Long)]
     var stop = false
     for (_ <- 0 until numMerges if !stop) {
@@ -261,5 +262,78 @@ class BpeSpec extends SparkTestBase {
     // "low" survives; of "zQz" only in-vocab chars survive ("Q" is OOV)
     assert(backOov.startsWith("low"))
     assert(!backOov.contains("Q"))
+  }
+
+  // ---- byte-level mode: independent re-derivation of the GPT-2 proxy
+  // table (Radford et al. 2019 bytes_to_unicode) pins the engine's ----
+  private val refProxy: Array[String] = {
+    val printable = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var next = 256
+    (0 until 256).map { b =>
+      if (printable(b)) b.toChar.toString
+      else { val c = next.toChar.toString; next += 1; c }
+    }.toArray
+  }
+
+  private def refByteSymbols(w: String): List[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => refProxy(b & 0xFF)).toList :+ "\u2581"
+
+  // non-ASCII heavy: multi-byte UTF-8 everywhere, plus control bytes —
+  // what a crawl actually contains
+  private val byteCorpus = Seq(
+    (0L, "caf\u00e9 caf\u00e9 caf\u00e9 na\u00efve na\u00efve, low low low"),
+    (1L, "\u00fcber \u00fcber caf\u00e9 low \u0007bell \u0007bell"),
+    (2L, "low lower na\u00efve \u00fcber 1984 1984."),
+  ).toDF("doc_id", "text")
+
+  test("byte-level: trainMerges equals the reference over byte proxies (both paths)") {
+    val freq = byteCorpus.collect()
+      .flatMap(r => regexTokens(r.getString(1))).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (refMerges, refSegs) = refBpe(freq, numMerges = 12, minFreq = 2,
+      symbols = refByteSymbols)
+    assert(refMerges.nonEmpty)
+    // the alphabet is bytes: caf\u00e9's \u00e9 starts as TWO proxy symbols
+    assert(refSegs.keySet.contains("caf\u00e9") &&
+      refByteSymbols("caf\u00e9").length == 6) // c a f 0xC3 0xA9 marker
+    for (cap <- Seq(Bpe.DefaultDriverVocabCap, 0L)) {
+      val got = Bpe.trainMerges(byteCorpus, "text", numMerges = 12,
+          driverVocabCap = cap, tokenizer = TextAnalysis.preTokens,
+          byteLevel = true)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toList
+      assert(got == refMerges, s"cap=$cap")
+    }
+    val segDf = Bpe.segment(byteCorpus, "text", numMerges = 12,
+        tokenizer = TextAnalysis.preTokens, byteLevel = true)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    assert(segDf == refSegs)
+  }
+
+  test("byte-level: zero UNK on unseen bytes; detokenizeBytes round-trips byte-exactly") {
+    val vocab = Bpe.segment(byteCorpus, "text", numMerges = 10,
+      tokenizer = TextAnalysis.preTokens, byteLevel = true)
+    // a document FULL of content training never saw: 4-byte emoji,
+    // CJK, control chars, Latin-1 oddities — byte fallback must encode
+    // all of it with not a single UNK id
+    val alien = Seq(
+      (7L, "\ud83e\udd80 crab \u00e7a va \u4e16\u754c \u0001ctl low"),
+      (8L, "\u00e9\u00e8\u00ea mixed\u00df text")).toDF("doc_id", "text")
+    val enc = Bpe.encode(alien, "doc_id", "text", vocab,
+      tokenizer = TextAnalysis.preTokens, byteLevel = true)
+    val ids = enc.collect().flatMap(_.getSeq[Int](1))
+    assert(ids.nonEmpty && !ids.contains(-1)) // the no-OOV guarantee
+    val back = Bpe.detokenizeBytes(enc, vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = alien.collect().map { r =>
+      r.getLong(0) -> regexTokens(r.getString(1)).filter(_.nonEmpty).mkString(" ")
+    }.toMap
+    assert(back == expect) // byte-exact up to the pre-tokenizer
+    // char-level on the same input, for contrast: UNK everywhere
+    val encChar = Bpe.encode(alien, "doc_id", "text",
+      Bpe.segment(byteCorpus, "text", 10, tokenizer = TextAnalysis.preTokens),
+      tokenizer = TextAnalysis.preTokens)
+    assert(encChar.collect().flatMap(_.getSeq[Int](1)).contains(-1))
   }
 }
