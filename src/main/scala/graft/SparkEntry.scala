@@ -1733,6 +1733,40 @@ object SparkEntry {
     // so no signed integer division runs), final weights scoring every
     // doc (featureless docs score z=0 → σ=½, never dropped). The oracle
     // re-derives ALL passes in SQL.
+    // The index stores through the SQL front door: the same build as
+    // q124, searched by `SELECT * FROM graft_bm25_search(dir, terms, k)`
+    // — a registered TABLE function, so a SQL-only user reaches the
+    // persisted index with a path literal. Must hash-match q88's
+    // from-scratch scoring (q124's gate through the text surface).
+    "q138_sql_bm25" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sql-bm25").toString
+      SnapshotDirs.add(root)
+      TextAnalysis.buildTextIndex(Tables(s, dir).documents,
+        "doc_id", "text", root)
+      graft.api.SqlFrontDoor.sql(s, dir,
+        s"""SELECT doc_id, n_terms_hit, bm25_micro
+           |FROM graft_bm25_search('$root', 'spark hash window', 25)
+           |ORDER BY bm25_micro DESC, doc_id""".stripMargin)
+    }),
+
+    // q90's persisted IVF index searched from SQL: query vectors come
+    // from a parquet path literal, so the whole call is SQL-only. Must
+    // hash-match q90 (and hence q20's in-memory oracle).
+    "q139_sql_ivf" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sql-ivf").toString
+      SnapshotDirs.add(root)
+      Similarity.buildIvfIndex(e, "vec_id", "embedding", root, centStep = 25)
+      e.filter(col("vec_id") < 20).select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$root/queries")
+      graft.api.SqlFrontDoor.sql(s, dir,
+        s"""SELECT query_id, neighbor_id, cos
+           |FROM graft_ivf_search('$root', '$root/queries', 3, 2)
+           |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin)
+    }),
+
     // Byte-level BPE alphabet (q108's sibling for the byte fallback):
     // every pre-token rendered as its GPT-2 byte-proxy symbol string —
     // the SQL-expressible half of byte-level mode (the trainer itself is
@@ -2223,7 +2257,12 @@ object SparkEntry {
       // tombstones cleared) must reproduce the tombstone-era answer —
       // both equal the from-scratch build over the survivors
       "q132_text_index_compact" -> "q131_text_index_delete",
-      "q134_ivf_compact" -> "q133_ivf_delete")
+      "q134_ivf_compact" -> "q133_ivf_delete",
+      // the SQL-surface table functions must reproduce the operator
+      // library's answers exactly — same stores, same scoring, resolved
+      // through the text front door
+      "q138_sql_bm25" -> "q88_bm25",
+      "q139_sql_ivf" -> "q20_ivf_ann")
       .map { case (aliasQ, libQ) => aliasQ -> oracleSqlBase(libQ) }
   }
 

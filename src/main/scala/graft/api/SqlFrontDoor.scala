@@ -39,10 +39,14 @@ object SqlFrontDoor {
     }
 
   /** One-call form: views registered, then the query text planned and
-    * returned (still lazy — nothing executes until an action).
+    * returned (still lazy — nothing executes until an action). The graft
+    * TABLE functions (index-store search — [[graft.functions
+    * .GraftTableFunctions]]) register here too, idempotently, so a pure
+    * SQL user reaches the persisted indexes through the same door.
     */
   def sql(spark: SparkSession, dir: String, text: String): DataFrame = {
     registerViews(spark, dir)
+    graft.functions.GraftTableFunctions.ensureRegistered(spark)
     spark.sql(text)
   }
 }

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-callable TABLE functions over the persisted index stores — the
+  * front door that makes the on-disk indexes reachable WITHOUT Scala
+  * (q60-q62's treatment extended from scalar functions to relations):
+  *
+  *   SELECT * FROM graft_bm25_search('/path/to/index', 'spark hash', 25)
+  *   SELECT * FROM graft_ivf_search('/idx', '/queries.parquet', 3, 2)
+  *
+  * Registered in the session's `TableFunctionRegistry` (the same registry
+  * `range(...)` lives in), so the calls parse as ordinary FROM-clause
+  * table functions and plan through the operator library's exact
+  * DataFrames — the SQL surface adds zero execution machinery, only
+  * resolution. Arguments must be literals (a path and knobs — the same
+  * contract as `range`); the builder folds them at analysis time and
+  * splices in the operator's logical plan, so pruning/pushdown see
+  * through the call like any subquery.
+  */
+object GraftTableFunctions {
+
+  /** Evaluate a foldable argument to a Scala value, with a clean error
+    * when a non-literal sneaks in.
+    */
+  private def lit(name: String, e: Expression): Any = {
+    require(e.foldable, s"$name: table-function arguments must be literals, got $e")
+    val v = e.eval(null)
+    require(v != null, s"$name: argument must be non-null")
+    v
+  }
+  private def str(name: String, e: Expression): String =
+    lit(name, e).asInstanceOf[UTF8String].toString
+  private def int(name: String, e: Expression): Int =
+    lit(name, e) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$name: expected an integer argument, got $other")
+    }
+
+  private def active: SparkSession = SparkSession.active
+
+  /** (name, class-for-usage-doc, builder to a logical plan). */
+  private val tableFunctions
+      : Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    // graft_bm25_search(indexDir, 'space separated terms', k[, buckets])
+    ("graft_bm25_search", { args =>
+      require(args.length == 3 || args.length == 4,
+        s"graft_bm25_search(indexDir, terms, k[, buckets]) got ${args.length} args")
+      val dir = str("graft_bm25_search", args.head)
+      val terms = str("graft_bm25_search", args(1))
+        .split("\\s+").filter(_.nonEmpty).toSeq
+      val k = int("graft_bm25_search", args(2))
+      val buckets = if (args.length == 4) int("graft_bm25_search", args(3)) else 64
+      graft.operators.TextAnalysis
+        .searchTextIndex(active, dir, terms, k = k, buckets = buckets)
+        .queryExecution.logical
+    }),
+    // graft_ivf_search(indexDir, queriesParquet, k, nprobe) — the query
+    // vectors come from a parquet path with (vec_id, embedding) columns,
+    // so the whole call stays literal-only (the `range` contract)
+    ("graft_ivf_search", { args =>
+      require(args.length == 4,
+        s"graft_ivf_search(indexDir, queriesParquet, k, nprobe) got ${args.length} args")
+      val dir = str("graft_ivf_search", args.head)
+      val queries = str("graft_ivf_search", args(1))
+      val k = int("graft_ivf_search", args(2))
+      val nprobe = int("graft_ivf_search", args(3))
+      graft.operators.Similarity
+        .searchIvfIndex(active, dir, active.read.parquet(queries),
+          "vec_id", "embedding", k = k, nprobe = nprobe)
+        .queryExecution.logical
+    }))
+
+  /** Idempotent per-session registration — same contract as
+    * [[GraftExtensions.ensureRegistered]], for the table registry.
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.tableFunctionRegistry
+    tableFunctions.foreach { case (name, builder) =>
+      val ident = FunctionIdentifier(name)
+      if (!registry.functionExists(ident))
+        registry.registerFunction(ident,
+          new ExpressionInfo(GraftTableFunctions.getClass.getName, name),
+          builder)
+    }
+  }
+}

@@ -68,4 +68,26 @@ class SqlFrontDoorSpec extends SparkTestBase {
         |  xxhash64(lang))""".stripMargin).head().getLong(0)
     assert(admitted == total)
   }
+
+  test("table functions: bm25 index search from pure SQL equals the Scala operator") {
+    import TestSpark.spark.implicits._
+    val docs = Seq((0L, "spark hash window spark"), (1L, "spark window"),
+      (2L, "hash hash join"), (5L, "zebra quokka")).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-sqltvf").toString
+    graft.operators.TextAnalysis.buildTextIndex(docs, "doc_id", "text", root, buckets = 8)
+    val viaSql = SqlFrontDoor.sql(spark, dir,
+      s"SELECT * FROM graft_bm25_search('$root', 'spark hash', 10, 8) ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaScala = graft.operators.TextAnalysis
+      .searchTextIndex(spark, root, Seq("spark", "hash"), k = 10, buckets = 8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+    // non-literal argument: a clean analysis-time error, not a mystery NPE
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_bm25_search(concat('$root', doc_id), 'spark', 1)")
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
 }
