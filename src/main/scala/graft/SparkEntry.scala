@@ -1733,6 +1733,59 @@ object SparkEntry {
     // so no signed integer division runs), final weights scoring every
     // doc (featureless docs score z=0 → σ=½, never dropped). The oracle
     // re-derives ALL passes in SQL.
+    // STREAMING index maintenance (q125's append composed with the
+    // runtime, q106's recipe applied to upkeep): build the text index on
+    // the even half, stream the odd half in as micro-batches — one
+    // foreachBatch segment append per trigger, batchId-marker
+    // bookkeeping for replay — and the searched answer must hash-equal
+    // q88's from-scratch scoring over the full corpus.
+    "q140_stream_text_index" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-text").toString
+      SnapshotDirs.add(root)
+      TextAnalysis.buildTextIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root)
+      docs.filter(col("doc_id") % 2 === 1).repartition(3)
+        .write.mode("overwrite").parquet(s"$root/arrivals")
+      val schema = s.read.parquet(s"$root/arrivals").schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/arrivals")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("q140-ckpt").toString
+      SnapshotDirs.add(ckpt)
+      graft.streaming.StreamingIndex.ingestTextIndex(
+        s, src, ckpt, root, "doc_id", "text")
+      TextAnalysis.searchTextIndex(s, root,
+          Seq("spark", "hash", "window"), k = 25)
+        .orderBy(col("bm25_micro").desc, col("doc_id"))
+    }),
+
+    // q140 for the IVF store: adaptive build on the even half, the odd
+    // half streamed through per-trigger appendIvfIndex against the
+    // frozen codebook — must hash-equal q111's batch-append oracle.
+    "q141_stream_ivf_index" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-ivf").toString
+      SnapshotDirs.add(root)
+      Similarity.buildIvfIndexAdaptive(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", root)
+      e.filter(col("vec_id") % 2 === 1).repartition(3)
+        .write.mode("overwrite").parquet(s"$root/arrivals")
+      val schema = s.read.parquet(s"$root/arrivals").schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/arrivals")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("q141-ckpt").toString
+      SnapshotDirs.add(ckpt)
+      graft.streaming.StreamingIndex.ingestIvfIndex(
+        s, src, ckpt, root, "vec_id", "embedding")
+      Similarity.searchIvfIndex(s, root, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+    }),
+
     // The index stores through the SQL front door: the same build as
     // q124, searched by `SELECT * FROM graft_bm25_search(dir, terms, k)`
     // — a registered TABLE function, so a SQL-only user reaches the
@@ -2262,7 +2315,11 @@ object SparkEntry {
       // library's answers exactly — same stores, same scoring, resolved
       // through the text front door
       "q138_sql_bm25" -> "q88_bm25",
-      "q139_sql_ivf" -> "q20_ivf_ann")
+      "q139_sql_ivf" -> "q20_ivf_ann",
+      // streaming micro-batch index ingest must be indistinguishable
+      // from the batch append it replays per trigger
+      "q140_stream_text_index" -> "q88_bm25",
+      "q141_stream_ivf_index" -> "q111_ivf_append")
       .map { case (aliasQ, libQ) => aliasQ -> oracleSqlBase(libQ) }
   }
 

@@ -27,6 +27,11 @@ private[graft] object StoreFs {
     if (f.exists(p)) f.delete(p, true)
   }
 
+  def mkdirs(spark: SparkSession, path: String): Unit = {
+    val (f, p) = fs(spark, path)
+    f.mkdirs(p)
+  }
+
   /** Atomically-enough swap: drop `dst` if present, then move `src` into
     * its place. A compacted bucket with NO surviving rows produces no
     * `src` directory — the delete alone is the correct result (the

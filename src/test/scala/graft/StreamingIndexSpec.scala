@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+import graft.streaming.StreamingIndex
+
+/** Streaming index maintenance beyond the q140/q141 oracle gates: the
+  * bookkeeping claims — restart on a completed checkpoint ingests
+  * nothing twice, per-trigger segments land one marker each.
+  */
+class StreamingIndexSpec extends SparkTestBase {
+  import TestSpark.spark.implicits._
+
+  test("ingestTextIndex: completed-run restart is a no-op; one marker per batch") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sidx").toString
+    val base = Seq((0L, "spark hash window"), (2L, "hash join"))
+      .toDF("doc_id", "text")
+    TextAnalysis.buildTextIndex(base, "doc_id", "text", root, buckets = 8)
+    val arrivals = Seq((1L, "spark window stream"), (3L, "window state"))
+      .toDF("doc_id", "text")
+    arrivals.repartition(2).write.parquet(s"$root/arrivals")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sidx-ck").toString
+    def src = spark.readStream
+      .schema(spark.read.parquet(s"$root/arrivals").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/arrivals")
+    StreamingIndex.ingestTextIndex(spark, src, ckpt, root, "doc_id", "text", 8)
+    // one marker per micro-batch (2 files, 1 per trigger)
+    val markers = new java.io.File(s"$root/ingested").listFiles()
+      .map(_.getName).sorted.toSeq
+    assert(markers == Seq("batch=0", "batch=1"), markers.toString)
+    val stats = spark.read.parquet(s"$root/stats")
+      .agg(sum("n_docs"), sum("sum_dl")).collect()(0)
+    assert(stats.getLong(0) == 4)
+    // restart on the completed checkpoint: nothing replays, stats hold
+    StreamingIndex.ingestTextIndex(spark, src, ckpt, root, "doc_id", "text", 8)
+    val stats2 = spark.read.parquet(s"$root/stats")
+      .agg(sum("n_docs"), sum("sum_dl")).collect()(0)
+    assert(stats == stats2)
+    // and the streamed docs are searchable
+    val hits = TextAnalysis.searchTextIndex(spark, root,
+      Seq("window"), buckets = 8, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(0L, 1L, 3L), hits.toString)
+  }
+}
