@@ -1733,6 +1733,44 @@ object SparkEntry {
     // so no signed integer division runs), final weights scoring every
     // doc (featureless docs score z=0 → σ=½, never dropped). The oracle
     // re-derives ALL passes in SQL.
+    // Composite operators through the SQL front door, by VIEW NAME: table
+    // functions take only literals, so relation-consuming operators
+    // become SQL-callable by passing the registered view's name — any
+    // table a SQL user can see, the dedup/decontam pipelines can now
+    // consume without a line of Scala. Each must hash-match its library
+    // twin's oracle.
+    "q142_sql_exact_dedup" -> ((s, dir) => {
+      graft.api.SqlFrontDoor.sql(s, dir,
+        """SELECT * FROM graft_exact_dedup('documents', 'doc_id', 'text')
+          |ORDER BY keep_id""".stripMargin)
+    }),
+
+    "q143_sql_minhash_dedup" -> ((s, dir) => {
+      graft.api.SqlFrontDoor.sql(s, dir,
+        """SELECT * FROM graft_minhash_dedup('documents', 'doc_id', 'text',
+          |                                  3, 12, 3, 0.3D)
+          |ORDER BY doc_a, doc_b""".stripMargin)
+    }),
+
+    // q34's split reproduced as SQL-registered views (the md5 bucket rule
+    // inline), then the detector called by view name
+    "q144_sql_decontam" -> ((s, dir) => {
+      graft.api.SqlFrontDoor.registerViews(s, dir)
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      s.sql("""SELECT * FROM documents
+              |WHERE pmod(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10),
+              |           100) < 80""".stripMargin)
+        .createOrReplaceTempView("q144_train")
+      s.sql("""SELECT * FROM documents
+              |WHERE pmod(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10),
+              |           100) >= 90""".stripMargin)
+        .createOrReplaceTempView("q144_test")
+      s.sql(
+        """SELECT * FROM graft_decontam('q144_train', 'doc_id', 'text',
+          |                             'q144_test', 'text', 13)
+          |ORDER BY doc_id""".stripMargin)
+    }),
+
     // STREAMING index maintenance (q125's append composed with the
     // runtime, q106's recipe applied to upkeep): build the text index on
     // the even half, stream the odd half in as micro-batches — one
@@ -2319,7 +2357,12 @@ object SparkEntry {
       // streaming micro-batch index ingest must be indistinguishable
       // from the batch append it replays per trigger
       "q140_stream_text_index" -> "q88_bm25",
-      "q141_stream_ivf_index" -> "q111_ivf_append")
+      "q141_stream_ivf_index" -> "q111_ivf_append",
+      // composite operators called from SQL by view name must reproduce
+      // their library twins' answers exactly
+      "q142_sql_exact_dedup" -> "q8_dedup_exact",
+      "q143_sql_minhash_dedup" -> "q10_minhash_lsh",
+      "q144_sql_decontam" -> "q34_decontam")
       .map { case (aliasQ, libQ) => aliasQ -> oracleSqlBase(libQ) }
   }
 

@@ -12,6 +12,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *   SELECT * FROM graft_bm25_search('/path/to/index', 'spark hash', 25)
   *   SELECT * FROM graft_ivf_search('/idx', '/queries.parquet', 3, 2)
+  *   SELECT * FROM graft_exact_dedup('documents', 'doc_id', 'text')
+  *   SELECT * FROM graft_minhash_dedup('documents', 'doc_id', 'text',
+  *                                     3, 12, 3, 0.3D)
+  *   SELECT * FROM graft_decontam('train_v', 'doc_id', 'text',
+  *                                'eval_v', 'text', 13)
+  *
+  * Relation-consuming operators take VIEW NAMES (resolved in the active
+  * session at analysis time — temp views, global views, catalog tables),
+  * which is how composite pipelines stay reachable through a
+  * literals-only table-function surface.
   *
   * Registered in the session's `TableFunctionRegistry` (the same registry
   * `range(...)` lives in), so the calls parse as ordinary FROM-clause
@@ -42,6 +52,24 @@ object GraftTableFunctions {
       case other => throw new IllegalArgumentException(
         s"$name: expected an integer argument, got $other")
     }
+  private def dbl(name: String, e: Expression): Double =
+    lit(name, e) match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$name: expected a numeric argument, got $other")
+    }
+  /** Resolve a VIEW/TABLE-name argument — the device that makes relation-
+    * consuming operators SQL-callable despite table functions taking only
+    * literals: the caller registers (or already has) a view, and passes
+    * its NAME. Resolution happens at analysis time in the active session,
+    * so temp views, global views, and catalog tables all work.
+    */
+  private def view(name: String, e: Expression) =
+    active.table(str(name, e))
 
   private def active: SparkSession = SparkSession.active
 
@@ -74,6 +102,44 @@ object GraftTableFunctions {
       graft.operators.Similarity
         .searchIvfIndex(active, dir, active.read.parquet(queries),
           "vec_id", "embedding", k = k, nprobe = nprobe)
+        .queryExecution.logical
+    }),
+    // graft_exact_dedup(view, idCol, textCol) — one (keep_id, dup_id,
+    // fp) row per removable exact duplicate
+    ("graft_exact_dedup", { args =>
+      require(args.length == 3,
+        s"graft_exact_dedup(view, idCol, textCol) got ${args.length} args")
+      graft.operators.Dedup.exact(view("graft_exact_dedup", args.head),
+          str("graft_exact_dedup", args(1)), str("graft_exact_dedup", args(2)))
+        .queryExecution.logical
+    }),
+    // graft_minhash_dedup(view, idCol, textCol, n, k, rowsPerBand,
+    // threshold) — verified near-dup pairs via the banded LSH pipeline
+    ("graft_minhash_dedup", { args =>
+      require(args.length == 7,
+        "graft_minhash_dedup(view, idCol, textCol, n, k, rowsPerBand, " +
+          s"threshold) got ${args.length} args")
+      graft.operators.Dedup.minHashDedup(
+          view("graft_minhash_dedup", args.head),
+          str("graft_minhash_dedup", args(1)),
+          str("graft_minhash_dedup", args(2)),
+          n = int("graft_minhash_dedup", args(3)),
+          k = int("graft_minhash_dedup", args(4)),
+          rowsPerBand = int("graft_minhash_dedup", args(5)),
+          threshold = dbl("graft_minhash_dedup", args(6)))
+        .queryExecution.logical
+    }),
+    // graft_decontam(corpusView, idCol, textCol, evalView, evalTextCol,
+    // n) — corpus docs sharing an n-gram with the eval set
+    ("graft_decontam", { args =>
+      require(args.length == 6,
+        "graft_decontam(corpusView, idCol, textCol, evalView, " +
+          s"evalTextCol, n) got ${args.length} args")
+      graft.operators.Dedup.contaminatedDocs(
+          view("graft_decontam", args.head),
+          str("graft_decontam", args(1)), str("graft_decontam", args(2)),
+          view("graft_decontam", args(3)), str("graft_decontam", args(4)),
+          n = int("graft_decontam", args(5)))
         .queryExecution.logical
     }))
 
