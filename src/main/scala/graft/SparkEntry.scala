@@ -1881,6 +1881,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The trained classifier AS the curation gate (DCLM's actual use of
+    // q136's model): train 8 passes (3 is still all-negative on this
+    // fixture - the pass-1 overshoot takes a few rounds to recover, and
+    // a 0-row gate would be degenerate; at 8 the model accepts a real
+    // subset), keep docs with positive logit
+    // (filtered on the exact integer z, not the micro-rounded σ — the
+    // grid boundary device), then the per-source volume/token-yield a
+    // mix planner reads. Train → score → curate, one hash.
+    "q145_quality_curation" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val w = TextAnalysis.logRegTrain(docs, "doc_id", "text",
+        (col("lang") === "en").cast("int"), dims = 32, passes = 8)
+      val kept = TextAnalysis.logRegScore(docs, "doc_id", "text", w, dims = 32)
+        .filter(col("z_micro") > 0).select("doc_id")
+      docs.join(kept, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").cast("long").as("id_sum"),
+          sum(size(array_remove(TextAnalysis.tokens(col("text")), "")))
+            .cast("long").as("n_tokens"))
+        .orderBy("source")
+    }),
+
+    // Boolean-AND retrieval over the persisted text index: only docs
+    // hitting EVERY query term rank — the conjunctive, precision-first
+    // mode, same pruned bucket scan. Oracle = q88's scorer + the
+    // all-terms HAVING cut.
+    "q146_text_index_and" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-text-and").toString
+      SnapshotDirs.add(root)
+      TextAnalysis.buildTextIndex(Tables(s, dir).documents,
+        "doc_id", "text", root)
+      TextAnalysis.searchTextIndex(s, root,
+          Seq("spark", "hash", "window"), k = 25, requireAll = true)
+        .orderBy(col("bm25_micro").desc, col("doc_id"))
+    }),
+
     // Incremental text-index maintenance (q111's contract for the
     // inverted index): build on the even half, append the odd half as an
     // ingest segment — postings into the same bucket partitions, df rows
@@ -2866,6 +2904,39 @@ object SparkEntry {
     // — q117's unroll device applied to the GLM loop), then the final
     // weights score every document
     "q136_logreg_pipeline" -> logRegPipelineOracle(passes = 3),
+
+    "q145_quality_curation" -> logRegCurationOracle(passes = 8),
+
+    // q88's scorer with the conjunctive cut: a doc must hit all three
+    // query terms (count(*) in s counts distinct terms — one qt row per
+    // (doc, term)) before ranking
+    "q146_text_index_and" ->
+      """WITH tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |            FROM documents),
+        |t AS (SELECT doc_id, term FROM tt WHERE term <> ''),
+        |dl AS (SELECT doc_id,
+        |              len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS dl
+        |       FROM documents),
+        |avg AS (SELECT sum(dl)::BIGINT * 1.0 / count(*) AS avgdl FROM dl),
+        |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |qt AS (SELECT doc_id, term, count(*)::BIGINT AS cnt FROM t
+        |       WHERE term IN ('spark', 'hash', 'window') GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*)::BIGINT AS df FROM qt GROUP BY term),
+        |m AS (SELECT qt.doc_id,
+        |             round(ln((n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+        |                   ((qt.cnt * (1.2 + 1.0)) /
+        |                    (qt.cnt + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avg.avgdl)))
+        |                   * 1e6)::BIGINT AS micro
+        |      FROM qt JOIN dl USING (doc_id) JOIN dfq USING (term)
+        |      CROSS JOIN n CROSS JOIN avg),
+        |s AS (SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+        |             sum(micro)::BIGINT AS bm25_micro
+        |      FROM m GROUP BY doc_id HAVING count(*) = 3),
+        |r AS (SELECT doc_id, n_terms_hit, bm25_micro,
+        |             row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rk
+        |      FROM s)
+        |SELECT doc_id, n_terms_hit, bm25_micro FROM r WHERE rk <= 25
+        |ORDER BY bm25_micro DESC, doc_id""".stripMargin,
 
     // q108's regex pre-tokens, each rendered byte-by-byte through the
     // GPT-2 bytes_to_unicode construction re-derived from the byte
@@ -4899,7 +4970,12 @@ object SparkEntry {
     * The update step `sign·((2|g|+1000)//2000)` mirrors the engine's
     * half-away-from-zero integer division device exactly.
     */
-  private def logRegPipelineOracle(passes: Int): String = {
+  /** The shared CTE chain: q126's feature/label CTEs + one (z, σ, grad,
+    * w) quartet per pass, ending with `zf` (the final-weight logits).
+    * [[logRegPipelineOracle]] and the q145 curation oracle append
+    * different finals to it.
+    */
+  private def logRegCtes(passes: Int): String = {
     require(passes >= 1)
     val rounds = (1 to passes).map { p =>
       s"""z$p AS (SELECT x.doc_id, sum(w${p - 1}.wm * x.value)::BIGINT AS z
@@ -4928,7 +5004,11 @@ object SparkEntry {
        |w0 AS (SELECT DISTINCT dim_idx, 0::BIGINT AS wm FROM x),
        |$rounds
        |zf AS (SELECT x.doc_id, sum(w$passes.wm * x.value)::BIGINT AS z
-       |       FROM x JOIN w$passes USING (dim_idx) GROUP BY x.doc_id)
+       |       FROM x JOIN w$passes USING (dim_idx) GROUP BY x.doc_id)""".stripMargin
+  }
+
+  private def logRegPipelineOracle(passes: Int): String =
+    s"""${logRegCtes(passes)}
        |SELECT d.doc_id,
        |       coalesce(zf.z, 0)::BIGINT AS z_micro,
        |       coalesce(round(1e6 / (1 + exp(-(zf.z / 1e6))))::BIGINT,
@@ -4937,7 +5017,22 @@ object SparkEntry {
        |                 500000) > 500000) AS pred
        |FROM documents d LEFT JOIN zf USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
-  }
+
+  /** q145's oracle: the trained model AS the curation gate — keep docs
+    * with POSITIVE logit (z > 0 on the exact integer micro-logit; σ > ½
+    * ⇔ z > 0 mathematically, but the micro-ROUNDED σ ties at the grid
+    * boundary, so the gate filters the logit, not the sigmoid), then the
+    * per-source volume/token-yield accounting a mix planner reads.
+    */
+  private def logRegCurationOracle(passes: Int): String =
+    s"""${logRegCtes(passes)}
+       |SELECT d.source, count(*)::BIGINT AS n_docs,
+       |       sum(d.doc_id)::BIGINT AS id_sum,
+       |       sum(len(list_filter(string_split(d.text, ' '), t -> t <> '')))::BIGINT AS n_tokens
+       |FROM documents d JOIN zf USING (doc_id)
+       |WHERE zf.z > 0
+       |GROUP BY d.source
+       |ORDER BY d.source NULLS FIRST""".stripMargin
 
   private def minHashOracle: String = {
     val k = 12; val rowsPerBand = 3; val bands = k / rowsPerBand

@@ -872,7 +872,8 @@ object TextAnalysis {
   def searchTextIndex(spark: org.apache.spark.sql.SparkSession,
                       dir: String, terms: Seq[String],
                       k1: Double = 1.2, b: Double = 0.75, k: Int = 10,
-                      buckets: Int = 64): DataFrame = {
+                      buckets: Int = 64,
+                      requireAll: Boolean = false): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     require(k >= 1, s"k must be >= 1: $k")
     // driver-side mirror of [[termBucket]] (a handful of query terms)
@@ -916,6 +917,12 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms_hit"),
         sum("micro").cast("long").as("bm25_micro"))
+      // requireAll = boolean-AND retrieval: only docs hitting EVERY query
+      // term rank (n_terms_hit counts distinct terms by construction —
+      // one qt row per (doc, term)); the conjunctive mode a
+      // precision-first retrieval pipeline runs, same pruned scan
+      .filter(if (requireAll) col("n_terms_hit") === terms.distinct.size
+              else lit(true))
       .orderBy(col("bm25_micro").desc, col("doc_id"))
       .limit(k)
   }
@@ -1000,25 +1007,37 @@ object TextAnalysis {
   def logRegTrain(df: DataFrame, idCol: String, textCol: String,
                   label: Column, dims: Int, passes: Int): DataFrame = {
     require(passes >= 1, s"passes must be >= 1: $passes")
+    val spark = df.sparkSession
+    import spark.implicits._
     val x = CacheScope.persisted(hashingVectors(df, idCol, textCol, dims))
     val y = df.select(col(idCol).as("doc_id"), label.cast("long").as("y"))
-    var w = CacheScope.persisted(
-      x.select("dim_idx").distinct().withColumn("w_micro", lit(0L)))
+    // The weight vector is the MODEL — `dims` rows, collected to the
+    // driver each pass and re-emitted as a literal frame (the
+    // [[Similarity.kmeans]] codebook-as-data pattern). Chaining the w
+    // frames lazily instead would embed pass p−1's plan TWICE in pass
+    // p's (once via z, once via the update join): 2^passes plan growth,
+    // an analyzer heap blowup by pass ~8. Collecting keeps every pass's
+    // plan O(1)-deep over the persisted features; the collect is the
+    // same bounded driver scalar as the k-means codebook.
+    var w: Seq[(Long, Long)] =
+      x.select("dim_idx").distinct().collect()
+        .map(r => (r.getLong(0), 0L)).toSeq.sortBy(_._1)
     (1 to passes).foreach { _ =>
-      val sg = logRegSigmoid(x, w)
+      val wDf = w.toDF("dim_idx", "w_micro")
+      val sg = logRegSigmoid(x, wDf)
       val grad = x.join(y, "doc_id").join(sg, "doc_id")
         .groupBy("dim_idx")
         .agg(sum(col("value") * (col("sig_micro") - lit(1000000L) * col("y")))
           .cast("long").as("g"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // half-away-from-zero grad/1000 step — exact, engine-agnostic
-      w = CacheScope.persisted(w.join(grad, Seq("dim_idx"))
-        .select(col("dim_idx"),
-          (col("w_micro") -
-            expr("(2 * abs(g) + 1000) div 2000") *
-              when(col("g") < 0, lit(-1L)).otherwise(lit(1L)))
-            .cast("long").as("w_micro")))
+      w = w.map { case (d, wm) =>
+        val g = grad.getOrElse(d, 0L)
+        val step = ((2L * math.abs(g) + 1000L) / 2000L) * (if (g < 0) -1L else 1L)
+        (d, wm - step)
+      }
     }
-    w
+    w.toDF("dim_idx", "w_micro")
   }
 
   /** Per-doc z and σ under a weight frame — the shared kernel of the
