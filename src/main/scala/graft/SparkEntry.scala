@@ -1904,6 +1904,25 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Index integrity AUDIT (fsck for the store): after build + append +
+    // delete, every invariant the segment arithmetic is required to
+    // preserve must hold — df sums ≡ live postings, stats totals ≡ live
+    // doc-length table, zero orphans — and the live inventory must equal
+    // the oracle's re-derivation from the source corpus.
+    "q147_text_index_audit" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-text-audit").toString
+      SnapshotDirs.add(root)
+      TextAnalysis.buildTextIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root)
+      TextAnalysis.appendTextIndex(s, root,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      TextAnalysis.deleteFromTextIndex(s, root,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id")
+      TextAnalysis.textIndexAudit(s, root)
+    }),
+
     // Boolean-AND retrieval over the persisted text index: only docs
     // hitting EVERY query term rank — the conjunctive, precision-first
     // mode, same pruned bucket scan. Oracle = q88's scorer + the
@@ -2906,6 +2925,22 @@ object SparkEntry {
     "q136_logreg_pipeline" -> logRegPipelineOracle(passes = 3),
 
     "q145_quality_curation" -> logRegCurationOracle(passes = 8),
+
+    // the audit's invariant columns are constants when the store is
+    // healthy; the inventory re-derives from the survivors
+    "q147_text_index_audit" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d),
+        |t AS (SELECT doc_id, term FROM tok WHERE term <> '')
+        |SELECT
+        |  (SELECT count(DISTINCT term) FROM t)::BIGINT AS n_terms,
+        |  0::BIGINT AS n_df_mismatch,
+        |  (SELECT count(*) FROM d)::BIGINT AS n_docs,
+        |  (SELECT count(*) FROM t)::BIGINT AS sum_dl,
+        |  true AS stats_docs_match,
+        |  true AS stats_dl_match,
+        |  0::BIGINT AS n_orphan_postings,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 7 = 3)::BIGINT AS n_tombstones""".stripMargin,
 
     // q88's scorer with the conjunctive cut: a doc must hit all three
     // query terms (count(*) in s counts distinct terms — one qt row per

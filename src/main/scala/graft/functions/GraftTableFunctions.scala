@@ -87,7 +87,7 @@ object GraftTableFunctions {
       val buckets = if (args.length == 4) int("graft_bm25_search", args(3)) else 64
       graft.operators.TextAnalysis
         .searchTextIndex(active, dir, terms, k = k, buckets = buckets)
-        .queryExecution.logical
+        .queryExecution.analyzed
     }),
     // graft_ivf_search(indexDir, queriesParquet, k, nprobe) — the query
     // vectors come from a parquet path with (vec_id, embedding) columns,
@@ -102,7 +102,7 @@ object GraftTableFunctions {
       graft.operators.Similarity
         .searchIvfIndex(active, dir, active.read.parquet(queries),
           "vec_id", "embedding", k = k, nprobe = nprobe)
-        .queryExecution.logical
+        .queryExecution.analyzed
     }),
     // graft_exact_dedup(view, idCol, textCol) — one (keep_id, dup_id,
     // fp) row per removable exact duplicate
@@ -111,7 +111,7 @@ object GraftTableFunctions {
         s"graft_exact_dedup(view, idCol, textCol) got ${args.length} args")
       graft.operators.Dedup.exact(view("graft_exact_dedup", args.head),
           str("graft_exact_dedup", args(1)), str("graft_exact_dedup", args(2)))
-        .queryExecution.logical
+        .queryExecution.analyzed
     }),
     // graft_minhash_dedup(view, idCol, textCol, n, k, rowsPerBand,
     // threshold) — verified near-dup pairs via the banded LSH pipeline
@@ -127,7 +127,7 @@ object GraftTableFunctions {
           k = int("graft_minhash_dedup", args(4)),
           rowsPerBand = int("graft_minhash_dedup", args(5)),
           threshold = dbl("graft_minhash_dedup", args(6)))
-        .queryExecution.logical
+        .queryExecution.analyzed
     }),
     // graft_decontam(corpusView, idCol, textCol, evalView, evalTextCol,
     // n) — corpus docs sharing an n-gram with the eval set
@@ -140,7 +140,7 @@ object GraftTableFunctions {
           str("graft_decontam", args(1)), str("graft_decontam", args(2)),
           view("graft_decontam", args(3)), str("graft_decontam", args(4)),
           n = int("graft_decontam", args(5)))
-        .queryExecution.logical
+        .queryExecution.analyzed
     }))
 
   /** Idempotent per-session registration — same contract as

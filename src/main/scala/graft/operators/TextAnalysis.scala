@@ -854,6 +854,66 @@ object TextAnalysis {
     tombIds.unpersist()
   }
 
+  /** INDEX INTEGRITY AUDIT — fsck for the text-index store: a store that
+    * absorbs appends, deletes, and compactions needs a cheap way to
+    * PROVE its invariants still hold before a pipeline trusts it (a
+    * silent df drift poisons every IDF the index ever serves). One row:
+    *
+    *  - `n_terms` / `n_docs` / `sum_dl` — live inventory (tombstones
+    *    excluded), the numbers to diff against an expected corpus;
+    *  - `n_df_mismatch` — terms whose segment-summed df disagrees with
+    *    the live postings count (MUST be 0: the invariant the negative
+    *    delete rows and compaction merges are required to preserve);
+    *  - `stats_docs_match` / `stats_dl_match` — the stats segments'
+    *    exact totals vs the live docs/ table (MUST be true);
+    *  - `n_orphan_postings` — postings whose doc has no docs/ row (MUST
+    *    be 0; a crash between component writes would surface here);
+    *  - `n_tombstones` — pending physical deletes (compaction's queue).
+    *
+    * Gated (q147): after build + append + delete, every invariant holds
+    * and the inventory equals the oracle's re-derivation from the source
+    * corpus. Cost: one scan of each component — the price of trust,
+    * paid on demand, never at query time.
+    */
+  def textIndexAudit(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    val tombIds =
+      if (StoreFs.exists(spark, s"$dir/tombstones"))
+        spark.read.parquet(s"$dir/tombstones").select("doc_id").distinct()
+      else spark.emptyDataFrame.withColumn("doc_id", lit(null).cast("long"))
+        .limit(0)
+    val nTomb = tombIds.count()
+    val postings = spark.read.parquet(s"$dir/postings")
+      .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
+    val docs = spark.read.parquet(s"$dir/docs")
+      .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
+    val dfStored = spark.read.parquet(s"$dir/terms")
+      .groupBy("term").agg(sum("df").cast("long").as("df_stored"))
+      .filter(col("df_stored") =!= 0)
+    val dfLive = postings.groupBy("term")
+      .agg(count(lit(1)).cast("long").as("df_live"))
+    val mismatch = dfStored.join(dfLive, Seq("term"), "full_outer")
+      .filter(coalesce(col("df_stored"), lit(0L)) =!=
+        coalesce(col("df_live"), lit(0L)))
+      .agg(count(lit(1)).cast("long").as("n_df_mismatch"))
+    val live = docs.agg(count(lit(1)).cast("long").as("n_docs"),
+      coalesce(sum("dl"), lit(0L)).cast("long").as("sum_dl"))
+    val stats = spark.read.parquet(s"$dir/stats")
+      .agg(sum("n_docs").cast("long").as("stats_docs"),
+        sum("sum_dl").cast("long").as("stats_dl"))
+    val orphans = postings.select("doc_id").distinct()
+      .join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_orphan_postings"))
+    dfLive.agg(count(lit(1)).cast("long").as("n_terms"))
+      .crossJoin(mismatch).crossJoin(live).crossJoin(stats).crossJoin(orphans)
+      .select(col("n_terms"), col("n_df_mismatch"),
+        col("n_docs"), col("sum_dl"),
+        (col("stats_docs") === col("n_docs")).as("stats_docs_match"),
+        (col("stats_dl") === col("sum_dl")).as("stats_dl_match"),
+        col("n_orphan_postings"),
+        lit(nTomb).cast("long").as("n_tombstones"))
+  }
+
   /** The md5 term bucket shared by build and search — the pruning key. */
   private def termBucket(term: Column, buckets: Int): Column =
     (conv(substring(md5(term), 1, 15), 16, 10).cast("long") % buckets)
