@@ -1904,6 +1904,21 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // EXACT PHRASE SEARCH from the persisted index's positional postings
+    // (the retrieval feature tf-only postings can't answer): slot i's
+    // positions shift by -i and intersect left-to-right, bucket-pruned,
+    // text never re-scanned. Must match a from-text positional
+    // re-derivation (q77's window device).
+    "q148_phrase_index" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-phrase-idx").toString
+      SnapshotDirs.add(root)
+      TextAnalysis.buildTextIndex(Tables(s, dir).documents,
+        "doc_id", "text", root, withPositions = true)
+      TextAnalysis.phraseSearchIndex(s, root, Seq("merge", "join"))
+        .orderBy("doc_id")
+    }),
+
     // Index integrity AUDIT (fsck for the store): after build + append +
     // delete, every invariant the segment arithmetic is required to
     // preserve must hold — df sums ≡ live postings, stats totals ≡ live
@@ -2925,6 +2940,22 @@ object SparkEntry {
     "q136_logreg_pipeline" -> logRegPipelineOracle(passes = 3),
 
     "q145_quality_curation" -> logRegCurationOracle(passes = 8),
+
+    // consecutive-position phrase occurrences re-derived from the raw
+    // token stream (q77's device): position i starts the phrase iff
+    // every term matches at its offset
+    "q148_phrase_index" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |           FROM documents),
+        |p AS (SELECT doc_id,
+        |             unnest(generate_series(1, greatest(len(tk) - 1, 0)::BIGINT)) AS i,
+        |             tk
+        |      FROM d),
+        |h AS (SELECT doc_id, count(*)::BIGINT AS n_hits
+        |      FROM p WHERE tk[i] = 'merge' AND tk[i+1] = 'join'
+        |      GROUP BY doc_id)
+        |SELECT doc_id, n_hits FROM h ORDER BY doc_id""".stripMargin,
 
     // the audit's invariant columns are constants when the store is
     // healthy; the inventory re-derives from the survivors

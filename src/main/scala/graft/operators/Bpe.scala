@@ -220,17 +220,22 @@ object Bpe {
     */
   def tokenizeCorpus(df: DataFrame, idCol: String, textCol: String,
                      vocab: DataFrame,
-                     tokenizer: Column => Column = TextAnalysis.tokens): DataFrame = {
+                     tokenizer: Column => Column = TextAnalysis.tokens,
+                     byteLevel: Boolean = false): DataFrame = {
     val counts = df
       .select(col(idCol).as("doc_id"),
         explode(tokenizer(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
     val sizes = vocab.select(col("w"), size(col("syms")).as("n_sym"))
+    // OOV fallback counts the zero-merge segmentation of the MODE's
+    // alphabet: characters + marker, or (byteLevel) UTF-8 bytes + marker
+    val fallback =
+      if (byteLevel) octet_length(col("w")) + lit(1)
+      else length(col("w")) + lit(1)
     counts
       .join(broadcast(sizes), Seq("w"), "left")
-      .withColumn("n_sym",
-        coalesce(col("n_sym"), length(col("w")) + lit(1)))
+      .withColumn("n_sym", coalesce(col("n_sym"), fallback))
       .groupBy("doc_id")
       .agg(sum("cnt").cast("long").as("n_words"),
         sum(col("cnt") * col("n_sym")).cast("long").as("n_bpe_tokens"))

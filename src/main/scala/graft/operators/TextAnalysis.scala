@@ -653,8 +653,11 @@ object TextAnalysis {
     * IEEE folds agree.
     */
   def buildTextIndex(df: DataFrame, idCol: String, textCol: String,
-                     dir: String, buckets: Int = 64): Unit = {
+                     dir: String, buckets: Int = 64,
+                     withPositions: Boolean = false): Unit = {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    if (withPositions) writePositions(df, idCol, textCol, dir, buckets,
+      mode = "overwrite")
     val dl = CacheScope.persisted(df.select(col(idCol).as("doc_id"),
       size(array_remove(tokens(col(textCol)), "")).cast("long").as("dl"),
       tokens(col(textCol)).as("toks")))
@@ -699,8 +702,11 @@ object TextAnalysis {
     */
   def appendTextIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                       batch: DataFrame, idCol: String, textCol: String,
-                      buckets: Int = 64): Unit = {
+                      buckets: Int = 64,
+                      withPositions: Boolean = false): Unit = {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    if (withPositions) writePositions(batch, idCol, textCol, dir, buckets,
+      mode = "append")
     val dl = CacheScope.persisted(batch.select(col(idCol).as("doc_id"),
       size(array_remove(tokens(col(textCol)), "")).cast("long").as("dl"),
       tokens(col(textCol)).as("toks")))
@@ -852,6 +858,79 @@ object TextAnalysis {
     StoreFs.delete(spark, s"$dir/tombstones")
     StoreFs.delete(spark, tmp)
     tombIds.unpersist()
+  }
+
+  /** The OPT-IN positional component (`positions/`): one row per
+    * (doc, term) with the term's 0-based positions in the doc's
+    * NON-EMPTY token stream, bucketed like the postings — what phrase
+    * queries consume. Opt-in because positions roughly double the
+    * index's write volume (a position per token vs a count per type);
+    * an index built without them serves every non-phrase query
+    * identically.
+    */
+  private def writePositions(df: DataFrame, idCol: String, textCol: String,
+                             dir: String, buckets: Int,
+                             mode: String): Unit =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(array_remove(tokens(col(textCol)), ""))
+          .as(Seq("pos", "term")))
+      .groupBy("doc_id", "term")
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("poss"))
+      .withColumn("bucket", termBucket(col("term"), buckets))
+      .repartition(col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$dir/positions")
+
+  /** EXACT PHRASE SEARCH over a positions-enabled index: docs where the
+    * phrase's terms occur at consecutive positions, with the occurrence
+    * count — the retrieval feature term-frequency postings cannot answer
+    * (BM25 scores "hash" and "table" anywhere; this finds "hash table").
+    * The classical positional-postings algorithm: slot i's position list
+    * shifts by −i and the per-doc lists intersect left to right, so an
+    * occurrence survives iff every slot aligned. Terms join ONLY within
+    * their bucket-pruned position lists — the corpus text is never
+    * re-scanned — and docs drop out at the first slot that kills the
+    * intersection (the frame shrinks monotonically across slots).
+    * Tombstoned docs are invisible, like every other search.
+    *
+    * Repeated phrase terms ("the big the") work: each slot re-joins the
+    * term's own list under its own shift. Gated: q148 vs a from-text
+    * positional re-derivation.
+    */
+  def phraseSearchIndex(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, phrase: Seq[String],
+                        buckets: Int = 64): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(_.nonEmpty),
+      s"phrase must be non-empty terms: $phrase")
+    val wanted = phrase.map { t =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % buckets).toInt
+    }.distinct
+    val pos0 = spark.read.parquet(s"$dir/positions")
+      .filter(col("bucket").isin(wanted: _*))
+      .filter(col("term").isin(phrase.distinct: _*))
+    val pos =
+      if (StoreFs.exists(spark, s"$dir/tombstones"))
+        pos0.join(broadcast(
+          spark.read.parquet(s"$dir/tombstones").select("doc_id").distinct()),
+          Seq("doc_id"), "left_anti")
+      else pos0
+    val slots = phrase.zipWithIndex.map { case (t, i) =>
+      pos.filter(col("term") === t)
+        .select(col("doc_id"),
+          transform(col("poss"), p => p - lit(i.toLong)).as(s"p$i"))
+    }
+    val aligned = slots.zipWithIndex.tail.foldLeft(
+      slots.head.select(col("doc_id"), col("p0").as("cand"))) {
+      case (acc, (s, i)) =>
+        acc.join(s, "doc_id")
+          .select(col("doc_id"),
+            array_intersect(col("cand"), col(s"p$i")).as("cand"))
+          .filter(size(col("cand")) > 0)
+    }
+    aligned.select(col("doc_id"),
+      size(col("cand")).cast("long").as("n_hits"))
   }
 
   /** INDEX INTEGRITY AUDIT — fsck for the text-index store: a store that

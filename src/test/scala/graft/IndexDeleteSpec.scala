@@ -137,6 +137,28 @@ class IndexDeleteSpec extends SparkTestBase {
     assert(Curation.pruneSnapshots(root, keepLast = 5).isEmpty)
   }
 
+  test("phrase search: trigrams, repeated terms, overlaps, tombstone interplay") {
+    val dir = tmp("graft-phrase")
+    val docs = Seq(
+      (1L, "hash table scan beats full table scan"),
+      (2L, "a b a b a"),             // "a b a": overlapping at 0 and 2
+      (3L, "hash join and table"),   // terms present, phrase absent
+      (4L, "hash table scan")).toDF("doc_id", "text")
+    TextAnalysis.buildTextIndex(docs, "doc_id", "text", dir, buckets = 8,
+      withPositions = true)
+    def hits(phrase: String*): Map[Long, Long] =
+      TextAnalysis.phraseSearchIndex(spark, dir, phrase, buckets = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits("hash", "table", "scan") == Map(1L -> 1L, 4L -> 1L))
+    assert(hits("table", "scan") == Map(1L -> 2L, 4L -> 1L))
+    assert(hits("a", "b", "a") == Map(2L -> 2L)) // overlapping occurrences count
+    assert(hits("hash") == Map(1L -> 1L, 3L -> 1L, 4L -> 1L)) // single term
+    assert(hits("scan", "hash").isEmpty) // order matters
+    // tombstoned docs disappear from phrase results too
+    TextAnalysis.deleteFromTextIndex(spark, dir, Seq(1L).toDF("doc_id"), "doc_id", 8)
+    assert(hits("hash", "table", "scan") == Map(4L -> 1L))
+  }
+
   test("decontaminate emitText returns the stitched survivor text") {
     val docs = Seq((1L, "alpha beta gamma delta eval leak here now end one two")).toDF("doc_id", "text")
     val eval = Seq(("eval leak here now", 1)).toDF("text", "x")
