@@ -822,6 +822,12 @@ object TextAnalysis {
       .distinct().collect().map(_.getInt(0)).toSeq
     val tmp = s"$dir/compact_tmp"
     StoreFs.delete(spark, tmp)
+    // positions/ (when present) shares the postings' bucket space — a
+    // doc's position rows live in exactly the buckets its postings rows
+    // do (both key termBucket over the same non-empty tokens) — so the
+    // tombstones' postings-bucket list IS the positions work list
+    val affectedP: Seq[Int] =
+      if (StoreFs.exists(spark, s"$dir/positions")) affected else Seq.empty
     if (affected.nonEmpty) {
       spark.read.parquet(s"$dir/postings")
         .filter(col("bucket").isin(affected: _*))
@@ -834,6 +840,13 @@ object TextAnalysis {
         .filter(col("df") > 0)
         .repartition(col("bucket"))
         .write.partitionBy("bucket").parquet(s"$tmp/terms")
+    }
+    if (affectedP.nonEmpty) {
+      spark.read.parquet(s"$dir/positions")
+        .filter(col("bucket").isin(affectedP: _*))
+        .join(tombIds, Seq("doc_id"), "left_anti")
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$tmp/positions")
     }
     spark.read.parquet(s"$dir/docs")
       .filter(col("dbucket").isin(affectedD: _*))
@@ -850,6 +863,9 @@ object TextAnalysis {
     affected.foreach { b =>
       StoreFs.replace(spark, s"$tmp/postings/bucket=$b", s"$dir/postings/bucket=$b")
       StoreFs.replace(spark, s"$tmp/terms/bucket=$b", s"$dir/terms/bucket=$b")
+    }
+    affectedP.foreach { b =>
+      StoreFs.replace(spark, s"$tmp/positions/bucket=$b", s"$dir/positions/bucket=$b")
     }
     affectedD.foreach { b =>
       StoreFs.replace(spark, s"$tmp/docs/dbucket=$b", s"$dir/docs/dbucket=$b")

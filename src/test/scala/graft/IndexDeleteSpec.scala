@@ -157,6 +157,12 @@ class IndexDeleteSpec extends SparkTestBase {
     // tombstoned docs disappear from phrase results too
     TextAnalysis.deleteFromTextIndex(spark, dir, Seq(1L).toDF("doc_id"), "doc_id", 8)
     assert(hits("hash", "table", "scan") == Map(4L -> 1L))
+    // and COMPACTION physically purges their position rows — the deleted
+    // doc must not resurface once the tombstones are cleared
+    TextAnalysis.compactTextIndex(spark, dir, buckets = 8)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(hits("hash", "table", "scan") == Map(4L -> 1L))
+    assert(hits("table", "scan") == Map(4L -> 1L))
   }
 
   test("decontaminate emitText returns the stitched survivor text") {
