@@ -1904,6 +1904,38 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // q148 through the SQL front door (graft_phrase_search TVF) — the
+    // positional index reachable with a path-and-phrase literal.
+    "q150_sql_phrase" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sql-phrase").toString
+      SnapshotDirs.add(root)
+      TextAnalysis.buildTextIndex(Tables(s, dir).documents,
+        "doc_id", "text", root, withPositions = true)
+      graft.api.SqlFrontDoor.sql(s, dir,
+        s"""SELECT doc_id, n_hits
+           |FROM graft_phrase_search('$root', 'merge join')
+           |ORDER BY doc_id""".stripMargin)
+    }),
+
+    // q147's fsck contract for the IVF store: after build + append +
+    // delete, each id has exactly one live posting, no cell is orphaned
+    // from the codebook, and the inventory equals the oracle's SQL
+    // re-assignment of the survivors.
+    "q149_ivf_index_audit" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivf-audit").toString
+      SnapshotDirs.add(root)
+      Similarity.buildIvfIndexAdaptive(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", root)
+      Similarity.appendIvfIndex(s, root,
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      Similarity.deleteFromIvfIndex(s, root,
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
+      Similarity.ivfIndexAudit(s, root)
+    }),
+
     // EXACT PHRASE SEARCH from the persisted index's positional postings
     // (the retrieval feature tf-only postings can't answer): slot i's
     // positions shift by -i and intersect left-to-right, bucket-pruned,
@@ -2434,7 +2466,8 @@ object SparkEntry {
       // their library twins' answers exactly
       "q142_sql_exact_dedup" -> "q8_dedup_exact",
       "q143_sql_minhash_dedup" -> "q10_minhash_lsh",
-      "q144_sql_decontam" -> "q34_decontam")
+      "q144_sql_decontam" -> "q34_decontam",
+      "q150_sql_phrase" -> "q148_phrase_index")
       .map { case (aliasQ, libQ) => aliasQ -> oracleSqlBase(libQ) }
   }
 
@@ -2940,6 +2973,30 @@ object SparkEntry {
     "q136_logreg_pipeline" -> logRegPipelineOracle(passes = 3),
 
     "q145_quality_curation" -> logRegCurationOracle(passes = 8),
+
+    // the audit's invariants as constants; n_cells_used re-derives from
+    // q133's assignment CTEs over the survivors (codebook = pre-delete
+    // even corpus, frozen)
+    "q149_ivf_index_audit" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corp AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+        |st AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS s FROM corp),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM corp, st WHERE vec_id % st.s = 0
+        |          ORDER BY cid LIMIT 4096),
+        |keep AS (SELECT * FROM e WHERE vec_id % 7 <> 3),
+        |asg AS (SELECT id, cell FROM (
+        |    SELECT k.vec_id AS id, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY k.vec_id ORDER BY
+        |             list_dot_product(k.v, c.cv) /
+        |             (sqrt(list_dot_product(k.v, k.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS rk
+        |    FROM keep k CROSS JOIN cents c) WHERE rk = 1)
+        |SELECT (SELECT count(*) FROM asg)::BIGINT AS n_vectors,
+        |       0::BIGINT AS n_dup_ids,
+        |       (SELECT count(*) FROM cents)::BIGINT AS n_centroids,
+        |       (SELECT count(DISTINCT cell) FROM asg)::BIGINT AS n_cells_used,
+        |       0::BIGINT AS n_orphan_cells,
+        |       (SELECT count(*) FROM e WHERE vec_id % 7 = 3)::BIGINT AS n_tombstones""".stripMargin,
 
     // consecutive-position phrase occurrences re-derived from the raw
     // token stream (q77's device): position i starts the phrase iff

@@ -104,6 +104,19 @@ object GraftTableFunctions {
           "vec_id", "embedding", k = k, nprobe = nprobe)
         .queryExecution.analyzed
     }),
+    // graft_phrase_search(indexDir, 'exact phrase', [buckets]) — exact
+    // consecutive-position phrase hits from a positions-enabled index
+    ("graft_phrase_search", { args =>
+      require(args.length == 2 || args.length == 3,
+        s"graft_phrase_search(indexDir, phrase[, buckets]) got ${args.length} args")
+      val dir = str("graft_phrase_search", args.head)
+      val phrase = str("graft_phrase_search", args(1))
+        .split("\\s+").filter(_.nonEmpty).toSeq
+      val buckets = if (args.length == 3) int("graft_phrase_search", args(2)) else 64
+      graft.operators.TextAnalysis
+        .phraseSearchIndex(active, dir, phrase, buckets)
+        .queryExecution.analyzed
+    }),
     // graft_exact_dedup(view, idCol, textCol) — one (keep_id, dup_id,
     // fp) row per removable exact duplicate
     ("graft_exact_dedup", { args =>

@@ -508,6 +508,50 @@ object Similarity {
     StoreFs.delete(spark, tmp)
   }
 
+  /** INDEX INTEGRITY AUDIT — [[graft.operators.TextAnalysis
+    * .textIndexAudit]]'s fsck contract for the vector store. One row:
+    *
+    *  - `n_vectors` — live postings (tombstones excluded);
+    *  - `n_dup_ids` — ids with more than one live posting (MUST be 0:
+    *    assignment puts each vector in exactly one cell, and neither
+    *    append — NEW ids by contract — nor compaction may break that);
+    *  - `n_centroids` / `n_cells_used` — codebook size vs cells holding
+    *    live vectors (occupancy is [[cellOccupancy]]'s job; here the
+    *    inventory);
+    *  - `n_orphan_cells` — cells in the postings with no codebook row
+    *    (MUST be 0; a crash between component writes surfaces here);
+    *  - `n_tombstones` — compaction's queue.
+    *
+    * Gated (q149): after build + append + delete, every invariant holds
+    * and the inventory equals the oracle's re-derivation (assignment
+    * recomputed in SQL).
+    */
+  def ivfIndexAudit(spark: SparkSession, dir: String): DataFrame = {
+    val tombIds =
+      if (graft.operators.StoreFs.exists(spark, s"$dir/tombstones"))
+        spark.read.parquet(s"$dir/tombstones").select("id").distinct()
+      else spark.range(0).select(col("id"))
+    val nTomb = tombIds.count()
+    val postings = spark.read.parquet(s"$dir/postings")
+      .join(broadcast(tombIds), Seq("id"), "left_anti")
+    val cents = spark.read.parquet(s"$dir/centroids").select(col("cid"))
+    val perId = postings.groupBy("id").agg(count(lit(1)).as("n"))
+    val inv = perId.agg(count(lit(1)).cast("long").as("n_ids"),
+      coalesce(sum("n"), lit(0L)).cast("long").as("n_vectors"),
+      coalesce(sum(when(col("n") > 1, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n_dup_ids"))
+    val cells = postings.select(col("cell").cast("long").as("cell")).distinct()
+    val orphans = cells.join(broadcast(cents),
+        cells("cell") === cents("cid"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_orphan_cells"))
+    val nCells = cells.agg(count(lit(1)).cast("long").as("n_cells_used"))
+    val nCents = cents.agg(count(lit(1)).cast("long").as("n_centroids"))
+    inv.crossJoin(nCents).crossJoin(nCells).crossJoin(orphans)
+      .select(col("n_vectors"), col("n_dup_ids"), col("n_centroids"),
+        col("n_cells_used"), col("n_orphan_cells"),
+        lit(nTomb).cast("long").as("n_tombstones"))
+  }
+
   /** Query a [[buildIvfIndex]] index: same probe + rank semantics as
     * [[ivfTopK]] (bit-identical results by construction — gated), but the
     * corpus side is the on-disk postings list: the broadcast probe join's
