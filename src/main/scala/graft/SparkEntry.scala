@@ -1904,6 +1904,107 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // PRODUCT QUANTIZATION encode (Jégou et al.): each 64-dim float
+    // vector becomes ONE BIGINT packing m=8 4-bit nearest-centroid codes
+    // (ksub=16, deterministic sampled codebook) — 256 bytes → 4 bytes,
+    // the 64× compression that lets a 100 TB embedding corpus's search
+    // structure live in cluster memory. Map-side only (zero Exchange);
+    // the oracle re-derives every subspace argmin (score = dcc − 2·dac,
+    // tie → lowest j) and the bit packing.
+    "q151_pq_encode" -> ((s, dir) => {
+      Similarity.pqEncode(Tables(s, dir).embeddings, "vec_id", "embedding",
+        m = 8, ksub = 16, centStep = 25).orderBy("vec_id")
+    }),
+
+    // PQ ADC top-k: candidates ranked by the exact integer asymmetric-
+    // distance total — m lookups into the query's micro-integer LUT per
+    // 4-byte candidate code, no vector access in the scan. Smaller
+    // adc_micro = nearer (the per-query ‖q‖² shift is rank-irrelevant).
+    "q152_pq_adc" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 20), "vec_id",
+        "embedding", k = 5, m = 8, ksub = 16, centStep = 25)
+        .orderBy(col("query_id"), col("adc_micro"), col("neighbor_id"))
+    }),
+
+    // IVF-PQ with RESIDUAL encoding (the FAISS IVFPQ layout, the
+    // standard billion-vector configuration): IVF cells prune WHICH
+    // codes are scanned, PQ compresses WHAT a scan reads; assignment,
+    // residual subtraction, the residual codebook, the encode argmin and
+    // the micro-integer ADC totals all under one hash.
+    "q153_ivf_pq" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 20), "vec_id",
+        "embedding", k = 3, nprobe = 2, m = 8, ksub = 16,
+        ivfStep = 25, pqStep = 7)
+        .orderBy(col("query_id"), col("adc_micro"), col("neighbor_id"))
+    }),
+
+    // The PERSISTED IVF-PQ index: q90's build-once/query-many treatment
+    // with 4-byte code words in the postings instead of vectors (~64×
+    // smaller on-disk scan structure at dim 64) — the FAISS-IVFPQ layout
+    // as a parquet store. The disk round trip must reproduce q153's
+    // in-memory answer bit-for-bit.
+    "q154_ivfpq_index" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq").toString
+      SnapshotDirs.add(root)
+      Similarity.buildIvfPqIndex(e, "vec_id", "embedding", root)
+      Similarity.searchIvfPqIndex(s, root, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("adc_micro"), col("neighbor_id"))
+    }),
+
+    // Incremental IVF-PQ maintenance: build on the even half, append the
+    // odd half against BOTH frozen codebooks (cost ∝ batch — the q111
+    // story for the compressed store), then search the combined index.
+    // The oracle assigns and encodes the union from scratch against the
+    // even-corpus codebooks.
+    "q155_ivfpq_append" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-append").toString
+      SnapshotDirs.add(root)
+      Similarity.buildIvfPqIndex(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", root)
+      Similarity.appendIvfPqIndex(s, root,
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      Similarity.searchIvfPqIndex(s, root, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("adc_micro"), col("neighbor_id"))
+    }),
+
+    // q154 through the SQL front door (graft_ivfpq_search TVF) — the
+    // compressed index reachable with a path literal, q139's treatment.
+    "q156_sql_ivfpq" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sql-ivfpq").toString
+      SnapshotDirs.add(root)
+      Similarity.buildIvfPqIndex(e, "vec_id", "embedding", root)
+      e.filter(col("vec_id") < 20).select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$root/queries")
+      graft.api.SqlFrontDoor.sql(s, dir,
+        s"""SELECT query_id, neighbor_id, adc_micro
+           |FROM graft_ivfpq_search('$root', '$root/queries', 3, 2)
+           |ORDER BY query_id, adc_micro, neighbor_id""".stripMargin)
+    }),
+
+    // PQ-code collision buckets: the 4-byte semantic-dedup candidate
+    // generator — vectors sharing the full m-subspace code word are the
+    // coarsest near-dup candidates, found by one skew-free hash agg over
+    // map-side codes (SemDeDup's candidates-then-verify shape at 1/16th
+    // the byte volume).
+    // ksub=2 keeps the word space at 2^8 = 256 codes, so the fixture
+    // corpus collides for real — a ksub=16 word space (2^32) would make
+    // this gate vacuously empty at any test SF.
+    "q157_pq_dup_buckets" -> ((s, dir) => {
+      Similarity.pqDupBuckets(Tables(s, dir).embeddings, "vec_id",
+          "embedding", m = 8, ksub = 2, centStep = 25)
+        .orderBy("vec_id")
+    }),
+
     // q148 through the SQL front door (graft_phrase_search TVF) — the
     // positional index reachable with a path-and-phrase literal.
     "q150_sql_phrase" -> ((s, dir) => {
@@ -2467,7 +2568,12 @@ object SparkEntry {
       "q142_sql_exact_dedup" -> "q8_dedup_exact",
       "q143_sql_minhash_dedup" -> "q10_minhash_lsh",
       "q144_sql_decontam" -> "q34_decontam",
-      "q150_sql_phrase" -> "q148_phrase_index")
+      "q150_sql_phrase" -> "q148_phrase_index",
+      // the persisted IVF-PQ index's disk round trip — and the same
+      // store through the SQL front door — must reproduce the in-memory
+      // IVF-PQ answer bit-for-bit
+      "q154_ivfpq_index" -> "q153_ivf_pq",
+      "q156_sql_ivfpq" -> "q153_ivf_pq")
       .map { case (aliasQ, libQ) => aliasQ -> oracleSqlBase(libQ) }
   }
 
@@ -4760,6 +4866,193 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, neighbor_id, round(c, 4) + 0 AS cos FROM r WHERE rk <= 3
         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+    // PQ encode: sampled 16-vector codebook (rank order = id order), per
+    // (vector, subspace) argmin of dcc − 2·dac (tie → lowest j), 4-bit
+    // codes packed little-endian-by-subspace into one BIGINT.
+    "q151_pq_encode" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT cv, row_number() OVER (ORDER BY cid) - 1 AS j FROM (
+        |    SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0
+        |    ORDER BY vec_id LIMIT 16)),
+        |sub AS (SELECT j, s, cv[(s*8+1):(s*8+8)] AS c FROM cents, range(8) t(s)),
+        |sc AS (SELECT e.vec_id, sub.s, sub.j,
+        |              list_dot_product(sub.c, sub.c)
+        |                - 2*list_dot_product(e.v[(sub.s*8+1):(sub.s*8+8)], sub.c) AS score
+        |       FROM e CROSS JOIN sub),
+        |code AS (SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY score, j) AS rk
+        |    FROM sc) WHERE rk = 1)
+        |SELECT vec_id, sum(code * (1::BIGINT << (4*s)))::BIGINT AS code_word
+        |FROM code GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // PQ ADC search: q151's codes + a per-query m×ksub LUT in integer
+    // micro-units (floored BEFORE summation — the float-fold rule), pair
+    // total = sum of the m looked-up entries, rank (adc asc, id asc).
+    "q152_pq_adc" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT cv, row_number() OVER (ORDER BY cid) - 1 AS j FROM (
+        |    SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0
+        |    ORDER BY vec_id LIMIT 16)),
+        |sub AS (SELECT j, s, cv[(s*8+1):(s*8+8)] AS c FROM cents, range(8) t(s)),
+        |sc AS (SELECT e.vec_id, sub.s, sub.j,
+        |              list_dot_product(sub.c, sub.c)
+        |                - 2*list_dot_product(e.v[(sub.s*8+1):(sub.s*8+8)], sub.c) AS score
+        |       FROM e CROSS JOIN sub),
+        |code AS (SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY score, j) AS rk
+        |    FROM sc) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |lut AS (SELECT q.query_id, sub.s, sub.j,
+        |               floor((list_dot_product(sub.c, sub.c)
+        |                 - 2*list_dot_product(q.qv[(sub.s*8+1):(sub.s*8+8)], sub.c)) * 1e6)::BIGINT AS w
+        |        FROM q CROSS JOIN sub),
+        |pair AS (SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.w)::BIGINT AS adc_micro
+        |         FROM code c JOIN lut l ON l.s = c.s AND l.j = c.code
+        |                               AND l.query_id <> c.vec_id
+        |         GROUP BY l.query_id, c.vec_id),
+        |r AS (SELECT query_id, neighbor_id, adc_micro,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY adc_micro, neighbor_id) AS rk
+        |      FROM pair)
+        |SELECT query_id, neighbor_id, adc_micro FROM r WHERE rk <= 5
+        |ORDER BY query_id, adc_micro, neighbor_id""".stripMargin,
+
+    // IVF-PQ: q20's cell assignment + probes, residuals per element,
+    // residual codebook by id rank, per-(query, cell) LUT against the
+    // query residual, integer ADC totals over probed cells only.
+    "q153_ivf_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |icents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+        |asg AS (SELECT id, v, cell FROM (
+        |    SELECT e.vec_id AS id, e.v, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, c.cv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS rk
+        |    FROM e CROSS JOIN icents c) WHERE rk = 1),
+        |res AS (SELECT a.id, a.cell,
+        |               list_transform(range(64), i -> a.v[i+1] - c.cv[i+1]) AS r
+        |        FROM asg a JOIN icents c ON a.cell = c.cid),
+        |pcents AS (SELECT cv, row_number() OVER (ORDER BY rid) - 1 AS j FROM (
+        |    SELECT id AS rid, r AS cv FROM res
+        |    WHERE id % 7 = 0 AND list_dot_product(r, r) > 0
+        |    ORDER BY id LIMIT 16)),
+        |sub AS (SELECT j, s, cv[(s*8+1):(s*8+8)] AS c FROM pcents, range(8) t(s)),
+        |sc AS (SELECT res.id, res.cell, sub.s, sub.j,
+        |              list_dot_product(sub.c, sub.c)
+        |                - 2*list_dot_product(res.r[(sub.s*8+1):(sub.s*8+8)], sub.c) AS score
+        |       FROM res CROSS JOIN sub),
+        |code AS (SELECT id, cell, s, j AS code FROM (
+        |    SELECT id, cell, s, j,
+        |           row_number() OVER (PARTITION BY id, s ORDER BY score, j) AS rk
+        |    FROM sc) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |probes AS (SELECT query_id, qv, cell FROM (
+        |    SELECT q.query_id, q.qv, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |             list_dot_product(q.qv, c.cv) /
+        |             (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS prk
+        |    FROM q CROSS JOIN icents c) WHERE prk <= 2),
+        |qres AS (SELECT p.query_id, p.cell,
+        |                list_transform(range(64), i -> p.qv[i+1] - c.cv[i+1]) AS qr
+        |         FROM probes p JOIN icents c ON p.cell = c.cid),
+        |lut AS (SELECT p.query_id, p.cell, sub.s, sub.j,
+        |               floor((list_dot_product(sub.c, sub.c)
+        |                 - 2*list_dot_product(p.qr[(sub.s*8+1):(sub.s*8+8)], sub.c)) * 1e6)::BIGINT AS w
+        |        FROM qres p CROSS JOIN sub),
+        |pair AS (SELECT l.query_id, c.id AS neighbor_id, sum(l.w)::BIGINT AS adc_micro
+        |         FROM code c JOIN lut l ON l.cell = c.cell AND l.s = c.s
+        |                               AND l.j = c.code AND l.query_id <> c.id
+        |         GROUP BY l.query_id, c.id),
+        |r AS (SELECT query_id, neighbor_id, adc_micro,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY adc_micro, neighbor_id) AS rk
+        |      FROM pair)
+        |SELECT query_id, neighbor_id, adc_micro FROM r WHERE rk <= 3
+        |ORDER BY query_id, adc_micro, neighbor_id""".stripMargin,
+
+    // q153's pipeline with BOTH codebooks derived from the EVEN corpus
+    // only (the engine's build half), assignment + encode over the union
+    // — build(even) + append(odd) must be indistinguishable from this.
+    "q155_ivfpq_append" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |icents AS (SELECT vec_id AS cid, v AS cv FROM e
+        |           WHERE vec_id % 2 = 0 AND vec_id % 25 = 0),
+        |asg AS (SELECT id, v, cell FROM (
+        |    SELECT e.vec_id AS id, e.v, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, c.cv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS rk
+        |    FROM e CROSS JOIN icents c) WHERE rk = 1),
+        |res AS (SELECT a.id, a.cell,
+        |               list_transform(range(64), i -> a.v[i+1] - c.cv[i+1]) AS r
+        |        FROM asg a JOIN icents c ON a.cell = c.cid),
+        |pcents AS (SELECT cv, row_number() OVER (ORDER BY rid) - 1 AS j FROM (
+        |    SELECT id AS rid, r AS cv FROM res
+        |    WHERE id % 2 = 0 AND id % 7 = 0 AND list_dot_product(r, r) > 0
+        |    ORDER BY id LIMIT 16)),
+        |sub AS (SELECT j, s, cv[(s*8+1):(s*8+8)] AS c FROM pcents, range(8) t(s)),
+        |sc AS (SELECT res.id, res.cell, sub.s, sub.j,
+        |              list_dot_product(sub.c, sub.c)
+        |                - 2*list_dot_product(res.r[(sub.s*8+1):(sub.s*8+8)], sub.c) AS score
+        |       FROM res CROSS JOIN sub),
+        |code AS (SELECT id, cell, s, j AS code FROM (
+        |    SELECT id, cell, s, j,
+        |           row_number() OVER (PARTITION BY id, s ORDER BY score, j) AS rk
+        |    FROM sc) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |probes AS (SELECT query_id, qv, cell FROM (
+        |    SELECT q.query_id, q.qv, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |             list_dot_product(q.qv, c.cv) /
+        |             (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS prk
+        |    FROM q CROSS JOIN icents c) WHERE prk <= 2),
+        |qres AS (SELECT p.query_id, p.cell,
+        |                list_transform(range(64), i -> p.qv[i+1] - c.cv[i+1]) AS qr
+        |         FROM probes p JOIN icents c ON p.cell = c.cid),
+        |lut AS (SELECT p.query_id, p.cell, sub.s, sub.j,
+        |               floor((list_dot_product(sub.c, sub.c)
+        |                 - 2*list_dot_product(p.qr[(sub.s*8+1):(sub.s*8+8)], sub.c)) * 1e6)::BIGINT AS w
+        |        FROM qres p CROSS JOIN sub),
+        |pair AS (SELECT l.query_id, c.id AS neighbor_id, sum(l.w)::BIGINT AS adc_micro
+        |         FROM code c JOIN lut l ON l.cell = c.cell AND l.s = c.s
+        |                               AND l.j = c.code AND l.query_id <> c.id
+        |         GROUP BY l.query_id, c.id),
+        |r AS (SELECT query_id, neighbor_id, adc_micro,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY adc_micro, neighbor_id) AS rk
+        |      FROM pair)
+        |SELECT query_id, neighbor_id, adc_micro FROM r WHERE rk <= 3
+        |ORDER BY query_id, adc_micro, neighbor_id""".stripMargin,
+
+    // q151's code words + one bucket GROUP BY: every member of a ≥ 2
+    // collision bucket with its bucket's min id as canon.
+    "q157_pq_dup_buckets" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT cv, row_number() OVER (ORDER BY cid) - 1 AS j FROM (
+        |    SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0
+        |    ORDER BY vec_id LIMIT 2)),
+        |sub AS (SELECT j, s, cv[(s*8+1):(s*8+8)] AS c FROM cents, range(8) t(s)),
+        |sc AS (SELECT e.vec_id, sub.s, sub.j,
+        |              list_dot_product(sub.c, sub.c)
+        |                - 2*list_dot_product(e.v[(sub.s*8+1):(sub.s*8+8)], sub.c) AS score
+        |       FROM e CROSS JOIN sub),
+        |code AS (SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY score, j) AS rk
+        |    FROM sc) WHERE rk = 1),
+        |word AS (SELECT vec_id, sum(code * (1::BIGINT << (4*s)))::BIGINT AS code_word
+        |         FROM code GROUP BY vec_id),
+        |g AS (SELECT code_word, count(*) AS n, min(vec_id) AS canon_id
+        |      FROM word GROUP BY code_word HAVING count(*) >= 2)
+        |SELECT w.vec_id, w.code_word, g.canon_id
+        |FROM word w JOIN g USING (code_word) ORDER BY w.vec_id""".stripMargin,
 
     // q30's positional chunking (overlap 0) + keep-first-occurrence window
     // + ordered string_agg reassembly.

@@ -104,6 +104,21 @@ object GraftTableFunctions {
           "vec_id", "embedding", k = k, nprobe = nprobe)
         .queryExecution.analyzed
     }),
+    // graft_ivfpq_search(indexDir, queriesParquet, k, nprobe) — the
+    // compressed-store sibling of graft_ivf_search: same literal-only
+    // contract, the scan side is the on-disk 4-byte code file
+    ("graft_ivfpq_search", { args =>
+      require(args.length == 4,
+        s"graft_ivfpq_search(indexDir, queriesParquet, k, nprobe) got ${args.length} args")
+      val dir = str("graft_ivfpq_search", args.head)
+      val queries = str("graft_ivfpq_search", args(1))
+      val k = int("graft_ivfpq_search", args(2))
+      val nprobe = int("graft_ivfpq_search", args(3))
+      graft.operators.Similarity
+        .searchIvfPqIndex(active, dir, active.read.parquet(queries),
+          "vec_id", "embedding", k = k, nprobe = nprobe)
+        .queryExecution.analyzed
+    }),
     // graft_phrase_search(indexDir, 'exact phrase', [buckets]) — exact
     // consecutive-position phrase hits from a positions-enabled index
     ("graft_phrase_search", { args =>

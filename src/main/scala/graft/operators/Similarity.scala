@@ -937,4 +937,431 @@ object Similarity {
           val n = errNano(e); n * n
         }), lit(0L), (acc, x) => acc + x).as("sse_nano"))
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) — the billion-vector compression path
+  // ------------------------------------------------------------------
+
+  /** Deterministic PQ codebook: the `ksub` sampled vectors (every
+    * `centStep`-th id, lowest ids win — [[sampleCentroids]]' exact
+    * discipline with the cap set to `ksub`), in id-rank order. Subspace
+    * `s`'s centroid `j` is the slice `[s·sub, (s+1)·sub)` of sampled
+    * vector `j` — the codebook-choice POLICY is deliberately the same
+    * deterministic-sampling rule as the IVF family (and refinable by the
+    * same [[kmeans]] loop); the PQ machinery below (encode, ADC search)
+    * is policy-agnostic.
+    */
+  def pqCodebook(df: DataFrame, idCol: String, vecCol: String,
+                 ksub: Int, centStep: Int): Seq[Array[Double]] =
+    sampleCentroids(df, idCol, vecCol, centStep, maxCentroids = ksub)
+      .map(_._2)
+
+  /** Per-subspace (centroid matrix, centroid self-dot) pairs derived from
+    * the full-vector codebook. `dcc(j) = Σ c_j[i]² ` is a LEFT-TO-RIGHT
+    * double fold over the slice — the same order `list_dot_product`
+    * evaluates, so the oracle reproduces each self-dot bit-for-bit.
+    */
+  private def pqSubspaces(full: Seq[Array[Double]], m: Int)
+      : Seq[(Seq[Seq[Double]], Seq[Double])] = {
+    require(full.nonEmpty, "PQ codebook is empty")
+    val dim = full.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val cmat = full.map(c => c.slice(s * sub, (s + 1) * sub).toSeq)
+      val dcc = full.map { c =>
+        var acc = 0.0
+        var i = s * sub
+        while (i < (s + 1) * sub) { acc += c(i) * c(i); i += 1 }
+        acc
+      }
+      (cmat, dcc)
+    }
+  }
+
+  /** One subspace's squared-distance SCORES against all `ksub` centroids:
+    * `score(j) = dot(c_j, c_j) − 2·dot(v_s, c_j)` — equal to
+    * `‖v_s − c_j‖²` minus the per-row constant `‖v_s‖²`, so argmin over
+    * `j` is the nearest-centroid code without ever materializing the
+    * per-row self-dot. The centroid dots ride through the codegen'd
+    * `graft_matvec_dots` kernel (matrix as ONE literal); the combination
+    * `c − 2·d` is the exact expression shape the oracle evaluates.
+    */
+  private def pqScores(v: Column, s: Int, sub: Int,
+                       cmat: Seq[Seq[Double]], dcc: Seq[Double]): Column = {
+    val dots = call_function("graft_matvec_dots",
+      slice(v, s * sub + 1, sub), typedLit(cmat), lit(1.0))
+    zip_with(typedLit(dcc), dots, (c, d) => c - lit(2.0) * d)
+  }
+
+  /** The packed PQ code word of one vector: subspace `s`'s 4-bit code in
+    * bits `[4s, 4s+4)`. Ties (equal scores) take the lowest centroid
+    * index — `array_position(scores, array_min(scores))` returns the
+    * FIRST occurrence, matching the oracle's `ORDER BY score, j` pick.
+    */
+  private def pqCodeWord(v: Column, full: Seq[Array[Double]], m: Int): Column = {
+    val sub = full.head.length / m
+    val subs = pqSubspaces(full, m)
+    val codes = subs.zipWithIndex.map { case ((cmat, dcc), s) =>
+      val scores = pqScores(v, s, sub, cmat, dcc)
+      (array_position(scores, array_min(scores)) - 1).cast("long")
+    }
+    codes.zipWithIndex
+      .map { case (c, s) => c * lit(1L << (4 * s)) }
+      .reduce(_ + _)
+  }
+
+  /** Subspace `s`'s code extracted from a packed word — shift + mask on a
+    * non-negative word (no sign hazard: m ≤ 15 keeps the word < 2⁶⁰).
+    */
+  private def pqSubCode(word: Column, s: Int): Column =
+    shiftright(word, 4 * s).bitwiseAND(lit(15L))
+
+  /** PQ-encode a corpus: each `dim`-float vector becomes ONE BIGINT
+    * packing `m` 4-bit nearest-centroid codes (`ksub ≤ 16`) — for the
+    * default 64-dim/8-subspace shape that is 256 bytes → 4 bytes, the
+    * 64× compression that lets a 100 TB embedding corpus's search
+    * structure live in cluster memory. Output: (vec_id, code_word).
+    *
+    * Scale shape: map-side only — the codebook rides as m ONE-node
+    * matrix literals through the codegen'd kernel, every row is encoded
+    * independently, and NO shuffle exists in the plan at any corpus size
+    * (SimilaritySpec plan-asserts zero Exchange). Reference analog: the
+    * reference keeps whole vectors and has no compression story —
+    * product quantization (Jégou et al., TPAMI 2011) is table stakes for
+    * billion-vector ANN and composes with the IVF family below.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               m: Int = 8, ksub: Int = 16, centStep: Int = 25): DataFrame = {
+    require(ksub >= 1 && ksub <= 16, s"ksub must be in [1,16]: $ksub")
+    require(m >= 1 && m <= 15, s"m must be in [1,15]: $m")
+    graft.functions.GraftExtensions.ensureRegistered(df.sparkSession,
+      "graft_matvec_dots")
+    val full = pqCodebook(df, idCol, vecCol, ksub, centStep)
+    df.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("vec_id"), pqCodeWord(col("v"), full, m).as("code_word"))
+  }
+
+  /** A query vector's ADC lookup table against the codebook: an m × ksub
+    * `array<array<bigint>>` where `lut[s][j] = ⌊(dot(c_j,c_j) −
+    * 2·dot(q_s,c_j))·10⁶⌋` — each entry is the subspace-s distance
+    * contribution of code j, shifted by the per-query constant `‖q_s‖²`
+    * (rank-irrelevant) and ROUNDED TO INTEGER MICRO-UNITS BEFORE any
+    * summation, so the per-candidate ADC total is an exact 64-bit sum in
+    * any order — the float-fold rule every gate relies on.
+    */
+  private def pqLut(qv: Column, full: Seq[Array[Double]], m: Int): Column = {
+    val sub = full.head.length / m
+    val subs = pqSubspaces(full, m)
+    val rows = subs.zipWithIndex.map { case ((cmat, dcc), s) =>
+      val dots = call_function("graft_matvec_dots",
+        slice(qv, s * sub + 1, sub), typedLit(cmat), lit(1.0))
+      zip_with(typedLit(dcc), dots,
+        (c, d) => floor((c - lit(2.0) * d) * lit(1e6)).cast("long"))
+    }
+    array(rows: _*)
+  }
+
+  /** The ADC (asymmetric distance computation) total of one candidate:
+    * m integer table lookups — the entire per-candidate scan cost, no
+    * floating point, no vector access. Integer adds in static subspace
+    * order (sum of exact longs — order-free anyway).
+    */
+  private def pqAdc(lut: Column, word: Column, m: Int): Column =
+    (0 until m).map { s =>
+      element_at(element_at(lut, s + 1), (pqSubCode(word, s) + 1).cast("int"))
+    }.reduce(_ + _)
+
+  /** PQ top-k by asymmetric distance: encode the corpus once (4 bytes a
+    * vector), build each query's m×ksub micro-integer lookup table on the
+    * (tiny, broadcast) query side, and rank candidates by the exact
+    * integer ADC total — `Σ_s lut[s][code_s]`, m table lookups per
+    * candidate instead of a dim-length float dot. Smaller adc_micro =
+    * nearer (the omitted `‖q‖²` shift is constant per query). Self-pairs
+    * excluded; two-stage top-k (the [[knnBrute]] scan-partition trick) so
+    * no task holds a query's full candidate stream. Output: (query_id,
+    * neighbor_id, adc_micro), deterministic total order.
+    *
+    * Scale: the corpus pass reads 8 bytes of id + 8 of code word per
+    * row — memory-bandwidth-bound at ~1/16th the byte volume of raw
+    * vectors; compose with [[ivfPqTopK]] to also prune WHICH codes are
+    * scanned.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+             centStep: Int = 25): DataFrame = {
+    require(ksub >= 1 && ksub <= 16, s"ksub must be in [1,16]: $ksub")
+    require(m >= 1 && m <= 15, s"m must be in [1,15]: $m")
+    graft.functions.GraftExtensions.ensureRegistered(corpus.sparkSession,
+      "graft_matvec_dots")
+    val full = pqCodebook(corpus, idCol, vecCol, ksub, centStep)
+    val codes = pqEncode(corpus, idCol, vecCol, m, ksub, centStep)
+      .select(col("vec_id").as("neighbor_id"), col("code_word"))
+    val q = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .select(col("query_id"), pqLut(col("qv"), full, m).as("lut"))
+    val wPart = Window.partitionBy("query_id", "scan_pid")
+      .orderBy(col("adc_micro").asc, col("neighbor_id").asc)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_micro").asc, col("neighbor_id").asc)
+    codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_micro", pqAdc(col("lut"), col("code_word"), m))
+      .withColumn("scan_pid", spark_partition_id())
+      .withColumn("prk", row_number().over(wPart))
+      .filter(col("prk") <= k)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_micro"))
+  }
+
+  /** IVF-PQ with RESIDUAL encoding — the FAISS `IVFPQ` configuration,
+    * the standard billion-vector layout: vectors are assigned to IVF
+    * cells ([[ivfAssign]] over the deterministic codebook), each vector's
+    * RESIDUAL against its cell centroid is PQ-encoded (residuals are
+    * smaller and better-centered than raw vectors, so the same 4-bit
+    * budget quantizes finer), and a query probes only its `nprobe`
+    * best-cosine cells, ADC-scanning the 4-byte codes of those cells
+    * alone. The query's lookup table is built PER PROBED CELL (against
+    * the query residual `q − c_cell`), so both pruning and compression
+    * apply: work per query = `nprobe · (cell population) · m` integer
+    * lookups.
+    *
+    * Everything under the oracle hash: cell assignment (argmax cosine,
+    * tie → lowest cid), the residual subtraction (per-element double),
+    * the residual PQ codebook (every `pqStep`-th id's residual, lowest
+    * ids win, rank order — [[sampleCentroids]]' discipline applied to
+    * residuals), the encode argmin, and the micro-integer ADC totals.
+    * Output: (query_id, neighbor_id, adc_micro).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nprobe: Int = 2, m: Int = 8,
+                ksub: Int = 16, ivfStep: Int = 25, pqStep: Int = 7,
+                maxCentroids: Int = 4096): DataFrame = {
+    require(ksub >= 1 && ksub <= 16, s"ksub must be in [1,16]: $ksub")
+    require(m >= 1 && m <= 15, s"m must be in [1,15]: $m")
+    val sp = corpus.sparkSession
+    graft.functions.CosineSim.ensureRegistered(sp)
+    graft.functions.GraftExtensions.ensureRegistered(sp, "graft_matvec_dots")
+    val cents = sampleCentroids(corpus, idCol, vecCol, ivfStep, maxCentroids)
+    val withRes = ivfResiduals(corpus, idCol, vecCol, cents)
+    val full = residualCodebook(withRes, pqStep, ksub, idCol)
+    val codes = withRes
+      .select(col("id").as("neighbor_id"), col("cell"),
+        pqCodeWord(col("r"), full, m).as("code_word"))
+    ivfPqScan(sp, codes, queries, idCol, vecCol, cents, full, k, nprobe, m)
+  }
+
+  /** Residuals of a corpus against a centroid codebook — one map-side
+    * pass (broadcast centroid join, no shuffle): (id, cell, r).
+    */
+  private def ivfResiduals(df: DataFrame, idCol: String, vecCol: String,
+                           cents: Seq[(Long, Array[Double])]): DataFrame = {
+    val sp = df.sparkSession
+    val centDf = {
+      import sp.implicits._
+      cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
+    }
+    ivfAssign(df, idCol, vecCol, cents)
+      .join(broadcast(centDf), col("cell") === col("cid"))
+      .withColumn("r", zip_with(col("v"), col("cv"), (x, c) => x - c))
+      .select(col("id"), col("cell"), col("r"))
+  }
+
+  /** Residual PQ codebook: every `pqStep`-th id's NONZERO residual,
+    * lowest ids win, id-rank order — [[sampleCentroids]]' discipline
+    * applied to residuals. Bounded collect (≤ ksub rows).
+    *
+    * The nonzero filter is load-bearing, not cosmetic: an id that is
+    * itself an IVF centroid has residual exactly 0 (it assigns to its own
+    * cell — cosine 1 beats every other centroid), and when `pqStep`
+    * shares ids with `ivfStep` (the defaults do), an unfiltered codebook
+    * collapses to all-zero vectors — every score ties, every code is 0,
+    * and ADC ranking degenerates to id order. A zero residual carries no
+    * quantization information, so it is never a useful codeword; the
+    * exact `Σr² > 0` test is engine-stable (v − v is exactly 0 per
+    * element in IEEE arithmetic, both here and in the oracle).
+    */
+  private def residualCodebook(withRes: DataFrame, pqStep: Int, ksub: Int,
+                               idCol: String): Seq[Array[Double]] = {
+    val full = withRes.filter(col("id") % pqStep === 0)
+      .filter(aggregate(col("r"), lit(0.0), (acc, x) => acc + x * x) > 0)
+      .orderBy("id").limit(ksub)
+      .select(col("r")).collect()
+      .map(_.getSeq[Double](0).toArray).toSeq
+    require(full.nonEmpty,
+      s"residual PQ codebook is empty: no $idCol divisible by $pqStep " +
+        "has a nonzero residual")
+    full
+  }
+
+  /** The probe + ADC-scan half shared by [[ivfPqTopK]] (codes in memory)
+    * and [[searchIvfPqIndex]] (codes from disk): rank each query's
+    * `nprobe` best-cosine cells, build the per-(query, cell) LUT against
+    * the query RESIDUAL, and take the integer-ADC top-k over the probed
+    * cells' codes. `codes` must carry (neighbor_id, cell, code_word).
+    */
+  private def ivfPqScan(sp: SparkSession, codes: DataFrame,
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        cents: Seq[(Long, Array[Double])],
+                        full: Seq[Array[Double]], k: Int, nprobe: Int,
+                        m: Int): DataFrame = {
+    val centDf = {
+      import sp.implicits._
+      cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
+    }
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("pcos").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("pcos", cosineFast(col("qv"), col("cv")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= nprobe)
+      .withColumn("qr", zip_with(col("qv"), col("cv"), (x, c) => x - c))
+      .select(col("query_id"), col("cid").as("cell"),
+        pqLut(col("qr"), full, m).as("lut"))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("adc_micro").asc, col("neighbor_id").asc)
+    codes.join(broadcast(probes), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_micro", pqAdc(col("lut"), col("code_word"), m))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_micro"))
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted IVF-PQ index — the on-disk FAISS-IVFPQ layout
+  // ------------------------------------------------------------------
+
+  /** Persist an IVF-PQ index — [[buildIvfIndex]]'s build-once/query-many
+    * treatment applied to [[ivfPqTopK]], with the decisive difference
+    * that the postings hold 4-BYTE CODE WORDS, NOT VECTORS: a row is
+    * (id, code_word) under a cell partition — 16 bytes against the raw
+    * index's `8 + 8·dim` (~64× smaller at dim 64), which is what lets a
+    * billion-vector corpus's scan structure fit where the raw postings
+    * cannot. Layout:
+    *
+    *  - `dir/centroids`   (cid, cv) — the IVF codebook (≤ maxCentroids);
+    *  - `dir/pq_codebook` (j, cv)   — the residual PQ codebook, `ksub`
+    *    full-dim residuals in id-rank order (the model [[searchIvfPqIndex]]
+    *    and [[appendIvfPqIndex]] reload);
+    *  - `dir/pq_meta`     (m, ksub, dim) — one row, so the index is
+    *    self-describing (a search never has to guess the build's shape);
+    *  - `dir/postings/cell=…` (id, code_word) — the inverted file.
+    *
+    * The postings keep [[buildIvfIndex]]'s exact (id, …, cell-partition)
+    * contract, so the WHOLE deletion family composes unchanged:
+    * [[deleteFromIvfIndex]] tombstones, [[compactIvfIndex]] rewrites
+    * affected cells, [[ivfIndexAudit]] fscks — none of them care whether
+    * a posting carries a vector or a code word.
+    */
+  def buildIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                      dir: String, m: Int = 8, ksub: Int = 16,
+                      ivfStep: Int = 25, pqStep: Int = 7,
+                      maxCentroids: Int = 4096): Unit = {
+    require(ksub >= 1 && ksub <= 16, s"ksub must be in [1,16]: $ksub")
+    require(m >= 1 && m <= 15, s"m must be in [1,15]: $m")
+    val sp = df.sparkSession
+    graft.functions.GraftExtensions.ensureRegistered(sp, "graft_matvec_dots")
+    val cents = sampleCentroids(df, idCol, vecCol, ivfStep, maxCentroids)
+    val withRes = ivfResiduals(df, idCol, vecCol, cents)
+    val full = residualCodebook(withRes, pqStep, ksub, idCol)
+    val dim = full.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    import sp.implicits._
+    cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    full.zipWithIndex.map { case (cv, j) => (j, cv.toSeq) }.toDF("j", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_codebook")
+    Seq((m, ksub, dim)).toDF("m", "ksub", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_meta")
+    withRes.select(col("id"), pqCodeWord(col("r"), full, m).as("code_word"),
+        col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
+  }
+
+  /** Both frozen models + the build shape off disk — the bounded driver
+    * reads every IVF-PQ maintenance/search call starts with.
+    */
+  private def readIvfPqModel(spark: SparkSession, dir: String)
+      : (Seq[(Long, Array[Double])], Seq[Array[Double]], Int) = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    require(cents.nonEmpty, s"no centroids at $dir/centroids — build first")
+    val full = spark.read.parquet(s"$dir/pq_codebook")
+      .orderBy("j").collect()
+      .map(_.getSeq[Double](1).toArray).toSeq
+    require(full.nonEmpty, s"no PQ codebook at $dir/pq_codebook — build first")
+    val m = spark.read.parquet(s"$dir/pq_meta").head.getInt(0)
+    (cents, full, m)
+  }
+
+  /** INCREMENTAL IVF-PQ maintenance — [[appendIvfIndex]]'s contract for
+    * the compressed store: assign the batch to the FROZEN IVF codebook,
+    * encode its residuals against the FROZEN PQ codebook, and append the
+    * 4-byte codes to only the cells the batch lands in. Cost ∝ batch;
+    * both codebooks stay the consistent model ([[cellOccupancy]] still
+    * owns the rebuild decision), so build(even) + append(odd) answers
+    * bit-identically to the oracle's from-scratch assignment of the
+    * union against the even-corpus codebooks (gated q155).
+    */
+  def appendIvfPqIndex(spark: SparkSession, dir: String, batch: DataFrame,
+                       idCol: String, vecCol: String): Unit = {
+    val (cents, full, m) = readIvfPqModel(spark, dir)
+    ivfResiduals(batch, idCol, vecCol, cents)
+      .select(col("id"), pqCodeWord(col("r"), full, m).as("code_word"),
+        col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/postings")
+  }
+
+  /** Query a [[buildIvfPqIndex]] index: [[ivfPqTopK]]'s probe + integer-
+    * ADC semantics bit-for-bit (gated), but the scan side is the on-disk
+    * 4-byte code file — the broadcast probe join's cell keys prune the
+    * partitioned read to `nprobe` cells, and what those cells' files
+    * yield per candidate is 16 bytes, not a vector. Tombstoned ids
+    * ([[deleteFromIvfIndex]] — shared layout) are anti-joined out exactly
+    * as [[searchIvfIndex]] does.
+    */
+  def searchIvfPqIndex(spark: SparkSession, dir: String, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       nprobe: Int = 2): DataFrame = {
+    graft.functions.CosineSim.ensureRegistered(spark)
+    graft.functions.GraftExtensions.ensureRegistered(spark, "graft_matvec_dots")
+    val (cents, full, m) = readIvfPqModel(spark, dir)
+    val postings0 = spark.read.parquet(s"$dir/postings")
+    val postings =
+      if (graft.operators.StoreFs.exists(spark, s"$dir/tombstones"))
+        postings0.join(broadcast(
+          spark.read.parquet(s"$dir/tombstones").select("id").distinct()),
+          Seq("id"), "left_anti")
+      else postings0
+    val codes = postings.select(col("id").as("neighbor_id"),
+      col("cell").cast("long").as("cell"), col("code_word"))
+    ivfPqScan(spark, codes, queries, idCol, vecCol, cents, full, k, nprobe, m)
+  }
+
+  /** PQ-code COLLISION buckets — the 4-byte semantic-dedup candidate
+    * generator: two vectors sharing the full `m`-subspace code word
+    * quantize identically in every subspace, the coarsest (and cheapest)
+    * near-duplicate signal an embedding corpus has. Emits one row per
+    * member of a ≥ 2 bucket: (vec_id, code_word, canon_id = bucket min).
+    * The SemDeDup-style pre-filter at 100 TB: grouping 4-byte words is a
+    * skew-free hash agg over codes produced map-side, and only colliding
+    * buckets (a tiny fraction of the corpus) ever reach the exact-cosine
+    * verification an actual purge would run — the same
+    * candidates-then-verify shape as every dedup family here.
+    */
+  def pqDupBuckets(df: DataFrame, idCol: String, vecCol: String,
+                   m: Int = 8, ksub: Int = 16, centStep: Int = 25): DataFrame = {
+    val enc = pqEncode(df, idCol, vecCol, m, ksub, centStep)
+    val groups = enc.groupBy("code_word")
+      .agg(count(lit(1)).as("n_bucket"), min(col("vec_id")).as("canon_id"))
+      .filter(col("n_bucket") >= 2)
+    enc.join(groups, "code_word")
+      .select(col("vec_id"), col("code_word"), col("canon_id"))
+  }
 }

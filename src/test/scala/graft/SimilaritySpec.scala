@@ -1186,4 +1186,50 @@ class QuantizeSpec extends SparkTestBase {
       Similarity.appendIvfIndex(spark, dir, batch, "vec_id", "embedding")
     }
   }
+
+  // 4-dim, m=2 subspaces of 2; centStep=1 + ksub=2 → codebook = vectors
+  // 0 and 1, so every code and ADC total is hand-checkable below.
+  private val pqVecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+    (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+    (2L, Array(1.0f, 0.0f, 1.0f, 0.0f)),  // s0 like c0, s1 like c1
+    (3L, Array(0.0f, 1.0f, 0.0f, 1.0f)),  // s0 like c1, s1 like c0
+  ).toDF("vec_id", "embedding")
+
+  test("pqEncode packs per-subspace argmin codes, map-side only") {
+    val enc = Similarity.pqEncode(pqVecs, "vec_id", "embedding",
+      m = 2, ksub = 2, centStep = 1)
+    val out = enc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // word = code_s0 + (code_s1 << 4): v0 → (0,0)=0; v1 → (1,1)=17;
+    // v2 → (0,1)=16; v3 → (1,0)=1
+    assert(out == Map(0L -> 0L, 1L -> 17L, 2L -> 16L, 3L -> 1L))
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("pqTopK ranks by exact integer ADC, ties to lowest neighbor id") {
+    val out = Similarity.pqTopK(pqVecs, pqVecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 2, m = 2, ksub = 2, centStep = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // q0 = [1,0,0,1]: id2/id3 reconstruct to ADC 0 (one matching + one
+    // opposite subspace each: -1e6 + 1e6); id1 reconstructs to 2e6 —
+    // tie at 0 broken by neighbor id
+    assert(out.toSeq == Seq((0L, 2L, 0L), (0L, 3L, 0L)))
+  }
+
+  test("ivfPqTopK: probed-cell scan finds the in-cluster neighbor") {
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f, 1.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.9f, 0.1f)),
+      (2L, Array(0.8f, 0.2f, 0.8f, 0.2f)),
+      (4L, Array(0.0f, 1.0f, 0.0f, 1.0f)), (5L, Array(0.1f, 0.9f, 0.1f, 0.9f)),
+      (6L, Array(0.2f, 0.8f, 0.2f, 0.8f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfPqTopK(vs, vs.filter(col("vec_id") === 1),
+        "vec_id", "embedding", k = 2, nprobe = 1, m = 2, ksub = 4,
+        ivfStep = 4, pqStep = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // nprobe=1 → only the [1,0]-ish cell (centroid id 0) is scanned:
+    // every neighbor comes from that cluster, none from ids ≥ 4
+    assert(out.nonEmpty && out.forall { case (q, n) => q == 1L && n < 4L })
+  }
 }
