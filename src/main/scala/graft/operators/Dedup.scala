@@ -479,7 +479,10 @@ object Dedup {
       .select(col(groupCol), col("n_docs"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"))
       .withColumn("dup_ppm", expr("n_dup * 1000000 div n_docs"))
-      .orderBy(col(groupCol))
+      // nulls LAST to match ANSI/DuckDB ORDER BY defaults — Spark's
+      // nulls-first default would silently flip row order (and the gate
+      // hash) the day a fixture grows a NULL group key
+      .orderBy(col(groupCol).asc_nulls_last)
   }
 
   /** Duplicate-GROUP resolution: the similarity joins emit PAIRS, but a

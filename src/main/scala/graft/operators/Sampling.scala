@@ -350,7 +350,9 @@ object Sampling {
       .select(col(groupCol), col("n_docs"), col("weight_micro"), col("quota"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("id_sum"), lit(0L)).as("id_sum"))
-      .orderBy(col(groupCol))
+      // nulls LAST to match ANSI/DuckDB ORDER BY defaults (see
+      // Dedup.dupRateByGroup — same hash-stability rationale)
+      .orderBy(col(groupCol).asc_nulls_last)
   }
 
   /** Range-partition PLANNER — the boundary computation behind a globally
