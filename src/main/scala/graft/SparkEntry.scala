@@ -2005,6 +2005,18 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // The COMPLETE SemDeDup pipeline over PQ candidates: code-collision
+    // buckets nominate pairs, exact cosine >= 0.35 verifies them (the
+    // 4-bit quantizer never condemns a document by itself), connected
+    // components resolve A~B~C chains to one canonical group min — the
+    // candidates-then-verify shape end to end, with the candidate join
+    // moving 4-byte codes instead of vectors.
+    "q158_pq_dup_groups" -> ((s, dir) => {
+      Similarity.pqDupGroups(Tables(s, dir).embeddings, "vec_id",
+          "embedding", threshold = 0.35, m = 8, ksub = 2, centStep = 25)
+        .orderBy("vec_id")
+    }),
+
     // q148 through the SQL front door (graft_phrase_search TVF) — the
     // positional index reachable with a path-and-phrase literal.
     "q150_sql_phrase" -> ((s, dir) => {
@@ -5053,6 +5065,41 @@ object SparkEntry {
         |      FROM word GROUP BY code_word HAVING count(*) >= 2)
         |SELECT w.vec_id, w.code_word, g.canon_id
         |FROM word w JOIN g USING (code_word) ORDER BY w.vec_id""".stripMargin,
+
+    // q157's code words → same-word candidate pairs → exact-cosine
+    // verification → q98's recursive transitive closure: each clustered
+    // vector with its group-min canonical id.
+    "q158_pq_dup_groups" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT cv, row_number() OVER (ORDER BY cid) - 1 AS j FROM (
+        |    SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0
+        |    ORDER BY vec_id LIMIT 2)),
+        |sub AS (SELECT j, s, cv[(s*8+1):(s*8+8)] AS c FROM cents, range(8) t(s)),
+        |sc AS (SELECT e.vec_id, sub.s, sub.j,
+        |              list_dot_product(sub.c, sub.c)
+        |                - 2*list_dot_product(e.v[(sub.s*8+1):(sub.s*8+8)], sub.c) AS score
+        |       FROM e CROSS JOIN sub),
+        |code AS (SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY score, j) AS rk
+        |    FROM sc) WHERE rk = 1),
+        |word AS (SELECT vec_id, sum(code * (1::BIGINT << (4*s)))::BIGINT AS code_word
+        |         FROM code GROUP BY vec_id),
+        |pairs AS (SELECT a.vec_id AS u, b.vec_id AS v
+        |          FROM word a JOIN word b ON a.code_word = b.code_word
+        |                                 AND a.vec_id < b.vec_id
+        |          JOIN e ea ON ea.vec_id = a.vec_id
+        |          JOIN e eb ON eb.vec_id = b.vec_id
+        |          WHERE list_dot_product(ea.v, eb.v) /
+        |                (sqrt(list_dot_product(ea.v, ea.v))
+        |                 * sqrt(list_dot_product(eb.v, eb.v))) >= 0.35),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u)
+        |SELECT u AS vec_id, least(u, min(v)) AS canon_id
+        |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin,
 
     // q30's positional chunking (overlap 0) + keep-first-occurrence window
     // + ordered string_agg reassembly.

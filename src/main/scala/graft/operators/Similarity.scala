@@ -1364,4 +1364,43 @@ object Similarity {
     enc.join(groups, "code_word")
       .select(col("vec_id"), col("code_word"), col("canon_id"))
   }
+
+  /** The COMPLETE SemDeDup pipeline with PQ candidates: code-word
+    * collision buckets ([[pqDupBuckets]]'s signal) generate candidate
+    * pairs, exact cosine ≥ `threshold` VERIFIES them (the quantizer only
+    * nominates — a coarse 4-bit bucket never condemns a document by
+    * itself), and connected components over the verified edges
+    * ([[graft.operators.Dedup.canonicalIds]] — A≈B, B≈C ⇒ one group)
+    * resolve each clustered vector to its canonical representative (group
+    * min). Output: (vec_id, canon_id), one row per clustered vector.
+    *
+    * Scale shape: candidates-then-verify end to end — the pair join is
+    * equi on the 4-byte code word (never all-pairs; |bucket|²-bounded,
+    * and bucket granularity is the `m`/`ksub` budget), exact cosine is
+    * paid ONLY on colliding pairs, and the CC step is O(log diameter)
+    * pointer-jumping past the driver cap. The cheap-candidate twin of
+    * [[semanticDupes]] (IVF-cell candidates): codes are 4 bytes against
+    * the cell pipeline's full vectors, so the candidate join moves ~64×
+    * less data — the right trade when the corpus is too large to shuffle
+    * vectors at all.
+    */
+  def pqDupGroups(df: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double, m: Int = 8, ksub: Int = 2,
+                  centStep: Int = 25): DataFrame = {
+    graft.functions.CosineSim.ensureRegistered(df.sparkSession)
+    val full = pqCodebook(df, idCol, vecCol, ksub, centStep)
+    val withCode = df
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("code_word", pqCodeWord(col("v"), full, m))
+    val pairs = withCode.as("a")
+      .join(withCode.as("b").hint("SHUFFLE_HASH"),
+        col("a.code_word") === col("b.code_word") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosineFast(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+    graft.operators.Dedup.canonicalIds(pairs)
+      .select(col("doc_id").as("vec_id"), col("canon_id"))
+  }
 }

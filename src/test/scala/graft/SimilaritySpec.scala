@@ -1232,4 +1232,23 @@ class QuantizeSpec extends SparkTestBase {
     // every neighbor comes from that cluster, none from ids ≥ 4
     assert(out.nonEmpty && out.forall { case (q, n) => q == 1L && n < 4L })
   }
+
+  test("pqDupGroups: verified transitive chain collapses to the group min") {
+    // centStep=3 + ksub=2 → codebook = ids 0 and 3, an ORTHOGONAL pair,
+    // so codes are clean: 0/1/2 land in word 0; 3 and 4 land in word 17
+    // (−v0 scores nearer c1 in both subspaces). The 3↔4 candidacy is the
+    // quantizer nominating a cosine-0 pair — the verify stage must
+    // reject it; the 0~1~2 chain verifies pairwise (cos ≥ 0.97).
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.9f, 0.1f)),
+      (2L, Array(0.8f, 0.2f, 0.8f, 0.2f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f, -1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqDupGroups(vs, "vec_id", "embedding",
+        threshold = 0.9, m = 2, ksub = 2, centStep = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
 }
