@@ -1975,6 +1975,30 @@ object SparkEntry {
         .orderBy(col("query_id"), col("adc_micro"), col("neighbor_id"))
     }),
 
+    // The WHOLE deletion family composed onto the compressed store in
+    // one gate: build even + append odd + tombstone-delete vec_id%7==3 +
+    // COMPACTION (affected cells physically rewritten, tombstones
+    // cleared) + pruned search. delete/compact/audit only touch (id,
+    // cell), so the PQ store inherits them UNCHANGED — this row proves
+    // that claim: the answer must hash-equal q155's oracle restricted to
+    // the survivors (codebooks frozen pre-delete, like a real index).
+    "q159_ivfpq_lifecycle" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-life").toString
+      SnapshotDirs.add(root)
+      Similarity.buildIvfPqIndex(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", root)
+      Similarity.appendIvfPqIndex(s, root,
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      Similarity.deleteFromIvfIndex(s, root,
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
+      Similarity.compactIvfIndex(s, root)
+      Similarity.searchIvfPqIndex(s, root, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("adc_micro"), col("neighbor_id"))
+    }),
+
     // q154 through the SQL front door (graft_ivfpq_search TVF) — the
     // compressed index reachable with a path literal, q139's treatment.
     "q156_sql_ivfpq" -> ((s, dir) => {
@@ -5035,6 +5059,63 @@ object SparkEntry {
         |pair AS (SELECT l.query_id, c.id AS neighbor_id, sum(l.w)::BIGINT AS adc_micro
         |         FROM code c JOIN lut l ON l.cell = c.cell AND l.s = c.s
         |                               AND l.j = c.code AND l.query_id <> c.id
+        |         GROUP BY l.query_id, c.id),
+        |r AS (SELECT query_id, neighbor_id, adc_micro,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY adc_micro, neighbor_id) AS rk
+        |      FROM pair)
+        |SELECT query_id, neighbor_id, adc_micro FROM r WHERE rk <= 3
+        |ORDER BY query_id, adc_micro, neighbor_id""".stripMargin,
+
+    // q155's oracle restricted to the SURVIVORS (id % 7 <> 3 on the scan
+    // side only — codebooks and queries derive from the pre-delete
+    // corpus, exactly like the frozen on-disk index).
+    "q159_ivfpq_lifecycle" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |icents AS (SELECT vec_id AS cid, v AS cv FROM e
+        |           WHERE vec_id % 2 = 0 AND vec_id % 25 = 0),
+        |asg AS (SELECT id, v, cell FROM (
+        |    SELECT e.vec_id AS id, e.v, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, c.cv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS rk
+        |    FROM e CROSS JOIN icents c) WHERE rk = 1),
+        |res AS (SELECT a.id, a.cell,
+        |               list_transform(range(64), i -> a.v[i+1] - c.cv[i+1]) AS r
+        |        FROM asg a JOIN icents c ON a.cell = c.cid),
+        |pcents AS (SELECT cv, row_number() OVER (ORDER BY rid) - 1 AS j FROM (
+        |    SELECT id AS rid, r AS cv FROM res
+        |    WHERE id % 2 = 0 AND id % 7 = 0 AND list_dot_product(r, r) > 0
+        |    ORDER BY id LIMIT 16)),
+        |sub AS (SELECT j, s, cv[(s*8+1):(s*8+8)] AS c FROM pcents, range(8) t(s)),
+        |sc AS (SELECT res.id, res.cell, sub.s, sub.j,
+        |              list_dot_product(sub.c, sub.c)
+        |                - 2*list_dot_product(res.r[(sub.s*8+1):(sub.s*8+8)], sub.c) AS score
+        |       FROM res CROSS JOIN sub),
+        |code AS (SELECT id, cell, s, j AS code FROM (
+        |    SELECT id, cell, s, j,
+        |           row_number() OVER (PARTITION BY id, s ORDER BY score, j) AS rk
+        |    FROM sc) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |probes AS (SELECT query_id, qv, cell FROM (
+        |    SELECT q.query_id, q.qv, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |             list_dot_product(q.qv, c.cv) /
+        |             (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS prk
+        |    FROM q CROSS JOIN icents c) WHERE prk <= 2),
+        |qres AS (SELECT p.query_id, p.cell,
+        |                list_transform(range(64), i -> p.qv[i+1] - c.cv[i+1]) AS qr
+        |         FROM probes p JOIN icents c ON p.cell = c.cid),
+        |lut AS (SELECT p.query_id, p.cell, sub.s, sub.j,
+        |               floor((list_dot_product(sub.c, sub.c)
+        |                 - 2*list_dot_product(p.qr[(sub.s*8+1):(sub.s*8+8)], sub.c)) * 1e6)::BIGINT AS w
+        |        FROM qres p CROSS JOIN sub),
+        |pair AS (SELECT l.query_id, c.id AS neighbor_id, sum(l.w)::BIGINT AS adc_micro
+        |         FROM code c JOIN lut l ON l.cell = c.cell AND l.s = c.s
+        |                               AND l.j = c.code AND l.query_id <> c.id
+        |         WHERE c.id % 7 <> 3
         |         GROUP BY l.query_id, c.id),
         |r AS (SELECT query_id, neighbor_id, adc_micro,
         |             row_number() OVER (PARTITION BY query_id

@@ -1233,6 +1233,28 @@ class QuantizeSpec extends SparkTestBase {
     assert(out.nonEmpty && out.forall { case (q, n) => q == 1L && n < 4L })
   }
 
+  test("IVF-PQ store inherits delete + compaction unchanged") {
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f, 1.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.9f, 0.1f)),
+      (2L, Array(0.8f, 0.2f, 0.8f, 0.2f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 1.0f)), (4L, Array(0.1f, 0.9f, 0.1f, 0.9f)),
+    ).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-del").toString
+    Similarity.buildIvfPqIndex(vs, "vec_id", "embedding", dir,
+      m = 2, ksub = 4, ivfStep = 3, pqStep = 1)
+    Similarity.deleteFromIvfIndex(spark,
+      dir, Seq(2L).toDF("vec_id"), "vec_id")
+    def hits() = Similarity.searchIvfPqIndex(spark, dir,
+        vs.filter(col("vec_id") === 1), "vec_id", "embedding",
+        k = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tombstoned = hits()
+    assert(!tombstoned.exists(_._2 == 2L), tombstoned) // deleted id gone
+    Similarity.compactIvfIndex(spark, dir)
+    assert(!graft.operators.StoreFs.exists(spark, s"$dir/tombstones"))
+    assert(hits() == tombstoned) // compaction changes no answer
+  }
+
   test("pqDupGroups: verified transitive chain collapses to the group min") {
     // centStep=3 + ksub=2 → codebook = ids 0 and 3, an ORTHOGONAL pair,
     // so codes are clean: 0/1/2 land in word 0; 3 and 4 land in word 17
