@@ -2041,6 +2041,15 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // q158 through the SQL front door (graft_pq_dedup TVF by view name)
+    // — the PQ dedup pipeline reachable without Scala, q143's treatment.
+    "q160_sql_pq_dedup" -> ((s, dir) => {
+      graft.api.SqlFrontDoor.sql(s, dir,
+        """SELECT * FROM graft_pq_dedup('embeddings', 'vec_id', 'embedding',
+          |                             0.35D, 8, 2, 25)
+          |ORDER BY vec_id""".stripMargin)
+    }),
+
     // q148 through the SQL front door (graft_phrase_search TVF) — the
     // positional index reachable with a path-and-phrase literal.
     "q150_sql_phrase" -> ((s, dir) => {
@@ -2609,7 +2618,10 @@ object SparkEntry {
       // store through the SQL front door — must reproduce the in-memory
       // IVF-PQ answer bit-for-bit
       "q154_ivfpq_index" -> "q153_ivf_pq",
-      "q156_sql_ivfpq" -> "q153_ivf_pq")
+      "q156_sql_ivfpq" -> "q153_ivf_pq",
+      // the PQ dedup pipeline through the SQL front door must reproduce
+      // the library call row-for-row
+      "q160_sql_pq_dedup" -> "q158_pq_dup_groups")
       .map { case (aliasQ, libQ) => aliasQ -> oracleSqlBase(libQ) }
   }
 

@@ -169,6 +169,21 @@ object GraftTableFunctions {
           view("graft_decontam", args(3)), str("graft_decontam", args(4)),
           n = int("graft_decontam", args(5)))
         .queryExecution.analyzed
+    }),
+    // graft_pq_dedup(view, idCol, vecCol, threshold, m, ksub, centStep)
+    // — the PQ-candidate semantic dup groups (vec_id, canon_id)
+    ("graft_pq_dedup", { args =>
+      require(args.length == 7,
+        "graft_pq_dedup(view, idCol, vecCol, threshold, m, ksub, " +
+          s"centStep) got ${args.length} args")
+      graft.operators.Similarity.pqDupGroups(
+          view("graft_pq_dedup", args.head),
+          str("graft_pq_dedup", args(1)), str("graft_pq_dedup", args(2)),
+          threshold = dbl("graft_pq_dedup", args(3)),
+          m = int("graft_pq_dedup", args(4)),
+          ksub = int("graft_pq_dedup", args(5)),
+          centStep = int("graft_pq_dedup", args(6)))
+        .queryExecution.analyzed
     }))
 
   /** Idempotent per-session registration — same contract as
