@@ -2082,6 +2082,23 @@ object SparkEntry {
       Similarity.ivfIndexAudit(s, root)
     }),
 
+    // q149's fsck through the SQL front door — same store lifecycle, the
+    // audit row read via graft_ivf_index_audit(dir).
+    "q162_sql_ivf_audit" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sql-ivf-audit").toString
+      SnapshotDirs.add(root)
+      Similarity.buildIvfIndexAdaptive(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", root)
+      Similarity.appendIvfIndex(s, root,
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      Similarity.deleteFromIvfIndex(s, root,
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
+      graft.api.SqlFrontDoor.sql(s, dir,
+        s"SELECT * FROM graft_ivf_index_audit('$root')")
+    }),
+
     // EXACT PHRASE SEARCH from the persisted index's positional postings
     // (the retrieval feature tf-only postings can't answer): slot i's
     // positions shift by -i and intersect left-to-right, bucket-pruned,
@@ -2114,6 +2131,23 @@ object SparkEntry {
       TextAnalysis.deleteFromTextIndex(s, root,
         docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id")
       TextAnalysis.textIndexAudit(s, root)
+    }),
+
+    // q147's fsck through the SQL front door — same store lifecycle, the
+    // audit row read via graft_text_index_audit(dir).
+    "q161_sql_text_audit" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sql-text-audit").toString
+      SnapshotDirs.add(root)
+      TextAnalysis.buildTextIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root)
+      TextAnalysis.appendTextIndex(s, root,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      TextAnalysis.deleteFromTextIndex(s, root,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id")
+      graft.api.SqlFrontDoor.sql(s, dir,
+        s"SELECT * FROM graft_text_index_audit('$root')")
     }),
 
     // Boolean-AND retrieval over the persisted text index: only docs
@@ -2621,7 +2655,11 @@ object SparkEntry {
       "q156_sql_ivfpq" -> "q153_ivf_pq",
       // the PQ dedup pipeline through the SQL front door must reproduce
       // the library call row-for-row
-      "q160_sql_pq_dedup" -> "q158_pq_dup_groups")
+      "q160_sql_pq_dedup" -> "q158_pq_dup_groups",
+      // the fsck audits through the SQL front door must reproduce the
+      // library calls' invariant rows
+      "q161_sql_text_audit" -> "q147_text_index_audit",
+      "q162_sql_ivf_audit" -> "q149_ivf_index_audit")
       .map { case (aliasQ, libQ) => aliasQ -> oracleSqlBase(libQ) }
   }
 

@@ -170,6 +170,23 @@ object GraftTableFunctions {
           n = int("graft_decontam", args(5)))
         .queryExecution.analyzed
     }),
+    // graft_text_index_audit(indexDir) / graft_ivf_index_audit(indexDir)
+    // — the fsck contracts as one-row SQL relations, so an operator on
+    // call can prove store integrity without Scala
+    ("graft_text_index_audit", { args =>
+      require(args.length == 1,
+        s"graft_text_index_audit(indexDir) got ${args.length} args")
+      graft.operators.TextAnalysis
+        .textIndexAudit(active, str("graft_text_index_audit", args.head))
+        .queryExecution.analyzed
+    }),
+    ("graft_ivf_index_audit", { args =>
+      require(args.length == 1,
+        s"graft_ivf_index_audit(indexDir) got ${args.length} args")
+      graft.operators.Similarity
+        .ivfIndexAudit(active, str("graft_ivf_index_audit", args.head))
+        .queryExecution.analyzed
+    }),
     // graft_pq_dedup(view, idCol, vecCol, threshold, m, ksub, centStep)
     // — the PQ-candidate semantic dup groups (vec_id, canon_id)
     ("graft_pq_dedup", { args =>
