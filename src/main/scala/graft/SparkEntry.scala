@@ -1824,6 +1824,33 @@ object SparkEntry {
         .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
     }),
 
+    // q141 for the COMPRESSED store: build even, stream the odd half
+    // through per-trigger appendIvfPqIndex (4-byte code words against
+    // both frozen codebooks — ~1/16th the raw ingest's per-trigger write
+    // volume), then the pruned ADC search — must hash-equal q155's
+    // batch-append oracle.
+    "q163_stream_ivfpq" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-ivfpq").toString
+      SnapshotDirs.add(root)
+      Similarity.buildIvfPqIndex(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", root)
+      e.filter(col("vec_id") % 2 === 1).repartition(3)
+        .write.mode("overwrite").parquet(s"$root/arrivals")
+      val schema = s.read.parquet(s"$root/arrivals").schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/arrivals")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("q163-ckpt").toString
+      SnapshotDirs.add(ckpt)
+      graft.streaming.StreamingIndex.ingestIvfPqIndex(
+        s, src, ckpt, root, "vec_id", "embedding")
+      Similarity.searchIvfPqIndex(s, root, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("adc_micro"), col("neighbor_id"))
+    }),
+
     // The index stores through the SQL front door: the same build as
     // q124, searched by `SELECT * FROM graft_bm25_search(dir, terms, k)`
     // — a registered TABLE function, so a SQL-only user reaches the
@@ -1975,6 +2002,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("adc_micro"), col("neighbor_id"))
     }),
 
+    // The ADAPTIVE IVF-PQ build (q105's recipe for the compressed
+    // store): ⌈√n⌉ IVF codebook step instead of the fixed 25 — the fixed
+    // build's codebook grows linearly with the corpus and its assignment
+    // FLOPs ~n·cells (measured ~5× at 10×, SCALE.md); at √n both track
+    // √n. The oracle computes ⌈√n⌉ from its own count, so the policy
+    // itself sits under the hash.
+    "q165_ivfpq_adaptive" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-adaptive").toString
+      SnapshotDirs.add(root)
+      Similarity.buildIvfPqIndexAdaptive(e, "vec_id", "embedding", root)
+      Similarity.searchIvfPqIndex(s, root, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("adc_micro"), col("neighbor_id"))
+    }),
+
     // The WHOLE deletion family composed onto the compressed store in
     // one gate: build even + append odd + tombstone-delete vec_id%7==3 +
     // COMPACTION (affected cells physically rewritten, tombstones
@@ -2039,6 +2083,16 @@ object SparkEntry {
       Similarity.pqDupGroups(Tables(s, dir).embeddings, "vec_id",
           "embedding", threshold = 0.35, m = 8, ksub = 2, centStep = 25)
         .orderBy("vec_id")
+    }),
+
+    // Cross-signal dedup RECONCILIATION: exact fingerprint, MinHash
+    // near-dup, and PQ semantic dup all run, then reconcile into one 0/1
+    // flag row per flagged doc — the report a purge policy actually
+    // consumes (a byte-twin and a paraphrase get different treatment),
+    // and each detector's marginal value is this report's column margins.
+    "q164_dedup_signals" -> ((s, dir) => {
+      Dedup.dedupSignalReport(Tables(s, dir).documents, "doc_id", "text",
+        Tables(s, dir).embeddings, "vec_id", "embedding")
     }),
 
     // q158 through the SQL front door (graft_pq_dedup TVF by view name)
@@ -2659,7 +2713,10 @@ object SparkEntry {
       // the fsck audits through the SQL front door must reproduce the
       // library calls' invariant rows
       "q161_sql_text_audit" -> "q147_text_index_audit",
-      "q162_sql_ivf_audit" -> "q149_ivf_index_audit")
+      "q162_sql_ivf_audit" -> "q149_ivf_index_audit",
+      // streaming per-trigger ingest into the compressed store must be
+      // indistinguishable from the batch append it replays
+      "q163_stream_ivfpq" -> "q155_ivfpq_append")
       .map { case (aliasQ, libQ) => aliasQ -> oracleSqlBase(libQ) }
   }
 
@@ -3977,6 +4034,9 @@ object SparkEntry {
 
     "q10_minhash_lsh" -> minHashOracle,
 
+    // exact + MinHash + PQ-semantic members reconciled into 0/1 flags
+    "q164_dedup_signals" -> dedupSignalOracle,
+
     // Brute-force ground truth at 0.6 — the prefix filter must not change
     // the output.
     "q21_jaccard_prefix" ->
@@ -5061,6 +5121,63 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, adc_micro FROM r WHERE rk <= 3
         |ORDER BY query_id, adc_micro, neighbor_id""".stripMargin,
 
+    // q153's pipeline under the ⌈√n⌉ IVF-codebook policy (q93's st CTE;
+    // the 4096 cap made explicit as the adaptive-family oracles do).
+    "q165_ivfpq_adaptive" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |st AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS s FROM e),
+        |icents AS (SELECT cid, cv FROM (
+        |    SELECT vec_id AS cid, v AS cv FROM e, st WHERE vec_id % st.s = 0
+        |    ORDER BY cid LIMIT 4096)),
+        |asg AS (SELECT id, v, cell FROM (
+        |    SELECT e.vec_id AS id, e.v, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, c.cv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS rk
+        |    FROM e CROSS JOIN icents c) WHERE rk = 1),
+        |res AS (SELECT a.id, a.cell,
+        |               list_transform(range(64), i -> a.v[i+1] - c.cv[i+1]) AS r
+        |        FROM asg a JOIN icents c ON a.cell = c.cid),
+        |pcents AS (SELECT cv, row_number() OVER (ORDER BY rid) - 1 AS j FROM (
+        |    SELECT id AS rid, r AS cv FROM res
+        |    WHERE id % 7 = 0 AND list_dot_product(r, r) > 0
+        |    ORDER BY id LIMIT 16)),
+        |sub AS (SELECT j, s, cv[(s*8+1):(s*8+8)] AS c FROM pcents, range(8) t(s)),
+        |sc AS (SELECT res.id, res.cell, sub.s, sub.j,
+        |              list_dot_product(sub.c, sub.c)
+        |                - 2*list_dot_product(res.r[(sub.s*8+1):(sub.s*8+8)], sub.c) AS score
+        |       FROM res CROSS JOIN sub),
+        |code AS (SELECT id, cell, s, j AS code FROM (
+        |    SELECT id, cell, s, j,
+        |           row_number() OVER (PARTITION BY id, s ORDER BY score, j) AS rk
+        |    FROM sc) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |probes AS (SELECT query_id, qv, cell FROM (
+        |    SELECT q.query_id, q.qv, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |             list_dot_product(q.qv, c.cv) /
+        |             (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS prk
+        |    FROM q CROSS JOIN icents c) WHERE prk <= 2),
+        |qres AS (SELECT p.query_id, p.cell,
+        |                list_transform(range(64), i -> p.qv[i+1] - c.cv[i+1]) AS qr
+        |         FROM probes p JOIN icents c ON p.cell = c.cid),
+        |lut AS (SELECT p.query_id, p.cell, sub.s, sub.j,
+        |               floor((list_dot_product(sub.c, sub.c)
+        |                 - 2*list_dot_product(p.qr[(sub.s*8+1):(sub.s*8+8)], sub.c)) * 1e6)::BIGINT AS w
+        |        FROM qres p CROSS JOIN sub),
+        |pair AS (SELECT l.query_id, c.id AS neighbor_id, sum(l.w)::BIGINT AS adc_micro
+        |         FROM code c JOIN lut l ON l.cell = c.cell AND l.s = c.s
+        |                               AND l.j = c.code AND l.query_id <> c.id
+        |         GROUP BY l.query_id, c.id),
+        |r AS (SELECT query_id, neighbor_id, adc_micro,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY adc_micro, neighbor_id) AS rk
+        |      FROM pair)
+        |SELECT query_id, neighbor_id, adc_micro FROM r WHERE rk <= 3
+        |ORDER BY query_id, adc_micro, neighbor_id""".stripMargin,
+
     // q153's pipeline with BOTH codebooks derived from the EVEN corpus
     // only (the engine's build half), assignment + encode over the union
     // — build(even) + append(odd) must be indistinguishable from this.
@@ -5656,6 +5773,81 @@ object SparkEntry {
        |WHERE len(list_intersect(x.s, y.s)) /
        |      (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.3
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Oracle twin of [[graft.operators.Dedup.dedupSignalReport]]: exact
+    * fingerprint groups ≥ 2, [[minHashOracle]]'s verified-pair members,
+    * and q158's PQ-candidate verified-pair members, reconciled into 0/1
+    * flags per flagged doc.
+    */
+  private def dedupSignalOracle: String = {
+    val k = 12; val rowsPerBand = 3; val bands = k / rowsPerBand
+    val sigCols = Dedup.hashConsts(k).zipWithIndex.map { case ((a, b), i) =>
+      s"min((('0x' || substr(md5(sg), 1, 7))::BIGINT * $a + $b) % ${Dedup.HashP}) AS h$i"
+    }.mkString(",\n    ")
+    val bandCases = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => s"h${b * rowsPerBand + r}::VARCHAR").mkString(" || '|' || ")
+      s"WHEN $b THEN md5($parts)"
+    }.mkString(" ")
+    s"""WITH sh AS ($ShinglesCte),
+       |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM ex GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b.band_idx,
+       |    CASE b.band_idx $bandCases END AS band_hash
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS band_idx) b),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM bands a JOIN bands c
+       |    ON a.band_idx = c.band_idx AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id),
+       |ndp AS (SELECT cand.doc_a, cand.doc_b
+       |  FROM cand JOIN sh x ON x.doc_id = cand.doc_a JOIN sh y ON y.doc_id = cand.doc_b
+       |  WHERE len(list_intersect(x.s, y.s)) /
+       |        (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.3),
+       |ndm AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT doc_a AS doc_id FROM ndp UNION ALL SELECT doc_b FROM ndp)),
+       |exg AS (SELECT md5(lower(trim(text))) AS fp FROM documents
+       |        GROUP BY 1 HAVING count(*) >= 2),
+       |exm AS (SELECT d.doc_id FROM documents d
+       |        JOIN exg ON md5(lower(trim(d.text))) = exg.fp),
+       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT cv, row_number() OVER (ORDER BY cid) - 1 AS j FROM (
+       |    SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id % 25 = 0
+       |    ORDER BY vec_id LIMIT 2)),
+       |sub AS (SELECT j, s, cv[(s*8+1):(s*8+8)] AS c FROM cents, range(8) t(s)),
+       |sc AS (SELECT ev.vec_id, sub.s, sub.j,
+       |              list_dot_product(sub.c, sub.c)
+       |                - 2*list_dot_product(ev.v[(sub.s*8+1):(sub.s*8+8)], sub.c) AS score
+       |       FROM ev CROSS JOIN sub),
+       |code AS (SELECT vec_id, s, j AS code FROM (
+       |    SELECT vec_id, s, j,
+       |           row_number() OVER (PARTITION BY vec_id, s ORDER BY score, j) AS rk
+       |    FROM sc) WHERE rk = 1),
+       |word AS (SELECT vec_id, sum(code * (1::BIGINT << (4*s)))::BIGINT AS code_word
+       |         FROM code GROUP BY vec_id),
+       |spairs AS (SELECT a.vec_id AS u, b.vec_id AS v
+       |           FROM word a JOIN word b ON a.code_word = b.code_word
+       |                                  AND a.vec_id < b.vec_id
+       |           JOIN ev ea ON ea.vec_id = a.vec_id
+       |           JOIN ev eb ON eb.vec_id = b.vec_id
+       |           WHERE list_dot_product(ea.v, eb.v) /
+       |                 (sqrt(list_dot_product(ea.v, ea.v))
+       |                  * sqrt(list_dot_product(eb.v, eb.v))) >= 0.35),
+       |sdm AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT u AS doc_id FROM spairs UNION ALL SELECT v FROM spairs)),
+       |ids AS (SELECT doc_id FROM exm UNION
+       |        SELECT doc_id FROM ndm UNION
+       |        SELECT doc_id FROM sdm)
+       |SELECT i.doc_id,
+       |       (CASE WHEN e2.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS exact_dup,
+       |       (CASE WHEN n2.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS near_dup,
+       |       (CASE WHEN s2.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS semantic_dup
+       |FROM ids i
+       |LEFT JOIN (SELECT DISTINCT doc_id FROM exm) e2 ON e2.doc_id = i.doc_id
+       |LEFT JOIN ndm n2 ON n2.doc_id = i.doc_id
+       |LEFT JOIN sdm s2 ON s2.doc_id = i.doc_id
+       |ORDER BY i.doc_id""".stripMargin
   }
 
   /** Oracle twin of [[graft.operators.Dedup.dupRateByGroup]] on source:

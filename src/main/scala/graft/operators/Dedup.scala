@@ -485,6 +485,50 @@ object Dedup {
       .orderBy(col(groupCol).asc_nulls_last)
   }
 
+  /** Cross-signal dedup RECONCILIATION — a real pipeline runs every
+    * detector (exact fingerprint, MinHash near-dup, embedding-space
+    * semantic dup) and then has to reconcile them before purging: a doc
+    * flagged only semantically is a paraphrase (different purge policy
+    * than a byte-twin), one flagged by all three is a clear kill, and the
+    * marginal value of each detector IS this report's column margins.
+    * One row per document flagged by ≥ 1 signal:
+    * (doc_id, exact_dup, near_dup, semantic_dup) with 0/1 flags.
+    *
+    * Scale shape: the three detectors run their own documented plans
+    * (one md5 hash agg; the banded LSH pipeline; the 4-byte PQ-candidate
+    * pipeline) and the reconciliation itself is two full-outer joins on
+    * the unique doc_id — skew-free, ∝ flagged docs, not corpus.
+    */
+  def dedupSignalReport(docs: DataFrame, docId: String, textCol: String,
+                        embs: DataFrame, vecId: String, vecCol: String,
+                        n: Int = 3, k: Int = 12, rowsPerBand: Int = 3,
+                        jaccardThreshold: Double = 0.3,
+                        cosThreshold: Double = 0.35, m: Int = 8,
+                        ksub: Int = 2, centStep: Int = 25): DataFrame = {
+    val fp = docs.select(col(docId).cast("long").as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val exGroups = fp.groupBy("fp").agg(count(lit(1)).as("nc"))
+      .filter(col("nc") >= 2)
+    val exM = fp.join(exGroups, "fp").select(col("doc_id"))
+      .withColumn("exact_dup", lit(1L))
+    val ndPairs = minHashDedup(docs, docId, textCol, n, k, rowsPerBand,
+      jaccardThreshold)
+    val ndM = ndPairs.select(col("doc_a").cast("long").as("doc_id"))
+      .unionAll(ndPairs.select(col("doc_b").cast("long").as("doc_id")))
+      .distinct().withColumn("near_dup", lit(1L))
+    val sdM = Similarity.pqDupGroups(embs, vecId, vecCol, cosThreshold,
+        m, ksub, centStep)
+      .select(col("vec_id").as("doc_id"))
+      .withColumn("semantic_dup", lit(1L))
+    exM.join(ndM, Seq("doc_id"), "full")
+      .join(sdM, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(0L)).as("exact_dup"),
+        coalesce(col("near_dup"), lit(0L)).as("near_dup"),
+        coalesce(col("semantic_dup"), lit(0L)).as("semantic_dup"))
+      .orderBy("doc_id")
+  }
+
   /** Duplicate-GROUP resolution: the similarity joins emit PAIRS, but a
     * dedup pipeline needs each document mapped to ONE canonical
     * representative — i.e. connected components over the near-dup graph

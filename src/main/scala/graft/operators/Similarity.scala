@@ -1258,6 +1258,23 @@ object Similarity {
     * affected cells, [[ivfIndexAudit]] fscks — none of them care whether
     * a posting carries a vector or a code word.
     */
+  /** [[buildIvfPqIndex]] under the [[sqrtCentStep]] IVF-codebook policy —
+    * [[buildIvfIndexAdaptive]]'s treatment for the compressed store: a
+    * fixed `ivfStep` grows the codebook linearly with the corpus, so the
+    * assignment's per-row FLOPs grow ~n (measured ~5× at 10× for the
+    * fixed build, SCALE.md); at ⌈√n⌉ the codebook and expected cell
+    * population both track √n until the cap. The residual PQ codebook
+    * stays a fixed-size model (ksub entries) either way. Gated q165 with
+    * the oracle recomputing ⌈√n⌉ from its own count (q105's recipe).
+    */
+  def buildIvfPqIndexAdaptive(df: DataFrame, idCol: String, vecCol: String,
+                              dir: String, m: Int = 8, ksub: Int = 16,
+                              pqStep: Int = 7,
+                              maxCentroids: Int = 4096): Unit =
+    buildIvfPqIndex(df, idCol, vecCol, dir, m, ksub,
+      ivfStep = sqrtCentStep(df, idCol), pqStep = pqStep,
+      maxCentroids = maxCentroids)
+
   def buildIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
                       dir: String, m: Int = 8, ksub: Int = 16,
                       ivfStep: Int = 25, pqStep: Int = 7,
@@ -1296,7 +1313,7 @@ object Similarity {
       .orderBy("j").collect()
       .map(_.getSeq[Double](1).toArray).toSeq
     require(full.nonEmpty, s"no PQ codebook at $dir/pq_codebook — build first")
-    val m = spark.read.parquet(s"$dir/pq_meta").head.getInt(0)
+    val m = spark.read.parquet(s"$dir/pq_meta").select("m").head.getInt(0)
     (cents, full, m)
   }
 

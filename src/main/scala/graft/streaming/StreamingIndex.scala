@@ -66,4 +66,25 @@ object StreamingIndex {
           graft.operators.StoreFs.mkdirs(spark, marker)
         }
     }
+
+  /** [[ingestIvfIndex]] for the COMPRESSED store: each micro-batch
+    * encodes its residuals against both frozen codebooks and appends
+    * 4-byte code words — [[graft.operators.Similarity.appendIvfPqIndex]]
+    * per trigger. The live-ingest configuration a billion-vector serving
+    * index actually runs: per-trigger write volume is ~1/16th the raw
+    * ingest's, so the streaming upkeep stays cheap exactly where the
+    * corpus is largest.
+    */
+  def ingestIvfPqIndex(spark: SparkSession, source: DataFrame,
+                       checkpoint: String, dir: String,
+                       idCol: String, vecCol: String): Unit =
+    BoundedStream.runForeachBatch(source, identity, checkpoint, "append") {
+      (batch, id) =>
+        val marker = s"$dir/ingested/batch=$id"
+        if (!graft.operators.StoreFs.exists(spark, marker)) {
+          graft.operators.Similarity
+            .appendIvfPqIndex(spark, dir, batch, idCol, vecCol)
+          graft.operators.StoreFs.mkdirs(spark, marker)
+        }
+    }
 }

@@ -42,4 +42,38 @@ class StreamingIndexSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(hits == Set(0L, 1L, 3L), hits.toString)
   }
+
+  test("ingestIvfPqIndex: streamed codes searchable; restart a no-op") {
+    import graft.operators.Similarity
+    val root = java.nio.file.Files.createTempDirectory("graft-spq").toString
+    val base = Seq(
+      (0L, Array(1.0f, 0.0f, 1.0f, 0.0f)), (2L, Array(0.9f, 0.1f, 0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 1.0f)), (6L, Array(0.1f, 0.9f, 0.1f, 0.9f)),
+    ).toDF("vec_id", "embedding")
+    Similarity.buildIvfPqIndex(base, "vec_id", "embedding", root,
+      m = 2, ksub = 4, ivfStep = 3, pqStep = 1)
+    val arrivals = Seq(
+      (1L, Array(0.95f, 0.05f, 0.95f, 0.05f)),
+      (5L, Array(0.05f, 0.95f, 0.05f, 0.95f)),
+    ).toDF("vec_id", "embedding")
+    arrivals.repartition(2).write.parquet(s"$root/arrivals")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-spq-ck").toString
+    def src = spark.readStream
+      .schema(spark.read.parquet(s"$root/arrivals").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/arrivals")
+    StreamingIndex.ingestIvfPqIndex(spark, src, ckpt, root,
+      "vec_id", "embedding")
+    val nPost = spark.read.parquet(s"$root/postings").count()
+    assert(nPost == 6, nPost.toString) // 4 built + 2 streamed code words
+    // restart on the completed checkpoint: nothing replays
+    StreamingIndex.ingestIvfPqIndex(spark, src, ckpt, root,
+      "vec_id", "embedding")
+    assert(spark.read.parquet(s"$root/postings").count() == 6)
+    // the streamed vector ranks for a same-cluster query
+    val hits = Similarity.searchIvfPqIndex(spark, root,
+        base.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 5, nprobe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(hits.contains(1L), hits.toString)
+  }
 }
