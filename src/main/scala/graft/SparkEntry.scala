@@ -2085,6 +2085,17 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Recall@k of the PQ-ADC ranking vs the exact-cosine baseline —
+    // q110's audit for the 4-bit budget: the compression is only a win
+    // if this report says the recall survives it. Both sides are gated
+    // operators; the report is their exact integer intersection.
+    "q166_pq_recall" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.pqRecallReport(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, m = 8, ksub = 16, centStep = 25)
+        .orderBy("query_id")
+    }),
+
     // Cross-signal dedup RECONCILIATION: exact fingerprint, MinHash
     // near-dup, and PQ semantic dup all run, then reconcile into one 0/1
     // flag row per flagged doc — the report a purge policy actually
@@ -5290,6 +5301,60 @@ object SparkEntry {
         |      FROM pair)
         |SELECT query_id, neighbor_id, adc_micro FROM r WHERE rk <= 3
         |ORDER BY query_id, adc_micro, neighbor_id""".stripMargin,
+
+    // q110's recall arithmetic with q152's PQ-ADC pipeline as the approx
+    // side: brute top-3 vs ADC top-3, exact integer intersection.
+    "q166_pq_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q0 AS (SELECT * FROM e WHERE vec_id < 20),
+        |sx AS (SELECT q0.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |              list_dot_product(q0.v, e.v) /
+        |              (sqrt(list_dot_product(q0.v, q0.v)) * sqrt(list_dot_product(e.v, e.v))) AS c
+        |       FROM q0 JOIN e ON q0.vec_id <> e.vec_id),
+        |rx AS (SELECT query_id, neighbor_id FROM (
+        |         SELECT query_id, neighbor_id,
+        |                row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+        |         FROM sx) WHERE rk <= 3),
+        |cents AS (SELECT cv, row_number() OVER (ORDER BY cid) - 1 AS j FROM (
+        |    SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0
+        |    ORDER BY vec_id LIMIT 16)),
+        |sub AS (SELECT j, s, cv[(s*8+1):(s*8+8)] AS c FROM cents, range(8) t(s)),
+        |sc AS (SELECT e.vec_id, sub.s, sub.j,
+        |              list_dot_product(sub.c, sub.c)
+        |                - 2*list_dot_product(e.v[(sub.s*8+1):(sub.s*8+8)], sub.c) AS score
+        |       FROM e CROSS JOIN sub),
+        |code AS (SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY score, j) AS rk
+        |    FROM sc) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |lut AS (SELECT q.query_id, sub.s, sub.j,
+        |               floor((list_dot_product(sub.c, sub.c)
+        |                 - 2*list_dot_product(q.qv[(sub.s*8+1):(sub.s*8+8)], sub.c)) * 1e6)::BIGINT AS w
+        |        FROM q CROSS JOIN sub),
+        |pair AS (SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.w)::BIGINT AS adc_micro
+        |         FROM code c JOIN lut l ON l.s = c.s AND l.j = c.code
+        |                               AND l.query_id <> c.vec_id
+        |         GROUP BY l.query_id, c.vec_id),
+        |ra AS (SELECT query_id, neighbor_id FROM (
+        |         SELECT query_id, neighbor_id,
+        |                row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY adc_micro, neighbor_id) AS rk
+        |         FROM pair) WHERE rk <= 3),
+        |nx AS (SELECT query_id, count(*) AS n FROM rx GROUP BY query_id),
+        |na AS (SELECT query_id, count(*) AS n FROM ra GROUP BY query_id),
+        |nh AS (SELECT rx.query_id, count(*) AS n
+        |       FROM rx JOIN ra ON rx.query_id = ra.query_id AND rx.neighbor_id = ra.neighbor_id
+        |       GROUP BY rx.query_id)
+        |SELECT q0.vec_id AS query_id,
+        |       coalesce(nx.n, 0)::BIGINT AS n_exact,
+        |       coalesce(na.n, 0)::BIGINT AS n_approx,
+        |       coalesce(nh.n, 0)::BIGINT AS n_hit,
+        |       (coalesce(nh.n, 0) * 1000000 // 3)::BIGINT AS recall_ppm
+        |FROM q0 LEFT JOIN nx ON nx.query_id = q0.vec_id
+        |LEFT JOIN na ON na.query_id = q0.vec_id
+        |LEFT JOIN nh ON nh.query_id = q0.vec_id
+        |ORDER BY query_id""".stripMargin,
 
     // q151's code words + one bucket GROUP BY: every member of a ≥ 2
     // collision bucket with its bucket's min id as canon.

@@ -792,11 +792,21 @@ object Similarity {
     */
   def recallReport(corpus: DataFrame, queries: DataFrame,
                    idCol: String, vecCol: String, k: Int,
-                   planes: Int = 8, dim: Int = 64, probes: Int = 0): DataFrame = {
+                   planes: Int = 8, dim: Int = 64, probes: Int = 0): DataFrame =
+    recallAgainstBrute(corpus, queries, idCol, vecCol, k,
+      annTopK(corpus, queries, idCol, vecCol, k, planes, dim, probes))
+
+  /** [[recallReport]]'s arithmetic factored over ANY caller-supplied
+    * approximate top-k frame carrying (query_id, neighbor_id) — the
+    * recall audit is detector-agnostic, so every ANN family (sign-LSH,
+    * IVF, PQ-ADC) measures against the same exact baseline the same way.
+    */
+  def recallAgainstBrute(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         approx0: DataFrame): DataFrame = {
     val exact = knnBrute(corpus, queries, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = annTopK(corpus, queries, idCol, vecCol, k, planes, dim, probes)
-      .select(col("query_id"), col("neighbor_id"))
+    val approx = approx0.select(col("query_id"), col("neighbor_id"))
     val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
     val nApprox = approx.groupBy("query_id").agg(count(lit(1)).as("n_approx"))
     val nHit = exact.join(approx, Seq("query_id", "neighbor_id"))
@@ -812,6 +822,19 @@ object Similarity {
       .withColumn("recall_ppm",
         expr(s"CAST(n_hit * 1000000 DIV $k AS BIGINT)"))
   }
+
+  /** Recall@k of the PQ-ADC ranking ([[pqTopK]]) against the exact
+    * cosine baseline — the 4-bit budget's evidence, the way the q110
+    * report justifies the plane budget: compression is only a win if
+    * this report says the recall survives it. Quantifies the two
+    * approximation sources at once (code-word granularity and the
+    * ADC distance surrogate).
+    */
+  def pqRecallReport(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int, m: Int = 8,
+                     ksub: Int = 16, centStep: Int = 25): DataFrame =
+    recallAgainstBrute(corpus, queries, idCol, vecCol, k,
+      pqTopK(corpus, queries, idCol, vecCol, k, m, ksub, centStep))
 
   /** SEMANTIC decontamination — the embedding-space sibling of the 13-gram
     * detector ([[Dedup.contaminatedDocs]]): a corpus item is flagged when
