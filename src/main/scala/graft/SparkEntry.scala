@@ -2085,6 +2085,18 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // PQ under the variance-BALANCING dimension permutation (rotation-
+    // free OPQ): dims ranked by the exact integer variance surrogate
+    // n·Σq²−(Σq)² (milli units, DECIMAL vs HUGEINT), snake-assigned so
+    // every subspace gets one dim per variance stratum, then the q151
+    // pipeline on the permuted layout. The oracle re-derives ranking,
+    // snake, permutation, and every code.
+    "q167_pq_balanced" -> ((s, dir) => {
+      Similarity.pqEncodeBalanced(Tables(s, dir).embeddings, "vec_id",
+          "embedding", m = 8, ksub = 16, centStep = 25)
+        .orderBy("vec_id")
+    }),
+
     // Recall@k of the PQ-ADC ranking vs the exact-cosine baseline —
     // q110's audit for the 4-bit budget: the compression is only a win
     // if this report says the recall survives it. Both sides are gated
@@ -5301,6 +5313,43 @@ object SparkEntry {
         |      FROM pair)
         |SELECT query_id, neighbor_id, adc_micro FROM r WHERE rk <= 3
         |ORDER BY query_id, adc_micro, neighbor_id""".stripMargin,
+
+    // q151's pipeline on the variance-balanced permuted layout: milli-
+    // integer variance surrogate (HUGEINT — the DECIMAL(38,0) twin),
+    // rank ties on dim, snake assignment via integer div/mod, permuted
+    // vectors rebuilt per row, then codebook + argmin codes + packing.
+    "q167_pq_balanced" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT e.vec_id, t.d::INT AS d, e.v[t.d+1] AS x
+        |       FROM e, range(64) t(d)),
+        |mv AS (SELECT d, count(*)::HUGEINT AS n,
+        |              sum(floor(x*1000)::BIGINT)::HUGEINT AS sq,
+        |              sum(floor(x*1000)::BIGINT * floor(x*1000)::BIGINT)::HUGEINT AS sqq
+        |       FROM ex GROUP BY d),
+        |rk AS (SELECT d, row_number() OVER (ORDER BY n*sqq - sq*sq DESC, d) - 1 AS r
+        |       FROM mv),
+        |pm AS (SELECT (CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END) * 8
+        |                + (r // 8) AS p,
+        |              d
+        |       FROM rk),
+        |pv AS (SELECT vec_id, list(x ORDER BY p) AS v FROM (
+        |         SELECT ex.vec_id, pm.p, ex.x
+        |         FROM ex JOIN pm ON ex.d = pm.d)
+        |       GROUP BY vec_id),
+        |cents AS (SELECT cv, row_number() OVER (ORDER BY cid) - 1 AS j FROM (
+        |    SELECT vec_id AS cid, v AS cv FROM pv WHERE vec_id % 25 = 0
+        |    ORDER BY vec_id LIMIT 16)),
+        |sub AS (SELECT j, s, cv[(s*8+1):(s*8+8)] AS c FROM cents, range(8) t(s)),
+        |sc AS (SELECT pv.vec_id, sub.s, sub.j,
+        |              list_dot_product(sub.c, sub.c)
+        |                - 2*list_dot_product(pv.v[(sub.s*8+1):(sub.s*8+8)], sub.c) AS score
+        |       FROM pv CROSS JOIN sub),
+        |code AS (SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY score, j) AS rk
+        |    FROM sc) WHERE rk = 1)
+        |SELECT vec_id, sum(code * (1::BIGINT << (4*s)))::BIGINT AS code_word
+        |FROM code GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // q110's recall arithmetic with q152's PQ-ADC pipeline as the approx
     // side: brute top-3 vs ADC top-3, exact integer intersection.

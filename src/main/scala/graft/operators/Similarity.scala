@@ -1384,6 +1384,61 @@ object Similarity {
     ivfPqScan(spark, codes, queries, idCol, vecCol, cents, full, k, nprobe, m)
   }
 
+  /** Deterministic variance-BALANCING dimension permutation — the
+    * rotation-free OPQ (Ge et al., CVPR 2013 motivate a learned rotation;
+    * the zero-training version is a permutation that equalizes per-
+    * subspace energy): PQ quantization error concentrates in whichever
+    * subspace holds the high-variance dims, so rank dims by variance and
+    * SNAKE-assign them round-robin (round j gives subspace s its j-th
+    * dim, alternating direction) — every subspace gets one dim from each
+    * variance stratum.
+    *
+    * Everything under the gate hash: per-dim values floor to MILLI
+    * integers, the variance surrogate is the exact integer
+    * `n·Σq² − (Σq)²` computed in DECIMAL(38,0) (DuckDB's HUGEINT twin —
+    * a Long would overflow at ~10⁵ rows), ranking ties break on the dim
+    * index, and the snake arithmetic is integer div/mod on non-negative
+    * ranks. Returns `perm` where `perm(s·sub + j)` = the source dim of
+    * permuted position (s, j); one bounded driver collect (`dim` rows).
+    */
+  def pqBalancedPerm(df: DataFrame, vecCol: String, m: Int): Seq[Int] = {
+    val ranked = df
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      .withColumn("q", floor(col("x") * lit(1000)).cast("decimal(38,0)"))
+      .groupBy("d").agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("q")).as("sq"), sum(col("q") * col("q")).as("sqq"))
+      .select(col("d"),
+        (col("n") * col("sqq") - col("sq") * col("sq")).as("vnum"))
+      .orderBy(col("vnum").desc, col("d").asc)
+      .select("d").collect().map(_.getInt(0))
+    val dim = ranked.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val perm = Array.ofDim[Int](dim)
+    ranked.zipWithIndex.foreach { case (d, r) =>
+      val round = r / m
+      val pos = r % m
+      val s = if (round % 2 == 0) pos else m - 1 - pos
+      perm(s * sub + round) = d
+    }
+    perm.toSeq
+  }
+
+  /** [[pqEncode]] under the [[pqBalancedPerm]] permutation: vectors are
+    * re-ordered map-side (pure element_at projection — the permutation is
+    * a driver constant), then the standard PQ pipeline runs on the
+    * permuted layout. Output: (vec_id, code_word) like [[pqEncode]].
+    */
+  def pqEncodeBalanced(df: DataFrame, idCol: String, vecCol: String,
+                       m: Int = 8, ksub: Int = 16,
+                       centStep: Int = 25): DataFrame = {
+    val perm = pqBalancedPerm(df, vecCol, m)
+    val v0 = col(vecCol).cast("array<double>")
+    val permDf = df.select(col(idCol).as("vec_id"),
+      array(perm.map(i => element_at(v0, i + 1)): _*).as("pv"))
+    pqEncode(permDf, "vec_id", "pv", m, ksub, centStep)
+  }
+
   /** PQ-code COLLISION buckets — the 4-byte semantic-dedup candidate
     * generator: two vectors sharing the full `m`-subspace code word
     * quantize identically in every subspace, the coarsest (and cheapest)

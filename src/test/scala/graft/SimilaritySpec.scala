@@ -1255,6 +1255,22 @@ class QuantizeSpec extends SparkTestBase {
     assert(hits() == tombstoned) // compaction changes no answer
   }
 
+  test("pqBalancedPerm snake-assigns one dim per variance stratum") {
+    // dim d's values are {0, d/10} → variance rank = dim index desc
+    // (higher d, higher spread); 4 dims, m=2: ranked = [3,2,1,0], snake
+    // rounds: r0→s0, r1→s1 (round 0), r2→s1, r3→s0 (round 1 reversed)
+    val vs = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.1f, 0.2f, 0.3f, 0.4f)),
+    ).toDF("vec_id", "embedding")
+    val perm = Similarity.pqBalancedPerm(vs, "embedding", m = 2)
+    // perm(s*sub + round): s0 gets ranks 0,3 → dims 3,0; s1 gets 1,2 → 2,1
+    assert(perm == Seq(3, 0, 2, 1), perm.toString)
+    // each subspace holds one of the two highest-variance dims
+    assert(Set(perm(0), perm(1)).intersect(Set(3, 2)).size == 1 ||
+      Set(perm(0), perm(1)) == Set(3, 0))
+  }
+
   test("pqDupGroups: verified transitive chain collapses to the group min") {
     // centStep=3 + ksub=2 → codebook = ids 0 and 3, an ORTHOGONAL pair,
     // so codes are clean: 0/1/2 land in word 0; 3 and 4 land in word 17
