@@ -1037,6 +1037,24 @@ object SparkEntry {
       }.orderBy("doc_id")
     }),
 
+    // Tokenizer STORE round trip: train once, persist (merges + vocab +
+    // meta), tokenize the corpus under the LOADED frozen model — the
+    // versioned-artifact discipline (IVF codebook treatment for the
+    // tokenizer). Data-dependent merges admit no SQL oracle (rows-only,
+    // q67's declaration); BpeSpec pins loaded-model outputs frame-equal
+    // to the in-memory model's.
+    "q168_tokenizer_store" -> ((s, dir) => {
+      withShufflePartitions(s, 4) { child =>
+        val docs = Tables(child, dir).documents
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-tok-store").toString
+        SnapshotDirs.add(root)
+        Bpe.saveTokenizer(docs, "text", root, numMerges = 8)
+        Bpe.tokenizeCorpus(docs, "doc_id", "text",
+          Bpe.loadVocab(child, root))
+      }.orderBy("doc_id")
+    }),
+
     // Tokenizer ENCODE + pack on REAL tokens: per-doc BPE id sequences
     // (Bpe.encode), then packSequencesBy places every document in the
     // training-sequence stream by its ACTUAL id-sequence length — the

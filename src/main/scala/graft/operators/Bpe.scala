@@ -360,6 +360,58 @@ object Bpe {
         trim(replace(col("__joined"), lit("</w>"), lit(" "))).as("text"))
   }
 
+  /** PERSIST a trained tokenizer — the model artifact as a
+    * self-describing parquet store, so a pipeline trains ONCE and every
+    * downstream job (token budgets, packing plans, encode) loads the
+    * FROZEN model instead of retraining per job (a retrain changes token
+    * counts under every consumer's feet; the tokenizer is a versioned
+    * artifact in a real pipeline, exactly like the IVF codebook). Layout:
+    *
+    *  - `dir/merges` (rank, left, right, merged, pair_freq) — the learned
+    *    merge list in rank order (one small file);
+    *  - `dir/vocab`  (w, freq, syms) — the word→symbols apply table
+    *    ([[segment]]'s frame; Heaps-sublinear in corpus size);
+    *  - `dir/meta`   (num_merges, byte_level) — one row, so a loader
+    *    never has to guess the training mode.
+    */
+  def saveTokenizer(df: DataFrame, textCol: String, dir: String,
+                    numMerges: Int, minFreq: Long = 2L,
+                    driverVocabCap: Long = DefaultDriverVocabCap,
+                    tokenizer: Column => Column = TextAnalysis.tokens,
+                    byteLevel: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (merges, vocab) = trainInternal(df, textCol, numMerges, minFreq,
+      driverVocabCap, None, tokenizer, byteLevel)
+    merges.zipWithIndex
+      .map { case ((a, b, f), i) => (i.toLong, a, b, a + b, f) }
+      .toDF("rank", "left", "right", "merged", "pair_freq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    vocab.write.mode("overwrite").parquet(s"$dir/vocab")
+    Seq((numMerges, byteLevel)).toDF("num_merges", "byte_level")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** The frozen apply table off disk — feeds [[tokenizeCorpus]] /
+    * [[encode]] exactly like a freshly-trained [[segment]] frame.
+    */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+                dir: String): DataFrame =
+    spark.read.parquet(s"$dir/vocab")
+
+  /** The frozen merge list off disk, in rank order. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): DataFrame =
+    spark.read.parquet(s"$dir/merges").orderBy("rank")
+
+  /** The store's training mode: (numMerges, byteLevel). */
+  def loadTokenizerMeta(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): (Int, Boolean) = {
+    val r = spark.read.parquet(s"$dir/meta")
+      .select("num_merges", "byte_level").head
+    (r.getInt(0), r.getBoolean(1))
+  }
+
   private def trainInternal(df: DataFrame, textCol: String, numMerges: Int,
                             minFreq: Long, driverVocabCap: Long,
                             checkpointDir: Option[String] = None,

@@ -336,4 +336,26 @@ class BpeSpec extends SparkTestBase {
       tokenizer = TextAnalysis.preTokens)
     assert(encChar.collect().flatMap(_.getSeq[Int](1)).contains(-1))
   }
+
+  test("tokenizer store: loaded model reproduces the in-memory model exactly") {
+    val docs = corpus // the suite's shared fixture
+    val dir = java.nio.file.Files.createTempDirectory("bpe-store").toString
+    Bpe.saveTokenizer(docs, "text", dir, numMerges = 6)
+    // merges round-trip rank-for-rank
+    val mem = Bpe.trainMerges(docs, "text", numMerges = 6)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val disk = Bpe.loadMerges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(disk.toSeq == mem.toSeq)
+    // meta self-describes the build
+    assert(Bpe.loadTokenizerMeta(spark, dir) == ((6, false)))
+    // tokenizeCorpus under the LOADED vocab ≡ under the in-memory vocab
+    val memCounts = Bpe.tokenizeCorpus(docs, "doc_id", "text",
+        Bpe.segment(docs, "text", numMerges = 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val diskCounts = Bpe.tokenizeCorpus(docs, "doc_id", "text",
+        Bpe.loadVocab(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(diskCounts.toSeq == memCounts.toSeq)
+  }
 }
