@@ -2103,6 +2103,33 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // FILTERED vector search: top-k restricted to an eligible-id set
+    // (vec_id % 3 == 0 — one "source" worth of vectors), semi-joined out
+    // BEFORE the rank window so k survivors are k ELIGIBLE survivors —
+    // the filtered-ANN semantics a metadata-scoped retrieval needs.
+    "q169_filtered_search" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivf-filtered").toString
+      SnapshotDirs.add(root)
+      Similarity.buildIvfIndexAdaptive(e, "vec_id", "embedding", root)
+      Similarity.searchIvfIndexFiltered(s, root,
+          e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          e.filter(col("vec_id") % 3 === 0).select("vec_id"),
+          k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+    }),
+
+    // Embedding OUTLIER report: each vector's best-cell cosine in exact
+    // integer micro units, bottom-25 ascending — the embedding-space
+    // quality signal (corrupt/out-of-distribution vectors surface before
+    // they seed dup groups or poison a codebook refinement).
+    "q170_embedding_outliers" -> ((s, dir) => {
+      Similarity.embeddingOutliers(Tables(s, dir).embeddings, "vec_id",
+          "embedding", bottomK = 25, centStep = 25)
+        .orderBy("rank_asc")
+    }),
+
     // PQ under the variance-BALANCING dimension permutation (rotation-
     // free OPQ): dims ranked by the exact integer variance surrogate
     // n·Σq²−(Σq)² (milli units, DECIMAL vs HUGEINT), snake-assigned so
@@ -5331,6 +5358,58 @@ object SparkEntry {
         |      FROM pair)
         |SELECT query_id, neighbor_id, adc_micro FROM r WHERE rk <= 3
         |ORDER BY query_id, adc_micro, neighbor_id""".stripMargin,
+
+    // q93's adaptive assignment + probe pipeline with the candidate side
+    // restricted to the eligible ids BEFORE the rank window.
+    "q169_filtered_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |st AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS s FROM e),
+        |cents AS (SELECT cid, cv FROM (
+        |    SELECT vec_id AS cid, v AS cv FROM e, st WHERE vec_id % st.s = 0
+        |    ORDER BY cid LIMIT 4096)),
+        |asg AS (SELECT id, v, cell FROM (
+        |    SELECT e.vec_id AS id, e.v, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, c.cv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS rk
+        |    FROM e CROSS JOIN cents c) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |probes AS (SELECT query_id, qv, cell FROM (
+        |    SELECT q.query_id, q.qv, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |             list_dot_product(q.qv, c.cv) /
+        |             (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS prk
+        |    FROM q CROSS JOIN cents c) WHERE prk <= 2),
+        |s AS (SELECT p.query_id, a.id AS neighbor_id,
+        |             list_dot_product(p.qv, a.v) /
+        |             (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS c
+        |      FROM probes p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.id
+        |      WHERE a.id % 3 = 0),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+        |      FROM s)
+        |SELECT query_id, neighbor_id, round(c, 4) + 0 AS cos FROM r WHERE rk <= 3
+        |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+    // q20's assignment CTE keeping the WINNING cosine, floored to micro
+    // integers, globally ranked ascending, bottom 25.
+    "q170_embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+        |asg AS (SELECT vec_id, cell, floor(c * 1e6)::BIGINT AS cos_micro FROM (
+        |    SELECT e.vec_id, c.cid AS cell,
+        |           list_dot_product(e.v, c.cv) /
+        |           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS c,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, c.cv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS rk
+        |    FROM e CROSS JOIN cents c) WHERE rk = 1)
+        |SELECT vec_id, cell, cos_micro,
+        |       row_number() OVER (ORDER BY cos_micro, vec_id) AS rank_asc
+        |FROM asg ORDER BY cos_micro, vec_id LIMIT 25""".stripMargin,
 
     // q151's pipeline on the variance-balanced permuted layout: milli-
     // integer variance surrogate (HUGEINT — the DECIMAL(38,0) twin),

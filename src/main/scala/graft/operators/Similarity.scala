@@ -591,6 +591,113 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** FILTERED vector search — [[searchIvfIndex]] under a metadata
+    * predicate: top-k among only the vectors whose ids appear in
+    * `allowed` (a one-column frame of eligible ids — the vector-store
+    * "filtered ANN" every retrieval pipeline needs: search within one
+    * source, one language, one license class). POST-filter semantics
+    * applied PRE-rank: ineligible candidates are semi-joined out before
+    * the top-k window, so k survivors are k ELIGIBLE survivors (a naive
+    * filter-after-top-k returns fewer than k whenever the filter bites —
+    * the classic filtered-ANN bug).
+    *
+    * Scale shape: the probe-pruned cell scan is unchanged; the predicate
+    * is one broadcast semi-join against the (small, distinct) allowed-id
+    * set. A selective filter makes recall the caller's concern (fewer
+    * eligible candidates per probed cell) — raise nprobe, same knob as
+    * always.
+    */
+  def searchIvfIndexFiltered(spark: SparkSession, dir: String,
+                             queries: DataFrame, idCol: String,
+                             vecCol: String, allowed: DataFrame,
+                             k: Int, nprobe: Int = 2): DataFrame = {
+    graft.functions.CosineSim.ensureRegistered(spark)
+    val centDf = spark.read.parquet(s"$dir/centroids")
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("pcos").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("pcos", cosineFast(col("qv"), col("cv")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid").as("cell"))
+    val allow = allowed.select(allowed.columns.head).toDF("id").distinct()
+    val postings0 = spark.read.parquet(s"$dir/postings")
+      .join(broadcast(allow), Seq("id"), "left_semi")
+    val postings =
+      if (graft.operators.StoreFs.exists(spark, s"$dir/tombstones"))
+        postings0.join(broadcast(
+          spark.read.parquet(s"$dir/tombstones").select("id").distinct()),
+          Seq("id"), "left_anti")
+      else postings0
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    postings.select(col("id").as("neighbor_id"), col("v"), col("cell"))
+      .join(broadcast(probes), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineFast(col("qv"), col("v")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** Embedding OUTLIER report — the embedding-space QUALITY signal: a
+    * vector far from every centroid is a corrupt embedding, an
+    * out-of-distribution document, or a mislabeled modality, and a
+    * curation pass wants them surfaced before they seed duplicate groups
+    * or poison a codebook refinement. Per vector: its best-cell cosine in
+    * exact micro units (floor — the float-fold rule), ranked ascending;
+    * the `bottomK` least-typical vectors are returned with their cell.
+    * Output: (vec_id, cell, cos_micro, rank_asc), deterministic total
+    * order (cos_micro asc, vec_id asc).
+    *
+    * Scale shape: the q20 assignment pass (map-side argmax against the
+    * broadcast codebook), then ONE TakeOrdered of bottomK rows — no new
+    * shuffle family; the report is codebook-quality evidence feeding the
+    * same rebuild decision as [[cellOccupancy]].
+    */
+  def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
+                        bottomK: Int, centStep: Int = 25,
+                        maxCentroids: Int = 4096): DataFrame = {
+    graft.functions.CosineSim.ensureRegistered(df.sparkSession)
+    val cents = sampleCentroids(df, idCol, vecCol, centStep, maxCentroids)
+    val scored = ivfAssignWithCos(df, idCol, vecCol, cents)
+      .select(col("id").as("vec_id"), col("cell"),
+        floor(col("acos") * lit(1e6)).cast("long").as("cos_micro"))
+    // two-stage bottom-k (knnBrute's device): per-scan-partition pre-cut
+    // keeps ≤ bottomK rows per task, so the single global window only
+    // ever sees #partitions·bottomK rows — never the corpus
+    val wPart = Window.partitionBy("scan_pid")
+      .orderBy(col("cos_micro").asc, col("vec_id").asc)
+    val w = Window.orderBy(col("cos_micro").asc, col("vec_id").asc)
+    scored.withColumn("scan_pid", spark_partition_id())
+      .withColumn("prk", row_number().over(wPart))
+      .filter(col("prk") <= bottomK)
+      .withColumn("rank_asc", row_number().over(w).cast("long"))
+      .filter(col("rank_asc") <= bottomK)
+      .select(col("vec_id"), col("cell"), col("cos_micro"), col("rank_asc"))
+  }
+
+  /** [[ivfAssign]] that also carries the winning cosine (`acos`). */
+  private def ivfAssignWithCos(df: DataFrame, idCol: String, vecCol: String,
+                               cents: Seq[(Long, Array[Double])]): DataFrame = {
+    val sp = df.sparkSession
+    val centDf = {
+      import sp.implicits._
+      cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
+    }
+    val w = Window.partitionBy("id").orderBy(col("c").desc, col("cid").asc)
+    df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("c", cosineFast(col("v"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("v"), col("cid").as("cell"), col("c").as("acos"))
+  }
+
   /** Element-wise mean pooling of an embedding column per group — the
     * class-centroid / chunk-to-document pooling step. Emitted LONG, not
     * float: each component is fixed-pointed to integer micro-units
