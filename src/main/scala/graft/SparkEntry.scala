@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
@@ -2101,6 +2102,69 @@ object SparkEntry {
       Similarity.pqDupGroups(Tables(s, dir).embeddings, "vec_id",
           "embedding", threshold = 0.35, m = 8, ksub = 2, centStep = 25)
         .orderBy("vec_id")
+    }),
+
+    // q169's predicate semantics on the COMPRESSED store: the eligible-id
+    // semi-join applied to the 4-byte code scan before the ADC window.
+    "q171_filtered_pq_search" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-filtered").toString
+      SnapshotDirs.add(root)
+      Similarity.buildIvfPqIndex(e, "vec_id", "embedding", root)
+      Similarity.searchIvfPqIndexFiltered(s, root,
+          e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          e.filter(col("vec_id") % 3 === 0).select("vec_id"),
+          k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("adc_micro"), col("neighbor_id"))
+    }),
+
+    // MULTI-VECTOR late-interaction retrieval (ColBERT's MaxSim shape):
+    // a document is its chunk vectors (vec_id DIV 10 groups ten chunks a
+    // doc) and scores on its BEST chunk — long documents match on their
+    // best passage, not their diluted mean. Max of identical doubles is
+    // engine-stable; micro-floor AFTER the max.
+    "q172_maxsim" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val chunks = e.select(col("vec_id"),
+        (col("vec_id") - pmod(col("vec_id"), lit(10)))
+          .divide(lit(10)).cast("long").as("doc_id"),
+        col("embedding"))
+      Similarity.maxSimTopK(chunks, "vec_id", "doc_id", "embedding",
+          e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3)
+        .orderBy(col("query_id"), col("maxsim_micro").desc, col("doc_id"))
+    }),
+
+    // HYBRID retrieval via reciprocal-rank fusion: the BM25 lexical
+    // top-25 and the exact-cosine semantic top-25 merge rank-wise
+    // (⌊10⁶/(60+rank)⌋ each, exact integer sum) — no score calibration,
+    // the production-default hybrid combiner. Both input rankings are
+    // already-gated operators.
+    "q173_rrf_hybrid" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val e = Tables(s, dir).embeddings
+      val wb = Window.orderBy(col("bm25_micro").desc, col("doc_id").asc)
+      val bm = TextAnalysis.bm25Search(docs, "doc_id", "text",
+          Seq("spark", "hash", "window"), k = 25)
+        .withColumn("rank", row_number().over(wb))
+        .select("doc_id", "rank")
+      // RAW-cosine ranks (not knnBrute's 4dp-rounded output — rounding
+      // collisions near the top-25 boundary would diverge from the
+      // oracle's raw ordering); the fixture-sized global window is the
+      // gate's device, the production ranking source is any gated ANN
+      val q0 = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qv"))
+      val wv = Window.orderBy(col("c").desc, col("doc_id").asc)
+      val kn = e.select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .filter(col("doc_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .withColumn("c", Similarity.cosine(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(wv))
+        .filter(col("rank") <= 25)
+        .select("doc_id", "rank")
+      TextAnalysis.rrfFuse(Seq(bm, kn), kConst = 60, topK = 10)
+        .orderBy(col("rrf_micro").desc, col("doc_id"))
     }),
 
     // FILTERED vector search: top-k restricted to an eligible-id set
@@ -5358,6 +5422,124 @@ object SparkEntry {
         |      FROM pair)
         |SELECT query_id, neighbor_id, adc_micro FROM r WHERE rk <= 3
         |ORDER BY query_id, adc_micro, neighbor_id""".stripMargin,
+
+    // q153's pipeline with the code side restricted to eligible ids
+    // BEFORE the ADC rank window.
+    "q171_filtered_pq_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |icents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+        |asg AS (SELECT id, v, cell FROM (
+        |    SELECT e.vec_id AS id, e.v, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, c.cv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS rk
+        |    FROM e CROSS JOIN icents c) WHERE rk = 1),
+        |res AS (SELECT a.id, a.cell,
+        |               list_transform(range(64), i -> a.v[i+1] - c.cv[i+1]) AS r
+        |        FROM asg a JOIN icents c ON a.cell = c.cid),
+        |pcents AS (SELECT cv, row_number() OVER (ORDER BY rid) - 1 AS j FROM (
+        |    SELECT id AS rid, r AS cv FROM res
+        |    WHERE id % 7 = 0 AND list_dot_product(r, r) > 0
+        |    ORDER BY id LIMIT 16)),
+        |sub AS (SELECT j, s, cv[(s*8+1):(s*8+8)] AS c FROM pcents, range(8) t(s)),
+        |sc AS (SELECT res.id, res.cell, sub.s, sub.j,
+        |              list_dot_product(sub.c, sub.c)
+        |                - 2*list_dot_product(res.r[(sub.s*8+1):(sub.s*8+8)], sub.c) AS score
+        |       FROM res CROSS JOIN sub),
+        |code AS (SELECT id, cell, s, j AS code FROM (
+        |    SELECT id, cell, s, j,
+        |           row_number() OVER (PARTITION BY id, s ORDER BY score, j) AS rk
+        |    FROM sc) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |probes AS (SELECT query_id, qv, cell FROM (
+        |    SELECT q.query_id, q.qv, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |             list_dot_product(q.qv, c.cv) /
+        |             (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS prk
+        |    FROM q CROSS JOIN icents c) WHERE prk <= 2),
+        |qres AS (SELECT p.query_id, p.cell,
+        |                list_transform(range(64), i -> p.qv[i+1] - c.cv[i+1]) AS qr
+        |         FROM probes p JOIN icents c ON p.cell = c.cid),
+        |lut AS (SELECT p.query_id, p.cell, sub.s, sub.j,
+        |               floor((list_dot_product(sub.c, sub.c)
+        |                 - 2*list_dot_product(p.qr[(sub.s*8+1):(sub.s*8+8)], sub.c)) * 1e6)::BIGINT AS w
+        |        FROM qres p CROSS JOIN sub),
+        |pair AS (SELECT l.query_id, c.id AS neighbor_id, sum(l.w)::BIGINT AS adc_micro
+        |         FROM code c JOIN lut l ON l.cell = c.cell AND l.s = c.s
+        |                               AND l.j = c.code AND l.query_id <> c.id
+        |         WHERE c.id % 3 = 0
+        |         GROUP BY l.query_id, c.id),
+        |r AS (SELECT query_id, neighbor_id, adc_micro,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY adc_micro, neighbor_id) AS rk
+        |      FROM pair)
+        |SELECT query_id, neighbor_id, adc_micro FROM r WHERE rk <= 3
+        |ORDER BY query_id, adc_micro, neighbor_id""".stripMargin,
+
+    // chunk groups of ten, per-(query, doc) MAX cosine floored to micro
+    // AFTER the max, top-3 docs per query.
+    "q172_maxsim" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ch AS (SELECT vec_id AS chunk_id, vec_id // 10 AS doc_id, v FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |s AS (SELECT q.query_id, ch.doc_id,
+        |             floor(max(list_dot_product(q.qv, ch.v) /
+        |               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(ch.v, ch.v))))
+        |               * 1e6)::BIGINT AS maxsim_micro
+        |      FROM q JOIN ch ON ch.chunk_id <> q.query_id
+        |      GROUP BY q.query_id, ch.doc_id),
+        |r AS (SELECT query_id, doc_id, maxsim_micro,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY maxsim_micro DESC, doc_id) AS rk
+        |      FROM s)
+        |SELECT query_id, doc_id, maxsim_micro FROM r WHERE rk <= 3
+        |ORDER BY query_id, maxsim_micro DESC, doc_id""".stripMargin,
+
+    // q88's BM25 top-25 ranks + q12's brute-cosine top-25 ranks for the
+    // vec-0 query, fused as exact integer 10^6/(60+rank) sums.
+    "q173_rrf_hybrid" ->
+      """WITH tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |            FROM documents),
+        |t AS (SELECT doc_id, term FROM tt WHERE term <> ''),
+        |dl AS (SELECT doc_id,
+        |              len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS dl
+        |       FROM documents),
+        |avg AS (SELECT sum(dl)::BIGINT * 1.0 / count(*) AS avgdl FROM dl),
+        |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |qt AS (SELECT doc_id, term, count(*)::BIGINT AS cnt FROM t
+        |       WHERE term IN ('spark', 'hash', 'window') GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*)::BIGINT AS df FROM qt GROUP BY term),
+        |m AS (SELECT qt.doc_id,
+        |             round(ln((n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+        |                   ((qt.cnt * (1.2 + 1.0)) /
+        |                    (qt.cnt + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avg.avgdl)))
+        |                   * 1e6)::BIGINT AS micro
+        |      FROM qt JOIN dl USING (doc_id) JOIN dfq USING (term)
+        |      CROSS JOIN n CROSS JOIN avg),
+        |sb AS (SELECT doc_id, sum(micro)::BIGINT AS bm25_micro
+        |       FROM m GROUP BY doc_id),
+        |rb AS (SELECT doc_id, row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rank
+        |       FROM sb QUALIFY rank <= 25),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q0 AS (SELECT * FROM e WHERE vec_id = 0),
+        |sv AS (SELECT e.vec_id AS doc_id,
+        |              list_dot_product(q0.v, e.v) /
+        |              (sqrt(list_dot_product(q0.v, q0.v)) * sqrt(list_dot_product(e.v, e.v))) AS c
+        |       FROM q0 JOIN e ON q0.vec_id <> e.vec_id),
+        |rv AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rank
+        |       FROM sv QUALIFY rank <= 25),
+        |contrib AS (SELECT doc_id, 1000000 // (60 + rank) AS c FROM rb
+        |            UNION ALL
+        |            SELECT doc_id, 1000000 // (60 + rank) AS c FROM rv),
+        |f AS (SELECT doc_id, count(*)::BIGINT AS n_lists, sum(c)::BIGINT AS rrf_micro
+        |      FROM contrib GROUP BY doc_id),
+        |r AS (SELECT doc_id, n_lists, rrf_micro,
+        |             row_number() OVER (ORDER BY rrf_micro DESC, doc_id)::BIGINT AS rank
+        |      FROM f)
+        |SELECT doc_id, n_lists, rrf_micro, rank FROM r WHERE rank <= 10
+        |ORDER BY rrf_micro DESC, doc_id""".stripMargin,
 
     // q93's adaptive assignment + probe pipeline with the candidate side
     // restricted to the eligible ids BEFORE the rank window.

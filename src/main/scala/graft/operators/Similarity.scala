@@ -1546,6 +1546,73 @@ object Similarity {
     pqEncode(permDf, "vec_id", "pv", m, ksub, centStep)
   }
 
+  /** MULTI-VECTOR (late-interaction) retrieval — the ColBERT-family
+    * shape: a document is MANY chunk vectors, and its score against a
+    * query vector is the MAX cosine over its chunks (MaxSim), so a long
+    * document matches on its best passage instead of its diluted mean.
+    * Output: (query_id, doc_id, maxsim_micro) top-k docs per query,
+    * micro-floored AFTER the max (max of identical doubles is
+    * engine-stable; the float-fold rule applies to sums, and there are
+    * none). Chunks belonging to the query's own chunk id are excluded
+    * (the knnBrute self-pair rule).
+    *
+    * Scale shape: the query side broadcasts (bounded probe set — the
+    * operator's contract), the chunk corpus streams once map-side; the
+    * per-(query, doc) max is one partial-aggregating shuffle on
+    * (query_id, doc_id); the top-k is two-stage so no task holds a
+    * query's full doc list.
+    */
+  def maxSimTopK(chunks: DataFrame, chunkIdCol: String, docCol: String,
+                 vecCol: String, queries: DataFrame, qIdCol: String,
+                 qVecCol: String, k: Int): DataFrame = {
+    graft.functions.CosineSim.ensureRegistered(chunks.sparkSession)
+    val c = chunks.select(col(chunkIdCol).cast("long").as("chunk_id"),
+      col(docCol).cast("long").as("doc_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val q = queries.select(col(qIdCol).cast("long").as("query_id"),
+      col(qVecCol).cast("array<double>").as("qv"))
+    val scored = c.join(broadcast(q), col("chunk_id") =!= col("query_id"))
+      .withColumn("cos", cosineFast(col("qv"), col("v")))
+      .groupBy("query_id", "doc_id").agg(max(col("cos")).as("mx"))
+      .withColumn("maxsim_micro", floor(col("mx") * lit(1e6)).cast("long"))
+    val wPart = Window.partitionBy("query_id", "scan_pid")
+      .orderBy(col("maxsim_micro").desc, col("doc_id").asc)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("maxsim_micro").desc, col("doc_id").asc)
+    scored.withColumn("scan_pid", spark_partition_id())
+      .withColumn("prk", row_number().over(wPart))
+      .filter(col("prk") <= k)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("maxsim_micro"))
+  }
+
+  /** [[searchIvfIndexFiltered]] for the compressed store: the eligible-id
+    * semi-join applied to the 4-byte code scan before the ADC rank
+    * window — same pre-rank semantics (k survivors are k ELIGIBLE
+    * survivors), same tombstone anti-join, ~1/16th the scan bytes.
+    */
+  def searchIvfPqIndexFiltered(spark: SparkSession, dir: String,
+                               queries: DataFrame, idCol: String,
+                               vecCol: String, allowed: DataFrame,
+                               k: Int, nprobe: Int = 2): DataFrame = {
+    graft.functions.CosineSim.ensureRegistered(spark)
+    graft.functions.GraftExtensions.ensureRegistered(spark, "graft_matvec_dots")
+    val (cents, full, m) = readIvfPqModel(spark, dir)
+    val allow = allowed.select(allowed.columns.head).toDF("id").distinct()
+    val postings0 = spark.read.parquet(s"$dir/postings")
+      .join(broadcast(allow), Seq("id"), "left_semi")
+    val postings =
+      if (graft.operators.StoreFs.exists(spark, s"$dir/tombstones"))
+        postings0.join(broadcast(
+          spark.read.parquet(s"$dir/tombstones").select("id").distinct()),
+          Seq("id"), "left_anti")
+      else postings0
+    val codes = postings.select(col("id").as("neighbor_id"),
+      col("cell").cast("long").as("cell"), col("code_word"))
+    ivfPqScan(spark, codes, queries, idCol, vecCol, cents, full, k, nprobe, m)
+  }
+
   /** PQ-code COLLISION buckets — the 4-byte semantic-dedup candidate
     * generator: two vectors sharing the full `m`-subspace code word
     * quantize identically in every subspace, the coarsest (and cheapest)

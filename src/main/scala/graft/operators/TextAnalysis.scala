@@ -1383,6 +1383,38 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** RECIPROCAL-RANK FUSION — the standard hybrid-retrieval combiner
+    * (Cormack et al., SIGIR 2009): each input ranking contributes
+    * `⌊10⁶ / (kConst + rank)⌋` per document and the fused score is the
+    * exact integer sum, so lexical (BM25) and semantic (vector) rankings
+    * merge WITHOUT score calibration — ranks are scale-free where raw
+    * scores are not, which is why RRF is the default hybrid fuser in
+    * every production retrieval stack. Inputs: frames of
+    * (doc_id, rank) with rank 1-based; a doc absent from a list simply
+    * contributes nothing. Output: (doc_id, n_lists, rrf_micro, rank) top
+    * `topK`, total order (rrf_micro desc, doc_id).
+    *
+    * Integer div truncates identically in Spark (`DIV`) and DuckDB
+    * (`//`) for the always-positive operands here — the signed-division
+    * hazard does not arise. The global rank window is bounded by
+    * construction: candidates ≤ Σ input list sizes (callers pass top-N
+    * lists, not corpora).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], kConst: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contribs = rankings.map(r =>
+      r.select(col("doc_id").cast("long").as("doc_id"),
+        expr(s"CAST(1000000 DIV ($kConst + rank) AS BIGINT)").as("c")))
+    val w = Window.orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    contribs.reduce(_ unionAll _)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lists"),
+        sum(col("c")).cast("long").as("rrf_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   /** C4-style boilerplate removal: a chunk (positional token window, the
     * [[chunkByTokens]] unit q64 uses) occurring in at least `minDocs`
     * DISTINCT documents is boilerplate — navigation bars, cookie banners,
