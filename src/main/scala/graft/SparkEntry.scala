@@ -2104,6 +2104,32 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Z-ORDER (Morton) clustering key: two columns min/max-ranked to
+    // 8-bit integers (floor — the cross-engine-exact form of
+    // writeZOrdered's truncating cast; identical on these non-negative
+    // ranks) and bit-interleaved into one long — the multi-dimensional
+    // data-skipping layout key, with every row's z under the hash. The
+    // write path itself (range-partition by _z, parquet) is ZOrderSpec's
+    // file-stats assertion.
+    "q174_zorder" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+      val bounds = li.agg(
+        min(col("l_quantity")).cast("double").as("minq"),
+        max(col("l_quantity")).cast("double").as("maxq"),
+        min(col("l_extendedprice")).cast("double").as("minp"),
+        max(col("l_extendedprice")).cast("double").as("maxp"))
+      val rq = floor((col("l_quantity").cast("double") - col("minq"))
+        / (col("maxq") - col("minq")) * lit(255)).cast("long")
+      val rp = floor((col("l_extendedprice").cast("double") - col("minp"))
+        / (col("maxp") - col("minp")) * lit(255)).cast("long")
+      li.crossJoin(broadcast(bounds))
+        .withColumn("z", graft.sinks.ZOrder.zValue(Seq(rq, rp), bits = 8))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"), col("z"))
+        // z in the sort key: the fixture has 2 duplicate (orderkey,
+        // linenumber) pairs, and a non-total order hash-flips on them
+        .orderBy("l_orderkey", "l_linenumber", "z")
+    }),
+
     // q169's predicate semantics on the COMPRESSED store: the eligible-id
     // semi-join applied to the 4-byte code scan before the ADC window.
     "q171_filtered_pq_search" -> ((s, dir) => {
@@ -5422,6 +5448,24 @@ object SparkEntry {
         |      FROM pair)
         |SELECT query_id, neighbor_id, adc_micro FROM r WHERE rk <= 3
         |ORDER BY query_id, adc_micro, neighbor_id""".stripMargin,
+
+    // 8-bit min/max ranks (floor both sides — the double→bigint cast
+    // rounds in DuckDB but truncates in Spark, so floor is mandatory),
+    // then bit interleave: column j's bit i at position i·2 + j.
+    "q174_zorder" ->
+      """WITH b AS (SELECT min(l_quantity)::DOUBLE AS minq, max(l_quantity)::DOUBLE AS maxq,
+        |                  min(l_extendedprice)::DOUBLE AS minp, max(l_extendedprice)::DOUBLE AS maxp
+        |           FROM lineitem),
+        |r AS (SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        |             floor((l_quantity::DOUBLE - minq) / (maxq - minq) * 255)::BIGINT AS rq,
+        |             floor((l_extendedprice::DOUBLE - minp) / (maxp - minp) * 255)::BIGINT AS rp
+        |      FROM lineitem, b),
+        |z AS (SELECT l_orderkey, l_linenumber,
+        |             list_sum(list_transform(range(8), i ->
+        |               (((rq >> i) & 1) << (i*2)) + (((rp >> i) & 1) << (i*2 + 1))))::BIGINT AS z
+        |      FROM r)
+        |SELECT l_orderkey, l_linenumber, z FROM z
+        |ORDER BY l_orderkey, l_linenumber, z""".stripMargin,
 
     // q153's pipeline with the code side restricted to eligible ids
     // BEFORE the ADC rank window.
