@@ -2104,6 +2104,53 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // q173 through the SQL front door: the two rankings registered as
+    // views, fused by graft_rrf — hybrid retrieval without Scala.
+    "q175_sql_rrf" -> ((s, dir) => {
+      graft.api.SqlFrontDoor.registerViews(s, dir)
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      val docs = Tables(s, dir).documents
+      val e = Tables(s, dir).embeddings
+      val wb = Window.orderBy(col("bm25_micro").desc, col("doc_id").asc)
+      TextAnalysis.bm25Search(docs, "doc_id", "text",
+          Seq("spark", "hash", "window"), k = 25)
+        .withColumn("rank", row_number().over(wb))
+        .select("doc_id", "rank")
+        .createOrReplaceTempView("q175_bm25")
+      val q0 = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qv"))
+      val wv = Window.orderBy(col("c").desc, col("doc_id").asc)
+      e.select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .filter(col("doc_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .withColumn("c", Similarity.cosine(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(wv))
+        .filter(col("rank") <= 25)
+        .select("doc_id", "rank")
+        .createOrReplaceTempView("q175_vec")
+      s.sql("""SELECT * FROM graft_rrf('q175_bm25', 'q175_vec', 60, 10)
+              |ORDER BY rrf_micro DESC, doc_id""".stripMargin)
+    }),
+
+    // q172 through the SQL front door: chunk and query views, MaxSim by
+    // graft_maxsim — late-interaction retrieval without Scala.
+    "q176_sql_maxsim" -> ((s, dir) => {
+      graft.api.SqlFrontDoor.registerViews(s, dir)
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      val e = Tables(s, dir).embeddings
+      e.select(col("vec_id").as("chunk_id"),
+          (col("vec_id") - pmod(col("vec_id"), lit(10)))
+            .divide(lit(10)).cast("long").as("doc_id"),
+          col("embedding"))
+        .createOrReplaceTempView("q176_chunks")
+      e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+        .createOrReplaceTempView("q176_queries")
+      s.sql("""SELECT * FROM graft_maxsim('q176_chunks', 'q176_queries', 3)
+              |ORDER BY query_id, maxsim_micro DESC, doc_id""".stripMargin)
+    }),
+
     // Z-ORDER (Morton) clustering key: two columns min/max-ranked to
     // 8-bit integers (floor — the cross-engine-exact form of
     // writeZOrdered's truncating cast; identical on these non-negative
@@ -2874,7 +2921,11 @@ object SparkEntry {
       "q162_sql_ivf_audit" -> "q149_ivf_index_audit",
       // streaming per-trigger ingest into the compressed store must be
       // indistinguishable from the batch append it replays
-      "q163_stream_ivfpq" -> "q155_ivfpq_append")
+      "q163_stream_ivfpq" -> "q155_ivfpq_append",
+      // the retrieval fusions through the SQL front door must reproduce
+      // the library pipelines row-for-row
+      "q175_sql_rrf" -> "q173_rrf_hybrid",
+      "q176_sql_maxsim" -> "q172_maxsim")
       .map { case (aliasQ, libQ) => aliasQ -> oracleSqlBase(libQ) }
   }
 

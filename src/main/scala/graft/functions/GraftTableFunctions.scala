@@ -187,6 +187,29 @@ object GraftTableFunctions {
         .ivfIndexAudit(active, str("graft_ivf_index_audit", args.head))
         .queryExecution.analyzed
     }),
+    // graft_rrf(rankView1, rankView2, kConst, topK) — reciprocal-rank
+    // fusion of two registered (doc_id, rank) views
+    ("graft_rrf", { args =>
+      require(args.length == 4,
+        s"graft_rrf(rankView1, rankView2, kConst, topK) got ${args.length} args")
+      graft.operators.TextAnalysis.rrfFuse(
+          Seq(view("graft_rrf", args.head), view("graft_rrf", args(1))),
+          kConst = int("graft_rrf", args(2)),
+          topK = int("graft_rrf", args(3)))
+        .queryExecution.analyzed
+    }),
+    // graft_maxsim(chunkView, queryView, k) — multi-vector MaxSim top-k;
+    // chunkView carries (chunk_id, doc_id, embedding), queryView
+    // (query_id, embedding)
+    ("graft_maxsim", { args =>
+      require(args.length == 3,
+        s"graft_maxsim(chunkView, queryView, k) got ${args.length} args")
+      graft.operators.Similarity.maxSimTopK(
+          view("graft_maxsim", args.head), "chunk_id", "doc_id", "embedding",
+          view("graft_maxsim", args(1)), "query_id", "embedding",
+          k = int("graft_maxsim", args(2)))
+        .queryExecution.analyzed
+    }),
     // graft_pq_dedup(view, idCol, vecCol, threshold, m, ksub, centStep)
     // — the PQ-candidate semantic dup groups (vec_id, canon_id)
     ("graft_pq_dedup", { args =>
