@@ -2722,6 +2722,32 @@ object SparkEntry {
       Multimodal.crossModalDupGroups(s, Tables(s, dir).documents)
         .orderBy("modality", "doc_id")
     }),
+
+    // Binary (1-bit sign) quantization + Hamming top-k: the cheapest rung
+    // of the compression ladder (float64 → int8 q71 → PQ q151 → sign bits
+    // here, 256×) — sign-packed signatures 32 dims/word, bit_count(xor)
+    // distance, knnBrute's broadcast-queries/one-corpus-scan plan over 8
+    // bytes per vector. Exact integer arithmetic end to end; every
+    // signature word and distance is under the hash.
+    "q177_binary_ann" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.hammingTopK(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3)
+        .orderBy("query_id", "hamming", "neighbor_id")
+    }),
+
+    // Symmetric int8 (SQ8) top-k: q71's quantizer on BOTH sides, ranked
+    // by the cosine of the int8 codes — the per-vector scale cancels out
+    // of cosine exactly, so the 4×-compressed scan preserves angular
+    // order up to the rounding itself. The integer dot is exact; the only
+    // doubles are two sqrts and a divide, identical IEEE sequences in
+    // both engines, floored to micro under the hash.
+    "q178_sq8_search" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.sq8TopK(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3)
+        .orderBy(col("query_id"), col("icos_micro").desc, col("neighbor_id"))
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -5996,6 +6022,62 @@ object SparkEntry {
         |         x -> CAST(floor(abs(x) * 1e9 + 0.5) AS BIGINT)), n -> n * n),
         |         'sum')::BIGINT AS sse_nano
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    // Sign signatures re-packed from scratch (32 dims/word, low-half
+    // bits), Hamming = per-word bit_count(xor) — exact integers only.
+    "q177_binary_ann" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |sg AS (SELECT vec_id,
+        |         list_transform(range((len(v) + 31) // 32), w ->
+        |           (list_sum(list_transform(v[(w*32+1):(w*32+32)], (x, i) ->
+        |             CASE WHEN x > 0 THEN 1::BIGINT << (i - 1)
+        |                  ELSE 0::BIGINT END)))::BIGINT) AS sig
+        |       FROM v),
+        |q AS (SELECT vec_id AS query_id, sig AS qsig FROM sg WHERE vec_id < 20),
+        |d AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |        (list_sum(list_transform(range(len(q.qsig)), j ->
+        |          bit_count(xor(q.qsig[j+1], c.sig[j+1])))))::BIGINT AS hamming
+        |      FROM q JOIN sg c ON c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, hamming,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY hamming, neighbor_id) AS rk FROM d)
+        |SELECT query_id, neighbor_id, hamming FROM r WHERE rk <= 3
+        |ORDER BY query_id, hamming, neighbor_id""".stripMargin,
+
+    // q71's quantizer on both sides, exact integer dots, code-cosine in
+    // the identical IEEE sequence (int_dot / (sqrt(qn)·sqrt(cn))).
+    "q178_sq8_search" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+        |      FROM v),
+        |q8 AS (SELECT vec_id, list_transform(v, x ->
+        |         CASE WHEN scale = 0 THEN 0::BIGINT
+        |              ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END) AS ql
+        |       FROM s),
+        |n AS (SELECT vec_id, ql,
+        |        (list_sum(list_transform(ql, x -> x * x)))::BIGINT AS nn FROM q8),
+        |q AS (SELECT vec_id AS query_id, ql AS qq, nn AS qn FROM n
+        |      WHERE vec_id < 20),
+        |d AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |        (list_sum(list_transform(range(len(q.qq)), j ->
+        |          q.qq[j+1] * c.ql[j+1])))::BIGINT AS int_dot,
+        |        q.qn, c.nn AS cn
+        |      FROM q JOIN n c ON c.vec_id <> q.query_id),
+        |e AS (SELECT query_id, neighbor_id, int_dot,
+        |        CASE WHEN qn = 0 OR cn = 0 THEN 0.0
+        |             ELSE int_dot::DOUBLE / (sqrt(qn::DOUBLE) * sqrt(cn::DOUBLE))
+        |        END AS icos
+        |      FROM d),
+        |r AS (SELECT query_id, neighbor_id, int_dot,
+        |        CAST(floor(icos * 1e6 + 0.5) AS BIGINT) AS icos_micro,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY icos DESC, neighbor_id) AS rk
+        |      FROM e)
+        |SELECT query_id, neighbor_id, int_dot, icos_micro FROM r WHERE rk <= 3
+        |ORDER BY query_id, icos_micro DESC, neighbor_id""".stripMargin,
 
     // CDC re-derived: same trailing-3-gram boundary rule, same
     // strictly-before cumulative chunk numbering, same ordered reassembly

@@ -1069,6 +1069,124 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // Binary (1-bit sign) quantization — the cheapest compressed scan
+  // ------------------------------------------------------------------
+
+  /** 1-bit sign signature of an embedding: bit `i` is set iff `v[i] > 0`,
+    * packed 32 dims per 64-bit word (`array<bigint>` of ⌈dim/32⌉ words —
+    * bits land in the word's LOW half, so the sign bit never comes into
+    * play and the oracle's `1::BIGINT << (i-1)` agrees without two's-
+    * complement reasoning). A 64-dim float corpus compresses 32× to 8
+    * bytes/vector; at 100 TB of embeddings the signature table is the
+    * only thing a Hamming scan ever reads. Map-side only — one row out
+    * per row in, zero Exchange at any scale (plan-asserted in
+    * BinarySigSpec). Output: (id, sig).
+    *
+    * This is the storage-minimal end of the quantization ladder the
+    * engine now covers end to end: float64 → int8 ([[quantizeInt8]], 4×)
+    * → PQ ([[pqEncode]], ~64×) → sign bits (this, 256× vs float64) —
+    * each step trading recall for scan bytes, each gated against an
+    * oracle that rebuilds the identical codes.
+    */
+  def binarySig(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("sig", expr(
+        """transform(sequence(0, (size(v) - 1) div 32), w ->
+          |  aggregate(slice(v, w * 32 + 1, 32),
+          |    struct(cast(0 as bigint) as s, 0 as i),
+          |    (acc, x) -> struct(
+          |      acc.s + if(x > 0D, shiftleft(cast(1 as bigint), acc.i),
+          |                 cast(0 as bigint)) as s,
+          |      acc.i + 1 as i),
+          |    acc -> acc.s))""".stripMargin))
+      .select("id", "sig")
+
+  /** Hamming distance between two packed sign signatures: per-word
+    * `bit_count(xor)` (both codegen'd built-ins), summed left to right —
+    * exact integer arithmetic end to end, nothing for engines to disagree
+    * on.
+    */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, h) => acc + h).cast("long")
+
+  /** Exact top-k by Hamming distance over the binary-sign signatures —
+    * [[knnBrute]]'s broadcast-queries/scan-corpus-once plan run against
+    * the 32×-compressed signature table instead of the float vectors:
+    * the coarse first pass of a billion-vector search (sign-bit Hamming
+    * is a monotone proxy for angular distance), with the same two-stage
+    * per-partition top-k so no task holds a query's full candidate set.
+    * Self-pairs excluded; order key (hamming asc, neighbor_id asc) is
+    * total. Output: (query_id, neighbor_id, hamming).
+    */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = binarySig(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("sig").as("csig"))
+    val q = binarySig(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("sig").as("qsig"))
+    val wPart = Window.partitionBy("query_id", "scan_pid")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", hammingDist(col("qsig"), col("csig")))
+      .withColumn("scan_pid", spark_partition_id())
+      .withColumn("prk", row_number().over(wPart))
+      .filter(col("prk") <= k)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "hamming")
+  }
+
+  /** Symmetric int8 top-k: both sides quantized by [[quantizeInt8]], the
+    * candidate score an EXACT integer dot product of the two code vectors
+    * (|q|≤127 ⇒ 64-dim dots bounded by 127²·64 ≈ 2²⁰ — no overflow for
+    * any realistic dim), ranked by the cosine OF THE CODES. The
+    * per-vector scale cancels out of cosine exactly (dequant = scale·q
+    * with scale > 0), so code-cosine EQUALS dequantized-vector cosine —
+    * the int8 store loses magnitude resolution, never angular order
+    * beyond the rounding itself. The only doubles are one sqrt per norm
+    * and one divide, identical IEEE sequences in both engines
+    * (`int_dot / (sqrt(qn) · sqrt(cn))`), floored to micro under the
+    * hash. Zero-norm codes score 0. Same broadcast-queries /
+    * scan-corpus-once / two-stage top-k plan as [[knnBrute]] — at scale
+    * the scan reads 1 byte per dim instead of 4. Output: (query_id,
+    * neighbor_id, int_dot, icos_micro).
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = quantizeInt8(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"),
+        col("qvec").cast("array<long>").as("cq"))
+      .withColumn("cn", aggregate(col("cq"), lit(0L), (a, x) => a + x * x))
+    val q = quantizeInt8(queries, idCol, vecCol)
+      .select(col("id").as("query_id"),
+        col("qvec").cast("array<long>").as("qq"))
+      .withColumn("qn", aggregate(col("qq"), lit(0L), (a, x) => a + x * x))
+    val wPart = Window.partitionBy("query_id", "scan_pid")
+      .orderBy(col("icos").desc, col("neighbor_id").asc)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("icos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("int_dot",
+        aggregate(zip_with(col("qq"), col("cq"), (x, y) => x * y),
+          lit(0L), (a, v) => a + v))
+      .withColumn("icos",
+        when(col("qn") === 0L || col("cn") === 0L, lit(0.0))
+          .otherwise(col("int_dot").cast("double") /
+            (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double")))))
+      .withColumn("scan_pid", spark_partition_id())
+      .withColumn("prk", row_number().over(wPart))
+      .filter(col("prk") <= k)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("int_dot"),
+        floor(col("icos") * lit(1e6) + lit(0.5)).cast("long").as("icos_micro"))
+  }
+
+  // ------------------------------------------------------------------
   // Product quantization (PQ) — the billion-vector compression path
   // ------------------------------------------------------------------
 

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Binary (1-bit sign) quantization + Hamming search, and the symmetric
+  * int8 (SQ8) search — the cheap end of the compression ladder.
+  */
+class BinarySigSpec extends SparkTestBase {
+  import TestSpark.spark.implicits._
+
+  // 33 dims forces a second signature word with exactly one live bit.
+  private def vec(signs: Int*): Array[Float] =
+    signs.map(_.toFloat).toArray
+
+  test("binarySig packs 32 dims per word, bit i of word w = v[w*32+i] > 0") {
+    val v = Array.tabulate(33)(i => if (i == 0 || i == 5 || i == 32) 1.0f else -1.0f)
+    val df = Seq((7L, v)).toDF("vec_id", "embedding")
+    val row = Similarity.binarySig(df, "vec_id", "embedding").collect()(0)
+    assert(row.getLong(0) == 7L)
+    val sig = row.getSeq[Long](1)
+    assert(sig == Seq((1L << 0) | (1L << 5), 1L))
+  }
+
+  test("binarySig: zero is NOT set (strict > 0) and the plan has no Exchange") {
+    val df = Seq((1L, Array(0.0f, 1.0f, -2.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.binarySig(df, "vec_id", "embedding")
+    assert(out.collect()(0).getSeq[Long](1) == Seq(2L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("hammingDist counts differing sign bits across words") {
+    val df = Seq((
+      Seq(0L, 0L),          // all bits clear
+      Seq(5L, 1L)           // 3 bits set
+    )).toDF("a", "b")
+    val d = df.select(Similarity.hammingDist(col("a"), col("b"))).head.getLong(0)
+    assert(d == 3L)
+  }
+
+  test("hammingTopK: identical vector at distance 0 first, self excluded") {
+    val vecs = Seq(
+      (0L, vec(1, 1, -1, 1)),
+      (1L, vec(1, 1, -1, 1)),   // same signs as 0 -> hamming 0
+      (2L, vec(1, -1, -1, 1)),  // one sign flip -> hamming 1
+      (3L, vec(-1, -1, 1, -1)), // every sign flipped -> hamming 4
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hammingTopK(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 4L)))
+  }
+
+  test("hammingTopK broadcasts queries — no corpus shuffle before the window") {
+    val vecs = Seq((0L, vec(1, 1)), (1L, vec(1, -1))).toDF("vec_id", "embedding")
+    val plan = Similarity.hammingTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 1).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("sq8TopK: scale cancellation keeps angular order; exact dot of codes") {
+    // 1 is a scaled copy of 0 (cosine 1); 2 is orthogonal; 3 is opposite.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(100.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.sq8TopK(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3)
+      .orderBy(col("icos_micro").desc, col("neighbor_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // codes: all vectors quantize to (+-127, 0) or (0, 127)
+    assert(rows.toSeq == Seq(
+      (1L, 127L * 127L, 1000000L),
+      (2L, 0L, 0L),
+      (3L, -127L * 127L, -1000000L)))
+  }
+
+  test("sq8TopK: zero-norm codes score 0 instead of dividing by zero") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.sq8TopK(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, 0L, 0L)))
+  }
+}
