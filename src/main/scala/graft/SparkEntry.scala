@@ -2748,6 +2748,44 @@ object SparkEntry {
           "vec_id", "embedding", k = 3)
         .orderBy(col("query_id"), col("icos_micro").desc, col("neighbor_id"))
     }),
+
+    // HyperLogLog distinct-count audit: the third native sketch (q86
+    // Misra-Gries answers WHICH terms, q115 CMS answers HOW OFTEN, this
+    // answers HOW MANY distinct) — 64 one-byte registers of aggregation
+    // state versus the billions-of-keys count(DISTINCT) shuffle, emitted
+    // register-for-register next to the raw estimate, zero-register
+    // count, and the exact truth. md5-derived hashes, exact-integer
+    // harmonic sum; the oracle rebuilds every register in SQL.
+    "q179_hll_distinct" -> ((s, dir) => {
+      TextAnalysis.hllDistinctReport(Tables(s, dir).documents, "text", p = 6)
+    }),
+
+    // The HLL register file built as a STREAMING aggregation — partial
+    // register files merged across micro-batches through the state store
+    // (element-wise MAX merge: idempotent, so re-delivery cannot inflate
+    // it — the property that makes HLL the safest streaming sketch), then
+    // the identical estimate arithmetic. Must equal q179 cell-for-cell.
+    "q180_stream_hll" -> ((s, dir) => {
+      withShufflePartitions(s, 8) { child =>
+        graft.functions.HyperLogLogSketch.ensureRegistered(child)
+        val schema = child.read.parquet(s"$dir/documents.parquet").schema
+        val src = child.readStream.schema(schema).parquet(s"$dir/documents*.parquet")
+        val name = s"q180_sink_${StreamRunSeq.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("q180-ckpt").toString
+        StreamArtifacts.add((child, name, ckpt))
+        val regs = BoundedStream.runAvailableNow(child, src,
+          df => df.select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+            .filter(col("term") =!= "")
+            .agg(call_function("graft_hll", col("term"), lit(6)).as("regs")),
+          ckpt, name, outputMode = "complete")
+        val trueD = Tables(child, dir).documents
+          .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+          .agg(countDistinct(col("term")).as("true_distinct"))
+        TextAnalysis.hllReportFromRegs(
+          regs.crossJoin(broadcast(trueD)), p = 6)
+      }
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -2900,6 +2938,9 @@ object SparkEntry {
       // the CMS built through streaming state-store merges must equal
       // the batch sketch cell-for-cell (estimates are the witnesses)
       "q121_stream_cms" -> "q115_cms_counts",
+      // the HLL register file merged through the state store (element-
+      // wise MAX) must equal the batch sketch register-for-register
+      "q180_stream_hll" -> "q179_hll_distinct",
       // the snapshot-store round trip feeding the incremental dedup must
       // reproduce the in-memory batch-vs-corpus answer
       "q122_snapshot_dedup" -> "q41_incremental_dedup",
@@ -6078,6 +6119,33 @@ object SparkEntry {
         |      FROM e)
         |SELECT query_id, neighbor_id, int_dot, icos_micro FROM r WHERE rk <= 3
         |ORDER BY query_id, icos_micro DESC, neighbor_id""".stripMargin,
+
+    // Every HLL register rebuilt from scratch: 48-bit md5 base hash, top
+    // 6 bits the register, rho = leading zeros in the 42-bit window + 1
+    // (bin() gives exact bitlen — no float log anywhere), harmonic sum as
+    // the exact integer Σ 2^(43-M_j), then the one documented IEEE
+    // sequence for the raw estimate.
+    "q179_hll_distinct" ->
+      """WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |           FROM documents),
+        |h AS (SELECT DISTINCT ('0x' || substr(md5(term), 1, 12))::BIGINT AS h FROM w),
+        |rh AS (SELECT h >> 42 AS idx,
+        |              CASE WHEN (h & ((1::BIGINT << 42) - 1)) = 0 THEN 43
+        |                   ELSE 43 - length(bin(h & ((1::BIGINT << 42) - 1)))
+        |              END AS rho
+        |       FROM h),
+        |regs AS (SELECT r.idx AS reg_idx, coalesce(max(rh.rho), 0)::BIGINT AS reg_val
+        |         FROM range(64) r(idx) LEFT JOIN rh ON rh.idx = r.idx
+        |         GROUP BY r.idx),
+        |st AS (SELECT (sum(1::BIGINT << (43 - reg_val)::INT))::BIGINT AS s_sum,
+        |              (sum(CASE WHEN reg_val = 0 THEN 1 ELSE 0 END))::BIGINT AS zero_regs
+        |       FROM regs),
+        |t AS (SELECT count(DISTINCT term)::BIGINT AS true_distinct FROM w)
+        |SELECT reg_idx::BIGINT AS reg_idx, reg_val, zero_regs,
+        |       CAST(floor((0.709 * 4096.0) * (8796093022208.0 / s_sum::DOUBLE)) AS BIGINT) AS est,
+        |       true_distinct
+        |FROM regs, st, t
+        |ORDER BY reg_idx""".stripMargin,
 
     // CDC re-derived: same trailing-3-gram boundary rule, same
     // strictly-before cumulative chunk numbering, same ordered reassembly

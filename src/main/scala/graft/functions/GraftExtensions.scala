@@ -49,6 +49,8 @@ object GraftExtensions {
       e => HeavyHitters(e.head, e(1))),
     ("graft_cms", classOf[CountMinSketch],
       e => CountMinSketch(e.head, e(1), e(2))),
+    ("graft_hll", classOf[HyperLogLogSketch],
+      e => HyperLogLogSketch(e.head, e(1))),
     ("graft_nfc", classOf[NfcNormalize],
       e => NfcNormalize(e.head)),
     // Spark's own runtime-filter primitives, exposed to the text surface

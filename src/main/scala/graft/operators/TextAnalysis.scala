@@ -1316,6 +1316,65 @@ object TextAnalysis {
       .orderBy(col("true_cnt").desc, col("term"))
   }
 
+  /** HyperLogLog distinct-count audit: ONE `2^p`-byte register file over
+    * the whole token stream (the [[graft.functions.HyperLogLogSketch]]
+    * native aggregate — bounded state whatever the vocabulary), emitted
+    * register-for-register next to the raw estimate, the zero-register
+    * count, and the exact distinct count. One row per register; the
+    * summary columns ride on every row so the entire object — registers
+    * AND the arithmetic derived from them — sits under one oracle hash.
+    *
+    * Estimate arithmetic is engine-portable by construction: the
+    * harmonic sum `Σ 2^-M_j` is scaled by `2^(window+1)` into an EXACT
+    * integer `s_sum` (≤ m·2^43 < 2^53, so even its double image is
+    * exact), and the only float steps — `(α·m²) · (2^(window+1)/s_sum)`,
+    * then floor — are the identical IEEE sequence in both engines. The
+    * raw estimate is emitted uncorrected; `zero_regs` is published so a
+    * consumer can apply linear counting (`m·ln(m/V)`) where it prefers —
+    * `ln` is deliberately kept OUT of the gate (libm is not
+    * correctly-rounded, so it could differ across engines).
+    *
+    * The exact `true_distinct` here costs the very distinct-shuffle the
+    * sketch exists to avoid — affordable at fixture scale, and the point
+    * of the audit: the error the 64-byte summary would commit at 100 TB,
+    * measured while the truth is still computable.
+    */
+  def hllDistinctReport(df: DataFrame, textCol: String, p: Int = 6): DataFrame = {
+    graft.functions.HyperLogLogSketch.ensureRegistered(df.sparkSession)
+    val toks = df.select(explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    hllReportFromRegs(toks.agg(
+      call_function("graft_hll", col("term"), lit(p)).as("regs"),
+      countDistinct(col("term")).as("true_distinct")), p)
+  }
+
+  /** [[hllDistinctReport]]'s register post-processing, factored so a
+    * STREAMING-built register file (q180: the sketch merged across
+    * micro-batches through the state store) runs through the identical
+    * estimate arithmetic as the batch one. Expects a 1-row frame with
+    * `regs: array<bigint>` and `true_distinct`.
+    */
+  private[graft] def hllReportFromRegs(sketch: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val window = 48 - p
+    val alpha = graft.functions.HyperLogLogSketch.alpha(p)
+    sketch
+      .withColumn("s_sum", aggregate(col("regs"), lit(0L), (acc, r) =>
+        acc + call_function("shiftleft", lit(1L),
+          lit(window + 1) - r.cast("int"))))
+      .withColumn("zero_regs", aggregate(col("regs"), lit(0L), (acc, r) =>
+        acc + when(r === 0L, lit(1L)).otherwise(lit(0L))))
+      .withColumn("est",
+        floor(lit(alpha) * lit(m.toDouble * m) *
+          (lit(math.pow(2.0, window + 1)) / col("s_sum").cast("double")))
+          .cast("long"))
+      .select(col("zero_regs"), col("est"), col("true_distinct"),
+        posexplode(col("regs")))
+      .select(col("pos").cast("long").as("reg_idx"), col("col").as("reg_val"),
+        col("zero_regs"), col("est"), col("true_distinct"))
+      .orderBy("reg_idx")
+  }
+
   def heavyHitterTerms(df: DataFrame, groupCol: String, textCol: String,
                        capacity: Int, k: Int): DataFrame = {
     require(k >= 1 && capacity >= k, s"need 1 <= k <= capacity: k=$k cap=$capacity")
