@@ -2786,6 +2786,43 @@ object SparkEntry {
           regs.crossJoin(broadcast(trueD)), p = 6)
       }
     }),
+
+    // Zone-map data skipping (the file-stats primitive of every 100 TB
+    // table format, as an explicit auditable store): lineitem written in
+    // 16 key-range zones + a min/max/count sidecar; a range scan consults
+    // the sidecar and plans an isin PARTITION filter over only the zones
+    // the predicate can touch (ZoneMapSpec asserts directories pruned at
+    // planning). A zone map that LOSES a zone loses rows — so the scan
+    // result itself is the safety gate; q182 gates the assignment.
+    "q181_zonemap_scan" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          floor(col("l_extendedprice") * 100).cast("long").as("key"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zonemap").toString
+      SnapshotDirs.add(root)
+      graft.sinks.ZoneMap.writeZoneMapped(li, root, "key", zones = 16)
+      graft.sinks.ZoneMap.scanRange(s, root, "key", 200000L, 300000L)
+        .select("l_orderkey", "l_linenumber", "key")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // The zone-map SIDECAR itself under the hash: per-zone min/max/count
+    // with the exact-integer assignment rule
+    // zone = min(zones−1, (key − minK)·zones ÷ (maxK − minK + 1))
+    // re-derived from scratch by the oracle — this is what proves the
+    // pruning decisions q181 plans from are the RIGHT decisions.
+    "q182_zonemap_stats" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * 100).cast("long").as("key"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zonemap-stats").toString
+      SnapshotDirs.add(root)
+      graft.sinks.ZoneMap.writeZoneMapped(li, root, "key", zones = 16)
+      graft.sinks.ZoneMap.zoneStats(s, root).orderBy("zone")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -6146,6 +6183,27 @@ object SparkEntry {
         |       true_distinct
         |FROM regs, st, t
         |ORDER BY reg_idx""".stripMargin,
+
+    // The zone-pruned range scan must return exactly the plain filter's
+    // rows — pruning may only skip files, never rows.
+    "q181_zonemap_scan" ->
+      """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        |       CAST(floor(l_extendedprice * 100) AS BIGINT) AS key
+        |FROM lineitem
+        |WHERE CAST(floor(l_extendedprice * 100) AS BIGINT) BETWEEN 200000 AND 300000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // The sidecar re-derived from scratch: exact-integer zone assignment
+    // (floor division on a non-negative numerator), then min/max/count.
+    "q182_zonemap_stats" ->
+      """WITH k AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS key
+        |           FROM lineitem),
+        |b AS (SELECT min(key) AS mn, max(key) AS mx FROM k),
+        |z AS (SELECT least(15, ((key - mn) * 16) // (mx - mn + 1)) AS zone, key
+        |      FROM k, b)
+        |SELECT zone::BIGINT AS zone, min(key)::BIGINT AS min_key,
+        |       max(key)::BIGINT AS max_key, count(*)::BIGINT AS n_rows
+        |FROM z GROUP BY zone ORDER BY zone""".stripMargin,
 
     // CDC re-derived: same trailing-3-gram boundary rule, same
     // strictly-before cumulative chunk numbering, same ordered reassembly

@@ -1,0 +1,109 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Zone-map data-skipping store: a table written in key-range ZONES with a
+  * tiny min/max/count statistics sidecar, and a read path that consults the
+  * sidecar FIRST and plans a scan over only the zones a predicate can
+  * touch.
+  *
+  * This is the file-skipping primitive every 100 TB table format stands on
+  * (Delta/Iceberg file stats, parquet row-group min/max — here lifted to
+  * explicit, queryable parquet so the pruning DECISION itself is an
+  * auditable DataFrame, not reader magic). [[ZOrder]] solves the
+  * multi-column version by interleaving ranks INSIDE files; the zone map is
+  * the single-key complement that makes the pruning observable: a range
+  * predicate touches `O(selectivity · zones)` partitions, and the planner
+  * proves it with `PartitionFilters` (asserted in ZoneMapSpec).
+  *
+  * Zone assignment is EXACT integer arithmetic over a long key —
+  * `zone = min(zones−1, (key − minK) · zones ÷ (maxK − minK + 1))` with
+  * truncating division on non-negative numerators — so an external engine
+  * re-derives every zone id bit-for-bit (the q181 oracle does). Bounds come
+  * from one broadcast aggregation row, never a driver scalar.
+  *
+  * Scale shape: the write is one bounds agg + one hive-partitioned write
+  * (the shuffle a layout rewrite pays by definition); the sidecar is
+  * ≤ `zones` rows. The read side's zone list is a driver collect BOUNDED
+  * by `zones` (≤ [[MaxZones]] — the boundaries-≤-numParts discipline), and
+  * the data scan carries the zone `isin` as a partition filter plus the
+  * exact key predicate pushed to parquet row groups.
+  */
+object ZoneMap {
+
+  /** Hard cap on `zones`: the sidecar and the read path's pruning list are
+    * driver-materialized, so they must stay trivially bounded. 4096 zones
+    * over a 100 TB table is ~25 GB per zone — plenty granular.
+    */
+  val MaxZones = 4096
+
+  /** Exact-integer zone id of a long `key` given inclusive global bounds.
+    * Non-negative numerator ⇒ truncating long division IS floor, so DuckDB
+    * `//` agrees term-for-term.
+    */
+  def zoneOf(key: org.apache.spark.sql.Column,
+             minK: org.apache.spark.sql.Column,
+             maxK: org.apache.spark.sql.Column, zones: Int) =
+    least(lit(zones.toLong - 1),
+      call_function("div",                       // IntegralDivide, not the
+        (key - minK) * lit(zones.toLong),        // fractional `/`
+        maxK - minK + lit(1L)))
+      .cast("long")
+
+  /** Write `df` zone-partitioned by long column `keyCol` under `path`:
+    * `path/data/zone=<z>/…` plus the `path/_zones` sidecar
+    * (zone, min_key, max_key, n_rows). Null keys are rejected up front —
+    * a null has no range and would silently vanish from every range scan.
+    */
+  def writeZoneMapped(df: DataFrame, path: String, keyCol: String,
+                      zones: Int): Unit = {
+    require(zones >= 1 && zones <= MaxZones,
+      s"zones must be in [1, $MaxZones]: $zones")
+    val bounds = df.agg(min(col(keyCol)).cast("long").as("_min_k"),
+      max(col(keyCol)).cast("long").as("_max_k"))
+    val zoned = df.crossJoin(broadcast(bounds))
+      .withColumn("zone",
+        // a null key has no range: it would land in the hive default
+        // partition and silently vanish from every range scan — fail the
+        // write instead (raise_error costs nothing on the non-null path)
+        when(col(keyCol).isNull,
+          raise_error(lit(s"ZoneMap: null $keyCol cannot be zone-mapped")))
+          .otherwise(
+            zoneOf(col(keyCol).cast("long"), col("_min_k"), col("_max_k"),
+              zones)))
+      .drop("_min_k", "_max_k")
+    zoned.write.mode("overwrite").partitionBy("zone")
+      .parquet(s"$path/data")
+    zoned.groupBy("zone")
+      .agg(min(col(keyCol)).cast("long").as("min_key"),
+        max(col(keyCol)).cast("long").as("max_key"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_zones")
+  }
+
+  /** The statistics sidecar as a DataFrame — the pruning decision's input,
+    * queryable like any other table.
+    */
+  def zoneStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/_zones")
+
+  /** Range scan `lo ≤ key ≤ hi` (inclusive) that reads ONLY zones whose
+    * [min_key, max_key] intersects the predicate: the sidecar nominates
+    * zone ids (bounded driver list, ≤ `zones` ≤ [[MaxZones]]), the scan
+    * carries them as an `isin` PARTITION filter (directories never listed,
+    * let alone read), and the exact predicate lands on the parquet scan
+    * for row-group pruning inside surviving zones. Rows whose key range no
+    * zone covers cost zero data files.
+    */
+  def scanRange(spark: SparkSession, path: String, keyCol: String,
+                lo: Long, hi: Long): DataFrame = {
+    val zs = zoneStats(spark, path)
+      .filter(col("max_key") >= lo && col("min_key") <= hi)
+      .select("zone").collect().map(_.getLong(0))
+    spark.read.parquet(s"$path/data")
+      .filter(col("zone").isin(zs.toSeq: _*))
+      .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
+}

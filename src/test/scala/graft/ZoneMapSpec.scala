@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sinks.ZoneMap
+
+/** Zone-map store: exact zone assignment, sidecar fidelity, and the part
+  * the q181/q182 oracles cannot see — that the range scan PRUNES, reading
+  * only the zones whose [min, max] intersects the predicate.
+  */
+class ZoneMapSpec extends SparkTestBase {
+  import TestSpark.spark.implicits._
+
+  private def store(keys: Seq[Long], zones: Int): String = {
+    val dir = Files.createTempDirectory("graft-zm").toString
+    val df = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("id", "key")
+    ZoneMap.writeZoneMapped(df, dir, "key", zones)
+    dir
+  }
+
+  test("zone assignment is the documented exact-integer rule; sidecar covers") {
+    val dir = store(Seq(0L, 10L, 25L, 50L, 75L, 99L), zones = 4)
+    val stats = ZoneMap.zoneStats(spark, dir)
+      .orderBy("zone")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // span = 100, zones = 4: zone = min(3, key*4 div 100)
+    assert(stats.toSeq == Seq(
+      (0L, 0L, 10L, 2L), (1L, 25L, 25L, 1L), (2L, 50L, 50L, 1L),
+      (3L, 75L, 99L, 2L)))
+  }
+
+  test("range scan returns exactly the filter's rows") {
+    val keys = (0L until 200L).map(k => k * 3)
+    val dir = store(keys, zones = 8)
+    val got = ZoneMap.scanRange(spark, dir, "key", 100L, 250L)
+      .select("key").as[Long].collect().sorted
+    assert(got.toSeq == keys.filter(k => k >= 100 && k <= 250).sorted)
+  }
+
+  test("the scan is partition-pruned: only intersecting zone dirs are read") {
+    val keys = (0L until 400L)
+    val dir = store(keys, zones = 8)   // zone z covers [50z, 50z+49]
+    val scan = ZoneMap.scanRange(spark, dir, "key", 100L, 140L)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(zone"), plan)
+    // physical check: the predicate sits inside zone 2 only
+    val files = scan.select(input_file_name()).distinct()
+      .as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("zone=2")),
+      files.mkString(","))
+  }
+
+  test("a predicate outside every zone reads nothing and returns nothing") {
+    val dir = store(Seq(10L, 20L, 30L), zones = 2)
+    val scan = ZoneMap.scanRange(spark, dir, "key", 500L, 600L)
+    assert(scan.count() == 0)
+  }
+
+  test("single zone degenerates gracefully; constant key maps to zone 0") {
+    val dir = store(Seq(7L, 7L, 7L), zones = 4)
+    val stats = ZoneMap.zoneStats(spark, dir).collect()
+    assert(stats.length == 1 && stats(0).getLong(0) == 0L)
+    assert(ZoneMap.scanRange(spark, dir, "key", 0L, 100L).count() == 3)
+  }
+
+  test("null keys fail the write instead of silently vanishing from scans") {
+    val dir = Files.createTempDirectory("graft-zm-null").toString
+    val df = Seq(Some(1L), None, Some(3L)).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("id", "key")
+    val e = intercept[Exception] {
+      ZoneMap.writeZoneMapped(df, dir, "key", zones = 2)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("null key cannot")),
+      chain(e).mkString(" | "))
+  }
+
+  test("zones cap is enforced") {
+    intercept[IllegalArgumentException] {
+      ZoneMap.writeZoneMapped(Seq((1L, 1L)).toDF("id", "key"),
+        "/tmp/never", "key", zones = ZoneMap.MaxZones + 1)
+    }
+  }
+}
