@@ -2823,6 +2823,21 @@ object SparkEntry {
       graft.sinks.ZoneMap.writeZoneMapped(li, root, "key", zones = 16)
       graft.sinks.ZoneMap.zoneStats(s, root).orderBy("zone")
     }),
+
+    // MMR diversity rerank (λ = 0.7, top-25 candidates, 5 picks): the
+    // redundancy-aware selection RAG retrieval runs after q173's fusion —
+    // greedy argmax of 70·rel − 30·maxSimToPicked in exact integer micro
+    // arithmetic. The candidate scan is knnBrute's broadcast plan; the
+    // k-step greedy is a capped driver scalar (picks are sequential by
+    // definition). Oracle: all five steps unrolled in SQL — every pick,
+    // its marginal score, and the running max-sim under the hash.
+    "q183_mmr_rerank" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.mmrRerank(e.filter(col("vec_id") =!= 0),
+          e.filter(col("vec_id") === 0), "vec_id", "embedding",
+          nCandidates = 25, k = 5, lambdaPct = 70)
+        .orderBy("rank")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -6205,6 +6220,8 @@ object SparkEntry {
         |       max(key)::BIGINT AS max_key, count(*)::BIGINT AS n_rows
         |FROM z GROUP BY zone ORDER BY zone""".stripMargin,
 
+    "q183_mmr_rerank" -> mmrOracle,
+
     // CDC re-derived: same trailing-3-gram boundary rule, same
     // strictly-before cumulative chunk numbering, same ordered reassembly
     // under md5.
@@ -6611,6 +6628,51 @@ object SparkEntry {
        |SELECT term, true_cnt::BIGINT AS true_cnt,
        |       least($estLookups)::BIGINT AS est_cnt
        |FROM top t ORDER BY true_cnt DESC, term""".stripMargin
+  }
+
+  /** Oracle twin of [[graft.operators.Similarity.mmrRerank]]: candidate
+    * micro-relevances and pairwise micro-similarities from scratch, then
+    * all `k` greedy steps UNROLLED as CTE chains (q126's unrolled-loop
+    * recipe) — step t's argmax of `λ·rel − (100−λ)·maxSimToSel(t−1)` with
+    * the (score desc, id asc) tie-break, exact integer arithmetic.
+    */
+  private def mmrOracle: String = {
+    val k = 5; val lam = 70; val n = 25
+    val steps = (2 to k).map { t =>
+      s"""s$t AS (SELECT c.id, c.rel, m.msim,
+         |  $lam*c.rel - ${100 - lam}*m.msim AS score
+         |  FROM c JOIN (SELECT ia AS id, max(sim) AS msim FROM p
+         |               WHERE ib IN (SELECT id FROM sel${t - 1}) GROUP BY ia) m
+         |    USING (id)
+         |  WHERE c.id NOT IN (SELECT id FROM sel${t - 1})
+         |  ORDER BY score DESC, c.id LIMIT 1),
+         |sel$t AS (SELECT id FROM sel${t - 1} UNION ALL SELECT id FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to k).map(t =>
+      s"SELECT $t::BIGINT AS rank, id AS doc_id, rel AS rel_micro, " +
+        s"msim AS max_sim_micro, score AS mmr_score FROM s$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |c0 AS (SELECT e.vec_id AS id, e.v,
+       |         list_dot_product(e.v, q.qv) /
+       |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+       |       FROM e, q WHERE e.vec_id <> 0),
+       |c AS (SELECT id, v, CAST(floor(cos * 1e6 + 0.5) AS BIGINT) AS rel FROM (
+       |        SELECT id, v, cos, row_number() OVER (ORDER BY cos DESC, id) AS rk
+       |        FROM c0)
+       |      WHERE rk <= $n),
+       |p AS (SELECT a.id AS ia, b.id AS ib,
+       |        CAST(floor(list_dot_product(a.v, b.v) /
+       |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+       |          * 1e6 + 0.5) AS BIGINT) AS sim
+       |      FROM c a JOIN c b ON a.id <> b.id),
+       |s1 AS (SELECT id, rel, 0::BIGINT AS msim, $lam*rel AS score FROM c
+       |       ORDER BY $lam*rel DESC, id LIMIT 1),
+       |sel1 AS (SELECT id FROM s1),
+       |$steps
+       |$unions
+       |ORDER BY rank""".stripMargin
   }
 
   /** Oracle twin of [[graft.operators.Dedup.minHashAccuracy]]: the

@@ -1068,6 +1068,92 @@ object Similarity {
         }), lit(0L), (acc, x) => acc + x).as("sse_nano"))
   }
 
+  /** Maximal Marginal Relevance (MMR) diversity rerank — the classic
+    * redundancy-aware selection for retrieval-augmented generation: from
+    * the `nCandidates` highest-cosine candidates, greedily pick `k`
+    * maximizing `λ·relevance − (1−λ)·max-similarity-to-already-picked`,
+    * so near-duplicate hits cannot crowd the result list.
+    *
+    * Arithmetic is gate-exact: relevance and every pairwise similarity
+    * floor to integer MICRO-units first (the identical IEEE double
+    * sequence both engines produce), λ rides as integer percents, and the
+    * greedy objective `lambdaPct·rel − (100−lambdaPct)·maxSim` is pure
+    * 64-bit integer math with a total tie-break (score desc, id asc) —
+    * the q183 oracle re-runs all `k` unrolled steps in SQL (q126's
+    * unrolled-loop recipe) and must agree pick-for-pick.
+    *
+    * Scale shape: the candidate generation is [[knnBrute]]'s broadcast-
+    * queries/one-corpus-scan plan — THAT is the part that touches 100 TB.
+    * The greedy selection is inherently sequential (pick t depends on
+    * picks 1..t−1), so it runs on the driver over the CAPPED candidate
+    * list (`nCandidates ≤ MaxMmrCandidates` — the bounded-driver-scalar
+    * discipline of [[sampleCentroids]]/canonicalIds), O(k·n) dot products
+    * over ≤ 4096 rows. First pick's empty-set max-similarity is 0, so one
+    * uniform objective covers every step. Output: (rank, doc_id,
+    * rel_micro, max_sim_micro, mmr_score).
+    */
+  def mmrRerank(corpus: DataFrame, query: DataFrame, idCol: String,
+                vecCol: String, nCandidates: Int, k: Int,
+                lambdaPct: Int = 70): DataFrame = {
+    require(nCandidates >= 1 && nCandidates <= MaxMmrCandidates,
+      s"nCandidates must be in [1, $MaxMmrCandidates]: $nCandidates")
+    require(k >= 1 && k <= nCandidates, s"need 1 <= k <= nCandidates: $k")
+    require(lambdaPct >= 0 && lambdaPct <= 100, s"lambdaPct: $lambdaPct")
+    val sp = corpus.sparkSession
+    graft.functions.CosineSim.ensureRegistered(sp)
+    val q = query.limit(1)
+      .select(col(vecCol).cast("array<double>").as("qv"))
+    val w = Window.orderBy(col("cos").desc, col("id").asc)
+    val cand = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosineFast(col("v"), col("qv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nCandidates)
+      .select(col("id"), col("v"),
+        floor(col("cos") * lit(1e6) + lit(0.5)).cast("long").as("rel_micro"))
+      .collect()                    // bounded: ≤ MaxMmrCandidates rows
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    // driver-side greedy: the same left-to-right double folds the engine
+    // and oracle use everywhere, floored to micro BEFORE the max
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def simMicro(a: Array[Double], b: Array[Double]): Long =
+      math.floor(dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
+        * 1e6 + 0.5).toLong
+    val remaining = scala.collection.mutable.ArrayBuffer(cand: _*)
+    // true running max — similarities can be NEGATIVE, so the max must
+    // not clamp at 0; only the FIRST pick's empty-set max is defined 0
+    val maxSim = scala.collection.mutable.Map(
+      cand.map(c => c._1 -> Long.MinValue).toSeq: _*)
+    val picks = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      def msimOf(id: Long): Long = if (rank == 1) 0L else maxSim(id)
+      val best = remaining.minBy { case (id, _, rel) =>
+        (-(lambdaPct * rel - (100L - lambdaPct) * msimOf(id)), id)
+      }
+      val score = lambdaPct * best._3 - (100L - lambdaPct) * msimOf(best._1)
+      picks += ((rank.toLong, best._1, best._3, msimOf(best._1), score))
+      remaining -= best
+      remaining.foreach { case (id, v, _) =>
+        val s = simMicro(v, best._2)
+        if (s > maxSim(id)) maxSim(id) = s
+      }
+      rank += 1
+    }
+    import sp.implicits._
+    picks.toSeq
+      .toDF("rank", "doc_id", "rel_micro", "max_sim_micro", "mmr_score")
+  }
+
+  /** Driver-materialization cap for [[mmrRerank]]'s candidate list. */
+  val MaxMmrCandidates = 4096
+
   // ------------------------------------------------------------------
   // Binary (1-bit sign) quantization — the cheapest compressed scan
   // ------------------------------------------------------------------

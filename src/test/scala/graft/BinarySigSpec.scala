@@ -88,4 +88,45 @@ class BinarySigSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.toSeq == Seq((1L, 0L, 0L)))
   }
+
+  test("mmrRerank skips the duplicate of an already-picked hit at diversity-heavy lambda") {
+    val q = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.1f)),     // most relevant
+      (2L, Array(0.9f, 0.1f)),     // exact duplicate of 1 (maxSim ~1e6)
+      (3L, Array(0.1f, 0.995f)),   // barely relevant but near-orthogonal
+    ).toDF("vec_id", "embedding")
+    val picks = Similarity.mmrRerank(corpus, q, "vec_id", "embedding",
+        nCandidates = 3, k = 2, lambdaPct = 30)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // pick 1 by relevance (id tie-break vs the dup); pick 2 must be the
+    // diverse doc 3: the dup's 70%-weighted 1e6 penalty buries it
+    assert(picks.toSeq == Seq((1L, 1L), (2L, 3L)))
+  }
+
+  test("mmrRerank: negative pairwise similarity flows through (no clamp at 0)") {
+    val q = Seq((0L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),    // rel 0
+      (2L, Array(-1.0f, 0.0f)),   // rel 0, OPPOSITE of 1
+    ).toDF("vec_id", "embedding")
+    val picks = Similarity.mmrRerank(corpus, q, "vec_id", "embedding",
+        nCandidates = 2, k = 2, lambdaPct = 70)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4)))
+    // pick 1: id tie-break; pick 2's max-sim is −1e6, REWARDING diversity
+    assert(picks.toSeq == Seq((1L, 0L, 0L), (2L, -1000000L, 30000000L)))
+  }
+
+  test("mmrRerank enforces the candidate cap and parameter bounds") {
+    val df = Seq((0L, Array(1.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(df, df, "vec_id", "embedding",
+        nCandidates = Similarity.MaxMmrCandidates + 1, k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(df, df, "vec_id", "embedding",
+        nCandidates = 2, k = 3)
+    }
+  }
 }
