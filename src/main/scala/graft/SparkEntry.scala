@@ -2838,6 +2838,16 @@ object SparkEntry {
           nCandidates = 25, k = 5, lambdaPct = 70)
         .orderBy("rank")
     }),
+
+    // Per-document drop-reason lineage: every curation stage (length,
+    // quality rules, language, exact dup, decontamination) evaluated for
+    // EVERY document — the full flag matrix plus the fixed-order
+    // verdict. The audit that answers "why was my document dropped?",
+    // with all five stage decisions and the composition under one hash.
+    "q184_curation_lineage" -> ((s, dir) => {
+      Curation.curationLineage(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -6222,6 +6232,8 @@ object SparkEntry {
 
     "q183_mmr_rerank" -> mmrOracle,
 
+    "q184_curation_lineage" -> lineageOracle,
+
     // CDC re-derived: same trailing-3-gram boundary rule, same
     // strictly-before cumulative chunk numbering, same ordered reassembly
     // under md5.
@@ -6673,6 +6685,63 @@ object SparkEntry {
        |$steps
        |$unions
        |ORDER BY rank""".stripMargin
+  }
+
+  /** Oracle twin of [[graft.operators.Curation.curationLineage]]: the
+    * q37 quality derivation, the q15 language argmax, the q8 fingerprint
+    * window, and the q34 contamination join — assembled into the flag
+    * matrix plus the fixed-order verdict.
+    */
+  private def lineageOracle: String = {
+    val ratios = TextAnalysis.LangProfiles.map { case (l, ms) =>
+      val set = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), w -> list_contains([$set], w))) / len(string_split(text, ' ')) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.LangProfiles.map(_._1)
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val pred = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+    s"""WITH t AS (SELECT doc_id, text,
+       |    len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens
+       |  FROM documents),
+       |q AS (SELECT doc_id, n_tokens,
+       |    round(length(replace(text, ' ', '')) / nullif(n_tokens, 0), 4) AS mean_wl,
+       |    round(len(regexp_extract_all(text, '[#{}<>|\\\\]')) /
+       |          nullif(length(text), 0)::DOUBLE, 6) AS symbol_frac,
+       |    contains(text, 'lorem ipsum') AS has_lorem,
+       |    ((n_tokens BETWEEN 10 AND 1000) AND (mean_wl BETWEEN 3.0 AND 10.0)
+       |     AND symbol_frac < 0.1 AND NOT has_lorem) AS keep
+       |  FROM t),
+       |sc AS (SELECT doc_id,
+       |    $ratios
+       |  FROM documents),
+       |l AS (SELECT doc_id, CASE $pred END AS pred_lang FROM sc),
+       |d AS (SELECT doc_id,
+       |        doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS dup_loser
+       |      FROM documents),
+       |b AS (SELECT doc_id, text,
+       |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+       |      FROM documents),
+       |toks AS (SELECT doc_id, bucket, string_split(text, ' ') AS t FROM b),
+       |sh AS (SELECT doc_id, bucket, ${hashedShinglesSql(13)} AS h
+       |       FROM toks WHERE len(t) >= 13),
+       |esh AS (SELECT DISTINCT h FROM sh WHERE bucket >= 90),
+       |csh AS (SELECT DISTINCT c.doc_id FROM sh c JOIN esh USING (h)
+       |        WHERE c.bucket < 80)
+       |SELECT t.doc_id,
+       |  (t.n_tokens < 10) AS too_short,
+       |  (NOT q.keep) AS bad_quality,
+       |  (l.pred_lang <> 'en') AS non_english,
+       |  d.dup_loser,
+       |  (c.doc_id IS NOT NULL) AS contaminated,
+       |  CASE WHEN t.n_tokens < 10 THEN 'too_short'
+       |       WHEN NOT q.keep THEN 'bad_quality'
+       |       WHEN l.pred_lang <> 'en' THEN 'non_english'
+       |       WHEN d.dup_loser THEN 'dup_loser'
+       |       WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+       |       ELSE 'kept' END AS verdict
+       |FROM t JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN d USING (doc_id)
+       |LEFT JOIN csh c ON c.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
   }
 
   /** Oracle twin of [[graft.operators.Dedup.minHashAccuracy]]: the

@@ -52,6 +52,81 @@ object Curation {
     Sampling.hashSplit(capped, idCol, trainPct, valPct)
   }
 
+  /** Per-document drop-reason LINEAGE: every curation stage evaluated for
+    * EVERY document — the full flag matrix, not just the first kill — plus
+    * the verdict a fixed-order pipeline (length → quality → language →
+    * exact-dup → decontamination) would hand down. This is the audit that
+    * answers "why was my document dropped?" at 100 TB, where a pipeline
+    * that only emits survivors makes every upstream complaint
+    * unanswerable; it is also the debugging view for stage-interaction
+    * questions (how many non-English docs are ALSO dup losers — visible
+    * here, invisible in a sequential filter chain).
+    *
+    * Flags (each independently gate-exact):
+    *  - `too_short`: token count < minTokens;
+    *  - `bad_quality`: fails [[TextAnalysis.qualityRules]] (which also
+    *    encodes the length band — overlap with `too_short` is
+    *    intentional: stages are evaluated independently);
+    *  - `non_english`: [[TextAnalysis.predictedLang]] ≠ "en";
+    *  - `dup_loser`: not the minimum id of its content-fingerprint group;
+    *  - `contaminated`: a train-split document sharing ≥ 1 hashed
+    *    13-gram with the test split ([[Dedup.contaminatedDocs]] over
+    *    [[Sampling.hashSplit]] — val/test docs are never flagged).
+    *
+    * Scale shape: quality/language flags are map-side; the dup flag is
+    * one window on the md5-uniform fingerprint; contamination is q34's
+    * asymmetric broadcast join; the final assembly joins skinny flag
+    * frames on unique `doc_id` — co-partitioned hash joins with no skew.
+    * Output: (doc_id, too_short, bad_quality, non_english, dup_loser,
+    * contaminated, verdict).
+    */
+  def curationLineage(df: DataFrame, idCol: String, textCol: String,
+                      minTokens: Int = 10, maxTokens: Int = 1000,
+                      trainPct: Int = 80, valPct: Int = 10,
+                      n: Int = 13): DataFrame = {
+    val docs = CacheScope.persisted(
+      df.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text")))
+    val quality = TextAnalysis.qualityRules(docs, "doc_id", "text",
+        minTokens, maxTokens)
+      .select(col("doc_id"), col("n_tokens"), col("keep"))
+    val langs = TextAnalysis.LangProfiles.map(_._1)
+    val lang = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .select(col("doc_id") +: TextAnalysis.LangProfiles.map { case (l, ms) =>
+        TextAnalysis.markerRatioFromTokens(col("t"), ms).as(s"s_$l") }: _*)
+      .select(col("doc_id"), TextAnalysis.predictedLangFromScores(
+        langs.map(l => l -> col(s"s_$l"))).as("pred_lang"))
+    val w = Window.partitionBy("fp")
+    val dup = docs
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), (col("doc_id") =!= col("keep_id")).as("dup_loser"))
+    val split = Sampling.hashSplit(docs, "doc_id", trainPct, valPct)
+    val contaminated = Dedup.contaminatedDocs(
+        split.filter(col("split") === "train"), "doc_id", "text",
+        split.filter(col("split") === "test"), "text", n = n)
+      .select(col("doc_id"), lit(true).as("contam"))
+    docs.select("doc_id")
+      .join(quality, Seq("doc_id"))
+      .join(lang, Seq("doc_id"))
+      .join(dup, Seq("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_tokens") < minTokens).as("too_short"),
+        (!col("keep")).as("bad_quality"),
+        (col("pred_lang") =!= "en").as("non_english"),
+        col("dup_loser"),
+        coalesce(col("contam"), lit(false)).as("contaminated"))
+      .withColumn("verdict",
+        when(col("too_short"), "too_short")
+          .when(col("bad_quality"), "bad_quality")
+          .when(col("non_english"), "non_english")
+          .when(col("dup_loser"), "dup_loser")
+          .when(col("contaminated"), "contaminated")
+          .otherwise("kept"))
+  }
+
   /** INCREMENTAL curation — curate a NEW batch against an already-curated
     * corpus at cost ∝ batch, never ∝ corpus: the shape of a production
     * pipeline that ingests a daily crawl into a 100 TB curated base and

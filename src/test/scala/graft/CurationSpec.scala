@@ -272,4 +272,24 @@ class CurationSpec extends SparkTestBase {
     // conservation: per-sequence fills sum to the corpus token count
     assert(out.map(_._5).sum == 27L)
   }
+
+  test("curationLineage: independent flags plus the fixed-order verdict") {
+    def en(n: Int) = (1 to n).map(i => s"the fast a$i").mkString(" ")
+    val df = Seq(
+      (1L, "short doc"),                         // 2 tokens -> too_short
+      (2L, en(10)),                              // clean english -> kept
+      (3L, en(10)),                              // exact dup of 2 -> dup_loser
+      (4L, "hash merge batch group row " * 4),   // german markers
+    ).map { case (id, t) => (id, t.trim) }.toDF("doc_id", "text")
+    val rows = Curation.curationLineage(df, "doc_id", "text",
+        minTokens = 5, maxTokens = 1000)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(4), r.getString(6)))
+    assert(rows(0) == ((1L, true, false, "too_short")))
+    assert(rows(1) == ((2L, false, false, "kept")))
+    assert(rows(2) == ((3L, false, true, "dup_loser")))
+    assert(rows(3)._1 == 4L && rows(3)._4 == "non_english")
+    // every doc appears exactly once — the audit is total
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
 }
