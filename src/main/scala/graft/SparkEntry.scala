@@ -2848,6 +2848,22 @@ object SparkEntry {
       Curation.curationLineage(Tables(s, dir).documents, "doc_id", "text")
         .orderBy("doc_id")
     }),
+
+    // Multi-benchmark decontamination matrix: 13-gram contamination rate
+    // per (source × benchmark) cell, exact-zero cells included — the
+    // release-readiness table, with the val and test splits standing in
+    // as two independent benchmarks. One corpus shingle pass serves both
+    // benchmark joins and the totals; rates in exact integer ppm.
+    "q185_decontam_matrix" -> ((s, dir) => {
+      val split = Sampling.hashSplit(Tables(s, dir).documents, "doc_id",
+        trainPct = 80, valPct = 10)
+      Dedup.decontaminationMatrix(
+          split.filter(col("split") === "train"), "doc_id", "text", "source",
+          Seq("val" -> split.filter(col("split") === "val"),
+            "test" -> split.filter(col("split") === "test")),
+          "text", n = 13)
+        .orderBy("source", "benchmark")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -6233,6 +6249,37 @@ object SparkEntry {
     "q183_mmr_rerank" -> mmrOracle,
 
     "q184_curation_lineage" -> lineageOracle,
+
+    // q34's shingle CTEs with TWO eval-gram sets (val / test buckets),
+    // per-source totals, and a complete grid with zero cells preserved.
+    "q185_decontam_matrix" ->
+      s"""WITH b AS (SELECT doc_id, text, source,
+         |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+         |           FROM documents),
+         |toks AS (SELECT doc_id, bucket, string_split(text, ' ') AS t FROM b),
+         |sh AS (SELECT doc_id, bucket, ${hashedShinglesSql(13)} AS h
+         |       FROM toks WHERE len(t) >= 13),
+         |tot AS (SELECT source AS grp, count(*)::BIGINT AS n_docs
+         |        FROM b WHERE bucket < 80 GROUP BY source),
+         |eshv AS (SELECT DISTINCT h FROM sh WHERE bucket BETWEEN 80 AND 89),
+         |esht AS (SELECT DISTINCT h FROM sh WHERE bucket >= 90),
+         |hv AS (SELECT DISTINCT c.doc_id FROM sh c JOIN eshv USING (h)
+         |       WHERE c.bucket < 80),
+         |ht AS (SELECT DISTINCT c.doc_id FROM sh c JOIN esht USING (h)
+         |       WHERE c.bucket < 80),
+         |hits AS (
+         |  SELECT 'val' AS benchmark, d.source AS grp, count(*)::BIGINT AS cd
+         |  FROM hv JOIN documents d USING (doc_id) GROUP BY d.source
+         |  UNION ALL
+         |  SELECT 'test', d.source, count(*)::BIGINT
+         |  FROM ht JOIN documents d USING (doc_id) GROUP BY d.source),
+         |grid AS (SELECT grp, n_docs, benchmark
+         |         FROM tot, (SELECT unnest(['val', 'test']) AS benchmark))
+         |SELECT g.grp AS source, g.benchmark, g.n_docs,
+         |       coalesce(h.cd, 0)::BIGINT AS contaminated_docs,
+         |       ((coalesce(h.cd, 0) * 1000000) // g.n_docs)::BIGINT AS contam_ppm
+         |FROM grid g LEFT JOIN hits h ON h.grp = g.grp AND h.benchmark = g.benchmark
+         |ORDER BY source, g.benchmark""".stripMargin,
 
     // CDC re-derived: same trailing-3-gram boundary rule, same
     // strictly-before cumulative chunk numbering, same ordered reassembly

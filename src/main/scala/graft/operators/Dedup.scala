@@ -779,6 +779,48 @@ object Dedup {
         expr("(n_overlap * 1000000) div n_grams").as("overlap_ppm"))
   }
 
+  /** The MULTI-benchmark decontamination matrix: contamination rate per
+    * (corpus group × benchmark) — the release-readiness table a lab reads
+    * before training ("web-crawl is 2,000 ppm against MMLU-like eval A
+    * but clean against eval B"), where [[contaminatedDocs]] answers for
+    * ONE eval set at a time. Every (group, benchmark) cell is present —
+    * including exact-zero cells, which are the point of the report — with
+    * doc counts and the rate in exact integer ppm.
+    *
+    * Scale shape: the corpus is shingled ONCE (the persisted frame serves
+    * every benchmark's join and the group totals); each benchmark
+    * contributes one asymmetric broadcast join against its distinct-gram
+    * set (eval sets are small by definition — that asymmetry is the whole
+    * decontamination design); the grid is group-totals × a literal
+    * benchmark list. Nothing quadratic, nothing corpus-sized shuffled
+    * more than once.
+    */
+  def decontaminationMatrix(corpus: DataFrame, idCol: String,
+                            textCol: String, groupCol: String,
+                            benchmarks: Seq[(String, DataFrame)],
+                            evalTextCol: String, n: Int = 13): DataFrame = {
+    require(benchmarks.nonEmpty, "need at least one benchmark")
+    val sp = corpus.sparkSession
+    graft.functions.HashedShingles.ensureRegistered(sp)
+    val c = CacheScope.persisted(corpus.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"), col(groupCol).as("grp")))
+    val totals = c.groupBy("grp").agg(count(lit(1)).as("n_docs"))
+    val hits = benchmarks.map { case (name, ev) =>
+      contaminatedDocs(c, "doc_id", "text", ev, evalTextCol, n)
+        .join(c.select("doc_id", "grp"), "doc_id")
+        .groupBy("grp").agg(count(lit(1)).as("contaminated_docs"))
+        .withColumn("benchmark", lit(name))
+    }.reduce(_ unionByName _)
+    val grid = totals.crossJoin(
+      broadcast(sp.createDataset(benchmarks.map(_._1))(
+        org.apache.spark.sql.Encoders.STRING).toDF("benchmark")))
+    grid.join(hits, Seq("grp", "benchmark"), "left")
+      .select(col("grp").as(groupCol), col("benchmark"), col("n_docs"),
+        coalesce(col("contaminated_docs"), lit(0L)).as("contaminated_docs"))
+      .withColumn("contam_ppm",
+        expr("(contaminated_docs * 1000000) div n_docs"))
+  }
+
   /** SimHash: 32-bit locality-sensitive signature. Each token votes ±1 on
     * every bit of its 32-bit hash (first 8 md5 hex chars); the signature
     * sets bit b iff the bit-b vote sum is positive.

@@ -504,4 +504,25 @@ class DedupSpec extends SparkTestBase {
       ("clean", 2L, 0L, 0L),
       ("dirty", 3L, 2L, 2L * 1000000L / 3L)))
   }
+
+  test("decontaminationMatrix: full grid with exact-zero cells, ppm exact") {
+    def words(tag: String) = (1 to 13).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      (0L, words("a"), "web"),    // contaminated vs benchmark A only
+      (1L, words("x"), "web"),    // clean
+      (2L, words("b"), "books"),  // contaminated vs benchmark B only
+    ).toDF("doc_id", "text", "source")
+    val benchA = Seq(Tuple1(words("a"))).toDF("text")
+    val benchB = Seq(Tuple1(words("b"))).toDF("text")
+    val out = Dedup.decontaminationMatrix(corpus, "doc_id", "text", "source",
+        Seq("A" -> benchA, "B" -> benchB), "text", n = 13)
+      .orderBy("source", "benchmark")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("books", "A", 1L, 0L, 0L),
+      ("books", "B", 1L, 1L, 1000000L),
+      ("web", "A", 2L, 1L, 500000L),
+      ("web", "B", 2L, 0L, 0L)))
+  }
 }
