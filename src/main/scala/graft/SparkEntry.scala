@@ -2864,6 +2864,30 @@ object SparkEntry {
           "text", n = 13)
         .orderBy("source", "benchmark")
     }),
+
+    // Zone-map INCREMENTAL maintenance: build on the even orderkeys,
+    // append the odd half against the FROZEN build bounds (cost ∝ batch;
+    // out-of-range keys clamp into edge zones whose sidecar widens —
+    // q111/q125's frozen-model discipline applied to the layout store),
+    // then the pruned range scan must still return exactly the plain
+    // filter's rows over the UNION — appends may degrade pruning, never
+    // correctness.
+    "q186_zonemap_append" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          floor(col("l_extendedprice") * 100).cast("long").as("key"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zonemap-append").toString
+      SnapshotDirs.add(root)
+      graft.sinks.ZoneMap.writeZoneMapped(
+        li.filter(col("l_orderkey") % 2 === 0), root, "key", zones = 16)
+      graft.sinks.ZoneMap.appendZoneMapped(s, root,
+        li.filter(col("l_orderkey") % 2 === 1), "key")
+      graft.sinks.ZoneMap.scanRange(s, root, "key", 200000L, 300000L)
+        .select("l_orderkey", "l_linenumber", "key")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -3019,6 +3043,10 @@ object SparkEntry {
       // the HLL register file merged through the state store (element-
       // wise MAX) must equal the batch sketch register-for-register
       "q180_stream_hll" -> "q179_hll_distinct",
+      // build-even + append-odd against frozen bounds, then the pruned
+      // scan must reproduce the plain filter over the union — the zone
+      // map may skip files, never rows, no matter how it was grown
+      "q186_zonemap_append" -> "q181_zonemap_scan",
       // the snapshot-store round trip feeding the incremental dedup must
       // reproduce the in-memory batch-vs-corpus answer
       "q122_snapshot_dedup" -> "q41_incremental_dedup",

@@ -38,17 +38,20 @@ object ZoneMap {
     */
   val MaxZones = 4096
 
-  /** Exact-integer zone id of a long `key` given inclusive global bounds.
-    * Non-negative numerator ⇒ truncating long division IS floor, so DuckDB
-    * `//` agrees term-for-term.
+  /** Exact-integer zone id of a long `key` given inclusive global bounds,
+    * clamped into [0, zones−1]: an APPENDED key outside the frozen build
+    * bounds lands in the nearest edge zone (its sidecar min/max widens to
+    * cover it), it never invents a zone. Within bounds the numerator is
+    * non-negative, so truncating long division IS floor and DuckDB `//`
+    * agrees term-for-term.
     */
   def zoneOf(key: org.apache.spark.sql.Column,
              minK: org.apache.spark.sql.Column,
              maxK: org.apache.spark.sql.Column, zones: Int) =
-    least(lit(zones.toLong - 1),
+    greatest(lit(0L), least(lit(zones.toLong - 1),
       call_function("div",                       // IntegralDivide, not the
         (key - minK) * lit(zones.toLong),        // fractional `/`
-        maxK - minK + lit(1L)))
+        maxK - minK + lit(1L))))
       .cast("long")
 
   /** Write `df` zone-partitioned by long column `keyCol` under `path`:
@@ -80,6 +83,49 @@ object ZoneMap {
         max(col(keyCol)).cast("long").as("max_key"),
         count(lit(1)).as("n_rows"))
       .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_zones")
+    // assignment bounds, FROZEN for the store's lifetime — appends assign
+    // against these, like the IVF stores' frozen codebooks
+    bounds.withColumn("zones", lit(zones)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  /** INCREMENTAL append: assign the batch against the store's FROZEN
+    * build bounds (`_meta` — the q111/q125 frozen-model discipline: an
+    * append must cost ∝ batch and must not re-zone already-written
+    * files), append its rows into the existing zone directories, and
+    * MERGE the sidecar (min/max widen, counts add). Keys outside the
+    * frozen range clamp into the edge zones, whose sidecar rows widen to
+    * cover them — every key stays findable; a drifted key distribution
+    * degrades edge-zone pruning, never correctness, and the sidecar makes
+    * the drift measurable (the rebuild decision, like
+    * [[graft.operators.Similarity.cellOccupancy]] for codebooks).
+    */
+  def appendZoneMapped(spark: SparkSession, path: String, batch: DataFrame,
+                       keyCol: String): Unit = {
+    val meta = spark.read.parquet(s"$path/_meta").head
+    val (minK, maxK, zones) =
+      (meta.getLong(0), meta.getLong(1), meta.getInt(2))
+    val zoned = batch
+      .withColumn("zone",
+        when(col(keyCol).isNull,
+          raise_error(lit(s"ZoneMap: null $keyCol cannot be zone-mapped")))
+          .otherwise(zoneOf(col(keyCol).cast("long"), lit(minK), lit(maxK),
+            zones)))
+    zoned.write.mode("append").partitionBy("zone").parquet(s"$path/data")
+    val batchStats = zoned.groupBy("zone")
+      .agg(min(col(keyCol)).cast("long").as("min_key"),
+        max(col(keyCol)).cast("long").as("max_key"),
+        count(lit(1)).as("n_rows"))
+    val merged = zoneStats(spark, path).unionByName(batchStats)
+      .groupBy("zone")
+      .agg(min("min_key").as("min_key"), max("max_key").as("max_key"),
+        sum("n_rows").as("n_rows"))
+      .coalesce(1)
+    // materialize BEFORE overwriting the sidecar being read
+    val rows = merged.collect()   // bounded: ≤ zones ≤ MaxZones rows
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), merged.schema)
       .write.mode("overwrite").parquet(s"$path/_zones")
   }
 

@@ -84,4 +84,47 @@ class ZoneMapSpec extends SparkTestBase {
         "/tmp/never", "key", zones = ZoneMap.MaxZones + 1)
     }
   }
+
+  test("append assigns against FROZEN bounds and merges the sidecar") {
+    val dir = Files.createTempDirectory("graft-zm-app").toString
+    // build bounds [0, 99], 4 zones of width 25
+    ZoneMap.writeZoneMapped(
+      Seq(0L, 40L, 99L).zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("id", "key"), dir, "key", zones = 4)
+    // batch: in-range key 10 -> zone 0; out-of-range 250 clamps to zone 3
+    ZoneMap.appendZoneMapped(spark,  dir,
+      Seq((10L, 10L), (11L, 250L)).toDF("id", "key"), "key")
+    val stats = ZoneMap.zoneStats(spark, dir).orderBy("zone").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats.toSeq == Seq(
+      (0L, 0L, 10L, 2L), (1L, 40L, 40L, 1L), (3L, 99L, 250L, 2L)))
+    // the widened edge zone keeps the out-of-range key findable
+    assert(ZoneMap.scanRange(spark, dir, "key", 200L, 300L)
+      .select("key").as[Long].collect().toSeq == Seq(250L))
+    // and a scan over everything sees build + batch rows
+    assert(ZoneMap.scanRange(spark, dir, "key", 0L, 300L).count() == 5)
+  }
+
+  test("append cost is ∝ batch: build files are not rewritten") {
+    val dir = Files.createTempDirectory("graft-zm-appfiles").toString
+    ZoneMap.writeZoneMapped(
+      (0L until 100L).map(k => (k, k)).toDF("id", "key"), dir, "key", 4)
+    def dataFiles = {
+      val d = new java.io.File(s"$dir/data")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(d).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = dataFiles
+    ZoneMap.appendZoneMapped(spark, dir,
+      Seq((200L, 50L)).toDF("id", "key"), "key")
+    val after = dataFiles
+    // every pre-append file survives byte-identical (same mtime); the
+    // append only ADDED files
+    before.foreach { case (p, m) =>
+      assert(after.get(p).contains(m), s"build file rewritten: $p")
+    }
+    assert(after.size > before.size)
+  }
 }
