@@ -2888,6 +2888,58 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "key")
         .orderBy("l_orderkey", "l_linenumber")
     }),
+
+    // BANDED Hamming radius search — the sublinear plan for the binary
+    // signatures (q177 is the per-query full scan): 16-bit bands nominate
+    // candidates by equi-join, exact Hamming verifies, and by pigeonhole
+    // (maxHamming 3 < 4 bands) the result EQUALS the brute radius scan —
+    // which is exactly what the oracle computes. The corpus is each
+    // vector plus a one-sign-flip twin, so every query has a real
+    // neighbor inside the radius and the gate is non-vacuous.
+    "q187_hamming_banded" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("embedding"))
+      val twins = e.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
+      Similarity.hammingTopKBanded(e.unionByName(twins),
+          e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, maxHamming = 3)
+        .orderBy("query_id", "hamming", "neighbor_id")
+    }),
+
+    // q181's zone-map store searched from SQL (graft_zonemap_scan TVF —
+    // the sidecar consult folds at analysis time, so even the SQL plan
+    // carries the isin partition filter). Must hash-match q181.
+    "q188_sql_zonemap" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          floor(col("l_extendedprice") * 100).cast("long").as("key"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sql-zonemap").toString
+      SnapshotDirs.add(root)
+      graft.sinks.ZoneMap.writeZoneMapped(li, root, "key", zones = 16)
+      graft.api.SqlFrontDoor.sql(s, dir,
+        s"""SELECT l_orderkey, l_linenumber, key
+           |FROM graft_zonemap_scan('$root', 'key', 200000, 300000)
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    }),
+
+    // q183's MMR rerank from SQL (graft_mmr over registered embedding
+    // views). Must hash-match q183 pick-for-pick.
+    "q189_sql_mmr" -> ((s, dir) => {
+      graft.api.SqlFrontDoor.registerViews(s, dir)
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      val e = Tables(s, dir).embeddings
+      e.filter(col("vec_id") =!= 0)
+        .createOrReplaceTempView("q189_corpus")
+      e.filter(col("vec_id") === 0)
+        .createOrReplaceTempView("q189_query")
+      s.sql("""SELECT * FROM graft_mmr('q189_corpus', 'q189_query',
+              |  'vec_id', 'embedding', 25, 5, 70)
+              |ORDER BY rank""".stripMargin)
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -3047,6 +3099,10 @@ object SparkEntry {
       // scan must reproduce the plain filter over the union — the zone
       // map may skip files, never rows, no matter how it was grown
       "q186_zonemap_append" -> "q181_zonemap_scan",
+      // the zone-map store and the MMR rerank through the SQL front door
+      // must reproduce the library calls row-for-row
+      "q188_sql_zonemap" -> "q181_zonemap_scan",
+      "q189_sql_mmr" -> "q183_mmr_rerank",
       // the snapshot-store round trip feeding the incremental dedup must
       // reproduce the in-memory batch-vs-corpus answer
       "q122_snapshot_dedup" -> "q41_incremental_dedup",
@@ -6277,6 +6333,34 @@ object SparkEntry {
     "q183_mmr_rerank" -> mmrOracle,
 
     "q184_curation_lineage" -> lineageOracle,
+
+    // The twin-augmented corpus, q177's signature packing, and the BRUTE
+    // radius scan — by pigeonhole (radius 3 < 4 bands) the banded plan
+    // must equal this exactly.
+    "q187_hamming_banded" ->
+      """WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |            FROM embeddings),
+        |tw AS (SELECT vec_id + 100000 AS vec_id,
+        |              list_transform(v, (x, i) -> CASE WHEN i = 1 THEN -x ELSE x END) AS v
+        |       FROM v0),
+        |allv AS (SELECT * FROM v0 UNION ALL SELECT * FROM tw),
+        |sg AS (SELECT vec_id,
+        |         list_transform(range((len(v) + 31) // 32), w ->
+        |           (list_sum(list_transform(v[(w*32+1):(w*32+32)], (x, i) ->
+        |             CASE WHEN x > 0 THEN 1::BIGINT << (i - 1)
+        |                  ELSE 0::BIGINT END)))::BIGINT) AS sig
+        |       FROM allv),
+        |q AS (SELECT vec_id AS query_id, sig AS qsig FROM sg WHERE vec_id < 20),
+        |d AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |        (list_sum(list_transform(range(len(q.qsig)), j ->
+        |          bit_count(xor(q.qsig[j+1], c.sig[j+1])))))::BIGINT AS hamming
+        |      FROM q JOIN sg c ON c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, hamming,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY hamming, neighbor_id) AS rk
+        |      FROM d WHERE hamming <= 3)
+        |SELECT query_id, neighbor_id, hamming FROM r WHERE rk <= 5
+        |ORDER BY query_id, hamming, neighbor_id""".stripMargin,
 
     // q34's shingle CTEs with TWO eval-gram sets (val / test buckets),
     // per-source totals, and a complete grid with zero cells preserved.

@@ -52,6 +52,13 @@ object GraftTableFunctions {
       case other => throw new IllegalArgumentException(
         s"$name: expected an integer argument, got $other")
     }
+  private def lng(name: String, e: Expression): Long =
+    lit(name, e) match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"$name: expected an integer argument, got $other")
+    }
   private def dbl(name: String, e: Expression): Double =
     lit(name, e) match {
       case d: Double => d
@@ -223,6 +230,34 @@ object GraftTableFunctions {
           m = int("graft_pq_dedup", args(4)),
           ksub = int("graft_pq_dedup", args(5)),
           centStep = int("graft_pq_dedup", args(6)))
+        .queryExecution.analyzed
+    }),
+    // graft_zonemap_scan(storeDir, keyCol, lo, hi) — the zone-map store's
+    // pruned range scan as a relation: the sidecar consult happens at
+    // analysis time (like the index TVFs' stats reads), so the spliced
+    // plan carries the isin PARTITION filter
+    ("graft_zonemap_scan", { args =>
+      require(args.length == 4,
+        s"graft_zonemap_scan(storeDir, keyCol, lo, hi) got ${args.length} args")
+      graft.sinks.ZoneMap.scanRange(active,
+          str("graft_zonemap_scan", args.head),
+          str("graft_zonemap_scan", args(1)),
+          lng("graft_zonemap_scan", args(2)),
+          lng("graft_zonemap_scan", args(3)))
+        .queryExecution.analyzed
+    }),
+    // graft_mmr(corpusView, queryView, idCol, vecCol, nCand, k,
+    // lambdaPct) — MMR diversity rerank over registered embedding views
+    ("graft_mmr", { args =>
+      require(args.length == 7,
+        "graft_mmr(corpusView, queryView, idCol, vecCol, nCand, k, " +
+          s"lambdaPct) got ${args.length} args")
+      graft.operators.Similarity.mmrRerank(
+          view("graft_mmr", args.head), view("graft_mmr", args(1)),
+          str("graft_mmr", args(2)), str("graft_mmr", args(3)),
+          nCandidates = int("graft_mmr", args(4)),
+          k = int("graft_mmr", args(5)),
+          lambdaPct = int("graft_mmr", args(6)))
         .queryExecution.analyzed
     }))
 

@@ -1226,6 +1226,54 @@ object Similarity {
       .select("query_id", "neighbor_id", "hamming")
   }
 
+  /** BANDED Hamming radius search — the sublinear scale path for the
+    * binary signatures, where [[hammingTopK]] scans the whole corpus per
+    * query: signatures split into 16-bit BANDS (two slices per packed
+    * 32-bit word), candidates generated by an equi-join on
+    * (band index, band value), then exact-Hamming verified and ranked.
+    * By pigeonhole the result is EXACT for `maxHamming < bands`: a pair
+    * within the radius differs in ≤ maxHamming bits, which cannot touch
+    * all `bands` disjoint slices, so some band matches intact and the
+    * join finds the pair — the same guarantee [[graft.streaming
+    * .StreamingPHash]] rests on, here as a query-time top-k. Work per
+    * query ∝ its bands' bucket occupancy, not corpus size; band values
+    * are near-uniform for embedding sign bits, so the join is skew-free.
+    * Output: (query_id, neighbor_id, hamming), ranked (hamming asc, id
+    * asc), ≤ k rows per query, pairs beyond `maxHamming` never emitted.
+    */
+  def hammingTopKBanded(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        maxHamming: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxHamming >= 0, s"maxHamming must be >= 0: $maxHamming")
+    def banded(sig: DataFrame) = sig
+      .select(col("id"), col("sig"),
+        posexplode(flatten(transform(col("sig"), w =>
+          array(w.bitwiseAND(lit(0xFFFFL)),
+            shiftright(w, 16).bitwiseAND(lit(0xFFFFL)))))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val csig = CacheScope.persisted(binarySig(corpus, idCol, vecCol))
+    val qsig = CacheScope.persisted(binarySig(queries, idCol, vecCol))
+    val cand = banded(qsig.select(col("id"), col("sig")))
+      .select(col("id").as("query_id"), col("band_idx"), col("band_val"))
+      .join(banded(csig).select(col("id").as("neighbor_id"),
+        col("band_idx"), col("band_val"), col("sig").as("csig")),
+        Seq("band_idx", "band_val"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "csig").distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    cand
+      .join(qsig.select(col("id").as("query_id"), col("sig").as("qsig")),
+        "query_id")
+      .withColumn("hamming", hammingDist(col("qsig"), col("csig")))
+      .filter(col("hamming") <= maxHamming)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "hamming")
+  }
+
   /** Symmetric int8 top-k: both sides quantized by [[quantizeInt8]], the
     * candidate score an EXACT integer dot product of the two code vectors
     * (|q|≤127 ⇒ 64-dim dots bounded by 127²·64 ≈ 2²⁰ — no overflow for

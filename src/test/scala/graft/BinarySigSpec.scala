@@ -118,6 +118,33 @@ class BinarySigSpec extends SparkTestBase {
     assert(picks.toSeq == Seq((1L, 0L, 0L), (2L, -1000000L, 30000000L)))
   }
 
+  test("hammingTopKBanded equals brute within the radius, and nothing beyond it") {
+    // 33 dims -> 2 words -> 4 bands; radius 3 < 4 bands => exact
+    val rnd = new scala.util.Random(7)
+    def v() = Array.fill(33)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+    val base = (0L until 40L).map(i => (i, v()))
+    // twins of the first 10 with one flipped sign -> hamming 1 neighbors
+    val twins = base.take(10).map { case (i, a) =>
+      (i + 1000L, a.updated(5, -a(5)))
+    }
+    val corpus = (base ++ twins).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 10)
+    val banded = Similarity.hammingTopKBanded(corpus, queries,
+        "vec_id", "embedding", k = 5, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.hammingTopK(corpus, queries,
+        "vec_id", "embedding", k = 5)
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+    assert(banded.nonEmpty)                       // twins guarantee hits
+    assert(banded.forall(_._3 <= 3))
+    // every query finds its twin at hamming exactly 1
+    (0L until 10L).foreach { q =>
+      assert(banded.contains((q, q + 1000L, 1L)), s"missing twin of $q")
+    }
+  }
+
   test("mmrRerank enforces the candidate cap and parameter bounds") {
     val df = Seq((0L, Array(1.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
