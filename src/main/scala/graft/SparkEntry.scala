@@ -2940,6 +2940,48 @@ object SparkEntry {
               |  'vec_id', 'embedding', 25, 5, 70)
               |ORDER BY rank""".stripMargin)
     }),
+
+    // HLL as a per-GROUP aggregate: one 64-byte register file per source
+    // instead of a per-source distinct-key shuffle — the per-source
+    // vocabulary profile. Estimates and zero-register counts per group,
+    // the exact truth alongside; every group's registers re-derived by
+    // the oracle.
+    "q190_hll_by_source" -> ((s, dir) => {
+      TextAnalysis.hllDistinctByGroup(Tables(s, dir).documents,
+          "source", "text", p = 6)
+        .orderBy("source")
+    }),
+
+    // The mergeable-summary contract through a PERSISTED store: per-shard
+    // HLL sketches written to parquet (profile each shard independently —
+    // the distributed-profile deployment pattern), read back and merged
+    // by element-wise register MAX. Must reproduce q179's single-pass
+    // report register-for-register: sharding and the disk round trip may
+    // not move the sketch.
+    "q191_hll_shard_merge" -> ((s, dir) => {
+      graft.functions.HyperLogLogSketch.ensureRegistered(s)
+      val d = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-hll-shards").toString
+      SnapshotDirs.add(root)
+      d.select((col("doc_id") % 8).as("shard"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("shard")
+        .agg(call_function("graft_hll", col("term"), lit(6)).as("regs"))
+        .write.mode("overwrite").parquet(root)
+      val merged = s.read.parquet(root)
+        .select(posexplode(col("regs")))
+        .groupBy("pos").agg(max("col").as("reg"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("reg"))))
+          .as("pr"))
+        .select(transform(col("pr"), x => x.getField("reg")).as("regs"))
+      val trueD = d
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .agg(countDistinct(col("term")).as("true_distinct"))
+      TextAnalysis.hllReportFromRegs(merged.crossJoin(broadcast(trueD)), p = 6)
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -3103,6 +3145,10 @@ object SparkEntry {
       // must reproduce the library calls row-for-row
       "q188_sql_zonemap" -> "q181_zonemap_scan",
       "q189_sql_mmr" -> "q183_mmr_rerank",
+      // per-shard sketches persisted to parquet and max-merged must
+      // reproduce the single-pass register file exactly — sharding and
+      // the disk round trip may not move a mergeable summary
+      "q191_hll_shard_merge" -> "q179_hll_distinct",
       // the snapshot-store round trip feeding the incremental dedup must
       // reproduce the in-memory batch-vs-corpus answer
       "q122_snapshot_dedup" -> "q41_incremental_dedup",
@@ -6361,6 +6407,37 @@ object SparkEntry {
         |      FROM d WHERE hamming <= 3)
         |SELECT query_id, neighbor_id, hamming FROM r WHERE rk <= 5
         |ORDER BY query_id, hamming, neighbor_id""".stripMargin,
+
+    // q179's register derivation PER SOURCE: every (source, register)
+    // cell rebuilt, then the same exact-integer harmonic sum and the one
+    // documented IEEE estimate sequence per group.
+    "q190_hll_by_source" ->
+      """WITH w AS (SELECT source,
+        |             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |           FROM documents),
+        |h AS (SELECT DISTINCT source, ('0x' || substr(md5(term), 1, 12))::BIGINT AS h
+        |      FROM w),
+        |rh AS (SELECT source, h >> 42 AS idx,
+        |              CASE WHEN (h & ((1::BIGINT << 42) - 1)) = 0 THEN 43
+        |                   ELSE 43 - length(bin(h & ((1::BIGINT << 42) - 1)))
+        |              END AS rho
+        |       FROM h),
+        |grid AS (SELECT s.source, r.idx
+        |         FROM (SELECT DISTINCT source FROM documents) s, range(64) r(idx)),
+        |regs AS (SELECT g.source, g.idx, coalesce(max(rh.rho), 0)::BIGINT AS reg_val
+        |         FROM grid g LEFT JOIN rh ON rh.source = g.source AND rh.idx = g.idx
+        |         GROUP BY g.source, g.idx),
+        |st AS (SELECT source,
+        |              (sum(1::BIGINT << (43 - reg_val)::INT))::BIGINT AS s_sum,
+        |              (sum(CASE WHEN reg_val = 0 THEN 1 ELSE 0 END))::BIGINT AS zero_regs
+        |       FROM regs GROUP BY source),
+        |t AS (SELECT source, count(DISTINCT term)::BIGINT AS true_distinct
+        |      FROM w GROUP BY source)
+        |SELECT st.source, zero_regs,
+        |       CAST(floor((0.709 * 4096.0) * (8796093022208.0 / s_sum::DOUBLE)) AS BIGINT) AS est,
+        |       true_distinct
+        |FROM st JOIN t USING (source)
+        |ORDER BY source""".stripMargin,
 
     // q34's shingle CTEs with TWO eval-gram sets (val / test buckets),
     // per-source totals, and a complete grid with zero cells preserved.

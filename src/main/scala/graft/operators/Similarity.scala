@@ -1178,14 +1178,17 @@ object Similarity {
     df.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("sig", expr(
-        """transform(sequence(0, (size(v) - 1) div 32), w ->
+        // the empty-vector guard matters: sequence(0, -1) is a DESCENDING
+        // range in Spark, which would feed slice() a negative start
+        """if(size(v) = 0, array(),
+          |transform(sequence(0, (size(v) - 1) div 32), w ->
           |  aggregate(slice(v, w * 32 + 1, 32),
           |    struct(cast(0 as bigint) as s, 0 as i),
           |    (acc, x) -> struct(
           |      acc.s + if(x > 0D, shiftleft(cast(1 as bigint), acc.i),
           |                 cast(0 as bigint)) as s,
           |      acc.i + 1 as i),
-          |    acc -> acc.s))""".stripMargin))
+          |    acc -> acc.s)))""".stripMargin))
       .select("id", "sig")
 
   /** Hamming distance between two packed sign signatures: per-word

@@ -30,6 +30,13 @@ class BinarySigSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("binarySig: empty vector yields an empty signature, not an error") {
+    val df = Seq((1L, Array.empty[Float])).toDF("vec_id", "embedding")
+    val sig = Similarity.binarySig(df, "vec_id", "embedding")
+      .collect()(0).getSeq[Long](1)
+    assert(sig.isEmpty)
+  }
+
   test("hammingDist counts differing sign bits across words") {
     val df = Seq((
       Seq(0L, 0L),          // all bits clear

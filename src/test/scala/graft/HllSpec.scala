@@ -72,6 +72,29 @@ class HllSpec extends SparkTestBase {
     }
   }
 
+  test("per-group report: each group's estimate tracks its own vocabulary") {
+    val docs = Seq(
+      (1L, "a b c d e", "small"),
+      (2L, (1 to 400).map(i => s"w$i").mkString(" "), "big"),
+    ).toDF("doc_id", "text", "source")
+    val rows = TextAnalysis.hllDistinctByGroup(docs, "source", "text", p = 6)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq("big", "small"))
+    assert(rows(0)._4 == 400L && rows(1)._4 == 5L)
+    // big group: raw estimate within the 3-sigma band (13% se at p=6)
+    val (_, _, bigEst, bigTruth) = rows(0)
+    assert(math.abs(bigEst - bigTruth).toDouble / bigTruth < 0.39,
+      s"$bigEst vs $bigTruth")
+    // small group: the RAW estimate is in the documented small-range
+    // regime (most registers zero, estimate biased high) — and the
+    // published zero_regs column is exactly what linear counting needs
+    val (_, smallZeros, _, _) = rows(1)
+    assert(smallZeros >= 59L)    // >= 64 - 5 non-zero registers
+    val lc = 64.0 * math.log(64.0 / smallZeros)
+    assert(math.abs(lc - 5.0) <= 2.0, s"linear count $lc")
+  }
+
   test("report: register rows carry consistent summary columns") {
     val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
     val rows = TextAnalysis.hllDistinctReport(docs, "text", p = 6).collect()
