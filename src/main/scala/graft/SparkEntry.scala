@@ -2982,6 +2982,21 @@ object SparkEntry {
         .agg(countDistinct(col("term")).as("true_distinct"))
       TextAnalysis.hllReportFromRegs(merged.crossJoin(broadcast(trueD)), p = 6)
     }),
+
+    // KMV (bottom-k) cross-corpus overlap: "how much does crawl B overlap
+    // crawl A" at sketch cost — two bottom-k scans and sketch-sized joins
+    // instead of a corpus join. B is a deterministic re-crawl (ids ≡ 0
+    // mod 3 edited), so the true Jaccard is ~2/3 and every estimator
+    // column is non-trivial. Exact-integer estimator arithmetic
+    // ((k−1)·2^48 ÷ kth-min); the oracle rebuilds both sketches with
+    // ORDER BY hash LIMIT k.
+    "q192_kmv_overlap" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val b = d.select(
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")).as("text"))
+      Dedup.kmvOverlapReport(d.select("text"), b, "text", k = 100)
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -6438,6 +6453,33 @@ object SparkEntry {
         |       true_distinct
         |FROM st JOIN t USING (source)
         |ORDER BY source""".stripMargin,
+
+    // Both bottom-k sketches, the merged union sketch, and the exact-
+    // integer estimator chain re-derived with ORDER BY hash LIMIT k.
+    "q192_kmv_overlap" ->
+      s"""WITH a0 AS (SELECT DISTINCT ('0x' || substr(md5(lower(trim(text))), 1, 12))::BIGINT AS h
+         |            FROM documents),
+         |b0 AS (SELECT DISTINCT ('0x' || substr(md5(lower(trim(
+         |           CASE WHEN doc_id % 3 = 0 THEN text || ' edited' ELSE text END
+         |         ))), 1, 12))::BIGINT AS h
+         |       FROM documents),
+         |sa AS (SELECT h FROM a0 ORDER BY h LIMIT 100),
+         |sb AS (SELECT h FROM b0 ORDER BY h LIMIT 100),
+         |su AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+         |       ORDER BY h LIMIT 100),
+         |m AS (SELECT count(*)::BIGINT AS matches FROM su
+         |      WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+         |ka AS (SELECT max(h) AS kth_a FROM sa),
+         |kb AS (SELECT max(h) AS kth_b FROM sb),
+         |ku AS (SELECT max(h) AS kth_u FROM su)
+         |SELECT 100::BIGINT AS k,
+         |       kth_a, (${99L * (1L << 48)} // kth_a)::BIGINT AS est_a,
+         |       kth_b, (${99L * (1L << 48)} // kth_b)::BIGINT AS est_b,
+         |       kth_u, (${99L * (1L << 48)} // kth_u)::BIGINT AS est_union,
+         |       matches, ((matches * 1000000) // 100)::BIGINT AS jaccard_ppm,
+         |       ((((matches * 1000000) // 100) * ((${99L * (1L << 48)} // kth_u))) // 1000000)::BIGINT
+         |         AS est_intersection
+         |FROM ka, kb, ku, m""".stripMargin,
 
     // q34's shingle CTEs with TWO eval-gram sets (val / test buckets),
     // per-source totals, and a complete grid with zero cells preserved.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operator family for LLM-training-data pipelines: exact
@@ -819,6 +819,84 @@ object Dedup {
         coalesce(col("contaminated_docs"), lit(0L)).as("contaminated_docs"))
       .withColumn("contam_ppm",
         expr("(contaminated_docs * 1000000) div n_docs"))
+  }
+
+  /** K-Minimum-Values (KMV / bottom-k) sketch of a corpus's distinct
+    * content fingerprints: the `k` smallest 48-bit md5 hashes. The fourth
+    * sketch in the family, and the one that buys SET OPERATIONS: two
+    * corpora's bottom-k sketches merge (union, keep k smallest) into the
+    * union's sketch, and the fraction of the merged sketch present in
+    * BOTH inputs estimates Jaccard — so "how much does crawl A overlap
+    * crawl B" costs two bottom-k scans instead of a corpus-sized join.
+    * HLL cannot intersect (register MAX destroys the evidence); KMV can,
+    * which is why both exist.
+    *
+    * Order-insensitive and deterministic by construction (the k smallest
+    * of a SET — no RNG, no merge-order sensitivity; contrast KLL-style
+    * quantile sketches, whose compaction depends on arrival order and
+    * which are deliberately NOT in the gate set for that reason). The
+    * implementation is Spark's own mergeable bottom-k machinery:
+    * distinct → sort → limit plans as TakeOrderedAndProject — an O(k)
+    * heap per partition, partials merged on the driver, never a global
+    * sort. Output: the sketch rows (hash asc), ≤ k.
+    */
+  def kmvSketch(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")   // the estimator uses k-1
+    df.select(hash48(lower(trim(col(textCol)))).as("h"))
+      .distinct().orderBy("h").limit(k)
+  }
+
+  /** 48-bit hash: first 12 md5 hex digits — `('0x' ||
+    * substr(md5(x), 1, 12))::BIGINT` in the oracle.
+    */
+  private def hash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** Cross-corpus overlap report from two KMV sketches — one row of
+    * exact-integer estimator arithmetic:
+    *
+    *  - `est_a` / `est_b`: distinct counts, `(k−1)·2^48 ÷ kth-min` (the
+    *    classic KMV estimator, computed in exact 64-bit integers — the
+    *    numerator is ≤ (k−1)·2^48 < 2^63 for k ≤ 16384);
+    *  - `est_union`: same estimator over the MERGED sketch (k smallest
+    *    of the union — exactly the union's own sketch);
+    *  - `matches` / `jaccard_ppm`: how many merged-sketch hashes appear
+    *    in both inputs, over k — the Jaccard estimate;
+    *  - `est_intersection`: `jaccard_ppm · est_union ÷ 10⁶`.
+    *
+    * If either corpus has fewer than `k` distinct values the estimator
+    * degenerates (kth-min doesn't exist); this report targets corpora
+    * comfortably past `k`, the regime the sketch exists for. All joins
+    * touch ≤ k rows per side — the whole report after the two bottom-k
+    * scans is sketch-sized.
+    */
+  def kmvOverlapReport(a: DataFrame, b: DataFrame, textCol: String,
+                       k: Int): DataFrame = {
+    val sa = CacheScope.persisted(kmvSketch(a, textCol, k))
+    val sb = CacheScope.persisted(kmvSketch(b, textCol, k))
+    val merged = CacheScope.persisted(
+      sa.unionByName(sb).distinct().orderBy("h").limit(k))
+    val num = lit((k - 1).toLong * (1L << 48))
+    val aggA = sa.agg(max("h").as("kth_a"))
+    val aggB = sb.agg(max("h").as("kth_b"))
+    val aggU = merged.agg(max("h").as("kth_u"))
+    val matches = merged.join(sa, "h").join(sb, "h")
+      .agg(count(lit(1)).as("matches"))
+    aggA.crossJoin(aggB).crossJoin(aggU).crossJoin(matches)
+      .select(
+        lit(k.toLong).as("k"),
+        col("kth_a"),
+        call_function("div", num, col("kth_a")).as("est_a"),
+        col("kth_b"),
+        call_function("div", num, col("kth_b")).as("est_b"),
+        col("kth_u"),
+        call_function("div", num, col("kth_u")).as("est_union"),
+        col("matches"),
+        call_function("div", col("matches") * lit(1000000L), lit(k.toLong))
+          .as("jaccard_ppm"))
+      .withColumn("est_intersection",
+        call_function("div", col("jaccard_ppm") * col("est_union"),
+          lit(1000000L)))
   }
 
   /** SimHash: 32-bit locality-sensitive signature. Each token votes ±1 on

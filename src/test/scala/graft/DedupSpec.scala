@@ -525,4 +525,36 @@ class DedupSpec extends SparkTestBase {
       ("web", "A", 2L, 1L, 500000L),
       ("web", "B", 2L, 0L, 0L)))
   }
+
+  test("kmvSketch is the k smallest distinct 48-bit hashes (recomputed)") {
+    val texts = (0 until 300).map(i => s"document number $i")
+    val got = Dedup.kmvSketch(texts.toDF("text"), "text", k = 50)
+      .collect().map(_.getLong(0)).toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = texts.map { t =>
+      val d = md.digest(t.toLowerCase.trim.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+        ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+    }.distinct.sorted.take(50)
+    assert(got == expect)
+  }
+
+  test("kmvOverlapReport: identical corpora estimate Jaccard 1; estimator is exact-integer") {
+    val texts = (0 until 400).map(i => s"doc $i").toDF("text")
+    val r = Dedup.kmvOverlapReport(texts, texts, "text", k = 64).head
+    val (k, kthA, estA) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(k == 64L && estA == (63L * (1L << 48)) / kthA)
+    assert(r.getLong(7) == 64L)              // matches = k
+    assert(r.getLong(8) == 1000000L)         // jaccard_ppm
+    assert(r.getLong(9) == r.getLong(6))     // est_intersection = est_union
+    // the estimate should be in the right ballpark for 400 distinct
+    assert(estA > 150L && estA < 1200L, s"est_a=$estA")
+  }
+
+  test("kmvOverlapReport: disjoint corpora estimate Jaccard 0") {
+    val a = (0 until 300).map(i => s"alpha $i").toDF("text")
+    val b = (0 until 300).map(i => s"beta $i").toDF("text")
+    val r = Dedup.kmvOverlapReport(a, b, "text", k = 50).head
+    assert(r.getLong(7) == 0L && r.getLong(8) == 0L && r.getLong(9) == 0L)
+  }
 }
