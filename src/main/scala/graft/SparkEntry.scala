@@ -2997,6 +2997,35 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       Dedup.kmvOverlapReport(d.select("text"), b, "text", k = 100)
     }),
+
+    // Streaming zone-map ingest (q140/q141's recipe for the layout
+    // store): build on the even orderkeys, stream the odd half through
+    // per-trigger appendZoneMapped against the frozen _meta bounds, and
+    // the pruned range scan over the grown store must still equal the
+    // plain filter over the full table.
+    "q193_stream_zonemap" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          floor(col("l_extendedprice") * 100).cast("long").as("key"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-zonemap").toString
+      SnapshotDirs.add(root)
+      graft.sinks.ZoneMap.writeZoneMapped(
+        li.filter(col("l_orderkey") % 2 === 0), root, "key", zones = 16)
+      li.filter(col("l_orderkey") % 2 === 1).repartition(3)
+        .write.mode("overwrite").parquet(s"$root/arrivals")
+      val schema = s.read.parquet(s"$root/arrivals").schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/arrivals")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("q193-ckpt").toString
+      SnapshotDirs.add(ckpt)
+      graft.streaming.StreamingIndex.ingestZoneMap(s, src, ckpt, root, "key")
+      graft.sinks.ZoneMap.scanRange(s, root, "key", 200000L, 300000L)
+        .select("l_orderkey", "l_linenumber", "key")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -3164,6 +3193,9 @@ object SparkEntry {
       // reproduce the single-pass register file exactly — sharding and
       // the disk round trip may not move a mergeable summary
       "q191_hll_shard_merge" -> "q179_hll_distinct",
+      // micro-batch ingest into the zone-map store must be
+      // indistinguishable from the batch append it replays per trigger
+      "q193_stream_zonemap" -> "q181_zonemap_scan",
       // the snapshot-store round trip feeding the incremental dedup must
       // reproduce the in-memory batch-vs-corpus answer
       "q122_snapshot_dedup" -> "q41_incremental_dedup",

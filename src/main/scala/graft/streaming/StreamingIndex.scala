@@ -87,4 +87,23 @@ object StreamingIndex {
           graft.operators.StoreFs.mkdirs(spark, marker)
         }
     }
+
+  /** [[ingestTextIndex]] for the ZONE-MAP layout store: each micro-batch
+    * assigns against the store's frozen `_meta` bounds and appends into
+    * the zone directories ([[graft.sinks.ZoneMap.appendZoneMapped]] per
+    * trigger) — the live-ingest form of a zone-clustered 100 TB table,
+    * with the same processed-batch markers (an append that replays would
+    * double the batch's rows AND inflate the sidecar counts).
+    */
+  def ingestZoneMap(spark: SparkSession, source: DataFrame,
+                    checkpoint: String, dir: String,
+                    keyCol: String): Unit =
+    BoundedStream.runForeachBatch(source, identity, checkpoint, "append") {
+      (batch, id) =>
+        val marker = s"$dir/ingested/batch=$id"
+        if (!graft.operators.StoreFs.exists(spark, marker)) {
+          graft.sinks.ZoneMap.appendZoneMapped(spark, dir, batch, keyCol)
+          graft.operators.StoreFs.mkdirs(spark, marker)
+        }
+    }
 }
