@@ -2805,7 +2805,7 @@ object SparkEntry {
       graft.sinks.ZoneMap.writeZoneMapped(li, root, "key", zones = 16)
       graft.sinks.ZoneMap.scanRange(s, root, "key", 200000L, 300000L)
         .select("l_orderkey", "l_linenumber", "key")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "key")
     }),
 
     // The zone-map SIDECAR itself under the hash: per-zone min/max/count
@@ -2886,7 +2886,7 @@ object SparkEntry {
         li.filter(col("l_orderkey") % 2 === 1), "key")
       graft.sinks.ZoneMap.scanRange(s, root, "key", 200000L, 300000L)
         .select("l_orderkey", "l_linenumber", "key")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "key")
     }),
 
     // BANDED Hamming radius search — the sublinear plan for the binary
@@ -2923,7 +2923,7 @@ object SparkEntry {
       graft.api.SqlFrontDoor.sql(s, dir,
         s"""SELECT l_orderkey, l_linenumber, key
            |FROM graft_zonemap_scan('$root', 'key', 200000, 300000)
-           |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+           |ORDER BY l_orderkey, l_linenumber, key""".stripMargin)
     }),
 
     // q183's MMR rerank from SQL (graft_mmr over registered embedding
@@ -3024,7 +3024,43 @@ object SparkEntry {
       graft.streaming.StreamingIndex.ingestZoneMap(s, src, ckpt, root, "key")
       graft.sinks.ZoneMap.scanRange(s, root, "key", 200000L, 300000L)
         .select("l_orderkey", "l_linenumber", "key")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "key")
+    }),
+
+    // Zone-map fsck (the q147/q149 treatment for the layout store),
+    // exercised over a LIFECYCLE store — build even + append odd — so
+    // the frozen-bounds assignment, the widened edge zones, and the
+    // merged sidecar all sit under the invariant columns. Counts are
+    // real; every violation column must be exactly zero.
+    "q194_zonemap_audit" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * 100).cast("long").as("key"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zonemap-audit").toString
+      SnapshotDirs.add(root)
+      graft.sinks.ZoneMap.writeZoneMapped(
+        li.filter(col("l_orderkey") % 2 === 0), root, "key", zones = 16)
+      graft.sinks.ZoneMap.appendZoneMapped(s, root,
+        li.filter(col("l_orderkey") % 2 === 1), "key")
+      graft.sinks.ZoneMap.zoneMapAudit(s, root)
+    }),
+
+    // q194 through the SQL front door (graft_zonemap_audit TVF) — store
+    // integrity provable without Scala, like q161/q162.
+    "q195_sql_zonemap_audit" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * 100).cast("long").as("key"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sql-zm-audit").toString
+      SnapshotDirs.add(root)
+      graft.sinks.ZoneMap.writeZoneMapped(
+        li.filter(col("l_orderkey") % 2 === 0), root, "key", zones = 16)
+      graft.sinks.ZoneMap.appendZoneMapped(s, root,
+        li.filter(col("l_orderkey") % 2 === 1), "key")
+      graft.api.SqlFrontDoor.sql(s, dir,
+        s"SELECT * FROM graft_zonemap_audit('$root')")
     }),
   )
 
@@ -3196,6 +3232,9 @@ object SparkEntry {
       // micro-batch ingest into the zone-map store must be
       // indistinguishable from the batch append it replays per trigger
       "q193_stream_zonemap" -> "q181_zonemap_scan",
+      // the fsck through the SQL front door must reproduce the library
+      // call's invariant row
+      "q195_sql_zonemap_audit" -> "q194_zonemap_audit",
       // the snapshot-store round trip feeding the incremental dedup must
       // reproduce the in-memory batch-vs-corpus answer
       "q122_snapshot_dedup" -> "q41_incremental_dedup",
@@ -6409,7 +6448,7 @@ object SparkEntry {
         |       CAST(floor(l_extendedprice * 100) AS BIGINT) AS key
         |FROM lineitem
         |WHERE CAST(floor(l_extendedprice * 100) AS BIGINT) BETWEEN 200000 AND 300000
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, key""".stripMargin,
 
     // The sidecar re-derived from scratch: exact-integer zone assignment
     // (floor division on a non-negative numerator), then min/max/count.
@@ -6512,6 +6551,16 @@ object SparkEntry {
          |       ((((matches * 1000000) // 100) * ((${99L * (1L << 48)} // kth_u))) // 1000000)::BIGINT
          |         AS est_intersection
          |FROM ka, kb, ku, m""".stripMargin,
+
+    // The audit's counts re-derived from the base table; every violation
+    // column is an invariant the store must hold exactly (the q147/q149
+    // oracle convention).
+    "q194_zonemap_audit" ->
+      """SELECT 16::BIGINT AS zones_meta, 16::BIGINT AS zones_sidecar,
+        |       16::BIGINT AS zones_data, count(*)::BIGINT AS n_rows,
+        |       0::BIGINT AS zone_mismatch, 0::BIGINT AS stat_mismatches,
+        |       0::BIGINT AS misassigned
+        |FROM lineitem""".stripMargin,
 
     // q34's shingle CTEs with TWO eval-gram sets (val / test buckets),
     // per-source totals, and a complete grid with zero cells preserved.

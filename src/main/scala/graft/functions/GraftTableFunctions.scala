@@ -246,6 +246,15 @@ object GraftTableFunctions {
           lng("graft_zonemap_scan", args(3)))
         .queryExecution.analyzed
     }),
+    // graft_zonemap_audit(storeDir) — the layout store's fsck as a
+    // one-row SQL relation (q161/q162's treatment)
+    ("graft_zonemap_audit", { args =>
+      require(args.length == 1,
+        s"graft_zonemap_audit(storeDir) got ${args.length} args")
+      graft.sinks.ZoneMap
+        .zoneMapAudit(active, str("graft_zonemap_audit", args.head))
+        .queryExecution.analyzed
+    }),
     // graft_mmr(corpusView, queryView, idCol, vecCol, nCand, k,
     // lambdaPct) — MMR diversity rerank over registered embedding views
     ("graft_mmr", { args =>

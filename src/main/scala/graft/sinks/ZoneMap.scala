@@ -86,7 +86,8 @@ object ZoneMap {
       .write.mode("overwrite").parquet(s"$path/_zones")
     // assignment bounds, FROZEN for the store's lifetime — appends assign
     // against these, like the IVF stores' frozen codebooks
-    bounds.withColumn("zones", lit(zones)).coalesce(1)
+    bounds.withColumn("zones", lit(zones))
+      .withColumn("key_col", lit(keyCol)).coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_meta")
   }
 
@@ -134,6 +135,52 @@ object ZoneMap {
     */
   def zoneStats(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/_zones")
+
+  /** The store's fsck: every invariant the scan path depends on, checked
+    * against the actual data and reported as ONE row — the q147/q149
+    * treatment for the layout store. Checks:
+    *
+    *  - the sidecar's per-zone (min_key, max_key, n_rows) equal the data's
+    *    actual per-zone aggregates (`stat_mismatches` — a wrong sidecar
+    *    min/max silently prunes live rows, the one unrecoverable failure);
+    *  - sidecar and data agree on the zone SET (`zone_mismatch` counts
+    *    zones present on one side only);
+    *  - every row sits in the zone the frozen `_meta` bounds assign it
+    *    (`misassigned` — clamp included, so appended out-of-range rows
+    *    audit clean in their edge zones).
+    *
+    * One data scan + the (≤ zones)-row sidecar. Output: (zones_meta,
+    * zones_sidecar, zones_data, n_rows, zone_mismatch, stat_mismatches,
+    * misassigned).
+    */
+  def zoneMapAudit(spark: SparkSession, path: String): DataFrame = {
+    val meta = spark.read.parquet(s"$path/_meta").head
+    val (minK, maxK, zones, keyCol) =
+      (meta.getLong(0), meta.getLong(1), meta.getInt(2), meta.getString(3))
+    val data = spark.read.parquet(s"$path/data")
+      .withColumn("expect_zone",
+        zoneOf(col(keyCol).cast("long"), lit(minK), lit(maxK), zones))
+    val actual = data.groupBy("zone")
+      .agg(min(col(keyCol)).cast("long").as("a_min"),
+        max(col(keyCol)).cast("long").as("a_max"),
+        count(lit(1)).as("a_rows"),
+        sum(when(col("expect_zone") =!= col("zone"), 1L).otherwise(0L))
+          .as("a_misassigned"))
+    val joined = zoneStats(spark, path)
+      .join(actual, Seq("zone"), "full_outer")
+    joined.agg(
+        lit(zones.toLong).as("zones_meta"),
+        count(col("min_key")).as("zones_sidecar"),
+        count(col("a_rows")).as("zones_data"),
+        coalesce(sum("a_rows"), lit(0L)).as("n_rows"),
+        sum(when(col("min_key").isNull || col("a_rows").isNull, 1L)
+          .otherwise(0L)).as("zone_mismatch"),
+        sum(when(col("min_key") =!= col("a_min") ||
+          col("max_key") =!= col("a_max") ||
+          col("n_rows") =!= col("a_rows"), 1L).otherwise(0L))
+          .as("stat_mismatches"),
+        coalesce(sum("a_misassigned"), lit(0L)).as("misassigned"))
+  }
 
   /** Range scan `lo ≤ key ≤ hi` (inclusive) that reads ONLY zones whose
     * [min_key, max_key] intersects the predicate: the sidecar nominates
