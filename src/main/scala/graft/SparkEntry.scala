@@ -3062,6 +3062,61 @@ object SparkEntry {
       graft.api.SqlFrontDoor.sql(s, dir,
         s"SELECT * FROM graft_zonemap_audit('$root')")
     }),
+
+    // The ENTIRE q179 HLL report as one SQL text: the native aggregate
+    // plus codegen'd HOF arithmetic (aggregate/shiftleft/posexplode),
+    // nothing Scala-side — a pure-SQL session owns the sketch end to
+    // end. Must hash-match q179 register-for-register.
+    "q196_sql_hll" -> ((s, dir) => {
+      graft.functions.HyperLogLogSketch.ensureRegistered(s)
+      graft.api.SqlFrontDoor.sql(s, dir,
+        """WITH t AS (SELECT explode(filter(split(text, ' '), x -> x != '')) AS term
+          |           FROM documents),
+          |sk AS (SELECT graft_hll(term, 6) AS regs,
+          |              count(DISTINCT term) AS true_distinct FROM t),
+          |st AS (SELECT regs, true_distinct,
+          |         aggregate(regs, 0L, (acc, r) ->
+          |           acc + shiftleft(1L, 43 - CAST(r AS INT))) AS s_sum,
+          |         aggregate(regs, 0L, (acc, r) ->
+          |           acc + IF(r = 0L, 1L, 0L)) AS zero_regs
+          |       FROM sk),
+          |fin AS (SELECT zero_regs,
+          |          CAST(floor(0.709 * 4096.0 *
+          |            (8796093022208.0 / CAST(s_sum AS DOUBLE))) AS BIGINT) AS est,
+          |          true_distinct, posexplode(regs) AS (pos, reg_val)
+          |        FROM st)
+          |SELECT CAST(pos AS BIGINT) AS reg_idx, reg_val, zero_regs, est,
+          |       true_distinct
+          |FROM fin ORDER BY reg_idx""".stripMargin)
+    }),
+
+    // q192's overlap report through the SQL front door (graft_kmv_overlap
+    // over two registered corpus views). Must hash-match q192.
+    "q197_sql_kmv" -> ((s, dir) => {
+      graft.api.SqlFrontDoor.registerViews(s, dir)
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      val d = Tables(s, dir).documents
+      d.select("text").createOrReplaceTempView("q197_a")
+      d.select(
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")).as("text"))
+        .createOrReplaceTempView("q197_b")
+      s.sql("SELECT * FROM graft_kmv_overlap('q197_a', 'q197_b', 'text', 100)")
+    }),
+
+    // q177's binary-signature search through the SQL front door
+    // (graft_hamming_topk over registered embedding views). Must
+    // hash-match q177.
+    "q198_sql_hamming" -> ((s, dir) => {
+      graft.api.SqlFrontDoor.registerViews(s, dir)
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      val e = Tables(s, dir).embeddings
+      e.createOrReplaceTempView("q198_corpus")
+      e.filter(col("vec_id") < 20).createOrReplaceTempView("q198_queries")
+      s.sql("""SELECT * FROM graft_hamming_topk('q198_corpus', 'q198_queries',
+              |  'vec_id', 'embedding', 3)
+              |ORDER BY query_id, hamming, neighbor_id""".stripMargin)
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -3235,6 +3290,12 @@ object SparkEntry {
       // the fsck through the SQL front door must reproduce the library
       // call's invariant row
       "q195_sql_zonemap_audit" -> "q194_zonemap_audit",
+      // the sketch family through the SQL front door: the pure-SQL HLL
+      // report, the KMV overlap TVF, and the Hamming top-k TVF must
+      // reproduce their library twins exactly
+      "q196_sql_hll" -> "q179_hll_distinct",
+      "q197_sql_kmv" -> "q192_kmv_overlap",
+      "q198_sql_hamming" -> "q177_binary_ann",
       // the snapshot-store round trip feeding the incremental dedup must
       // reproduce the in-memory batch-vs-corpus answer
       "q122_snapshot_dedup" -> "q41_incremental_dedup",

@@ -246,6 +246,31 @@ object GraftTableFunctions {
           lng("graft_zonemap_scan", args(3)))
         .queryExecution.analyzed
     }),
+    // graft_kmv_overlap(viewA, viewB, textCol, k) — cross-corpus overlap
+    // estimates from two bottom-k sketches, as one SQL row
+    ("graft_kmv_overlap", { args =>
+      require(args.length == 4,
+        s"graft_kmv_overlap(viewA, viewB, textCol, k) got ${args.length} args")
+      graft.operators.Dedup.kmvOverlapReport(
+          view("graft_kmv_overlap", args.head),
+          view("graft_kmv_overlap", args(1)),
+          str("graft_kmv_overlap", args(2)),
+          k = int("graft_kmv_overlap", args(3)))
+        .queryExecution.analyzed
+    }),
+    // graft_hamming_topk(corpusView, queryView, idCol, vecCol, k) —
+    // binary-signature Hamming top-k over registered embedding views
+    ("graft_hamming_topk", { args =>
+      require(args.length == 5,
+        s"graft_hamming_topk(corpusView, queryView, idCol, vecCol, k) got ${args.length} args")
+      graft.operators.Similarity.hammingTopK(
+          view("graft_hamming_topk", args.head),
+          view("graft_hamming_topk", args(1)),
+          str("graft_hamming_topk", args(2)),
+          str("graft_hamming_topk", args(3)),
+          k = int("graft_hamming_topk", args(4)))
+        .queryExecution.analyzed
+    }),
     // graft_zonemap_audit(storeDir) — the layout store's fsck as a
     // one-row SQL relation (q161/q162's treatment)
     ("graft_zonemap_audit", { args =>
