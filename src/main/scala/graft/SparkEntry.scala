@@ -3117,6 +3117,41 @@ object SparkEntry {
               |  'vec_id', 'embedding', 3)
               |ORDER BY query_id, hamming, neighbor_id""".stripMargin)
     }),
+
+    // Delta-chain snapshots (CDC storage): full base at v1, then two
+    // DELTAS — v2 edits ids ≡3 (mod 7) and deletes ids ≡5 (mod 11);
+    // v3 re-edits ids ≡1 (mod 13) (overriding v2 where both touched),
+    // late-adds five new ids, and deletes ids ≡2 (mod 17) — and the
+    // reconstruction at v3 must produce the exact merged corpus:
+    // last-writer-wins per id, tombstones final, one window over one
+    // union whatever the chain length. Deltas cost ∝ churn, not corpus —
+    // the CDC answer to writeSnapshot's daily full copy.
+    "q199_snapshot_delta" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-snap-delta").toString
+      SnapshotDirs.add(root)
+      Curation.writeSnapshot(d, root, version = 1)
+      Curation.writeSnapshotDelta(s, root, version = 2,
+        upserts = d.filter(col("doc_id") % 7 === 3)
+          .withColumn("text", concat(col("text"), lit(" rev2"))),
+        deleteIds = d.filter(col("doc_id") % 11 === 5 &&
+          col("doc_id") % 7 =!= 3).select("doc_id"),
+        idCol = "doc_id")
+      Curation.writeSnapshotDelta(s, root, version = 3,
+        upserts = d.filter(col("doc_id") % 13 === 1)
+          .withColumn("text", concat(col("text"), lit(" rev3")))
+          .unionByName(d.filter(col("doc_id") < 5)
+            .withColumn("doc_id", col("doc_id") + 100000L)
+            .withColumn("text",
+              concat(lit("late arrival "), col("doc_id") - 100000L))),
+        deleteIds = d.filter(col("doc_id") % 17 === 2 &&
+          col("doc_id") % 13 =!= 1).select("doc_id"),
+        idCol = "doc_id")
+      Curation.readSnapshotAt(s, root, version = 3, idCol = "doc_id")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -6612,6 +6647,31 @@ object SparkEntry {
          |       ((((matches * 1000000) // 100) * ((${99L * (1L << 48)} // kth_u))) // 1000000)::BIGINT
          |         AS est_intersection
          |FROM ka, kb, ku, m""".stripMargin,
+
+    // The same base + two-delta merge re-derived with the identical
+    // last-writer-wins window (version desc, tombstone-first tie key).
+    "q199_snapshot_delta" ->
+      """WITH base AS (SELECT doc_id, text, 1 AS v, 'u' AS op FROM documents),
+        |u2 AS (SELECT doc_id, text || ' rev2' AS text, 2 AS v, 'u' AS op
+        |       FROM documents WHERE doc_id % 7 = 3),
+        |d2 AS (SELECT doc_id, NULL AS text, 2 AS v, 'd' AS op
+        |       FROM documents WHERE doc_id % 11 = 5 AND doc_id % 7 <> 3),
+        |u3 AS (SELECT doc_id, text || ' rev3' AS text, 3 AS v, 'u' AS op
+        |       FROM documents WHERE doc_id % 13 = 1
+        |       UNION ALL
+        |       SELECT doc_id + 100000, 'late arrival ' || doc_id::VARCHAR,
+        |              3, 'u'
+        |       FROM documents WHERE doc_id < 5),
+        |d3 AS (SELECT doc_id, NULL AS text, 3 AS v, 'd' AS op
+        |       FROM documents WHERE doc_id % 17 = 2 AND doc_id % 13 <> 1),
+        |chain AS (SELECT * FROM base UNION ALL SELECT * FROM u2
+        |          UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM u3
+        |          UNION ALL SELECT * FROM d3),
+        |r AS (SELECT doc_id, text, op,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY v DESC, op) AS rk
+        |      FROM chain)
+        |SELECT doc_id, text FROM r WHERE rk = 1 AND op = 'u'
+        |ORDER BY doc_id""".stripMargin,
 
     // The audit's counts re-derived from the base table; every violation
     // column is an invariant the store must hold exactly (the q147/q149

@@ -524,6 +524,80 @@ object Curation {
       .withColumn("version", col("version").cast("long"))
   }
 
+  /** DELTA-CHAIN writes for the snapshot store: version `v` stored as
+    * only WHAT CHANGED — an upsert frame (full rows) and a delete-id
+    * frame — instead of [[writeSnapshot]]'s full copy. At 100 TB a daily
+    * full snapshot is a 100 TB write; a delta is ∝ the day's churn, which
+    * is the entire point of CDC-shaped storage. [[readSnapshotAt]]
+    * reconstructs any version by folding the chain over the newest full
+    * snapshot at-or-below it — so full snapshots double as the chain's
+    * compaction points (write one whenever reconstruction cost has grown
+    * past taste, exactly like the text/IVF stores' segment compaction).
+    * Upserting and deleting the same id in ONE delta is rejected — the
+    * merge would otherwise need an arbitrary winner.
+    */
+  def writeSnapshotDelta(spark: org.apache.spark.sql.SparkSession,
+                         rootDir: String, version: Long,
+                         upserts: DataFrame, deleteIds: DataFrame,
+                         idCol: String): Unit = {
+    require(version >= 1, s"delta version must be >= 1: $version")
+    val clash = upserts.select(col(idCol))
+      .join(deleteIds.select(col(idCol)), idCol).limit(1).count()
+    require(clash == 0,
+      s"version $version upserts and deletes share ids — ambiguous merge")
+    upserts.write.mode("errorifexists")
+      .parquet(s"$rootDir/_delta/version=$version/upserts")
+    deleteIds.select(col(idCol)).write.mode("errorifexists")
+      .parquet(s"$rootDir/_delta/version=$version/deletes")
+  }
+
+  /** Delta versions present under the store, ascending. */
+  def deltaVersions(rootDir: String,
+                    conf: Option[org.apache.hadoop.conf.Configuration] = None): Seq[Long] =
+    snapshotVersions(s"$rootDir/_delta", conf)
+
+  /** Reconstruct the store's logical content AT `version` (time travel):
+    * the newest FULL snapshot at-or-below `version` is the base; every
+    * delta in `(base, version]` folds over it with last-writer-wins per
+    * id — a delete tombstone at version v beats any older upsert, and
+    * the newest upsert wins over everything older. One union + one
+    * window on the (unique, md5-uniform-enough) id key — reconstruction
+    * is a single shuffle whatever the chain length, and the base scan is
+    * partition-pruned to one version directory.
+    */
+  def readSnapshotAt(spark: org.apache.spark.sql.SparkSession,
+                     rootDir: String, version: Long,
+                     idCol: String): DataFrame = {
+    val fulls = snapshotVersions(rootDir).filter(_ <= version)
+    require(fulls.nonEmpty, s"no full snapshot at or below version $version")
+    val base = fulls.max
+    val deltas = deltaVersions(rootDir).filter(v => v > base && v <= version)
+    val baseDf = spark.read.parquet(s"$rootDir/version=$base")
+    val dataCols = baseDf.columns.toSeq
+    val baseTagged = baseDf
+      .withColumn("_v", lit(base)).withColumn("_op", lit("u"))
+    val chain = deltas.foldLeft(baseTagged) { (acc, v) =>
+      val ups = spark.read.parquet(s"$rootDir/_delta/version=$v/upserts")
+        .select(dataCols.map(col): _*)
+        .withColumn("_v", lit(v)).withColumn("_op", lit("u"))
+      val dels = spark.read.parquet(s"$rootDir/_delta/version=$v/deletes")
+      val delRows = dels.select(
+        col(idCol) +: dataCols.filter(_ != idCol).map(c =>
+          lit(null).cast(baseDf.schema(c).dataType).as(c)): _*)
+        .select(dataCols.map(col): _*)
+        .withColumn("_v", lit(v)).withColumn("_op", lit("d"))
+      acc.unionByName(ups).unionByName(delRows)
+    }
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("_v").desc, col("_op").asc) // 'd' before 'u' never
+                                               // happens within a version
+                                               // (writeSnapshotDelta
+                                               // rejects the clash)
+    chain.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1 && col("_op") === "u")
+      .select(dataCols.map(col): _*)
+  }
+
   /** [[corpusDiff]] between two STORED versions — the audit a re-crawl
     * runs before spending downstream dedup/curation compute. Both sides
     * are partition-pruned single-version scans.

@@ -292,4 +292,40 @@ class CurationSpec extends SparkTestBase {
     // every doc appears exactly once — the audit is total
     assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
   }
+
+  test("snapshot delta chain: time travel to every version; clash rejected") {
+    val root = java.nio.file.Files.createTempDirectory("snap-delta").toString
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+    Curation.writeSnapshot(base, root, version = 1)
+    Curation.writeSnapshotDelta(spark, root, version = 2,
+      upserts = Seq((2L, "two v2"), (4L, "four")).toDF("doc_id", "text"),
+      deleteIds = Seq(Tuple1(3L)).toDF("doc_id"), idCol = "doc_id")
+    Curation.writeSnapshotDelta(spark, root, version = 3,
+      upserts = Seq((3L, "three is back")).toDF("doc_id", "text"),
+      deleteIds = Seq(Tuple1(1L)).toDF("doc_id"), idCol = "doc_id")
+    def at(v: Long) = Curation.readSnapshotAt(spark, root, v, "doc_id")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(at(1) == Seq(1L -> "one", 2L -> "two", 3L -> "three"))
+    assert(at(2) == Seq(1L -> "one", 2L -> "two v2", 4L -> "four"))
+    assert(at(3) == Seq(2L -> "two v2", 3L -> "three is back", 4L -> "four"))
+    // upsert+delete of one id in the same delta is ambiguous -> rejected
+    intercept[IllegalArgumentException] {
+      Curation.writeSnapshotDelta(spark, root, version = 4,
+        upserts = Seq((5L, "five")).toDF("doc_id", "text"),
+        deleteIds = Seq(Tuple1(5L)).toDF("doc_id"), idCol = "doc_id")
+    }
+  }
+
+  test("snapshot delta chain: a later FULL snapshot becomes the new base (compaction point)") {
+    val root = java.nio.file.Files.createTempDirectory("snap-delta2").toString
+    Curation.writeSnapshot(Seq((1L, "a")).toDF("doc_id", "text"), root, 1)
+    Curation.writeSnapshotDelta(spark, root, 2,
+      Seq((2L, "b")).toDF("doc_id", "text"),
+      spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0), "doc_id")
+    // compaction: version 3 written FULL; older deltas must not reapply
+    Curation.writeSnapshot(Seq((9L, "z")).toDF("doc_id", "text"), root, 3)
+    val got = Curation.readSnapshotAt(spark, root, 3, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(9L -> "z"))
+  }
 }
