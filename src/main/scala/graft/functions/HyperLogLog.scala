@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** HyperLogLog register file: `m = 2^p` one-byte registers. A term's
+/** HyperLogLog register file (Flajolet, Fusy, Gandouet & Meunier, AofA
+  * 2007): `m = 2^p` one-byte registers. A term's
   * 48-bit md5 base hash splits into the top `p` bits (register index) and
   * the remaining `window = 48 - p` bits; the register keeps the MAX over
   * terms of `rho` = (position of the leftmost 1-bit in the window) =

@@ -822,7 +822,9 @@ object Dedup {
   }
 
   /** K-Minimum-Values (KMV / bottom-k) sketch of a corpus's distinct
-    * content fingerprints: the `k` smallest 48-bit md5 hashes. The fourth
+    * content fingerprints (Bar-Yossef et al., RANDOM 2002; the
+    * theta-sketch family's simplest member): the `k` smallest 48-bit md5
+    * hashes. The fourth
     * sketch in the family, and the one that buys SET OPERATIONS: two
     * corpora's bottom-k sketches merge (union, keep k smallest) into the
     * union's sketch, and the fraction of the merged sketch present in

@@ -1068,7 +1068,8 @@ object Similarity {
         }), lit(0L), (acc, x) => acc + x).as("sse_nano"))
   }
 
-  /** Maximal Marginal Relevance (MMR) diversity rerank — the classic
+  /** Maximal Marginal Relevance (MMR) diversity rerank (Carbonell &
+    * Goldstein, SIGIR 1998) — the classic
     * redundancy-aware selection for retrieval-augmented generation: from
     * the `nCandidates` highest-cosine candidates, greedily pick `k`
     * maximizing `λ·relevance − (1−λ)·max-similarity-to-already-picked`,
