@@ -3152,6 +3152,40 @@ object SparkEntry {
         .select("doc_id", "text")
         .orderBy("doc_id")
     }),
+
+    // The full RAG retrieval stack as ONE gated pipeline: lexical BM25
+    // ranking + vector cosine ranking (q173's construction) → RRF fusion
+    // (top-25) → MMR diversity rerank over the fused candidates with the
+    // RRF score as relevance (q183's greedy, pre-scored form) → final 5.
+    // Every stage's arithmetic — BM25 micro sums, reciprocal-rank
+    // integers, the unrolled greedy — sits under one hash.
+    "q200_rag_stack" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val e = Tables(s, dir).embeddings
+      val wb = Window.orderBy(col("bm25_micro").desc, col("doc_id").asc)
+      val bm = TextAnalysis.bm25Search(docs, "doc_id", "text",
+          Seq("spark", "hash", "window"), k = 25)
+        .withColumn("rank", row_number().over(wb))
+        .select("doc_id", "rank")
+      val q0 = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qv"))
+      val wv = Window.orderBy(col("c").desc, col("doc_id").asc)
+      val kn = e.select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .filter(col("doc_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .withColumn("c", Similarity.cosine(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(wv))
+        .filter(col("rank") <= 25)
+        .select("doc_id", "rank")
+      val fused = TextAnalysis.rrfFuse(Seq(bm, kn), kConst = 60, topK = 25)
+      val cand = fused.join(
+        e.select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("v")), "doc_id")
+      Similarity.mmrRerankScored(cand, "doc_id", "v", "rrf_micro",
+          k = 5, lambdaPct = 70)
+        .orderBy("rank")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -6562,6 +6596,8 @@ object SparkEntry {
 
     "q184_curation_lineage" -> lineageOracle,
 
+    "q200_rag_stack" -> ragStackOracle,
+
     // The twin-augmented corpus, q177's signature packing, and the BRUTE
     // radius scan — by pigeonhole (radius 3 < 4 bands) the banded plan
     // must equal this exactly.
@@ -7129,7 +7165,26 @@ object SparkEntry {
     * the (score desc, id asc) tie-break, exact integer arithmetic.
     */
   private def mmrOracle: String = {
-    val k = 5; val lam = 70; val n = 25
+    val n = 25
+    mmrUnrolledSql(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |c0 AS (SELECT e.vec_id AS id, e.v,
+         |         list_dot_product(e.v, q.qv) /
+         |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+         |       FROM e, q WHERE e.vec_id <> 0),
+         |c AS (SELECT id, v, CAST(floor(cos * 1e6 + 0.5) AS BIGINT) AS rel FROM (
+         |        SELECT id, v, cos, row_number() OVER (ORDER BY cos DESC, id) AS rk
+         |        FROM c0)
+         |      WHERE rk <= $n)""".stripMargin,
+      k = 5, lam = 70)
+  }
+
+  /** The unrolled greedy-MMR tail (q126's unrolled-loop recipe), shared
+    * by every MMR gate: `candCte` must end with a CTE `c(id, v, rel)` —
+    * the candidate set with double vectors and integer relevance.
+    */
+  private def mmrUnrolledSql(candCte: String, k: Int, lam: Int): String = {
     val steps = (2 to k).map { t =>
       s"""s$t AS (SELECT c.id, c.rel, m.msim,
          |  $lam*c.rel - ${100 - lam}*m.msim AS score
@@ -7144,16 +7199,7 @@ object SparkEntry {
       s"SELECT $t::BIGINT AS rank, id AS doc_id, rel AS rel_micro, " +
         s"msim AS max_sim_micro, score AS mmr_score FROM s$t")
       .mkString("\nUNION ALL ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-       |c0 AS (SELECT e.vec_id AS id, e.v,
-       |         list_dot_product(e.v, q.qv) /
-       |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
-       |       FROM e, q WHERE e.vec_id <> 0),
-       |c AS (SELECT id, v, CAST(floor(cos * 1e6 + 0.5) AS BIGINT) AS rel FROM (
-       |        SELECT id, v, cos, row_number() OVER (ORDER BY cos DESC, id) AS rk
-       |        FROM c0)
-       |      WHERE rk <= $n),
+    s"""$candCte,
        |p AS (SELECT a.id AS ia, b.id AS ib,
        |        CAST(floor(list_dot_product(a.v, b.v) /
        |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
@@ -7166,6 +7212,54 @@ object SparkEntry {
        |$unions
        |ORDER BY rank""".stripMargin
   }
+
+  /** Oracle twin of the q200 retrieval stack: q173's fused-ranking CTEs
+    * cut at top-25, joined to the embedding vectors, feeding the shared
+    * unrolled greedy with the RRF score as relevance.
+    */
+  private def ragStackOracle: String =
+    mmrUnrolledSql(
+      """WITH tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |            FROM documents),
+        |t AS (SELECT doc_id, term FROM tt WHERE term <> ''),
+        |dl AS (SELECT doc_id,
+        |              len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS dl
+        |       FROM documents),
+        |avg AS (SELECT sum(dl)::BIGINT * 1.0 / count(*) AS avgdl FROM dl),
+        |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |qt AS (SELECT doc_id, term, count(*)::BIGINT AS cnt FROM t
+        |       WHERE term IN ('spark', 'hash', 'window') GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*)::BIGINT AS df FROM qt GROUP BY term),
+        |m AS (SELECT qt.doc_id,
+        |             round(ln((n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+        |                   ((qt.cnt * (1.2 + 1.0)) /
+        |                    (qt.cnt + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avg.avgdl)))
+        |                   * 1e6)::BIGINT AS micro
+        |      FROM qt JOIN dl USING (doc_id) JOIN dfq USING (term)
+        |      CROSS JOIN n CROSS JOIN avg),
+        |sb AS (SELECT doc_id, sum(micro)::BIGINT AS bm25_micro
+        |       FROM m GROUP BY doc_id),
+        |rb AS (SELECT doc_id, row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rank
+        |       FROM sb QUALIFY rank <= 25),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q0 AS (SELECT * FROM e WHERE vec_id = 0),
+        |sv AS (SELECT e.vec_id AS doc_id,
+        |              list_dot_product(q0.v, e.v) /
+        |              (sqrt(list_dot_product(q0.v, q0.v)) * sqrt(list_dot_product(e.v, e.v))) AS c
+        |       FROM q0 JOIN e ON q0.vec_id <> e.vec_id),
+        |rv AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rank
+        |       FROM sv QUALIFY rank <= 25),
+        |contrib AS (SELECT doc_id, 1000000 // (60 + rank) AS cc FROM rb
+        |            UNION ALL
+        |            SELECT doc_id, 1000000 // (60 + rank) AS cc FROM rv),
+        |f AS (SELECT doc_id, sum(cc)::BIGINT AS rrf_micro
+        |      FROM contrib GROUP BY doc_id),
+        |r AS (SELECT doc_id, rrf_micro,
+        |             row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+        |      FROM f QUALIFY rank <= 25),
+        |c AS (SELECT r.doc_id AS id, e2.v, r.rrf_micro AS rel
+        |      FROM r JOIN e e2 ON e2.vec_id = r.doc_id)""".stripMargin,
+      k = 5, lam = 70)
 
   /** Oracle twin of [[graft.operators.Curation.curationLineage]]: the
     * q37 quality derivation, the q15 language argmax, the q8 fingerprint

@@ -1113,8 +1113,38 @@ object Similarity {
       .filter(col("rk") <= nCandidates)
       .select(col("id"), col("v"),
         floor(col("cos") * lit(1e6) + lit(0.5)).cast("long").as("rel_micro"))
+    mmrGreedy(sp, cand, k, lambdaPct)
+  }
+
+  /** [[mmrRerank]] over a PRE-SCORED candidate frame — the composition
+    * point for retrieval stacks whose relevance is not raw cosine (q200
+    * feeds RRF-fused scores in): `candidates` carries (idCol, vecCol:
+    * vectors for the pairwise-diversity term, relCol: integer relevance),
+    * already cut to ≤ [[MaxMmrCandidates]] rows by its producer (the
+    * fused top-N — enforced here too).
+    */
+  def mmrRerankScored(candidates: DataFrame, idCol: String, vecCol: String,
+                      relCol: String, k: Int,
+                      lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(lambdaPct >= 0 && lambdaPct <= 100, s"lambdaPct: $lambdaPct")
+    mmrGreedy(candidates.sparkSession,
+      candidates.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"),
+        col(relCol).cast("long").as("rel_micro")),
+      k, lambdaPct)
+  }
+
+  /** The shared greedy core: collect the (bounded) candidate frame and
+    * run the k sequential picks on the driver.
+    */
+  private def mmrGreedy(sp: SparkSession, candFrame: DataFrame,
+                        k: Int, lambdaPct: Int): DataFrame = {
+    val cand = candFrame
       .collect()                    // bounded: ≤ MaxMmrCandidates rows
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    require(cand.length <= MaxMmrCandidates,
+      s"candidate set ${cand.length} exceeds MaxMmrCandidates=$MaxMmrCandidates")
     // driver-side greedy: the same left-to-right double folds the engine
     // and oracle use everywhere, floored to micro BEFORE the max
     def dotd(a: Array[Double], b: Array[Double]): Double = {
