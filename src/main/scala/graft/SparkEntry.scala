@@ -3186,6 +3186,35 @@ object SparkEntry {
           k = 5, lambdaPct = 70)
         .orderBy("rank")
     }),
+
+    // q184's lineage audit through the SQL front door (graft_lineage
+    // TVF over the documents view). Must hash-match q184.
+    "q201_sql_lineage" -> ((s, dir) => {
+      graft.api.SqlFrontDoor.sql(s, dir,
+        """SELECT * FROM graft_lineage('documents', 'doc_id', 'text')
+          |ORDER BY doc_id""".stripMargin)
+    }),
+
+    // q185's matrix with the benchmarks as ONE tagged relation: all
+    // benchmark grams ride a single broadcast set, so the corpus pays
+    // ONE join for N benchmarks instead of N — and the answer must
+    // hash-match the per-frame form exactly. Also the TVF form
+    // (graft_decontam_matrix), so the release-readiness table is
+    // SQL-reachable.
+    "q202_decontam_matrix_view" -> ((s, dir) => {
+      graft.api.SqlFrontDoor.registerViews(s, dir)
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      val split = Sampling.hashSplit(Tables(s, dir).documents, "doc_id",
+        trainPct = 80, valPct = 10)
+      split.filter(col("split") === "train")
+        .createOrReplaceTempView("q202_train")
+      split.filter(col("split") =!= "train")
+        .select(col("split").as("benchmark"), col("text"))
+        .createOrReplaceTempView("q202_benchmarks")
+      s.sql("""SELECT * FROM graft_decontam_matrix('q202_train', 'doc_id',
+              |  'text', 'source', 'q202_benchmarks', 'benchmark', 'text', 13)
+              |ORDER BY source, benchmark""".stripMargin)
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -3365,6 +3394,11 @@ object SparkEntry {
       "q196_sql_hll" -> "q179_hll_distinct",
       "q197_sql_kmv" -> "q192_kmv_overlap",
       "q198_sql_hamming" -> "q177_binary_ann",
+      // the lineage audit through the SQL front door, and the one-join
+      // benchmarks-as-a-relation matrix, must reproduce their library
+      // twins exactly
+      "q201_sql_lineage" -> "q184_curation_lineage",
+      "q202_decontam_matrix_view" -> "q185_decontam_matrix",
       // the snapshot-store round trip feeding the incremental dedup must
       // reproduce the in-memory batch-vs-corpus answer
       "q122_snapshot_dedup" -> "q41_incremental_dedup",

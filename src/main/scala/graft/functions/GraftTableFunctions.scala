@@ -246,6 +246,34 @@ object GraftTableFunctions {
           lng("graft_zonemap_scan", args(3)))
         .queryExecution.analyzed
     }),
+    // graft_lineage(corpusView, idCol, textCol) — the per-document
+    // drop-reason audit as a relation
+    ("graft_lineage", { args =>
+      require(args.length == 3,
+        s"graft_lineage(corpusView, idCol, textCol) got ${args.length} args")
+      graft.operators.Curation.curationLineage(
+          view("graft_lineage", args.head),
+          str("graft_lineage", args(1)), str("graft_lineage", args(2)))
+        .queryExecution.analyzed
+    }),
+    // graft_decontam_matrix(corpusView, idCol, textCol, groupCol,
+    // benchView, benchNameCol, benchTextCol, n) — the release-readiness
+    // table with the benchmarks as ONE (name, text) relation
+    ("graft_decontam_matrix", { args =>
+      require(args.length == 8,
+        "graft_decontam_matrix(corpusView, idCol, textCol, groupCol, " +
+          s"benchView, benchNameCol, benchTextCol, n) got ${args.length} args")
+      graft.operators.Dedup.decontaminationMatrixView(
+          view("graft_decontam_matrix", args.head),
+          str("graft_decontam_matrix", args(1)),
+          str("graft_decontam_matrix", args(2)),
+          str("graft_decontam_matrix", args(3)),
+          view("graft_decontam_matrix", args(4)),
+          str("graft_decontam_matrix", args(5)),
+          str("graft_decontam_matrix", args(6)),
+          n = int("graft_decontam_matrix", args(7)))
+        .queryExecution.analyzed
+    }),
     // graft_kmv_overlap(viewA, viewB, textCol, k) — cross-corpus overlap
     // estimates from two bottom-k sketches, as one SQL row
     ("graft_kmv_overlap", { args =>

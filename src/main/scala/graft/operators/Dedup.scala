@@ -821,6 +821,45 @@ object Dedup {
         expr("(contaminated_docs * 1000000) div n_docs"))
   }
 
+  /** [[decontaminationMatrix]] with the benchmarks as ONE relation
+    * (`benchNameCol`, `benchTextCol` columns) instead of a Scala list —
+    * both the SQL-front-door form (a TVF can take a view name, not a
+    * list of frames) and the better plan when benchmarks are many: ALL
+    * benchmark grams ride one tagged broadcast set, so the corpus-side
+    * work is ONE join for N benchmarks instead of N joins. Gated
+    * hash-identical to the per-frame form (q202 ≡ q185).
+    */
+  def decontaminationMatrixView(corpus: DataFrame, idCol: String,
+                                textCol: String, groupCol: String,
+                                benchmarks: DataFrame, benchNameCol: String,
+                                benchTextCol: String,
+                                n: Int = 13): DataFrame = {
+    graft.functions.HashedShingles.ensureRegistered(corpus.sparkSession)
+    val c = CacheScope.persisted(corpus.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"), col(groupCol).as("grp")))
+    val totals = c.groupBy("grp").agg(count(lit(1)).as("n_docs"))
+    val evalGrams = benchmarks
+      .select(col(benchNameCol).as("benchmark"),
+        explode(call_function("graft_shingles64",
+          col(benchTextCol), lit(n))).as("h"))
+      .distinct()
+    val corpusGrams = hashedShingleFrame(c, "doc_id", "text", n)
+      .select(col("id").as("doc_id"), explode(col("sh")).as("h"))
+    val hits = corpusGrams.join(broadcast(evalGrams), "h")
+      .select("doc_id", "benchmark").distinct()
+      .join(c.select("doc_id", "grp"), "doc_id")
+      .groupBy("grp", "benchmark")
+      .agg(count(lit(1)).as("contaminated_docs"))
+    val grid = totals.crossJoin(
+      broadcast(benchmarks.select(col(benchNameCol).as("benchmark"))
+        .distinct()))
+    grid.join(hits, Seq("grp", "benchmark"), "left")
+      .select(col("grp").as(groupCol), col("benchmark"), col("n_docs"),
+        coalesce(col("contaminated_docs"), lit(0L)).as("contaminated_docs"))
+      .withColumn("contam_ppm",
+        expr("(contaminated_docs * 1000000) div n_docs"))
+  }
+
   /** K-Minimum-Values (KMV / bottom-k) sketch of a corpus's distinct
     * content fingerprints (Bar-Yossef et al., RANDOM 2002; the
     * theta-sketch family's simplest member): the `k` smallest 48-bit md5
