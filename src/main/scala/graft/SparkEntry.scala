@@ -3215,6 +3215,49 @@ object SparkEntry {
               |  'text', 'source', 'q202_benchmarks', 'benchmark', 'text', 13)
               |ORDER BY source, benchmark""".stripMargin)
     }),
+
+    // Cross-source overlap MATRIX: pairwise Jaccard/union/distinct
+    // estimates for every source pair from per-source bottom-16 sketches
+    // — "which sources duplicate each other" at sketch cost: one corpus
+    // distinct pass + one per-group bottom-k window, then 190 merges
+    // over a 320-row sketch table. k = 16 stays under the smallest
+    // source's cardinality at every fixture SF, so no sketch
+    // under-fills. All estimator arithmetic exact-integer.
+    "q203_source_overlap_matrix" -> ((s, dir) => {
+      Dedup.kmvOverlapMatrix(Tables(s, dir).documents, "source", "text",
+          k = 16)
+        .orderBy("source_a", "source_b")
+    }),
+
+    // q199's delta-chain reconstruction through the SQL front door
+    // (graft_snapshot_at TVF: time travel by path + version literal).
+    // Must hash-match q199.
+    "q204_sql_snapshot" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sql-snap").toString
+      SnapshotDirs.add(root)
+      Curation.writeSnapshot(d, root, version = 1)
+      Curation.writeSnapshotDelta(s, root, version = 2,
+        upserts = d.filter(col("doc_id") % 7 === 3)
+          .withColumn("text", concat(col("text"), lit(" rev2"))),
+        deleteIds = d.filter(col("doc_id") % 11 === 5 &&
+          col("doc_id") % 7 =!= 3).select("doc_id"),
+        idCol = "doc_id")
+      Curation.writeSnapshotDelta(s, root, version = 3,
+        upserts = d.filter(col("doc_id") % 13 === 1)
+          .withColumn("text", concat(col("text"), lit(" rev3")))
+          .unionByName(d.filter(col("doc_id") < 5)
+            .withColumn("doc_id", col("doc_id") + 100000L)
+            .withColumn("text",
+              concat(lit("late arrival "), col("doc_id") - 100000L))),
+        deleteIds = d.filter(col("doc_id") % 17 === 2 &&
+          col("doc_id") % 13 =!= 1).select("doc_id"),
+        idCol = "doc_id")
+      graft.api.SqlFrontDoor.sql(s, dir,
+        s"""SELECT doc_id, text FROM graft_snapshot_at('$root', 3, 'doc_id')
+           |ORDER BY doc_id""".stripMargin)
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -3399,6 +3442,9 @@ object SparkEntry {
       // twins exactly
       "q201_sql_lineage" -> "q184_curation_lineage",
       "q202_decontam_matrix_view" -> "q185_decontam_matrix",
+      // delta-chain time travel through the SQL front door must
+      // reproduce the library reconstruction exactly
+      "q204_sql_snapshot" -> "q199_snapshot_delta",
       // the snapshot-store round trip feeding the incremental dedup must
       // reproduce the in-memory batch-vs-corpus answer
       "q122_snapshot_dedup" -> "q41_incremental_dedup",
@@ -6742,6 +6788,44 @@ object SparkEntry {
         |      FROM chain)
         |SELECT doc_id, text FROM r WHERE rk = 1 AND op = 'u'
         |ORDER BY doc_id""".stripMargin,
+
+    // Every pair's sketches, merged union sketch, and estimator chain
+    // re-derived: per-group bottom-16 windows, pair union windows, exact
+    // integer division throughout (num = 15·2^48).
+    "q203_source_overlap_matrix" ->
+      s"""WITH hx AS (SELECT DISTINCT source AS grp,
+         |              ('0x' || substr(md5(lower(trim(text))), 1, 12))::BIGINT AS h
+         |            FROM documents),
+         |sk AS (SELECT grp, h FROM (SELECT grp, h,
+         |         row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM hx)
+         |       WHERE rk <= 16),
+         |gs AS (SELECT DISTINCT grp FROM sk),
+         |pairs AS (SELECT a.grp AS ga, b.grp AS gb
+         |          FROM gs a JOIN gs b ON a.grp < b.grp),
+         |un AS (SELECT DISTINCT p.ga, p.gb, s.h
+         |       FROM pairs p JOIN sk s ON s.grp = p.ga OR s.grp = p.gb),
+         |merged AS (SELECT ga, gb, h FROM (SELECT ga, gb, h,
+         |             row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+         |           FROM un)
+         |           WHERE rk <= 16),
+         |mt AS (SELECT m.ga, m.gb, count(*)::BIGINT AS matches
+         |       FROM merged m JOIN sk a ON a.grp = m.ga AND a.h = m.h
+         |                     JOIN sk b ON b.grp = m.gb AND b.h = m.h
+         |       GROUP BY m.ga, m.gb),
+         |kth AS (SELECT grp, max(h) AS kth FROM sk GROUP BY grp),
+         |ku AS (SELECT ga, gb, max(h) AS kth_u FROM merged GROUP BY ga, gb)
+         |SELECT p.ga AS source_a, p.gb AS source_b,
+         |       (${15L * (1L << 48)} // ka.kth)::BIGINT AS est_a,
+         |       (${15L * (1L << 48)} // kb.kth)::BIGINT AS est_b,
+         |       (${15L * (1L << 48)} // ku.kth_u)::BIGINT AS est_union,
+         |       coalesce(mt.matches, 0)::BIGINT AS matches,
+         |       ((coalesce(mt.matches, 0) * 1000000) // 16)::BIGINT AS jaccard_ppm
+         |FROM pairs p
+         |JOIN kth ka ON ka.grp = p.ga
+         |JOIN kth kb ON kb.grp = p.gb
+         |JOIN ku ON ku.ga = p.ga AND ku.gb = p.gb
+         |LEFT JOIN mt ON mt.ga = p.ga AND mt.gb = p.gb
+         |ORDER BY source_a, source_b""".stripMargin,
 
     // The audit's counts re-derived from the base table; every violation
     // column is an invariant the store must hold exactly (the q147/q149

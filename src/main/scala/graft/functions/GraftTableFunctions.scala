@@ -299,6 +299,18 @@ object GraftTableFunctions {
           k = int("graft_hamming_topk", args(4)))
         .queryExecution.analyzed
     }),
+    // graft_snapshot_at(storeDir, version, idCol) — delta-chain time
+    // travel as a relation: the reconstructed logical snapshot AT a
+    // version, by path + version literal
+    ("graft_snapshot_at", { args =>
+      require(args.length == 3,
+        s"graft_snapshot_at(storeDir, version, idCol) got ${args.length} args")
+      graft.operators.Curation.readSnapshotAt(active,
+          str("graft_snapshot_at", args.head),
+          lng("graft_snapshot_at", args(1)),
+          str("graft_snapshot_at", args(2)))
+        .queryExecution.analyzed
+    }),
     // graft_zonemap_audit(storeDir) — the layout store's fsck as a
     // one-row SQL relation (q161/q162's treatment)
     ("graft_zonemap_audit", { args =>

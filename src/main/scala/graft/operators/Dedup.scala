@@ -940,6 +940,64 @@ object Dedup {
           lit(1000000L)))
   }
 
+  /** The cross-source OVERLAP MATRIX: pairwise Jaccard/union/distinct
+    * estimates between every pair of corpus groups, from per-group
+    * [[kmvSketch]]es — "which sources duplicate each other" as one
+    * report, at sketch cost. The corpus contributes ONE distinct pass
+    * and one per-group bottom-k window (rank-limit pushdown keeps it a
+    * per-partition heap); everything pairwise happens on the
+    * (groups × k)-row sketch table, so 20 sources cost 190 sketch-sized
+    * merges, never 190 corpus joins. Groups with fewer than `k` distinct
+    * values degrade the estimator (their sketch under-fills) — pick `k`
+    * under the smallest group's cardinality, as q203 does. Output one
+    * row per unordered pair: (source_a, source_b, est_a, est_b,
+    * est_union, matches, jaccard_ppm), exact-integer estimator
+    * arithmetic throughout.
+    */
+  def kmvOverlapMatrix(df: DataFrame, groupCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    import org.apache.spark.sql.expressions.Window
+    val hx = df.select(col(groupCol).as("grp"),
+      hash48(lower(trim(col(textCol)))).as("h")).distinct()
+    val w = Window.partitionBy("grp").orderBy("h")
+    val sk = CacheScope.persisted(
+      hx.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k).select("grp", "h"))
+    val gs = sk.select("grp").distinct()
+    val pairs = gs.select(col("grp").as("ga"))
+      .crossJoin(gs.select(col("grp").as("gb")))
+      .filter(col("ga") < col("gb"))
+    val aRows = pairs.join(sk.withColumnRenamed("grp", "ga"), "ga")
+      .select("ga", "gb", "h")
+    val bRows = pairs.join(sk.withColumnRenamed("grp", "gb"), "gb")
+      .select("ga", "gb", "h")
+    val wu = Window.partitionBy("ga", "gb").orderBy("h")
+    val merged = CacheScope.persisted(
+      aRows.unionByName(bRows).distinct()
+        .withColumn("rk", row_number().over(wu))
+        .filter(col("rk") <= k).select("ga", "gb", "h"))
+    val matches = merged
+      .join(sk.select(col("grp").as("ga"), col("h")), Seq("ga", "h"))
+      .join(sk.select(col("grp").as("gb"), col("h")), Seq("gb", "h"))
+      .groupBy("ga", "gb").agg(count(lit(1)).as("matches"))
+    val kth = sk.groupBy("grp").agg(max("h").as("kth"))
+    val ku = merged.groupBy("ga", "gb").agg(max("h").as("kth_u"))
+    val num = lit((k - 1).toLong * (1L << 48))
+    pairs
+      .join(kth.select(col("grp").as("ga"), col("kth").as("kth_a")), "ga")
+      .join(kth.select(col("grp").as("gb"), col("kth").as("kth_b")), "gb")
+      .join(ku, Seq("ga", "gb"))
+      .join(matches, Seq("ga", "gb"), "left")
+      .select(col("ga").as("source_a"), col("gb").as("source_b"),
+        call_function("div", num, col("kth_a")).as("est_a"),
+        call_function("div", num, col("kth_b")).as("est_b"),
+        call_function("div", num, col("kth_u")).as("est_union"),
+        coalesce(col("matches"), lit(0L)).as("matches"))
+      .withColumn("jaccard_ppm",
+        call_function("div", col("matches") * lit(1000000L), lit(k.toLong)))
+  }
+
   /** SimHash: 32-bit locality-sensitive signature. Each token votes ±1 on
     * every bit of its 32-bit hash (first 8 md5 hex chars); the signature
     * sets bit b iff the bit-b vote sum is positive.

@@ -551,6 +551,27 @@ class DedupSpec extends SparkTestBase {
     assert(estA > 150L && estA < 1200L, s"est_a=$estA")
   }
 
+  test("kmvOverlapMatrix: pairwise cells track true overlap structure") {
+    // three sources: a and b share half their docs; c is disjoint
+    val docs =
+      (0 until 100).map(i => (s"shared $i", "a")) ++
+      (0 until 100).map(i => (s"only-a $i", "a")) ++
+      (0 until 100).map(i => (s"shared $i", "b")) ++
+      (0 until 100).map(i => (s"only-b $i", "b")) ++
+      (0 until 200).map(i => (s"only-c $i", "c"))
+    val df = docs.toDF("text", "source")
+    val rows = Dedup.kmvOverlapMatrix(df, "source", "text", k = 32)
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(5), r.getLong(6)))
+    assert(rows.map(t => (t._1, t._2)).toSeq ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    val byPair = rows.map(t => (t._1, t._2) -> t._4).toMap
+    // a-b truly overlap (J = 1/3); c is disjoint from both
+    assert(byPair(("a", "c")) == 0L && byPair(("b", "c")) == 0L)
+    assert(byPair(("a", "b")) > 100000L && byPair(("a", "b")) < 700000L,
+      s"a-b jaccard_ppm = ${byPair(("a", "b"))}")
+  }
+
   test("kmvOverlapReport: disjoint corpora estimate Jaccard 0") {
     val a = (0 until 300).map(i => s"alpha $i").toDF("text")
     val b = (0 until 300).map(i => s"beta $i").toDF("text")
