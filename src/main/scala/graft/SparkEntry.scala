@@ -3219,13 +3219,19 @@ object SparkEntry {
     // Cross-source overlap MATRIX: pairwise Jaccard/union/distinct
     // estimates for every source pair from per-source bottom-16 sketches
     // — "which sources duplicate each other" at sketch cost: one corpus
-    // distinct pass + one per-group bottom-k window, then 190 merges
-    // over a 320-row sketch table. k = 16 stays under the smallest
-    // source's cardinality at every fixture SF, so no sketch
-    // under-fills. All estimator arithmetic exact-integer.
+    // distinct pass + one per-group bottom-k window, then the pairwise
+    // merges over a (sources×16)-row sketch table. The fixture's sources
+    // are content-disjoint (their zero cells are gated values too), so a
+    // synthetic "zz_mirror" source holding copies of every doc_id ≡ 0
+    // (mod 3) is unioned in — its row of the matrix exercises the
+    // nonzero-Jaccard arithmetic on real collisions. k = 16 stays under
+    // the smallest source's cardinality at every fixture SF.
     "q203_source_overlap_matrix" -> ((s, dir) => {
-      Dedup.kmvOverlapMatrix(Tables(s, dir).documents, "source", "text",
-          k = 16)
+      val d = Tables(s, dir).documents
+      val corpus = d.select("source", "text").unionByName(
+        d.filter(col("doc_id") % 3 === 0)
+          .select(lit("zz_mirror").as("source"), col("text")))
+      Dedup.kmvOverlapMatrix(corpus, "source", "text", k = 16)
         .orderBy("source_a", "source_b")
     }),
 
@@ -6793,9 +6799,13 @@ object SparkEntry {
     // re-derived: per-group bottom-16 windows, pair union windows, exact
     // integer division throughout (num = 15·2^48).
     "q203_source_overlap_matrix" ->
-      s"""WITH hx AS (SELECT DISTINCT source AS grp,
+      s"""WITH corpus AS (SELECT source, text FROM documents
+         |               UNION ALL
+         |               SELECT 'zz_mirror' AS source, text FROM documents
+         |               WHERE doc_id % 3 = 0),
+         |hx AS (SELECT DISTINCT source AS grp,
          |              ('0x' || substr(md5(lower(trim(text))), 1, 12))::BIGINT AS h
-         |            FROM documents),
+         |            FROM corpus),
          |sk AS (SELECT grp, h FROM (SELECT grp, h,
          |         row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM hx)
          |       WHERE rk <= 16),
