@@ -545,6 +545,13 @@ object Curation {
       .join(deleteIds.select(col(idCol)), idCol).limit(1).count()
     require(clash == 0,
       s"version $version upserts and deletes share ids — ambiguous merge")
+    // duplicate ids WITHIN one delta's upserts would tie on the
+    // reconstruction window's (_v, _op) key and pick an arbitrary winner
+    // — reject at write, where the mistake is fixable
+    val dup = upserts.groupBy(col(idCol)).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dup == 0,
+      s"version $version upserts contain duplicate ids — ambiguous merge")
     upserts.write.mode("errorifexists")
       .parquet(s"$rootDir/_delta/version=$version/upserts")
     deleteIds.select(col(idCol)).write.mode("errorifexists")

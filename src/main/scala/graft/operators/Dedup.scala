@@ -882,10 +882,15 @@ object Dedup {
     * sort. Output: the sketch rows (hash asc), ≤ k.
     */
   def kmvSketch(df: DataFrame, textCol: String, k: Int): DataFrame = {
-    require(k >= 2, s"k must be >= 2: $k")   // the estimator uses k-1
+    // k−1 for the estimator; the cap keeps (k−1)·2^48 inside a long (the
+    // estimator numerator — past it the division wraps silently)
+    require(k >= 2 && k <= MaxKmvK, s"k must be in [2, $MaxKmvK]: $k")
     df.select(hash48(lower(trim(col(textCol)))).as("h"))
       .distinct().orderBy("h").limit(k)
   }
+
+  /** `(MaxKmvK − 1) · 2^48 < 2^63`: the estimator numerator's long bound. */
+  val MaxKmvK = 16384
 
   /** 48-bit hash: first 12 md5 hex digits — `('0x' ||
     * substr(md5(x), 1, 12))::BIGINT` in the oracle.
@@ -956,7 +961,7 @@ object Dedup {
     */
   def kmvOverlapMatrix(df: DataFrame, groupCol: String, textCol: String,
                        k: Int): DataFrame = {
-    require(k >= 2, s"k must be >= 2: $k")
+    require(k >= 2 && k <= MaxKmvK, s"k must be in [2, $MaxKmvK]: $k")
     import org.apache.spark.sql.expressions.Window
     val hx = df.select(col(groupCol).as("grp"),
       hash48(lower(trim(col(textCol)))).as("h")).distinct()

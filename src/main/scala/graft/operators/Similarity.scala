@@ -1106,7 +1106,8 @@ object Similarity {
       .select(col(vecCol).cast("array<double>").as("qv"))
     val w = Window.orderBy(col("cos").desc, col("id").asc)
     val cand = corpus
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
       .crossJoin(broadcast(q))
       .withColumn("cos", cosineFast(col("v"), col("qv")))
       .withColumn("rk", row_number().over(w))
@@ -1220,6 +1221,10 @@ object Similarity {
           |                 cast(0 as bigint)) as s,
           |      acc.i + 1 as i),
           |    acc -> acc.s)))""".stripMargin))
+      // a NULL embedding has no signs: drop it here, or every Hamming
+      // consumer would rank its null distance FIRST (ascending windows
+      // put nulls first in Spark)
+      .filter(col("sig").isNotNull)
       .select("id", "sig")
 
   /** Hamming distance between two packed sign signatures: per-word
@@ -1280,6 +1285,15 @@ object Similarity {
                         maxHamming: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(maxHamming >= 0, s"maxHamming must be >= 0: $maxHamming")
+    // the pigeonhole exactness precondition maxHamming < bands depends on
+    // the DATA's dimensionality (bands = 2 per packed word), so it is
+    // enforced per row at runtime: silently-incomplete results are the
+    // one failure mode a radius search must not have
+    def guarded(sig: DataFrame) = sig.withColumn("sig",
+      when(lit(maxHamming) >= size(col("sig")) * 2,
+        raise_error(concat(lit(s"hammingTopKBanded: maxHamming=$maxHamming needs < "),
+          size(col("sig")) * 2, lit(" bands — use hammingTopK for wider radii"))))
+        .otherwise(col("sig")))
     def banded(sig: DataFrame) = sig
       .select(col("id"), col("sig"),
         posexplode(flatten(transform(col("sig"), w =>
@@ -1287,8 +1301,8 @@ object Similarity {
             shiftright(w, 16).bitwiseAND(lit(0xFFFFL)))))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
-    val csig = CacheScope.persisted(binarySig(corpus, idCol, vecCol))
-    val qsig = CacheScope.persisted(binarySig(queries, idCol, vecCol))
+    val csig = CacheScope.persisted(guarded(binarySig(corpus, idCol, vecCol)))
+    val qsig = CacheScope.persisted(guarded(binarySig(queries, idCol, vecCol)))
     val cand = banded(qsig.select(col("id"), col("sig")))
       .select(col("id").as("query_id"), col("band_idx"), col("band_val"))
       .join(banded(csig).select(col("id").as("neighbor_id"),

@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   * from one broadcast aggregation row, never a driver scalar.
   *
   * Scale shape: the write is one bounds agg + one hive-partitioned write
-  * (the shuffle a layout rewrite pays by definition); the sidecar is
-  * ≤ `zones` rows. The read side's zone list is a driver collect BOUNDED
+  * (the shuffle a layout rewrite pays by definition) + one read-back pass
+  * over the written files for the sidecar (consistency by construction —
+  * see [[writeZoneMapped]]); the sidecar is ≤ `zones` rows. The read side's zone list is a driver collect BOUNDED
   * by `zones` (≤ [[MaxZones]] — the boundaries-≤-numParts discipline), and
   * the data scan carries the zone `isin` as a partition filter plus the
   * exact key predicate pushed to parquet row groups.
@@ -47,12 +48,22 @@ object ZoneMap {
     */
   def zoneOf(key: org.apache.spark.sql.Column,
              minK: org.apache.spark.sql.Column,
-             maxK: org.apache.spark.sql.Column, zones: Int) =
+             maxK: org.apache.spark.sql.Column, zones: Int) = {
+    // (span + 1) · zones must fit a long or the numerator wraps and zone
+    // ids silently scramble — fail loudly instead (a span that itself
+    // wraps shows up as span < 0). Near-full-range 64-bit keys need a
+    // coarser key (e.g. key >> 16) — the honest answer, not a wrong map.
+    val span = maxK - minK
+    val guarded = when(span < 0L || span > lit(Long.MaxValue / zones - 1),
+      raise_error(lit(s"ZoneMap: key span times $zones zones overflows " +
+        "64-bit exact assignment — coarsen the key")))
+      .otherwise(span)
     greatest(lit(0L), least(lit(zones.toLong - 1),
       call_function("div",                       // IntegralDivide, not the
         (key - minK) * lit(zones.toLong),        // fractional `/`
-        maxK - minK + lit(1L))))
+        guarded + lit(1L))))
       .cast("long")
+  }
 
   /** Write `df` zone-partitioned by long column `keyCol` under `path`:
     * `path/data/zone=<z>/…` plus the `path/_zones` sidecar
@@ -78,7 +89,12 @@ object ZoneMap {
       .drop("_min_k", "_max_k")
     zoned.write.mode("overwrite").partitionBy("zone")
       .parquet(s"$path/data")
-    zoned.groupBy("zone")
+    // sidecar from the WRITTEN files, not a recompute of the input: a
+    // non-deterministic source frame could otherwise disagree with what
+    // landed on disk — the silently-pruning-live-rows corruption
+    // zoneMapAudit names as the one unrecoverable failure
+    df.sparkSession.read.parquet(s"$path/data")
+      .groupBy(col("zone").cast("long").as("zone"))
       .agg(min(col(keyCol)).cast("long").as("min_key"),
         max(col(keyCol)).cast("long").as("max_key"),
         count(lit(1)).as("n_rows"))

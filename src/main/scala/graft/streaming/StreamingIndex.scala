@@ -92,8 +92,13 @@ object StreamingIndex {
     * assigns against the store's frozen `_meta` bounds and appends into
     * the zone directories ([[graft.sinks.ZoneMap.appendZoneMapped]] per
     * trigger) — the live-ingest form of a zone-clustered 100 TB table,
-    * with the same processed-batch markers (an append that replays would
-    * double the batch's rows AND inflate the sidecar counts).
+    * with the same processed-batch markers (an append that replays after
+    * its marker landed would double the batch's rows AND inflate the
+    * sidecar counts). Same residual window as the header documents: a
+    * crash INSIDE the append (files written, marker not) still replays
+    * dirty — strictly narrower than no bookkeeping, recovered by
+    * re-deriving the sidecar from the data (zoneMapAudit flags the
+    * mismatch), a documented trade, not a silent one.
     */
   def ingestZoneMap(spark: SparkSession, source: DataFrame,
                     checkpoint: String, dir: String,

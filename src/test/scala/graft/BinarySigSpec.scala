@@ -152,6 +152,31 @@ class BinarySigSpec extends SparkTestBase {
     }
   }
 
+  test("hammingTopKBanded refuses a radius the band count cannot certify") {
+    // 33 dims -> 4 bands: radius 4 could straddle every band -> must fail
+    val vecs = Seq((0L, Array.fill(33)(1.0f)), (1L, Array.fill(33)(-1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.hammingTopKBanded(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 1, maxHamming = 4).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: chain(t.getCause)
+    assert(chain(e).exists(_.contains("bands")), chain(e).mkString(" | "))
+  }
+
+  test("null embeddings are dropped from signatures, not ranked first") {
+    val vecs = Seq(
+      (0L, Some(Array(1.0f, -1.0f))),
+      (1L, None),                       // null embedding
+      (2L, Some(Array(1.0f, 1.0f))),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hammingTopK(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((2L, 1L)))  // the null row never appears
+  }
+
   test("mmrRerank enforces the candidate cap and parameter bounds") {
     val df = Seq((0L, Array(1.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {

@@ -314,6 +314,13 @@ class CurationSpec extends SparkTestBase {
         upserts = Seq((5L, "five")).toDF("doc_id", "text"),
         deleteIds = Seq(Tuple1(5L)).toDF("doc_id"), idCol = "doc_id")
     }
+    // duplicate ids within one delta's upserts -> rejected (the window
+    // would pick an arbitrary winner)
+    intercept[IllegalArgumentException] {
+      Curation.writeSnapshotDelta(spark, root, version = 4,
+        upserts = Seq((6L, "a"), (6L, "b")).toDF("doc_id", "text"),
+        deleteIds = Seq(Tuple1(7L)).toDF("doc_id"), idCol = "doc_id")
+    }
   }
 
   test("snapshot delta chain: a later FULL snapshot becomes the new base (compaction point)") {

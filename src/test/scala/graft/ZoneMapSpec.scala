@@ -78,6 +78,18 @@ class ZoneMapSpec extends SparkTestBase {
       chain(e).mkString(" | "))
   }
 
+  test("a key span that would overflow exact assignment fails loudly") {
+    val df = Seq((1L, Long.MinValue / 2), (2L, Long.MaxValue / 2))
+      .toDF("id", "key")
+    val dir = Files.createTempDirectory("graft-zm-ovf").toString
+    val e = intercept[Exception] {
+      ZoneMap.writeZoneMapped(df, dir, "key", zones = 4096)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: chain(t.getCause)
+    assert(chain(e).exists(_.contains("overflows")), chain(e).mkString(" | "))
+  }
+
   test("zones cap is enforced") {
     intercept[IllegalArgumentException] {
       ZoneMap.writeZoneMapped(Seq((1L, 1L)).toDF("id", "key"),
