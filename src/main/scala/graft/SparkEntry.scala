@@ -6744,7 +6744,10 @@ object SparkEntry {
         |ORDER BY source""".stripMargin,
 
     // Both bottom-k sketches, the merged union sketch, and the exact-
-    // integer estimator chain re-derived with ORDER BY hash LIMIT k.
+    // integer estimator chain re-derived with ORDER BY hash LIMIT k —
+    // including the under-fill policy (a sketch with n < k rows IS the
+    // complete distinct set: estimate = n) and the actual-merged-size
+    // Jaccard divisor, so the degenerate-regime rules sit under the hash.
     "q192_kmv_overlap" ->
       s"""WITH a0 AS (SELECT DISTINCT ('0x' || substr(md5(lower(trim(text))), 1, 12))::BIGINT AS h
          |            FROM documents),
@@ -6758,17 +6761,23 @@ object SparkEntry {
          |       ORDER BY h LIMIT 100),
          |m AS (SELECT count(*)::BIGINT AS matches FROM su
          |      WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
-         |ka AS (SELECT max(h) AS kth_a FROM sa),
-         |kb AS (SELECT max(h) AS kth_b FROM sb),
-         |ku AS (SELECT max(h) AS kth_u FROM su)
-         |SELECT 100::BIGINT AS k,
-         |       kth_a, (${99L * (1L << 48)} // kth_a)::BIGINT AS est_a,
-         |       kth_b, (${99L * (1L << 48)} // kth_b)::BIGINT AS est_b,
-         |       kth_u, (${99L * (1L << 48)} // kth_u)::BIGINT AS est_union,
-         |       matches, ((matches * 1000000) // 100)::BIGINT AS jaccard_ppm,
-         |       ((((matches * 1000000) // 100) * ((${99L * (1L << 48)} // kth_u))) // 1000000)::BIGINT
-         |         AS est_intersection
-         |FROM ka, kb, ku, m""".stripMargin,
+         |ka AS (SELECT max(h) AS kth_a, count(*)::BIGINT AS n_a FROM sa),
+         |kb AS (SELECT max(h) AS kth_b, count(*)::BIGINT AS n_b FROM sb),
+         |ku AS (SELECT max(h) AS kth_u, count(*)::BIGINT AS n_union FROM su),
+         |r AS (SELECT 100::BIGINT AS k, kth_a, n_a,
+         |        (CASE WHEN n_a < 100 THEN n_a
+         |              ELSE ${99L * (1L << 48)} // kth_a END)::BIGINT AS est_a,
+         |        kth_b, n_b,
+         |        (CASE WHEN n_b < 100 THEN n_b
+         |              ELSE ${99L * (1L << 48)} // kth_b END)::BIGINT AS est_b,
+         |        kth_u, n_union,
+         |        (CASE WHEN n_union < 100 THEN n_union
+         |              ELSE ${99L * (1L << 48)} // kth_u END)::BIGINT AS est_union,
+         |        matches,
+         |        ((matches * 1000000) // greatest(n_union, 1))::BIGINT AS jaccard_ppm
+         |      FROM ka, kb, ku, m)
+         |SELECT *, ((jaccard_ppm * est_union) // 1000000)::BIGINT AS est_intersection
+         |FROM r""".stripMargin,
 
     // The same base + two-delta merge re-derived with the identical
     // last-writer-wins window (version desc, tombstone-first tie key).
@@ -6822,14 +6831,22 @@ object SparkEntry {
          |       FROM merged m JOIN sk a ON a.grp = m.ga AND a.h = m.h
          |                     JOIN sk b ON b.grp = m.gb AND b.h = m.h
          |       GROUP BY m.ga, m.gb),
-         |kth AS (SELECT grp, max(h) AS kth FROM sk GROUP BY grp),
-         |ku AS (SELECT ga, gb, max(h) AS kth_u FROM merged GROUP BY ga, gb)
+         |kth AS (SELECT grp, max(h) AS kth, count(*)::BIGINT AS n_g
+         |        FROM sk GROUP BY grp),
+         |ku AS (SELECT ga, gb, max(h) AS kth_u, count(*)::BIGINT AS n_union
+         |       FROM merged GROUP BY ga, gb)
          |SELECT p.ga AS source_a, p.gb AS source_b,
-         |       (${15L * (1L << 48)} // ka.kth)::BIGINT AS est_a,
-         |       (${15L * (1L << 48)} // kb.kth)::BIGINT AS est_b,
-         |       (${15L * (1L << 48)} // ku.kth_u)::BIGINT AS est_union,
+         |       ka.n_g AS n_a, kb.n_g AS n_b,
+         |       (CASE WHEN ka.n_g < 16 THEN ka.n_g
+         |             ELSE ${15L * (1L << 48)} // ka.kth END)::BIGINT AS est_a,
+         |       (CASE WHEN kb.n_g < 16 THEN kb.n_g
+         |             ELSE ${15L * (1L << 48)} // kb.kth END)::BIGINT AS est_b,
+         |       ku.n_union,
+         |       (CASE WHEN ku.n_union < 16 THEN ku.n_union
+         |             ELSE ${15L * (1L << 48)} // ku.kth_u END)::BIGINT AS est_union,
          |       coalesce(mt.matches, 0)::BIGINT AS matches,
-         |       ((coalesce(mt.matches, 0) * 1000000) // 16)::BIGINT AS jaccard_ppm
+         |       ((coalesce(mt.matches, 0) * 1000000) //
+         |        greatest(ku.n_union, 1))::BIGINT AS jaccard_ppm
          |FROM pairs p
          |JOIN kth ka ON ka.grp = p.ga
          |JOIN kth kb ON kb.grp = p.gb

@@ -910,11 +910,16 @@ object Dedup {
     *    in both inputs, over k — the Jaccard estimate;
     *  - `est_intersection`: `jaccard_ppm · est_union ÷ 10⁶`.
     *
-    * If either corpus has fewer than `k` distinct values the estimator
-    * degenerates (kth-min doesn't exist); this report targets corpora
-    * comfortably past `k`, the regime the sketch exists for. All joins
-    * touch ≤ k rows per side — the whole report after the two bottom-k
-    * scans is sketch-sized.
+    * An UNDER-FILLED sketch (a corpus with fewer than `k` distinct
+    * values) is handled exactly, not silently skewed: a bottom-k sketch
+    * holding n < k rows IS the complete distinct set, so its estimate is
+    * the exact count n (the standard KMV degenerate rule), and the
+    * Jaccard divisor is the ACTUAL merged-sketch size (`n_union =
+    * min(k, |union|)`), never the nominal k — dividing matches by k when
+    * the merged sketch is short deflates the estimate for no reason. The
+    * sketch sizes (`n_a`, `n_b`, `n_union`) are emitted so the regime is
+    * observable in the report itself. All joins touch ≤ k rows per side —
+    * the whole report after the two bottom-k scans is sketch-sized.
     */
   def kmvOverlapReport(a: DataFrame, b: DataFrame, textCol: String,
                        k: Int): DataFrame = {
@@ -923,23 +928,26 @@ object Dedup {
     val merged = CacheScope.persisted(
       sa.unionByName(sb).distinct().orderBy("h").limit(k))
     val num = lit((k - 1).toLong * (1L << 48))
-    val aggA = sa.agg(max("h").as("kth_a"))
-    val aggB = sb.agg(max("h").as("kth_b"))
-    val aggU = merged.agg(max("h").as("kth_u"))
+    // under-filled sketch (n < k) = the complete distinct set: exact n
+    def est(kth: Column, n: Column): Column =
+      when(n < k, n).otherwise(call_function("div", num, kth))
+    val aggA = sa.agg(max("h").as("kth_a"), count(lit(1)).as("n_a"))
+    val aggB = sb.agg(max("h").as("kth_b"), count(lit(1)).as("n_b"))
+    val aggU = merged.agg(max("h").as("kth_u"), count(lit(1)).as("n_union"))
     val matches = merged.join(sa, "h").join(sb, "h")
       .agg(count(lit(1)).as("matches"))
     aggA.crossJoin(aggB).crossJoin(aggU).crossJoin(matches)
       .select(
         lit(k.toLong).as("k"),
-        col("kth_a"),
-        call_function("div", num, col("kth_a")).as("est_a"),
-        col("kth_b"),
-        call_function("div", num, col("kth_b")).as("est_b"),
-        col("kth_u"),
-        call_function("div", num, col("kth_u")).as("est_union"),
+        col("kth_a"), col("n_a"),
+        est(col("kth_a"), col("n_a")).as("est_a"),
+        col("kth_b"), col("n_b"),
+        est(col("kth_b"), col("n_b")).as("est_b"),
+        col("kth_u"), col("n_union"),
+        est(col("kth_u"), col("n_union")).as("est_union"),
         col("matches"),
-        call_function("div", col("matches") * lit(1000000L), lit(k.toLong))
-          .as("jaccard_ppm"))
+        call_function("div", col("matches") * lit(1000000L),
+          greatest(col("n_union"), lit(1L))).as("jaccard_ppm"))
       .withColumn("est_intersection",
         call_function("div", col("jaccard_ppm") * col("est_union"),
           lit(1000000L)))
@@ -949,15 +957,22 @@ object Dedup {
     * estimates between every pair of corpus groups, from per-group
     * [[kmvSketch]]es — "which sources duplicate each other" as one
     * report, at sketch cost. The corpus contributes ONE distinct pass
-    * and one per-group bottom-k window (rank-limit pushdown keeps it a
-    * per-partition heap); everything pairwise happens on the
-    * (groups × k)-row sketch table, so 20 sources cost 190 sketch-sized
-    * merges, never 190 corpus joins. Groups with fewer than `k` distinct
-    * values degrade the estimator (their sketch under-fills) — pick `k`
-    * under the smallest group's cardinality, as q203 does. Output one
-    * row per unordered pair: (source_a, source_b, est_a, est_b,
-    * est_union, matches, jaccard_ppm), exact-integer estimator
-    * arithmetic throughout.
+    * and a TWO-STAGE per-group bottom-k ([[graft.operators.Similarity
+    * .embeddingOutliers]]'s device): a first window over (grp,
+    * scan-partition id) keeps k per task — so the per-group window, whose
+    * partition count is the (low) source cardinality, only ever sees
+    * ≤ partitions·k rows per source, never a source's every distinct hash
+    * funneled through one task (bottom-k of the per-partition bottom-k's
+    * is the group bottom-k — knnBrute's argument, plan-asserted in
+    * DedupSpec). Everything pairwise happens on the (groups × k)-row
+    * sketch table, so 20 sources cost 190 sketch-sized merges, never 190
+    * corpus joins. Under-filled groups (fewer than `k` distinct values)
+    * get [[kmvOverlapReport]]'s exact treatment: their estimate is the
+    * exact sketch size, and the Jaccard divisor is the actual merged size
+    * `n_union`, which is emitted. Output one row per unordered pair:
+    * (source_a, source_b, n_a, n_b, est_a, est_b, n_union, est_union,
+    * matches, jaccard_ppm), exact-integer estimator arithmetic
+    * throughout.
     */
   def kmvOverlapMatrix(df: DataFrame, groupCol: String, textCol: String,
                        k: Int): DataFrame = {
@@ -965,9 +980,13 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val hx = df.select(col(groupCol).as("grp"),
       hash48(lower(trim(col(textCol)))).as("h")).distinct()
+    val wPre = Window.partitionBy("grp", "scan_pid").orderBy("h")
     val w = Window.partitionBy("grp").orderBy("h")
     val sk = CacheScope.persisted(
-      hx.withColumn("rk", row_number().over(w))
+      hx.withColumn("scan_pid", spark_partition_id())
+        .withColumn("prk", row_number().over(wPre))
+        .filter(col("prk") <= k)
+        .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= k).select("grp", "h"))
     val gs = sk.select("grp").distinct()
     val pairs = gs.select(col("grp").as("ga"))
@@ -977,6 +996,8 @@ object Dedup {
       .select("ga", "gb", "h")
     val bRows = pairs.join(sk.withColumnRenamed("grp", "gb"), "gb")
       .select("ga", "gb", "h")
+    // the per-PAIR union window is bounded by construction: its input is
+    // two ≤ k sketches, so a (ga, gb) partition holds ≤ 2k rows
     val wu = Window.partitionBy("ga", "gb").orderBy("h")
     val merged = CacheScope.persisted(
       aRows.unionByName(bRows).distinct()
@@ -986,21 +1007,31 @@ object Dedup {
       .join(sk.select(col("grp").as("ga"), col("h")), Seq("ga", "h"))
       .join(sk.select(col("grp").as("gb"), col("h")), Seq("gb", "h"))
       .groupBy("ga", "gb").agg(count(lit(1)).as("matches"))
-    val kth = sk.groupBy("grp").agg(max("h").as("kth"))
-    val ku = merged.groupBy("ga", "gb").agg(max("h").as("kth_u"))
+    val kth = sk.groupBy("grp")
+      .agg(max("h").as("kth"), count(lit(1)).as("n_g"))
+    val ku = merged.groupBy("ga", "gb")
+      .agg(max("h").as("kth_u"), count(lit(1)).as("n_union"))
     val num = lit((k - 1).toLong * (1L << 48))
+    // under-filled sketch (n < k) = the complete distinct set: exact n
+    def est(kth: Column, n: Column): Column =
+      when(n < k, n).otherwise(call_function("div", num, kth))
     pairs
-      .join(kth.select(col("grp").as("ga"), col("kth").as("kth_a")), "ga")
-      .join(kth.select(col("grp").as("gb"), col("kth").as("kth_b")), "gb")
+      .join(kth.select(col("grp").as("ga"), col("kth").as("kth_a"),
+        col("n_g").as("n_a")), "ga")
+      .join(kth.select(col("grp").as("gb"), col("kth").as("kth_b"),
+        col("n_g").as("n_b")), "gb")
       .join(ku, Seq("ga", "gb"))
       .join(matches, Seq("ga", "gb"), "left")
       .select(col("ga").as("source_a"), col("gb").as("source_b"),
-        call_function("div", num, col("kth_a")).as("est_a"),
-        call_function("div", num, col("kth_b")).as("est_b"),
-        call_function("div", num, col("kth_u")).as("est_union"),
+        col("n_a"), col("n_b"),
+        est(col("kth_a"), col("n_a")).as("est_a"),
+        est(col("kth_b"), col("n_b")).as("est_b"),
+        col("n_union"),
+        est(col("kth_u"), col("n_union")).as("est_union"),
         coalesce(col("matches"), lit(0L)).as("matches"))
       .withColumn("jaccard_ppm",
-        call_function("div", col("matches") * lit(1000000L), lit(k.toLong)))
+        call_function("div", col("matches") * lit(1000000L),
+          greatest(col("n_union"), lit(1L))))
   }
 
   /** SimHash: 32-bit locality-sensitive signature. Each token votes ±1 on

@@ -1084,37 +1084,53 @@ object Similarity {
     * unrolled-loop recipe) and must agree pick-for-pick.
     *
     * Scale shape: the candidate generation is [[knnBrute]]'s broadcast-
-    * queries/one-corpus-scan plan — THAT is the part that touches 100 TB.
-    * The greedy selection is inherently sequential (pick t depends on
-    * picks 1..t−1), so it runs on the driver over the CAPPED candidate
-    * list (`nCandidates ≤ MaxMmrCandidates` — the bounded-driver-scalar
-    * discipline of [[sampleCentroids]]/canonicalIds), O(k·n) dot products
-    * over ≤ 4096 rows. First pick's empty-set max-similarity is 0, so one
-    * uniform objective covers every step. Output: (rank, doc_id,
-    * rel_micro, max_sim_micro, mmr_score).
+    * queries/one-corpus-scan plan — THAT is the part that touches 100 TB —
+    * and the `nCandidates` cut is `orderBy(cos desc, id).limit(n)`, which
+    * plans as `TakeOrderedAndProject` (an O(n) heap per scan partition,
+    * partials merged on the driver), so NO task ever sorts more than its
+    * own partition's rows and no single-partition window exists anywhere
+    * in the plan (the key is total, so the heap cut is identical to the
+    * global-sort cut — [[graft.operators.Relational.topK]]'s argument;
+    * plan-asserted in SimilaritySpec). The greedy selection is inherently
+    * sequential (pick t depends on picks 1..t−1), so it runs on the
+    * driver over the CAPPED candidate list (`nCandidates ≤
+    * MaxMmrCandidates` — the bounded-driver-scalar discipline of
+    * [[sampleCentroids]]/canonicalIds), O(k·n) dot products over ≤ 4096
+    * rows. First pick's empty-set max-similarity is 0, so one uniform
+    * objective covers every step. Output: (rank, doc_id, rel_micro,
+    * max_sim_micro, mmr_score).
     */
   def mmrRerank(corpus: DataFrame, query: DataFrame, idCol: String,
                 vecCol: String, nCandidates: Int, k: Int,
                 lambdaPct: Int = 70): DataFrame = {
-    require(nCandidates >= 1 && nCandidates <= MaxMmrCandidates,
-      s"nCandidates must be in [1, $MaxMmrCandidates]: $nCandidates")
     require(k >= 1 && k <= nCandidates, s"need 1 <= k <= nCandidates: $k")
     require(lambdaPct >= 0 && lambdaPct <= 100, s"lambdaPct: $lambdaPct")
-    val sp = corpus.sparkSession
-    graft.functions.CosineSim.ensureRegistered(sp)
+    mmrGreedy(corpus.sparkSession,
+      mmrCandidates(corpus, query, idCol, vecCol, nCandidates), k, lambdaPct)
+  }
+
+  /** [[mmrRerank]]'s candidate generation, exposed for the plan gate: the
+    * broadcast-query cosine scan cut to the top `nCandidates` by
+    * `(cos desc, id asc)` via orderBy+limit — `TakeOrderedAndProject`,
+    * per-partition heaps, never a global window over the corpus.
+    */
+  private[graft] def mmrCandidates(corpus: DataFrame, query: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   nCandidates: Int): DataFrame = {
+    require(nCandidates >= 1 && nCandidates <= MaxMmrCandidates,
+      s"nCandidates must be in [1, $MaxMmrCandidates]: $nCandidates")
+    graft.functions.CosineSim.ensureRegistered(corpus.sparkSession)
     val q = query.limit(1)
       .select(col(vecCol).cast("array<double>").as("qv"))
-    val w = Window.orderBy(col("cos").desc, col("id").asc)
-    val cand = corpus
+    corpus
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .crossJoin(broadcast(q))
       .withColumn("cos", cosineFast(col("v"), col("qv")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= nCandidates)
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(nCandidates)
       .select(col("id"), col("v"),
         floor(col("cos") * lit(1e6) + lit(0.5)).cast("long").as("rel_micro"))
-    mmrGreedy(sp, cand, k, lambdaPct)
   }
 
   /** [[mmrRerank]] over a PRE-SCORED candidate frame — the composition

@@ -177,6 +177,19 @@ class BinarySigSpec extends SparkTestBase {
     assert(out.toSeq == Seq((2L, 1L)))  // the null row never appears
   }
 
+  test("mmrRerank's candidate cut plans TakeOrderedAndProject — never a global window") {
+    val corpus = (1L to 100L).map(i => (i, Array(i.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val plan = Similarity.mmrCandidates(corpus, q, "vec_id", "embedding",
+        nCandidates = 25)
+      .queryExecution.executedPlan.toString
+    // orderBy+limit over a total key = per-partition heaps merged on the
+    // driver; the r12 verdict's single-partition WindowExec must be gone
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("mmrRerank enforces the candidate cap and parameter bounds") {
     val df = Seq((0L, Array(1.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {

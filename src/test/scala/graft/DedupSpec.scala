@@ -542,13 +542,29 @@ class DedupSpec extends SparkTestBase {
   test("kmvOverlapReport: identical corpora estimate Jaccard 1; estimator is exact-integer") {
     val texts = (0 until 400).map(i => s"doc $i").toDF("text")
     val r = Dedup.kmvOverlapReport(texts, texts, "text", k = 64).head
-    val (k, kthA, estA) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (k, kthA, estA) = (r.getAs[Long]("k"), r.getAs[Long]("kth_a"),
+      r.getAs[Long]("est_a"))
     assert(k == 64L && estA == (63L * (1L << 48)) / kthA)
-    assert(r.getLong(7) == 64L)              // matches = k
-    assert(r.getLong(8) == 1000000L)         // jaccard_ppm
-    assert(r.getLong(9) == r.getLong(6))     // est_intersection = est_union
+    assert(r.getAs[Long]("n_union") == 64L)
+    assert(r.getAs[Long]("matches") == 64L)
+    assert(r.getAs[Long]("jaccard_ppm") == 1000000L)
+    assert(r.getAs[Long]("est_intersection") == r.getAs[Long]("est_union"))
     // the estimate should be in the right ballpark for 400 distinct
     assert(estA > 150L && estA < 1200L, s"est_a=$estA")
+  }
+
+  test("kmvOverlapReport: under-filled sketch reports EXACT counts, divides by actual size") {
+    // corpus a has only 20 distinct values — far under k=64: the sketch IS
+    // the complete distinct set, so est_a must be exactly 20, and the
+    // Jaccard divisor must be the merged size, not the nominal k
+    val a = (0 until 20).map(i => s"tiny $i").toDF("text")
+    val r = Dedup.kmvOverlapReport(a, a, "text", k = 64).head
+    assert(r.getAs[Long]("n_a") == 20L && r.getAs[Long]("est_a") == 20L)
+    assert(r.getAs[Long]("n_union") == 20L && r.getAs[Long]("est_union") == 20L)
+    assert(r.getAs[Long]("matches") == 20L)
+    // matches/n_union = 1 exactly; the old matches/k rule would read 312500
+    assert(r.getAs[Long]("jaccard_ppm") == 1000000L)
+    assert(r.getAs[Long]("est_intersection") == 20L)
   }
 
   test("kmvOverlapMatrix: pairwise cells track true overlap structure") {
@@ -562,20 +578,53 @@ class DedupSpec extends SparkTestBase {
     val df = docs.toDF("text", "source")
     val rows = Dedup.kmvOverlapMatrix(df, "source", "text", k = 32)
       .orderBy("source_a", "source_b").collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(5), r.getLong(6)))
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("jaccard_ppm")))
     assert(rows.map(t => (t._1, t._2)).toSeq ==
       Seq(("a", "b"), ("a", "c"), ("b", "c")))
-    val byPair = rows.map(t => (t._1, t._2) -> t._4).toMap
+    val byPair = rows.map(t => (t._1, t._2) -> t._3).toMap
     // a-b truly overlap (J = 1/3); c is disjoint from both
     assert(byPair(("a", "c")) == 0L && byPair(("b", "c")) == 0L)
     assert(byPair(("a", "b")) > 100000L && byPair(("a", "b")) < 700000L,
       s"a-b jaccard_ppm = ${byPair(("a", "b"))}")
   }
 
+  test("kmvOverlapMatrix: under-filled group gets exact counts; matrix equals the pairwise report") {
+    val docs =
+      (0 until 100).map(i => (s"shared $i", "a")) ++
+      (0 until 100).map(i => (s"shared $i", "b")) ++
+      (0 until 10).map(i => (s"shared $i", "tiny"))   // 10 < k = 32
+    val df = docs.toDF("text", "source")
+    val byPair = Dedup.kmvOverlapMatrix(df, "source", "text", k = 32)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val at = byPair(("a", "tiny"))
+    assert(at.getAs[Long]("n_b") == 10L && at.getAs[Long]("est_b") == 10L)
+    // tiny ⊂ a, so every merged-sketch hash present in tiny is a match;
+    // the union sketch is a's bottom-32 ∪ tiny = still 32 of a's hashes
+    assert(at.getAs[Long]("n_union") == 32L)
+    // and the under-filled pair cell agrees with the two-corpus report
+    val rep = Dedup.kmvOverlapReport(
+      df.filter(col("source") === "a").select("text"),
+      df.filter(col("source") === "tiny").select("text"), "text", k = 32).head
+    assert(at.getAs[Long]("matches") == rep.getAs[Long]("matches"))
+    assert(at.getAs[Long]("jaccard_ppm") == rep.getAs[Long]("jaccard_ppm"))
+  }
+
+  test("kmvOverlapMatrix: the per-group cut is two-stage (no one-task-per-source funnel)") {
+    val df = (0 until 200).map(i => (s"doc $i", s"s${i % 3}")).toDF("text", "source")
+    val plan = Dedup.kmvOverlapMatrix(df, "source", "text", k = 8)
+      .queryExecution.executedPlan.toString
+    // the pre-cut window partitions by (grp, scan_pid): every window over
+    // the corpus-sized distinct-hash table carries the scan-partition key,
+    // so no task ever holds more than its own partition's rows for a group
+    assert(plan.contains("scan_pid"), plan)
+  }
+
   test("kmvOverlapReport: disjoint corpora estimate Jaccard 0") {
     val a = (0 until 300).map(i => s"alpha $i").toDF("text")
     val b = (0 until 300).map(i => s"beta $i").toDF("text")
     val r = Dedup.kmvOverlapReport(a, b, "text", k = 50).head
-    assert(r.getLong(7) == 0L && r.getLong(8) == 0L && r.getLong(9) == 0L)
+    assert(r.getAs[Long]("matches") == 0L &&
+      r.getAs[Long]("jaccard_ppm") == 0L &&
+      r.getAs[Long]("est_intersection") == 0L)
   }
 }
