@@ -39,12 +39,16 @@ object ZoneMap {
     */
   val MaxZones = 4096
 
-  /** Exact-integer zone id of a long `key` given inclusive global bounds,
-    * clamped into [0, zones−1]: an APPENDED key outside the frozen build
-    * bounds lands in the nearest edge zone (its sidecar min/max widens to
-    * cover it), it never invents a zone. Within bounds the numerator is
-    * non-negative, so truncating long division IS floor and DuckDB `//`
-    * agrees term-for-term.
+  /** Exact-integer zone id of a long `key` given inclusive global bounds:
+    * an APPENDED key outside the frozen build bounds is clamped to the
+    * nearest BOUND first, so it lands in the zone holding that bound (its
+    * sidecar min/max widens to cover it) — it never invents a zone.
+    * Clamping the KEY rather than the computed zone also means the
+    * multiply below can never see a numerator outside the span the guard
+    * checked: a far-out-of-range key cannot overflow `(key − minK) ·
+    * zones`, wrap, and silently land in an arbitrary interior zone.
+    * Within bounds the numerator is non-negative, so truncating long
+    * division IS floor and DuckDB `//` agrees term-for-term.
     */
   def zoneOf(key: org.apache.spark.sql.Column,
              minK: org.apache.spark.sql.Column,
@@ -58,10 +62,14 @@ object ZoneMap {
       raise_error(lit(s"ZoneMap: key span times $zones zones overflows " +
         "64-bit exact assignment — coarsen the key")))
       .otherwise(span)
-    greatest(lit(0L), least(lit(zones.toLong - 1),
+    val clamped = greatest(minK, least(maxK, key))
+    // the quotient is provably < zones (clamped ≤ maxK ⇒ numerator ≤
+    // span·zones < (span+1)·zones); the least() is redundant but keeps
+    // the expression's [0, zones−1] range self-evident to a reader
+    least(lit(zones.toLong - 1),
       call_function("div",                       // IntegralDivide, not the
-        (key - minK) * lit(zones.toLong),        // fractional `/`
-        guarded + lit(1L))))
+        (clamped - minK) * lit(zones.toLong),    // fractional `/`
+        guarded + lit(1L)))
       .cast("long")
   }
 
@@ -74,9 +82,15 @@ object ZoneMap {
                       zones: Int): Unit = {
     require(zones >= 1 && zones <= MaxZones,
       s"zones must be in [1, $MaxZones]: $zones")
-    val bounds = df.agg(min(col(keyCol)).cast("long").as("_min_k"),
-      max(col(keyCol)).cast("long").as("_max_k"))
-    val zoned = df.crossJoin(broadcast(bounds))
+    val bRow = df.agg(min(col(keyCol)).cast("long").as("_min_k"),
+      max(col(keyCol)).cast("long").as("_max_k")).head
+    // min/max of ZERO rows is null: a store built from an empty frame
+    // would carry null _meta bounds that NPE every later append/audit —
+    // fail the build here with the real reason instead
+    require(!bRow.isNullAt(0) && !bRow.isNullAt(1),
+      s"ZoneMap: empty input (or all-null $keyCol) cannot be zone-mapped")
+    val (minK, maxK) = (bRow.getLong(0), bRow.getLong(1))
+    val zoned = df
       .withColumn("zone",
         // a null key has no range: it would land in the hive default
         // partition and silently vanish from every range scan — fail the
@@ -84,9 +98,7 @@ object ZoneMap {
         when(col(keyCol).isNull,
           raise_error(lit(s"ZoneMap: null $keyCol cannot be zone-mapped")))
           .otherwise(
-            zoneOf(col(keyCol).cast("long"), col("_min_k"), col("_max_k"),
-              zones)))
-      .drop("_min_k", "_max_k")
+            zoneOf(col(keyCol).cast("long"), lit(minK), lit(maxK), zones)))
     zoned.write.mode("overwrite").partitionBy("zone")
       .parquet(s"$path/data")
     // sidecar from the WRITTEN files, not a recompute of the input: a
@@ -102,8 +114,10 @@ object ZoneMap {
       .write.mode("overwrite").parquet(s"$path/_zones")
     // assignment bounds, FROZEN for the store's lifetime — appends assign
     // against these, like the IVF stores' frozen codebooks
-    bounds.withColumn("zones", lit(zones))
-      .withColumn("key_col", lit(keyCol)).coalesce(1)
+    val sp = df.sparkSession
+    import sp.implicits._
+    Seq((minK, maxK, zones, keyCol))
+      .toDF("_min_k", "_max_k", "zones", "key_col").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_meta")
   }
 
@@ -123,27 +137,49 @@ object ZoneMap {
     val meta = spark.read.parquet(s"$path/_meta").head
     val (minK, maxK, zones) =
       (meta.getLong(0), meta.getLong(1), meta.getInt(2))
+    // PERSIST the zoned batch before anything reads it: the data write
+    // and the sidecar stats below must see the SAME rows — a
+    // non-deterministic batch frame re-evaluated for the stats would
+    // otherwise disagree with what landed on disk, the
+    // silently-pruning-live-rows corruption zoneMapAudit names as the
+    // one unrecoverable failure (writeZoneMapped rebuilds its sidecar
+    // from the written files; an append must stay ∝ batch, so it pins
+    // the batch instead of rescanning the store)
     val zoned = batch
       .withColumn("zone",
         when(col(keyCol).isNull,
           raise_error(lit(s"ZoneMap: null $keyCol cannot be zone-mapped")))
           .otherwise(zoneOf(col(keyCol).cast("long"), lit(minK), lit(maxK),
             zones)))
-    zoned.write.mode("append").partitionBy("zone").parquet(s"$path/data")
-    val batchStats = zoned.groupBy("zone")
-      .agg(min(col(keyCol)).cast("long").as("min_key"),
-        max(col(keyCol)).cast("long").as("max_key"),
-        count(lit(1)).as("n_rows"))
-    val merged = zoneStats(spark, path).unionByName(batchStats)
-      .groupBy("zone")
-      .agg(min("min_key").as("min_key"), max("max_key").as("max_key"),
-        sum("n_rows").as("n_rows"))
-      .coalesce(1)
-    // materialize BEFORE overwriting the sidecar being read
-    val rows = merged.collect()   // bounded: ≤ zones ≤ MaxZones rows
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toSeq, 1), merged.schema)
-      .write.mode("overwrite").parquet(s"$path/_zones")
+      .persist()
+    try {
+      zoned.write.mode("append").partitionBy("zone").parquet(s"$path/data")
+      val batchStats = zoned.groupBy("zone")
+        .agg(min(col(keyCol)).cast("long").as("min_key"),
+          max(col(keyCol)).cast("long").as("max_key"),
+          count(lit(1)).as("n_rows"))
+      val merged = zoneStats(spark, path).unionByName(batchStats)
+        .groupBy("zone")
+        .agg(min("min_key").as("min_key"), max("max_key").as("max_key"),
+          sum("n_rows").as("n_rows"))
+        .coalesce(1)
+      // materialize BEFORE touching the sidecar being read
+      val rows = merged.collect()   // bounded: ≤ zones ≤ MaxZones rows
+      // the new sidecar lands complete at a temp path, then SWAPS in —
+      // the sidecar is never observable half-written. The residual crash
+      // window (data appended, swap not reached) leaves the old sidecar:
+      // appended rows are then under-counted/pruned until zoneMapAudit
+      // (stat_mismatches > 0) flags the store — detectable, and repaired
+      // by re-deriving the sidecar from the data files; a crash INSIDE
+      // the swap can at worst leave the sidecar missing (loud), never
+      // wrong.
+      val tmp = s"$path/_zones_tmp"
+      graft.operators.StoreFs.delete(spark, tmp)
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq, 1), merged.schema)
+        .write.mode("overwrite").parquet(tmp)
+      graft.operators.StoreFs.replace(spark, tmp, s"$path/_zones")
+    } finally zoned.unpersist()
   }
 
   /** The statistics sidecar as a DataFrame — the pruning decision's input,

@@ -117,6 +117,37 @@ class ZoneMapSpec extends SparkTestBase {
     assert(ZoneMap.scanRange(spark, dir, "key", 0L, 300L).count() == 5)
   }
 
+  test("an empty (or all-null-key) build fails loudly, not with null _meta bounds") {
+    val dir = Files.createTempDirectory("graft-zm-empty").toString
+    val e = intercept[IllegalArgumentException] {
+      ZoneMap.writeZoneMapped(
+        Seq.empty[(Long, Long)].toDF("id", "key"), dir, "key", 4)
+    }
+    assert(e.getMessage.contains("empty input"), e.getMessage)
+  }
+
+  test("a far-out-of-range appended key clamps to the edge zone — never wraps interior") {
+    // frozen bounds [0, 99], 4 zones; an appended key so large that the
+    // UNCLAMPED numerator (key − minK) · zones would overflow a long must
+    // land in the top edge zone (key clamps to maxK first), keep edge-zone
+    // semantics, and stay findable + audit-clean
+    val dir = store(Seq(0L, 10L, 25L, 50L, 75L, 99L), zones = 4)
+    ZoneMap.appendZoneMapped(spark, dir,
+      Seq((1000L, Long.MaxValue - 1L), (1001L, Long.MinValue + 1L))
+        .toDF("id", "key"), "key")
+    val zones = spark.read.parquet(s"$dir/data")
+      .select(col("key").cast("long"), col("zone").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(zones(Long.MaxValue - 1L) == 3L)   // top edge zone (maxK's zone)
+    assert(zones(Long.MinValue + 1L) == 0L)   // bottom edge zone
+    val audit = ZoneMap.zoneMapAudit(spark, dir).head
+    assert(audit.getAs[Long]("misassigned") == 0L)
+    assert(audit.getAs[Long]("stat_mismatches") == 0L)
+    // the widened edge zones keep the extreme keys findable
+    assert(ZoneMap.scanRange(spark, dir, "key",
+      Long.MaxValue - 2L, Long.MaxValue).count() == 1)
+  }
+
   test("append cost is ∝ batch: build files are not rewritten") {
     val dir = Files.createTempDirectory("graft-zm-appfiles").toString
     ZoneMap.writeZoneMapped(
