@@ -2041,10 +2041,11 @@ object SparkEntry {
     // The WHOLE deletion family composed onto the compressed store in
     // one gate: build even + append odd + tombstone-delete vec_id%7==3 +
     // COMPACTION (affected cells physically rewritten, tombstones
-    // cleared) + pruned search. delete/compact/audit only touch (id,
-    // cell), so the PQ store inherits them UNCHANGED — this row proves
-    // that claim: the answer must hash-equal q155's oracle restricted to
-    // the survivors (codebooks frozen pre-delete, like a real index).
+    // cleared) + pruned search — the full verb set on the store a
+    // billion-vector corpus actually serves from. The answer must
+    // hash-equal q155's oracle restricted to the survivors (codebooks
+    // frozen pre-delete, like a real index) AND q205's tombstone-era
+    // answer (compaction may never move a search result).
     "q159_ivfpq_lifecycle" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
       val root = java.nio.file.Files
@@ -2054,9 +2055,32 @@ object SparkEntry {
         "vec_id", "embedding", root)
       Similarity.appendIvfPqIndex(s, root,
         e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
-      Similarity.deleteFromIvfIndex(s, root,
+      Similarity.deleteFromIvfPqIndex(s, root,
         e.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
-      Similarity.compactIvfIndex(s, root)
+      Similarity.compactIvfPqIndex(s, root)
+      Similarity.searchIvfPqIndex(s, root, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("adc_micro"), col("neighbor_id"))
+    }),
+
+    // The q133 recipe on the COMPRESSED store: build even + append odd +
+    // deleteFromIvfPqIndex (tombstones only — NO compaction), then the
+    // pruned search must already answer as a from-scratch build over the
+    // survivors (codebooks frozen pre-delete). q159 then proves the
+    // physical compaction answers identically — the q131/q132 and
+    // q133/q134 delete-then-compact pairing, completed for the store
+    // that serves a billion-vector corpus.
+    "q205_ivfpq_delete" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-delete").toString
+      SnapshotDirs.add(root)
+      Similarity.buildIvfPqIndex(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", root)
+      Similarity.appendIvfPqIndex(s, root,
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      Similarity.deleteFromIvfPqIndex(s, root,
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
       Similarity.searchIvfPqIndex(s, root, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 3, nprobe = 2)
         .orderBy(col("query_id"), col("adc_micro"), col("neighbor_id"))
@@ -3469,6 +3493,10 @@ object SparkEntry {
       // both equal the from-scratch build over the survivors
       "q132_text_index_compact" -> "q131_text_index_delete",
       "q134_ivf_compact" -> "q133_ivf_delete",
+      // the same delete-then-compact invariant on the COMPRESSED store:
+      // the tombstone-era search (q205) must already equal the
+      // from-scratch-over-survivors oracle q159 is gated on
+      "q205_ivfpq_delete" -> "q159_ivfpq_lifecycle",
       // the SQL-surface table functions must reproduce the operator
       // library's answers exactly — same stores, same scoring, resolved
       // through the text front door

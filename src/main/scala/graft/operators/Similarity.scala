@@ -1781,6 +1781,38 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/postings")
   }
 
+  /** DELETION from a [[buildIvfPqIndex]] store — the takedown verb for
+    * the COMPRESSED index, so a removal request against the store a
+    * billion-vector corpus actually serves from never means a full
+    * rebuild (the reference's SDFS `delete`, daemon/daemon.go:116-133,
+    * applied to the store that matters most at scale). The implementation
+    * IS [[deleteFromIvfIndex]]: the PQ postings keep the raw index's
+    * exact (id, …, cell-partition) layout contract, and the delete verb
+    * only ever touches (id, cell) — it never reads the payload column, so
+    * whether a posting carries a vector or a 4-byte code word is
+    * invisible to it. Tombstones append (cost ∝ delete set);
+    * [[searchIvfPqIndex]]/[[searchIvfPqIndexFiltered]] anti-join them, so
+    * a deleted vector stops matching immediately; both codebooks stay
+    * frozen. Gated: q205 (delete → search ≡ from-scratch build over the
+    * survivors).
+    */
+  def deleteFromIvfPqIndex(spark: SparkSession, dir: String,
+                           ids: DataFrame, idCol: String): Unit =
+    deleteFromIvfIndex(spark, dir, ids, idCol)
+
+  /** COMPACTION of a tombstoned [[buildIvfPqIndex]] store: physically
+    * rewrite ONLY the cell partitions the tombstones name and clear the
+    * tombstones — [[compactIvfIndex]] verbatim, for the same reason as
+    * [[deleteFromIvfPqIndex]]: compaction moves rows by (id, cell) and
+    * copies every other column opaquely, so the 4-byte code words ride
+    * through untouched. Post-compaction searches answer identically with
+    * zero tombstone overhead (gated: q159 composes build + append +
+    * delete + THIS onto one store and must hash-equal q205's
+    * tombstone-era answer).
+    */
+  def compactIvfPqIndex(spark: SparkSession, dir: String): Unit =
+    compactIvfIndex(spark, dir)
+
   /** Query a [[buildIvfPqIndex]] index: [[ivfPqTopK]]'s probe + integer-
     * ADC semantics bit-for-bit (gated), but the scan side is the on-disk
     * 4-byte code file — the broadcast probe join's cell keys prune the

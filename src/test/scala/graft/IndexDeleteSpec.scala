@@ -122,6 +122,45 @@ class IndexDeleteSpec extends SparkTestBase {
     assert(found2 == found) // compaction changed files, not answers
   }
 
+  test("ivf-pq store: delete tombstones, compaction rewrites only affected cells, codes survive") {
+    val dir = tmp("graft-ivfpqdel")
+    val vecs = (0L until 32L).map { i =>
+      val base = Array.fill(4)(0.0); base((i % 3).toInt) = 1.0
+      base(3) = 0.01 * i
+      (i, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    Similarity.buildIvfPqIndex(vecs, "vec_id", "embedding", dir,
+      m = 2, ksub = 4, ivfStep = 3, pqStep = 5)
+    val before = listFiles(s"$dir/postings")
+    Similarity.deleteFromIvfPqIndex(spark, dir,
+      Seq(0L, 3L).toDF("vec_id"), "vec_id")
+    assert(listFiles(s"$dir/postings") == before) // tombstone-only
+    val deletedCells = spark.read.parquet(s"$dir/tombstones")
+      .select("cell").as[Long].collect().toSet
+    val found = Similarity.searchIvfPqIndex(spark, dir,
+      vecs.filter(col("vec_id") === 6L), "vec_id", "embedding",
+      k = 30, nprobe = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!found.contains(0L) && !found.contains(3L))
+    Similarity.compactIvfPqIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    val after = listFiles(s"$dir/postings")
+    before.foreach { case (path, mtime) =>
+      val c = "cell=(\\d+)".r.findFirstMatchIn(path).get.group(1).toLong
+      if (!deletedCells.contains(c))
+        assert(after.get(path).contains(mtime), s"untouched cell $c rewritten: $path")
+    }
+    // compaction copied the 4-byte code words opaquely: answers identical
+    val found2 = Similarity.searchIvfPqIndex(spark, dir,
+      vecs.filter(col("vec_id") === 6L), "vec_id", "embedding",
+      k = 30, nprobe = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(found2 == found)
+    // and the surviving postings still carry (id, code_word, cell)
+    val cols = spark.read.parquet(s"$dir/postings").columns.toSet
+    assert(cols == Set("id", "code_word", "cell"))
+  }
+
   test("snapshot retention: prune removes exactly the doomed version dirs") {
     val root = tmp("graft-snapret")
     val df = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
