@@ -378,7 +378,8 @@ object Bpe {
                     numMerges: Int, minFreq: Long = 2L,
                     driverVocabCap: Long = DefaultDriverVocabCap,
                     tokenizer: Column => Column = TextAnalysis.tokens,
-                    byteLevel: Boolean = false): Unit = {
+                    byteLevel: Boolean = false): Unit =
+      StoreLock.withWriteLock(dir) {
     val spark = df.sparkSession
     import spark.implicits._
     val (merges, vocab) = trainInternal(df, textCol, numMerges, minFreq,

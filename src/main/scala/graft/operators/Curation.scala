@@ -439,7 +439,8 @@ object Curation {
     * re-putting an existing version fails (`errorifexists`), matching the
     * counter semantics where every put gets a NEW version.
     */
-  def writeSnapshot(df: DataFrame, rootDir: String, version: Long): Unit = {
+  def writeSnapshot(df: DataFrame, rootDir: String, version: Long): Unit =
+      StoreLock.withWriteLock(rootDir) {
     require(version >= 0, s"version must be >= 0: $version")
     df.write.mode("errorifexists").parquet(s"$rootDir/version=$version")
   }
@@ -498,7 +499,8 @@ object Curation {
     * surviving store must read back exactly the kept versions' rows.
     */
   def pruneSnapshots(rootDir: String, keepLast: Int,
-                     conf: Option[org.apache.hadoop.conf.Configuration] = None): Seq[Long] = {
+                     conf: Option[org.apache.hadoop.conf.Configuration] = None): Seq[Long] =
+      StoreLock.withWriteLock(rootDir, conf) {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
     val versions = snapshotVersions(rootDir, conf)
     val doomed = versions.dropRight(keepLast)
@@ -539,7 +541,8 @@ object Curation {
   def writeSnapshotDelta(spark: org.apache.spark.sql.SparkSession,
                          rootDir: String, version: Long,
                          upserts: DataFrame, deleteIds: DataFrame,
-                         idCol: String): Unit = {
+                         idCol: String): Unit =
+      StoreLock.withWriteLock(rootDir) {
     require(version >= 1, s"delta version must be >= 1: $version")
     val clash = upserts.select(col(idCol))
       .join(deleteIds.select(col(idCol)), idCol).limit(1).count()

@@ -407,7 +407,8 @@ object Similarity {
 
   def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
                     dir: String, centStep: Int = 25,
-                    maxCentroids: Int = 4096): Unit = {
+                    maxCentroids: Int = 4096): Unit =
+      StoreLock.withWriteLock(dir) {
     val cents = sampleCentroids(df, idCol, vecCol, centStep, maxCentroids)
     val sp = df.sparkSession
     import sp.implicits._
@@ -436,7 +437,8 @@ object Similarity {
     * else (≤ `maxCentroids` rows by construction of the build).
     */
   def appendIvfIndex(spark: SparkSession, dir: String, batch: DataFrame,
-                     idCol: String, vecCol: String): Unit = {
+                     idCol: String, vecCol: String): Unit =
+      StoreLock.withWriteLock(dir) {
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy("cid").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
@@ -463,7 +465,8 @@ object Similarity {
     * survivors).
     */
   def deleteFromIvfIndex(spark: SparkSession, dir: String, ids: DataFrame,
-                         idCol: String): Unit = {
+                         idCol: String): Unit =
+      StoreLock.withWriteLock(dir) {
     val del0 = ids.select(col(idCol).cast("long").as("id")).distinct()
     val del =
       if (graft.operators.StoreFs.exists(spark, s"$dir/tombstones"))
@@ -486,26 +489,31 @@ object Similarity {
     * corpus. Post-compaction searches answer identically with zero
     * tombstone overhead (gated: q134 hash-equals q133's oracle).
     */
-  def compactIvfIndex(spark: SparkSession, dir: String): Unit = {
+  def compactIvfIndex(spark: SparkSession, dir: String): Unit =
+      StoreLock.withWriteLock(dir) {
     import graft.operators.StoreFs
-    if (!StoreFs.exists(spark, s"$dir/tombstones")) return
-    val tomb = spark.read.parquet(s"$dir/tombstones")
-    val tombIds = tomb.select("id").distinct()
-    val affected = tomb.select("cell").distinct().collect()
-      .map(_.getLong(0)).toSeq
-    if (affected.isEmpty) { StoreFs.delete(spark, s"$dir/tombstones"); return }
-    val tmp = s"$dir/compact_tmp"
-    StoreFs.delete(spark, tmp)
-    spark.read.parquet(s"$dir/postings")
-      .filter(col("cell").isin(affected: _*))
-      .join(tombIds, Seq("id"), "left_anti")
-      .repartition(col("cell"))
-      .write.partitionBy("cell").parquet(s"$tmp/postings")
-    affected.foreach { c =>
-      StoreFs.replace(spark, s"$tmp/postings/cell=$c", s"$dir/postings/cell=$c")
+    if (StoreFs.exists(spark, s"$dir/tombstones")) {
+      val tomb = spark.read.parquet(s"$dir/tombstones")
+      val tombIds = tomb.select("id").distinct()
+      val affected = tomb.select("cell").distinct().collect()
+        .map(_.getLong(0)).toSeq
+      if (affected.isEmpty) StoreFs.delete(spark, s"$dir/tombstones")
+      else {
+        val tmp = s"$dir/compact_tmp"
+        StoreFs.delete(spark, tmp)
+        spark.read.parquet(s"$dir/postings")
+          .filter(col("cell").isin(affected: _*))
+          .join(tombIds, Seq("id"), "left_anti")
+          .repartition(col("cell"))
+          .write.partitionBy("cell").parquet(s"$tmp/postings")
+        affected.foreach { c =>
+          StoreFs.replace(spark, s"$tmp/postings/cell=$c",
+            s"$dir/postings/cell=$c")
+        }
+        StoreFs.delete(spark, s"$dir/tombstones")
+        StoreFs.delete(spark, tmp)
+      }
     }
-    StoreFs.delete(spark, s"$dir/tombstones")
-    StoreFs.delete(spark, tmp)
   }
 
   /** INDEX INTEGRITY AUDIT — [[graft.operators.TextAnalysis
@@ -1724,7 +1732,8 @@ object Similarity {
   def buildIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
                       dir: String, m: Int = 8, ksub: Int = 16,
                       ivfStep: Int = 25, pqStep: Int = 7,
-                      maxCentroids: Int = 4096): Unit = {
+                      maxCentroids: Int = 4096): Unit =
+      StoreLock.withWriteLock(dir) {
     require(ksub >= 1 && ksub <= 16, s"ksub must be in [1,16]: $ksub")
     require(m >= 1 && m <= 15, s"m must be in [1,15]: $m")
     val sp = df.sparkSession
@@ -1773,7 +1782,8 @@ object Similarity {
     * union against the even-corpus codebooks (gated q155).
     */
   def appendIvfPqIndex(spark: SparkSession, dir: String, batch: DataFrame,
-                       idCol: String, vecCol: String): Unit = {
+                       idCol: String, vecCol: String): Unit =
+      StoreLock.withWriteLock(dir) {
     val (cents, full, m) = readIvfPqModel(spark, dir)
     ivfResiduals(batch, idCol, vecCol, cents)
       .select(col("id"), pqCodeWord(col("r"), full, m).as("code_word"),

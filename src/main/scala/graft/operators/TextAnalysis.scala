@@ -654,7 +654,8 @@ object TextAnalysis {
     */
   def buildTextIndex(df: DataFrame, idCol: String, textCol: String,
                      dir: String, buckets: Int = 64,
-                     withPositions: Boolean = false): Unit = {
+                     withPositions: Boolean = false): Unit =
+      StoreLock.withWriteLock(dir) {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     if (withPositions) writePositions(df, idCol, textCol, dir, buckets,
       mode = "overwrite")
@@ -703,7 +704,8 @@ object TextAnalysis {
   def appendTextIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                       batch: DataFrame, idCol: String, textCol: String,
                       buckets: Int = 64,
-                      withPositions: Boolean = false): Unit = {
+                      withPositions: Boolean = false): Unit =
+      StoreLock.withWriteLock(dir) {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     if (withPositions) writePositions(batch, idCol, textCol, dir, buckets,
       mode = "append")
@@ -758,7 +760,8 @@ object TextAnalysis {
     */
   def deleteFromTextIndex(spark: org.apache.spark.sql.SparkSession,
                           dir: String, ids: DataFrame, idCol: String,
-                          buckets: Int = 64): Unit = {
+                          buckets: Int = 64): Unit =
+      StoreLock.withWriteLock(dir) {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val del0 = ids.select(col(idCol).as("doc_id")).distinct()
     val del =
@@ -811,8 +814,15 @@ object TextAnalysis {
     * build/append.
     */
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
-                       dir: String, buckets: Int = 64): Unit = {
-    if (!StoreFs.exists(spark, s"$dir/tombstones")) return
+                       dir: String, buckets: Int = 64): Unit =
+      StoreLock.withWriteLock(dir) {
+    if (!StoreFs.exists(spark, s"$dir/tombstones")) ()
+    else compactTextIndexLocked(spark, dir, buckets)
+  }
+
+  private def compactTextIndexLocked(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, buckets: Int): Unit = {
     val tomb = spark.read.parquet(s"$dir/tombstones")
     val tombIds = CacheScope.persisted(tomb.select("doc_id").distinct())
     val affected = tomb.filter(col("bucket") >= 0)

@@ -79,7 +79,8 @@ object ZoneMap {
     * a null has no range and would silently vanish from every range scan.
     */
   def writeZoneMapped(df: DataFrame, path: String, keyCol: String,
-                      zones: Int): Unit = {
+                      zones: Int): Unit =
+      graft.operators.StoreLock.withWriteLock(path) {
     require(zones >= 1 && zones <= MaxZones,
       s"zones must be in [1, $MaxZones]: $zones")
     val bRow = df.agg(min(col(keyCol)).cast("long").as("_min_k"),
@@ -133,7 +134,8 @@ object ZoneMap {
     * [[graft.operators.Similarity.cellOccupancy]] for codebooks).
     */
   def appendZoneMapped(spark: SparkSession, path: String, batch: DataFrame,
-                       keyCol: String): Unit = {
+                       keyCol: String): Unit =
+      graft.operators.StoreLock.withWriteLock(path) {
     val meta = spark.read.parquet(s"$path/_meta").head
     val (minK, maxK, zones) =
       (meta.getLong(0), meta.getLong(1), meta.getInt(2))
