@@ -370,20 +370,36 @@ object Sampling {
     * `max(1, ⌊i·n_s/numParts⌋)` under the TOTAL order (key, id) —
     * duplicate ranks (tiny samples) intentionally emit duplicate
     * boundaries so the boundary list always has `numParts - 1` entries
-    * and the assignment rule stays a pure fold. The rank window runs on
-    * the SAMPLE (pct-bounded — the classic collect-the-boundaries step of
-    * every range partitioner); only `numParts - 1` keys reach the driver.
+    * and the assignment rule stays a pure fold.
+    *
+    * The rank window's input is bounded by ROWS, not just by fraction:
+    * a pct sample of a growing corpus still grows (10% of 100 TB is
+    * 10 TB), so when the sample exceeds [[MaxBoundarySampleRows]] it is
+    * first cut to the `MaxBoundarySampleRows` rows with the smallest
+    * `(md5(id), id)` — an `orderBy.limit` that plans TakeOrdered
+    * (per-partition heaps, never a corpus sort), and since md5(id) is
+    * uniform the cut IS a deterministic uniform subsample, exactly what
+    * Spark's own RangePartitioner does with its `sampleSizePerPartition`
+    * reservoir (minus the RNG). The single rank window then sees ≤
+    * [[MaxBoundarySampleRows]] rows whatever the corpus size; only
+    * `numParts - 1` keys reach the driver.
     */
   def rangeBoundaries(df: DataFrame, idCol: String, keyCol: String,
                       numParts: Int, pct: Int = 10): Seq[Long] = {
     require(numParts >= 1, s"numParts must be >= 1: $numParts")
     if (numParts == 1) return Nil
-    val samp = CacheScope.persisted(deterministicSample(
+    val samp0 = CacheScope.persisted(deterministicSample(
       df.select(col(idCol).as("id"), col(keyCol).cast("long").as("key")),
       "id", pct))
-    val n = samp.count()
-    require(n >= numParts,
-      s"sample too small for $numParts partitions: $n rows — raise pct")
+    val n0 = samp0.count()
+    require(n0 >= numParts,
+      s"sample too small for $numParts partitions: $n0 rows — raise pct")
+    val (samp, n) =
+      if (n0 <= MaxBoundarySampleRows) (samp0, n0)
+      else (CacheScope.persisted(
+        samp0.orderBy(md5(col("id").cast("string")), col("id"))
+          .limit(MaxBoundarySampleRows)),
+        MaxBoundarySampleRows.toLong)
     val ranks = (1 until numParts).map(i => math.max(1L, i * n / numParts))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("key"), col("id"))
     val byRank = samp.withColumn("rk", row_number().over(w).cast("long"))
@@ -392,6 +408,14 @@ object Sampling {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     ranks.map(byRank)
   }
+
+  /** Row cap on [[rangeBoundaries]]' rank-window input — the bound that
+    * makes the boundary computation corpus-size-independent. 64Ki sample
+    * rows give ≥ 16 samples per boundary up to 4096 partitions (Spark's
+    * RangePartitioner defaults to 20 per partition) — boundary error
+    * stays a fraction of a partition's width.
+    */
+  val MaxBoundarySampleRows = 1 << 16
 
   /** Assign each row its range partition against a planned boundary list:
     * `pid = |{b : key > b}|` — keys ≤ the first boundary land in 0, keys

@@ -258,6 +258,23 @@ class SamplingSpec extends SparkTestBase {
     assert(Sampling.rangeBoundaries(df, "id", "key", numParts = 1) == Nil)
   }
 
+  test("rangeBoundaries caps its rank-window input by ROWS; boundaries stay near ideal quantiles") {
+    // 80k sample rows > MaxBoundarySampleRows = 64Ki: the md5-ordered
+    // TakeOrdered cut engages, the window sees ≤ 64Ki rows, and because
+    // md5(id) is uniform the capped subsample's quantiles track the full
+    // sample's (uniform keys 0..80k: ideal boundary i is i·80000/8)
+    val big = (0L until 80000L).map(i => (i, i)).toDF("id", "key")
+    val b1 = Sampling.rangeBoundaries(big, "id", "key", numParts = 8, pct = 100)
+    val b2 = Sampling.rangeBoundaries(big, "id", "key", numParts = 8, pct = 100)
+    assert(b1 == b2)                       // deterministic under the cap
+    assert(b1.length == 7 && b1 == b1.sorted)
+    b1.zipWithIndex.foreach { case (b, i) =>
+      val ideal = (i + 1) * 80000L / 8
+      assert(math.abs(b - ideal) < 2000L,
+        s"boundary $i drifted: $b vs ideal $ideal")
+    }
+  }
+
   test("assignRangePartition: contiguous key ranges, all rows kept, balance sane") {
     val df = (0 until 2000).map(i => (i.toLong, (i * 37 % 5000).toLong))
       .toDF("id", "key")
