@@ -2086,6 +2086,127 @@ object SparkEntry {
         .orderBy(col("query_id"), col("adc_micro"), col("neighbor_id"))
     }),
 
+    // q131's whole text-index WRITE lifecycle driven from SQL TEXT alone
+    // (build/append/delete as procedure-style TVFs over registered
+    // views), searched through the SQL front door — the store the SQL
+    // surface maintains must be bit-identical to the Scala-built one.
+    "q206_sql_text_write" -> ((s, dir) => {
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      val docs = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sql-text-write").toString
+      SnapshotDirs.add(root)
+      docs.filter(col("doc_id") % 2 === 0)
+        .createOrReplaceTempView("q206_even")
+      docs.filter(col("doc_id") % 2 === 1)
+        .createOrReplaceTempView("q206_odd")
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+        .createOrReplaceTempView("q206_del")
+      s.sql(s"SELECT * FROM graft_text_index_build('$root', 'q206_even', 'doc_id', 'text')").collect()
+      s.sql(s"SELECT * FROM graft_text_index_append('$root', 'q206_odd', 'doc_id', 'text')").collect()
+      s.sql(s"SELECT * FROM graft_text_index_delete('$root', 'q206_del', 'doc_id')").collect()
+      s.sql(s"""SELECT * FROM graft_bm25_search('$root', 'spark hash window', 25)
+               |ORDER BY bm25_micro DESC, doc_id""".stripMargin)
+    }),
+
+    // q133's IVF WRITE lifecycle from SQL text (adaptive ⌈√n⌉ codebook
+    // step computed once and spliced as the centStep literal — the policy
+    // the oracle recomputes), searched via graft_ivf_search.
+    "q207_sql_ivf_write" -> ((s, dir) => {
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sql-ivf-write").toString
+      SnapshotDirs.add(root)
+      val even = e.filter(col("vec_id") % 2 === 0)
+      val step = Similarity.sqrtCentStep(even, "vec_id")
+      even.createOrReplaceTempView("q207_even")
+      e.filter(col("vec_id") % 2 === 1).createOrReplaceTempView("q207_odd")
+      e.filter(col("vec_id") % 7 === 3).select("vec_id")
+        .createOrReplaceTempView("q207_del")
+      e.filter(col("vec_id") < 20).select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$root/queries")
+      s.sql(s"SELECT * FROM graft_ivf_build('$root', 'q207_even', 'vec_id', 'embedding', $step, 4096)").collect()
+      s.sql(s"SELECT * FROM graft_ivf_append('$root', 'q207_odd', 'vec_id', 'embedding')").collect()
+      s.sql(s"SELECT * FROM graft_ivf_delete('$root', 'q207_del', 'vec_id')").collect()
+      s.sql(s"""SELECT query_id, neighbor_id, cos
+               |FROM graft_ivf_search('$root', '$root/queries', 3, 2)
+               |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin)
+    }),
+
+    // q186's zone-map grow-then-scan from SQL text: build on the even
+    // orderkeys, append the odd half against the frozen bounds, pruned
+    // range scan — all by view name and path literal.
+    "q208_sql_zonemap_write" -> ((s, dir) => {
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          floor(col("l_extendedprice") * 100).cast("long").as("key"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sql-zm-write").toString
+      SnapshotDirs.add(root)
+      li.filter(col("l_orderkey") % 2 === 0)
+        .createOrReplaceTempView("q208_even")
+      li.filter(col("l_orderkey") % 2 === 1)
+        .createOrReplaceTempView("q208_odd")
+      s.sql(s"SELECT * FROM graft_zonemap_write('$root', 'q208_even', 'key', 16)").collect()
+      s.sql(s"SELECT * FROM graft_zonemap_append('$root', 'q208_odd', 'key')").collect()
+      s.sql(s"""SELECT l_orderkey, l_linenumber, key
+               |FROM graft_zonemap_scan('$root', 'key', 200000, 300000)
+               |ORDER BY l_orderkey, l_linenumber, key""".stripMargin)
+    }),
+
+    // q135's snapshot retention from SQL text: three versioned writes +
+    // the prune as procedure TVFs, then the surviving store read back by
+    // PATH (`parquet.`-qualified — no Scala reader either) and
+    // aggregated per version.
+    "q209_sql_snapshot_write" -> ((s, dir) => {
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      val docs = Tables(s, dir).documents.select("doc_id", "text")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sql-snap-write").toString
+      SnapshotDirs.add(root)
+      docs.filter(col("doc_id") % 3 === 0).createOrReplaceTempView("q209_v0")
+      docs.filter(col("doc_id") % 3 =!= 2).createOrReplaceTempView("q209_v1")
+      docs.createOrReplaceTempView("q209_v2")
+      s.sql(s"SELECT * FROM graft_snapshot_write('$root', 'q209_v0', 0)").collect()
+      s.sql(s"SELECT * FROM graft_snapshot_write('$root', 'q209_v1', 1)").collect()
+      s.sql(s"SELECT * FROM graft_snapshot_write('$root', 'q209_v2', 2)").collect()
+      s.sql(s"SELECT * FROM graft_snapshot_prune('$root', 2)").collect()
+      s.sql(s"""SELECT CAST(version AS BIGINT) AS version,
+               |       count(*) AS n_docs,
+               |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               |       CAST(sum(length(text)) AS BIGINT) AS len_sum
+               |FROM parquet.`$root`
+               |GROUP BY version ORDER BY version""".stripMargin)
+    }),
+
+    // q159's FULL compressed-store lifecycle from SQL text: build even +
+    // append odd + delete + compact via the write TVFs, searched via
+    // graft_ivfpq_search — every verb the billion-vector store has,
+    // reachable without a line of Scala.
+    "q210_sql_ivfpq_write" -> ((s, dir) => {
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sql-ivfpq-write").toString
+      SnapshotDirs.add(root)
+      e.filter(col("vec_id") % 2 === 0).createOrReplaceTempView("q210_even")
+      e.filter(col("vec_id") % 2 === 1).createOrReplaceTempView("q210_odd")
+      e.filter(col("vec_id") % 7 === 3).select("vec_id")
+        .createOrReplaceTempView("q210_del")
+      e.filter(col("vec_id") < 20).select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$root/queries")
+      s.sql(s"SELECT * FROM graft_ivfpq_build('$root', 'q210_even', 'vec_id', 'embedding')").collect()
+      s.sql(s"SELECT * FROM graft_ivfpq_append('$root', 'q210_odd', 'vec_id', 'embedding')").collect()
+      s.sql(s"SELECT * FROM graft_ivfpq_delete('$root', 'q210_del', 'vec_id')").collect()
+      s.sql(s"SELECT * FROM graft_ivfpq_compact('$root')").collect()
+      s.sql(s"""SELECT query_id, neighbor_id, adc_micro
+               |FROM graft_ivfpq_search('$root', '$root/queries', 3, 2)
+               |ORDER BY query_id, adc_micro, neighbor_id""".stripMargin)
+    }),
+
     // q154 through the SQL front door (graft_ivfpq_search TVF) — the
     // compressed index reachable with a path literal, q139's treatment.
     "q156_sql_ivfpq" -> ((s, dir) => {
@@ -3497,6 +3618,14 @@ object SparkEntry {
       // the tombstone-era search (q205) must already equal the
       // from-scratch-over-survivors oracle q159 is gated on
       "q205_ivfpq_delete" -> "q159_ivfpq_lifecycle",
+      // stores MAINTAINED purely from SQL text (the write-verb TVFs) must
+      // be bit-identical to their Scala-built twins — same lifecycles,
+      // same oracles
+      "q206_sql_text_write" -> "q131_text_index_delete",
+      "q207_sql_ivf_write" -> "q133_ivf_delete",
+      "q208_sql_zonemap_write" -> "q181_zonemap_scan",
+      "q209_sql_snapshot_write" -> "q135_snapshot_retention",
+      "q210_sql_ivfpq_write" -> "q159_ivfpq_lifecycle",
       // the SQL-surface table functions must reproduce the operator
       // library's answers exactly — same stores, same scoring, resolved
       // through the text front door

@@ -90,4 +90,37 @@ class SqlFrontDoorSpec extends SparkTestBase {
     }
     assert(err.getMessage != null)
   }
+
+  test("write-verb TVFs: SQL-built store equals the Scala-built one; lock still bites") {
+    import TestSpark.spark.implicits._
+    graft.functions.GraftTableFunctions.ensureRegistered(spark)
+    val docs = Seq((0L, "spark hash window spark"), (1L, "spark window"),
+      (2L, "hash hash join"), (5L, "zebra quokka")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("wv_docs")
+    val sqlRoot = java.nio.file.Files.createTempDirectory("graft-wv-sql").toString
+    val receipt = spark.sql(
+      s"SELECT * FROM graft_text_index_build('$sqlRoot', 'wv_docs', 'doc_id', 'text', 8)")
+      .head
+    assert(receipt.getString(0) == "text_index_build" && receipt.getBoolean(2))
+    val scalaRoot = java.nio.file.Files.createTempDirectory("graft-wv-scala").toString
+    graft.operators.TextAnalysis.buildTextIndex(docs, "doc_id", "text",
+      scalaRoot, buckets = 8)
+    def search(root: String) = graft.operators.TextAnalysis
+      .searchTextIndex(spark, root, Seq("spark", "hash"), k = 10, buckets = 8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(search(sqlRoot) == search(scalaRoot) && search(sqlRoot).nonEmpty)
+    // the single-writer lock reaches through the SQL surface too
+    graft.operators.StoreLock.withWriteLock(sqlRoot) {
+      val e = intercept[Exception] {
+        spark.sql(
+          s"SELECT * FROM graft_text_index_append('$sqlRoot', 'wv_docs', 'doc_id', 'text', 8)")
+          .collect()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: chain(t.getCause)
+      assert(chain(e).exists(_.contains("concurrent writer")),
+        chain(e).mkString(" | "))
+    }
+  }
 }
