@@ -2207,6 +2207,58 @@ object SparkEntry {
                |ORDER BY query_id, adc_micro, neighbor_id""".stripMargin)
     }),
 
+    // q171's filtered search composed with the ADAPTIVE ⌈√n⌉ build — the
+    // one-parameter composition the r12 verdict asked for: the fixed-step
+    // q171 anchor measured 5.7× at 10× (SCALE.md) because its codebook
+    // grows ~n; under sqrtCentStep the same filtered-ANN semantics ride
+    // the √n-codebook store (q165's policy, oracle-recomputed).
+    "q211_filtered_pq_adaptive" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-filt-adapt").toString
+      SnapshotDirs.add(root)
+      Similarity.buildIvfPqIndexAdaptive(e, "vec_id", "embedding", root)
+      Similarity.searchIvfPqIndexFiltered(s, root,
+          e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          e.filter(col("vec_id") % 3 === 0).select("vec_id"),
+          k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("adc_micro"), col("neighbor_id"))
+    }),
+
+    // The PRODUCTION-shaped RAG stack: q200 with the vector leg served
+    // from the persisted IVF-PQ store (searchIvfPqIndex — probe-pruned
+    // 4-byte code scan, ADC-ranked) instead of the fixture-global cosine
+    // window the r12 verdict flagged. BM25 top-25 + index top-25 → RRF →
+    // MMR over the fused 25; the only unpartitioned windows left rank
+    // ≤ 25-row leg outputs — bounded by construction, not by fixture
+    // size. The oracle re-derives the ADC leg (q153's CTEs) end to end.
+    "q212_rag_indexed" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-rag-indexed").toString
+      SnapshotDirs.add(root)
+      Similarity.buildIvfPqIndex(e, "vec_id", "embedding", root)
+      val wb = Window.orderBy(col("bm25_micro").desc, col("doc_id").asc)
+      val bm = TextAnalysis.bm25Search(docs, "doc_id", "text",
+          Seq("spark", "hash", "window"), k = 25)
+        .withColumn("rank", row_number().over(wb))
+        .select("doc_id", "rank")
+      val wv = Window.orderBy(col("adc_micro").asc, col("neighbor_id").asc)
+      val kn = Similarity.searchIvfPqIndex(s, root,
+          e.filter(col("vec_id") === 0), "vec_id", "embedding",
+          k = 25, nprobe = 2)
+        .withColumn("rank", row_number().over(wv))
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      val fused = TextAnalysis.rrfFuse(Seq(bm, kn), kConst = 60, topK = 25)
+      val cand = fused.join(
+        e.select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("v")), "doc_id")
+      Similarity.mmrRerankScored(cand, "doc_id", "v", "rrf_micro",
+          k = 5, lambdaPct = 70)
+        .orderBy("rank")
+    }),
+
     // q154 through the SQL front door (graft_ivfpq_search TVF) — the
     // compressed index reachable with a path literal, q139's treatment.
     "q156_sql_ivfpq" -> ((s, dir) => {
@@ -6121,6 +6173,66 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, adc_micro FROM r WHERE rk <= 3
         |ORDER BY query_id, adc_micro, neighbor_id""".stripMargin,
 
+    // q165's ⌈√n⌉-policy pipeline with the code side restricted to
+    // eligible ids (vec_id % 3 = 0) BEFORE the ADC rank — the adaptive
+    // build and the filtered search composed, both policies under the
+    // hash.
+    "q211_filtered_pq_adaptive" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |st AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS s FROM e),
+        |icents AS (SELECT cid, cv FROM (
+        |    SELECT vec_id AS cid, v AS cv FROM e, st WHERE vec_id % st.s = 0
+        |    ORDER BY cid LIMIT 4096)),
+        |asg AS (SELECT id, v, cell FROM (
+        |    SELECT e.vec_id AS id, e.v, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, c.cv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS rk
+        |    FROM e CROSS JOIN icents c) WHERE rk = 1),
+        |res AS (SELECT a.id, a.cell,
+        |               list_transform(range(64), i -> a.v[i+1] - c.cv[i+1]) AS r
+        |        FROM asg a JOIN icents c ON a.cell = c.cid),
+        |pcents AS (SELECT cv, row_number() OVER (ORDER BY rid) - 1 AS j FROM (
+        |    SELECT id AS rid, r AS cv FROM res
+        |    WHERE id % 7 = 0 AND list_dot_product(r, r) > 0
+        |    ORDER BY id LIMIT 16)),
+        |sub AS (SELECT j, s, cv[(s*8+1):(s*8+8)] AS c FROM pcents, range(8) t(s)),
+        |sc AS (SELECT res.id, res.cell, sub.s, sub.j,
+        |              list_dot_product(sub.c, sub.c)
+        |                - 2*list_dot_product(res.r[(sub.s*8+1):(sub.s*8+8)], sub.c) AS score
+        |       FROM res CROSS JOIN sub),
+        |code AS (SELECT id, cell, s, j AS code FROM (
+        |    SELECT id, cell, s, j,
+        |           row_number() OVER (PARTITION BY id, s ORDER BY score, j) AS rk
+        |    FROM sc) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |probes AS (SELECT query_id, qv, cell FROM (
+        |    SELECT q.query_id, q.qv, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |             list_dot_product(q.qv, c.cv) /
+        |             (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS prk
+        |    FROM q CROSS JOIN icents c) WHERE prk <= 2),
+        |qres AS (SELECT p.query_id, p.cell,
+        |                list_transform(range(64), i -> p.qv[i+1] - c.cv[i+1]) AS qr
+        |         FROM probes p JOIN icents c ON p.cell = c.cid),
+        |lut AS (SELECT p.query_id, p.cell, sub.s, sub.j,
+        |               floor((list_dot_product(sub.c, sub.c)
+        |                 - 2*list_dot_product(p.qr[(sub.s*8+1):(sub.s*8+8)], sub.c)) * 1e6)::BIGINT AS w
+        |        FROM qres p CROSS JOIN sub),
+        |pair AS (SELECT l.query_id, c.id AS neighbor_id, sum(l.w)::BIGINT AS adc_micro
+        |         FROM code c JOIN lut l ON l.cell = c.cell AND l.s = c.s
+        |                               AND l.j = c.code AND l.query_id <> c.id
+        |         WHERE c.id % 3 = 0
+        |         GROUP BY l.query_id, c.id),
+        |r AS (SELECT query_id, neighbor_id, adc_micro,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY adc_micro, neighbor_id) AS rk
+        |      FROM pair)
+        |SELECT query_id, neighbor_id, adc_micro FROM r WHERE rk <= 3
+        |ORDER BY query_id, adc_micro, neighbor_id""".stripMargin,
+
     // q153's pipeline with BOTH codebooks derived from the EVEN corpus
     // only (the engine's build half), assignment + encode over the union
     // — build(even) + append(odd) must be indistinguishable from this.
@@ -6841,6 +6953,8 @@ object SparkEntry {
 
     "q200_rag_stack" -> ragStackOracle,
 
+    "q212_rag_indexed" -> ragIndexedOracle,
+
     // The twin-augmented corpus, q177's signature packing, and the BRUTE
     // radius scan — by pigeonhole (radius 3 < 4 bands) the banded plan
     // must equal this exactly.
@@ -7551,6 +7665,93 @@ object SparkEntry {
         |       FROM q0 JOIN e ON q0.vec_id <> e.vec_id),
         |rv AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rank
         |       FROM sv QUALIFY rank <= 25),
+        |contrib AS (SELECT doc_id, 1000000 // (60 + rank) AS cc FROM rb
+        |            UNION ALL
+        |            SELECT doc_id, 1000000 // (60 + rank) AS cc FROM rv),
+        |f AS (SELECT doc_id, sum(cc)::BIGINT AS rrf_micro
+        |      FROM contrib GROUP BY doc_id),
+        |r AS (SELECT doc_id, rrf_micro,
+        |             row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+        |      FROM f QUALIFY rank <= 25),
+        |c AS (SELECT r.doc_id AS id, e2.v, r.rrf_micro AS rel
+        |      FROM r JOIN e e2 ON e2.vec_id = r.doc_id)""".stripMargin,
+      k = 5, lam = 70)
+
+  /** Oracle twin of the q212 INDEX-SERVED retrieval stack: q200's BM25
+    * CTEs, the q153 IVF-PQ assignment/encode/LUT/ADC chain standing in
+    * for the cosine leg (25 nearest by integer ADC distance, nprobe 2),
+    * RRF fusion, and the shared unrolled greedy.
+    */
+  private def ragIndexedOracle: String =
+    mmrUnrolledSql(
+      """WITH tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |            FROM documents),
+        |t AS (SELECT doc_id, term FROM tt WHERE term <> ''),
+        |dl AS (SELECT doc_id,
+        |              len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS dl
+        |       FROM documents),
+        |avg AS (SELECT sum(dl)::BIGINT * 1.0 / count(*) AS avgdl FROM dl),
+        |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |qt AS (SELECT doc_id, term, count(*)::BIGINT AS cnt FROM t
+        |       WHERE term IN ('spark', 'hash', 'window') GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*)::BIGINT AS df FROM qt GROUP BY term),
+        |m AS (SELECT qt.doc_id,
+        |             round(ln((n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+        |                   ((qt.cnt * (1.2 + 1.0)) /
+        |                    (qt.cnt + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avg.avgdl)))
+        |                   * 1e6)::BIGINT AS micro
+        |      FROM qt JOIN dl USING (doc_id) JOIN dfq USING (term)
+        |      CROSS JOIN n CROSS JOIN avg),
+        |sb AS (SELECT doc_id, sum(micro)::BIGINT AS bm25_micro
+        |       FROM m GROUP BY doc_id),
+        |rb AS (SELECT doc_id, row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rank
+        |       FROM sb QUALIFY rank <= 25),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |icents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+        |asg AS (SELECT id, v, cell FROM (
+        |    SELECT e.vec_id AS id, e.v, cc.cid AS cell,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, cc.cv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cc.cv, cc.cv))) DESC,
+        |             cc.cid) AS rk
+        |    FROM e CROSS JOIN icents cc) WHERE rk = 1),
+        |res AS (SELECT a.id, a.cell,
+        |               list_transform(range(64), i -> a.v[i+1] - cc.cv[i+1]) AS r
+        |        FROM asg a JOIN icents cc ON a.cell = cc.cid),
+        |pcents AS (SELECT cv, row_number() OVER (ORDER BY rid) - 1 AS j FROM (
+        |    SELECT id AS rid, r AS cv FROM res
+        |    WHERE id % 7 = 0 AND list_dot_product(r, r) > 0
+        |    ORDER BY id LIMIT 16)),
+        |sub AS (SELECT j, s, cv[(s*8+1):(s*8+8)] AS c FROM pcents, range(8) t(s)),
+        |sc AS (SELECT res.id, res.cell, sub.s, sub.j,
+        |              list_dot_product(sub.c, sub.c)
+        |                - 2*list_dot_product(res.r[(sub.s*8+1):(sub.s*8+8)], sub.c) AS score
+        |       FROM res CROSS JOIN sub),
+        |code AS (SELECT id, cell, s, j AS code FROM (
+        |    SELECT id, cell, s, j,
+        |           row_number() OVER (PARTITION BY id, s ORDER BY score, j) AS rk
+        |    FROM sc) WHERE rk = 1),
+        |qq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id = 0),
+        |probes AS (SELECT query_id, qv, cell FROM (
+        |    SELECT qq.query_id, qq.qv, cc.cid AS cell,
+        |           row_number() OVER (PARTITION BY qq.query_id ORDER BY
+        |             list_dot_product(qq.qv, cc.cv) /
+        |             (sqrt(list_dot_product(qq.qv, qq.qv)) * sqrt(list_dot_product(cc.cv, cc.cv))) DESC,
+        |             cc.cid) AS prk
+        |    FROM qq CROSS JOIN icents cc) WHERE prk <= 2),
+        |qres AS (SELECT p.query_id, p.cell,
+        |                list_transform(range(64), i -> p.qv[i+1] - cc.cv[i+1]) AS qr
+        |         FROM probes p JOIN icents cc ON p.cell = cc.cid),
+        |lut AS (SELECT p.query_id, p.cell, sub.s, sub.j,
+        |               floor((list_dot_product(sub.c, sub.c)
+        |                 - 2*list_dot_product(p.qr[(sub.s*8+1):(sub.s*8+8)], sub.c)) * 1e6)::BIGINT AS w
+        |        FROM qres p CROSS JOIN sub),
+        |pair AS (SELECT cd.id AS doc_id, sum(l.w)::BIGINT AS adc
+        |         FROM code cd JOIN lut l ON l.cell = cd.cell AND l.s = cd.s
+        |                               AND l.j = cd.code AND l.query_id <> cd.id
+        |         GROUP BY cd.id),
+        |rv AS (SELECT doc_id, row_number() OVER (ORDER BY adc, doc_id) AS rank
+        |       FROM pair QUALIFY rank <= 25),
         |contrib AS (SELECT doc_id, 1000000 // (60 + rank) AS cc FROM rb
         |            UNION ALL
         |            SELECT doc_id, 1000000 // (60 + rank) AS cc FROM rv),
