@@ -191,12 +191,24 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    // per-QUERY contamination: the probe adjacent to this query's timed
-    // window exceeded the drift limit over the idle base — its median is
-    // suspect even when the whole-run median probe reads clean
-    val contaminatedQs = canaries.collect {
-      case (k, v) if v > CanaryDriftLimit * canaryBase => k
-    }.toSeq
+    // per-QUERY contamination: load visible on BOTH sides of the query's
+    // timed window (min of the probe before it — i.e. after its
+    // predecessor — and the probe after it, over the drift limit). A
+    // single-sided spike is the query's own teardown residue (GC of a
+    // heavy query, stream cleanup — measured up to ~5× base next to the
+    // store-lifecycle queries, with the recorded medians still matching
+    // their BenchOne-isolated costs), visible in the `canary` map but not
+    // a reason to distrust the median; SUSTAINED elevation across the
+    // window is.
+    val contaminatedQs = {
+      val seq = canaries.toSeq
+      seq.zipWithIndex.collect {
+        case ((k, post), i)
+            if math.min(
+              if (i > 0) seq(i - 1)._2 else canaryBase,
+              post) > CanaryDriftLimit * canaryBase => k
+      }
+    }
     val qs = medians.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val mins = spreads.map { case (k, (lo, _)) => s"${jstr(k)}:$lo" }.mkString("{", ",", "}")
     val maxs = spreads.map { case (k, (_, hi)) => s"${jstr(k)}:$hi" }.mkString("{", ",", "}")

@@ -2259,6 +2259,46 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Retention × delta-chain interplay, end to end: full v1 → delta v2
+    // → full v3 written FROM the reconstruction at v2 (the documented
+    // compaction-point flow, exercised for real) → delta v4 → prune
+    // keepLast=1. The prune must drop full v1 AND the now-unreachable
+    // delta v2 (a delta folds only over a full strictly below it — once
+    // v3 is the oldest full, v2 can never be selected again), keep delta
+    // v4, and reconstruction at v4 must still produce the exact merged
+    // corpus: base+v2's upserts/deletes baked into v3, v4's folded on
+    // top, v4's upserts REINSERTING ids v2 deleted.
+    "q213_snapshot_retention_delta" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-snap-retain-delta").toString
+      SnapshotDirs.add(root)
+      Curation.writeSnapshot(d, root, version = 1)
+      Curation.writeSnapshotDelta(s, root, version = 2,
+        upserts = d.filter(col("doc_id") % 5 === 0)
+          .withColumn("text", concat(col("text"), lit(" r2"))),
+        deleteIds = d.filter(col("doc_id") % 7 === 1 &&
+          col("doc_id") % 5 =!= 0).select("doc_id"),
+        idCol = "doc_id")
+      Curation.writeSnapshot(
+        Curation.readSnapshotAt(s, root, version = 2, idCol = "doc_id"),
+        root, version = 3)
+      Curation.writeSnapshotDelta(s, root, version = 4,
+        upserts = d.filter(col("doc_id") % 11 === 3)
+          .withColumn("text", concat(col("text"), lit(" r4"))),
+        deleteIds = d.filter(col("doc_id") % 13 === 2 &&
+          col("doc_id") % 11 =!= 3).select("doc_id"),
+        idCol = "doc_id")
+      val removed = Curation.pruneSnapshots(root, keepLast = 1)
+      require(removed == Seq(1L), s"expected to prune full v1, got $removed")
+      val deltasLeft = Curation.deltaVersions(root)
+      require(deltasLeft == Seq(4L),
+        s"expected unreachable delta v2 swept, v4 kept — got $deltasLeft")
+      Curation.readSnapshotAt(s, root, version = 4, idCol = "doc_id")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // q154 through the SQL front door (graft_ivfpq_search TVF) — the
     // compressed index reachable with a path literal, q139's treatment.
     "q156_sql_ivfpq" -> ((s, dir) => {
@@ -7049,6 +7089,27 @@ object SparkEntry {
          |      FROM ka, kb, ku, m)
          |SELECT *, ((jaccard_ppm * est_union) // 1000000)::BIGINT AS est_intersection
          |FROM r""".stripMargin,
+
+    // The retention-composed chain re-derived: v2's upserts/deletes baked
+    // into the compaction-point state, v4's folded on top (upserts from
+    // the ORIGINAL corpus text, reinserting v2-deleted ids), deletes
+    // final. Pruned v1 and the swept delta v2 are engine-side require()s;
+    // the reconstruction's exactness is what hashes here.
+    "q213_snapshot_retention_delta" ->
+      """WITH s2 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN text || ' r2' ELSE text END AS text
+        |  FROM documents
+        |  WHERE NOT (doc_id % 7 = 1 AND doc_id % 5 <> 0)),
+        |u4 AS (SELECT doc_id, text || ' r4' AS text FROM documents
+        |       WHERE doc_id % 11 = 3),
+        |s4 AS (
+        |  SELECT doc_id, text FROM u4
+        |  UNION ALL
+        |  SELECT doc_id, text FROM s2
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM u4)
+        |    AND NOT (doc_id % 13 = 2 AND doc_id % 11 <> 3))
+        |SELECT doc_id, text FROM s4 ORDER BY doc_id""".stripMargin,
 
     // The same base + two-delta merge re-derived with the identical
     // last-writer-wins window (version desc, tombstone-first tie key).

@@ -491,12 +491,24 @@ object Curation {
     fs.exists(path) && fs.delete(path, true)
   }
 
-  /** RETENTION sweep: keep the newest `keepLast` versions, delete the
-    * rest (oldest-first), return the deleted version numbers — the
+  /** RETENTION sweep: keep the newest `keepLast` FULL versions, delete
+    * the rest (oldest-first), return the deleted version numbers — the
     * policy a daily-snapshot pipeline runs so history length stays
     * bounded while [[readSnapshots]]' pruned-scan guarantee keeps
     * holding over whatever survives. Gated (q135): after a prune, the
     * surviving store must read back exactly the kept versions' rows.
+    *
+    * DELTA-AWARE: a delta at version `v` can only ever fold over a full
+    * snapshot strictly BELOW it, so once the oldest retained full is
+    * `B`, every delta with `v ≤ B` is unreachable by construction
+    * ([[readSnapshotAt]] at any still-reconstructable target `t ≥ B`
+    * picks base = newest full ≤ t ≥ B and folds only deltas in (base,
+    * t]). The sweep removes those orphaned delta directories too —
+    * otherwise a long-lived CDC store leaks its entire pre-retention
+    * delta history on disk. Reconstruction at every target ≥ the oldest
+    * retained full is unaffected (gated: q213). Targets below it are
+    * deliberately no longer time-travelable — that is what retention
+    * means.
     */
   def pruneSnapshots(rootDir: String, keepLast: Int,
                      conf: Option[org.apache.hadoop.conf.Configuration] = None): Seq[Long] =
@@ -505,6 +517,20 @@ object Curation {
     val versions = snapshotVersions(rootDir, conf)
     val doomed = versions.dropRight(keepLast)
     doomed.foreach(v => deleteSnapshotVersion(rootDir, v, conf))
+    val survivors = versions.takeRight(keepLast)
+    if (survivors.nonEmpty) {
+      val oldestFull = survivors.head
+      deltaVersions(rootDir, conf).filter(_ <= oldestFull).foreach { v =>
+        val path = new org.apache.hadoop.fs.Path(
+          s"$rootDir/_delta/version=$v")
+        val resolved = conf
+          .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+            .map(_.sparkContext.hadoopConfiguration))
+          .getOrElse(new org.apache.hadoop.conf.Configuration())
+        val fs = path.getFileSystem(resolved)
+        if (fs.exists(path)) fs.delete(path, true)
+      }
+    }
     doomed
   }
 

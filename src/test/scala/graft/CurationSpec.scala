@@ -335,4 +335,28 @@ class CurationSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == Seq(9L -> "z"))
   }
+
+  test("pruneSnapshots sweeps unreachable deltas; below-window time travel fails loudly") {
+    val root = java.nio.file.Files.createTempDirectory("snap-retain-d").toString
+    val none = spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+    Curation.writeSnapshot(Seq((1L, "a")).toDF("doc_id", "text"), root, 1)
+    Curation.writeSnapshotDelta(spark, root, 2,
+      Seq((2L, "b")).toDF("doc_id", "text"), none, "doc_id")
+    Curation.writeSnapshot(
+      Curation.readSnapshotAt(spark, root, 2, "doc_id"), root, 3)
+    Curation.writeSnapshotDelta(spark, root, 4,
+      Seq((5L, "e")).toDF("doc_id", "text"), none, "doc_id")
+    assert(Curation.pruneSnapshots(root, keepLast = 1) == Seq(1L))
+    // delta v2 folds only over a full STRICTLY below it — all pruned, so
+    // the sweep removed its directory; delta v4 (over full v3) survives
+    assert(Curation.deltaVersions(root) == Seq(4L))
+    val got = Curation.readSnapshotAt(spark, root, 4, "doc_id")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(1L -> "a", 2L -> "b", 5L -> "e"))
+    // targets below the retained window are gone — loudly, not wrongly
+    intercept[IllegalArgumentException] {
+      Curation.readSnapshotAt(spark, root, 2, "doc_id")
+    }
+  }
 }
