@@ -2299,6 +2299,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // q199's whole CDC chain driven from SQL TEXT alone: full snapshot +
+    // two deltas written via graft_snapshot_write/graft_snapshot_delta
+    // (upserts/deletes as registered views), reconstructed via
+    // graft_snapshot_at — the delta-chain store is now SQL-maintainable
+    // AND SQL-queryable end to end. Must hash-match q199.
+    "q214_sql_snapshot_delta" -> ((s, dir) => {
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      val d = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sql-snap-delta").toString
+      SnapshotDirs.add(root)
+      d.createOrReplaceTempView("q214_base")
+      d.filter(col("doc_id") % 7 === 3)
+        .withColumn("text", concat(col("text"), lit(" rev2")))
+        .createOrReplaceTempView("q214_u2")
+      d.filter(col("doc_id") % 11 === 5 && col("doc_id") % 7 =!= 3)
+        .select("doc_id").createOrReplaceTempView("q214_d2")
+      d.filter(col("doc_id") % 13 === 1)
+        .withColumn("text", concat(col("text"), lit(" rev3")))
+        .unionByName(d.filter(col("doc_id") < 5)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+          .withColumn("text",
+            concat(lit("late arrival "), col("doc_id") - 100000L)))
+        .createOrReplaceTempView("q214_u3")
+      d.filter(col("doc_id") % 17 === 2 && col("doc_id") % 13 =!= 1)
+        .select("doc_id").createOrReplaceTempView("q214_d3")
+      s.sql(s"SELECT * FROM graft_snapshot_write('$root', 'q214_base', 1)").collect()
+      s.sql(s"SELECT * FROM graft_snapshot_delta('$root', 2, 'q214_u2', 'q214_d2', 'doc_id')").collect()
+      s.sql(s"SELECT * FROM graft_snapshot_delta('$root', 3, 'q214_u3', 'q214_d3', 'doc_id')").collect()
+      s.sql(s"""SELECT doc_id, text FROM graft_snapshot_at('$root', 3, 'doc_id')
+               |ORDER BY doc_id""".stripMargin)
+    }),
+
     // q154 through the SQL front door (graft_ivfpq_search TVF) — the
     // compressed index reachable with a path literal, q139's treatment.
     "q156_sql_ivfpq" -> ((s, dir) => {
@@ -3686,8 +3719,10 @@ object SparkEntry {
       "q201_sql_lineage" -> "q184_curation_lineage",
       "q202_decontam_matrix_view" -> "q185_decontam_matrix",
       // delta-chain time travel through the SQL front door must
-      // reproduce the library reconstruction exactly
+      // reproduce the library reconstruction exactly — and the chain
+      // WRITTEN purely from SQL text must too
       "q204_sql_snapshot" -> "q199_snapshot_delta",
+      "q214_sql_snapshot_delta" -> "q199_snapshot_delta",
       // the snapshot-store round trip feeding the incremental dedup must
       // reproduce the in-memory batch-vs-corpus answer
       "q122_snapshot_dedup" -> "q41_incremental_dedup",

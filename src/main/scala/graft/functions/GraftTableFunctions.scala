@@ -514,6 +514,22 @@ object GraftTableFunctions {
         str("graft_snapshot_prune", args.head),
         int("graft_snapshot_prune", args(1)))
       receipt("snapshot_prune", str("graft_snapshot_prune", args.head))
+    }),
+    // graft_snapshot_delta(dir, version, upsertsView, deletesView, idCol)
+    // — the CDC write verb: a delta costs ∝ churn, and with this the
+    // whole delta-chain lifecycle (write/delta/prune/time-travel) is
+    // SQL-reachable end to end
+    ("graft_snapshot_delta", { args =>
+      require(args.length == 5,
+        "graft_snapshot_delta(dir, version, upsertsView, deletesView, " +
+          s"idCol) got ${args.length} args")
+      graft.operators.Curation.writeSnapshotDelta(active,
+        str("graft_snapshot_delta", args.head),
+        lng("graft_snapshot_delta", args(1)),
+        view("graft_snapshot_delta", args(2)),
+        view("graft_snapshot_delta", args(3)),
+        str("graft_snapshot_delta", args(4)))
+      receipt("snapshot_delta", str("graft_snapshot_delta", args.head))
     }))
 
   /** The write verbs' 1-row receipt relation: (verb, store, ok). */
