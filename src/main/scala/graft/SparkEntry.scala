@@ -2332,6 +2332,78 @@ object SparkEntry {
                |ORDER BY doc_id""".stripMargin)
     }),
 
+    // STREAMING CDC ingest into the snapshot store — the fifth persisted
+    // store's live path (q140/q141/q163/q193's recipe): full snapshot at
+    // v1, then a change stream (upserts + tombstones tagged by an op
+    // column) drained through 3 micro-batches, each becoming one delta
+    // at version 2 + batchId. Reconstruction at the newest streamed
+    // version must equal the one-merge oracle — micro-batch CDC is
+    // indistinguishable from hand-written deltas. (Each id is touched at
+    // most once across the stream, so the batch→version assignment —
+    // which follows file order — cannot affect the merged answer.)
+    "q215_stream_snapshot_delta" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-snap").toString
+      SnapshotDirs.add(root)
+      Curation.writeSnapshot(d, root, version = 1)
+      val changes = d.filter(col("doc_id") % 7 === 3)
+        .withColumn("text", concat(col("text"), lit(" rev2")))
+        .withColumn("op", lit("u"))
+        .unionByName(
+          d.filter(col("doc_id") % 11 === 5 && col("doc_id") % 7 =!= 3)
+            .withColumn("op", lit("d")))
+      changes.repartition(3)
+        .write.mode("overwrite").parquet(s"$root/arrivals")
+      val schema = s.read.parquet(s"$root/arrivals").schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/arrivals")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("q215-ckpt").toString
+      SnapshotDirs.add(ckpt)
+      graft.streaming.StreamingIndex.ingestSnapshotDeltas(
+        s, src, ckpt, root, "doc_id", "op", startVersion = 2)
+      Curation.readSnapshotAt(s, root,
+          version = Curation.deltaVersions(root).max, idCol = "doc_id")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // FILTERED lexical retrieval: q88's BM25 under an eligible-id set
+    // (doc_id % 3 == 0), semi-joined out BEFORE scoring and the top-k
+    // cut — k survivors are k ELIGIBLE survivors, corpus statistics stay
+    // global (the standard filtered-retrieval semantics, which the
+    // oracle recomputes). The lexical twin of q169/q171's filtered ANN —
+    // with it, BOTH legs of a hybrid retrieval stack support metadata
+    // scoping.
+    "q216_filtered_bm25" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-filtered-bm25").toString
+      SnapshotDirs.add(root)
+      TextAnalysis.buildTextIndex(docs, "doc_id", "text", root)
+      TextAnalysis.searchTextIndexFiltered(s, root,
+          Seq("spark", "hash", "window"),
+          docs.filter(col("doc_id") % 3 === 0).select("doc_id"), k = 25)
+        .orderBy(col("bm25_micro").desc, col("doc_id"))
+    }),
+
+    // q216 through the SQL front door (graft_bm25_filtered TVF, allowed
+    // ids as a registered view). Must hash-match q216.
+    "q217_sql_filtered_bm25" -> ((s, dir) => {
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      val docs = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sql-filt-bm25").toString
+      SnapshotDirs.add(root)
+      TextAnalysis.buildTextIndex(docs, "doc_id", "text", root)
+      docs.filter(col("doc_id") % 3 === 0).select("doc_id")
+        .createOrReplaceTempView("q217_allowed")
+      s.sql(s"""SELECT * FROM graft_bm25_filtered('$root',
+               |  'spark hash window', 25, 'q217_allowed')
+               |ORDER BY bm25_micro DESC, doc_id""".stripMargin)
+    }),
+
     // q154 through the SQL front door (graft_ivfpq_search TVF) — the
     // compressed index reachable with a path literal, q139's treatment.
     "q156_sql_ivfpq" -> ((s, dir) => {
@@ -3723,6 +3795,9 @@ object SparkEntry {
       // WRITTEN purely from SQL text must too
       "q204_sql_snapshot" -> "q199_snapshot_delta",
       "q214_sql_snapshot_delta" -> "q199_snapshot_delta",
+      // filtered lexical retrieval through the SQL front door must
+      // reproduce the library call row-for-row
+      "q217_sql_filtered_bm25" -> "q216_filtered_bm25",
       // the snapshot-store round trip feeding the incremental dedup must
       // reproduce the in-memory batch-vs-corpus answer
       "q122_snapshot_dedup" -> "q41_incremental_dedup",
@@ -7124,6 +7199,47 @@ object SparkEntry {
          |      FROM ka, kb, ku, m)
          |SELECT *, ((jaccard_ppm * est_union) // 1000000)::BIGINT AS est_intersection
          |FROM r""".stripMargin,
+
+    // The streamed CDC chain's one-merge truth: upserts and tombstones
+    // applied to the base regardless of which micro-batch carried them
+    // (each id touched once across the stream by construction).
+    "q215_stream_snapshot_delta" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 7 = 3 THEN text || ' rev2' ELSE text END AS text
+        |FROM documents
+        |WHERE NOT (doc_id % 11 = 5 AND doc_id % 7 <> 3)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q88's BM25 derivation with the RANKED set restricted to eligible
+    // ids pre-cut — df/n_docs/avgdl stay corpus-global, which is the
+    // filtered-retrieval semantics under test.
+    "q216_filtered_bm25" ->
+      """WITH tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |            FROM documents),
+        |t AS (SELECT doc_id, term FROM tt WHERE term <> ''),
+        |dl AS (SELECT doc_id,
+        |              len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS dl
+        |       FROM documents),
+        |avg AS (SELECT sum(dl)::BIGINT * 1.0 / count(*) AS avgdl FROM dl),
+        |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |qt AS (SELECT doc_id, term, count(*)::BIGINT AS cnt FROM t
+        |       WHERE term IN ('spark', 'hash', 'window') GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*)::BIGINT AS df FROM qt GROUP BY term),
+        |m AS (SELECT qt.doc_id,
+        |             round(ln((n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+        |                   ((qt.cnt * (1.2 + 1.0)) /
+        |                    (qt.cnt + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avg.avgdl)))
+        |                   * 1e6)::BIGINT AS micro
+        |      FROM qt JOIN dl USING (doc_id) JOIN dfq USING (term)
+        |      CROSS JOIN n CROSS JOIN avg),
+        |s AS (SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+        |             sum(micro)::BIGINT AS bm25_micro
+        |      FROM m GROUP BY doc_id),
+        |r AS (SELECT doc_id, n_terms_hit, bm25_micro,
+        |             row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rk
+        |      FROM s WHERE doc_id % 3 = 0)
+        |SELECT doc_id, n_terms_hit, bm25_micro FROM r WHERE rk <= 25
+        |ORDER BY bm25_micro DESC, doc_id""".stripMargin,
 
     // The retention-composed chain re-derived: v2's upserts/deletes baked
     // into the compaction-point state, v4's folded on top (upserts from

@@ -96,6 +96,22 @@ object GraftTableFunctions {
         .searchTextIndex(active, dir, terms, k = k, buckets = buckets)
         .queryExecution.analyzed
     }),
+    // graft_bm25_filtered(indexDir, 'terms', k, allowedView[, buckets])
+    // — filtered lexical retrieval: top-k among only the view's doc ids,
+    // eligibility applied before scoring/rank, global corpus statistics
+    ("graft_bm25_filtered", { args =>
+      require(args.length == 4 || args.length == 5,
+        "graft_bm25_filtered(indexDir, terms, k, allowedView[, buckets]) " +
+          s"got ${args.length} args")
+      graft.operators.TextAnalysis.searchTextIndexFiltered(active,
+          str("graft_bm25_filtered", args.head),
+          str("graft_bm25_filtered", args(1))
+            .split("\\s+").filter(_.nonEmpty).toSeq,
+          view("graft_bm25_filtered", args(3)),
+          k = int("graft_bm25_filtered", args(2)),
+          buckets = if (args.length == 5) int("graft_bm25_filtered", args(4)) else 64)
+        .queryExecution.analyzed
+    }),
     // graft_ivf_search(indexDir, queriesParquet, k, nprobe) — the query
     // vectors come from a parquet path with (vec_id, embedding) columns,
     // so the whole call stays literal-only (the `range` contract)

@@ -1038,7 +1038,41 @@ object TextAnalysis {
                       dir: String, terms: Seq[String],
                       k1: Double = 1.2, b: Double = 0.75, k: Int = 10,
                       buckets: Int = 64,
-                      requireAll: Boolean = false): DataFrame = {
+                      requireAll: Boolean = false): DataFrame =
+    searchTextIndexImpl(spark, dir, terms, None, k1, b, k, buckets,
+      requireAll)
+
+  /** FILTERED lexical search — [[searchTextIndex]] under a metadata
+    * predicate: top-k among only the documents whose ids appear in
+    * `allowed` (the [[graft.operators.Similarity.searchIvfIndexFiltered]]
+    * contract applied to the BM25 leg — search within one source, one
+    * language, one license class). POST-filter semantics applied
+    * PRE-rank: ineligible docs are semi-joined out of the candidate
+    * postings before scoring aggregates and the top-k cut, so k survivors
+    * are k ELIGIBLE survivors. Corpus statistics (df, n_docs, avgdl) stay
+    * GLOBAL — the filter restricts results, not the scoring model, which
+    * is the standard filtered-retrieval semantics (and what the oracle
+    * recomputes).
+    *
+    * Scale shape: unchanged bucket-pruned scan + one broadcast semi-join
+    * against the (small, distinct) allowed-id set — the same single added
+    * exchange-free step as the vector stores' filtered searches.
+    */
+  def searchTextIndexFiltered(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, terms: Seq[String],
+                              allowed: DataFrame,
+                              k1: Double = 1.2, b: Double = 0.75,
+                              k: Int = 10, buckets: Int = 64,
+                              requireAll: Boolean = false): DataFrame =
+    searchTextIndexImpl(spark, dir, terms, Some(allowed), k1, b, k,
+      buckets, requireAll)
+
+  private def searchTextIndexImpl(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, terms: Seq[String],
+                                  allowed: Option[DataFrame],
+                                  k1: Double, b: Double, k: Int,
+                                  buckets: Int,
+                                  requireAll: Boolean): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     require(k >= 1, s"k must be >= 1: $k")
     // driver-side mirror of [[termBucket]] (a handful of query terms)
@@ -1066,12 +1100,20 @@ object TextAnalysis {
     // tombstones stay delete-batch-sized because compactTextIndex drains
     // them); df and stats need nothing here, their segment sums already
     // absorb the delete's negative rows
-    val qt =
+    val qt1 =
       if (StoreFs.exists(spark, s"$dir/tombstones"))
         qt0.join(broadcast(
           spark.read.parquet(s"$dir/tombstones").select("doc_id").distinct()),
           Seq("doc_id"), "left_anti")
       else qt0
+    // eligibility BEFORE scoring/rank (filtered-retrieval semantics) —
+    // one broadcast semi-join; df/stats above stay global by design
+    val qt = allowed match {
+      case Some(a) => qt1.join(
+        broadcast(a.select(col(a.columns.head).as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      case None => qt1
+    }
     val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
       + lit(1.0))
     val tf = (col("cnt") * (lit(k1) + lit(1.0))) /

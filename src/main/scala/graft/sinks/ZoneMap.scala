@@ -236,6 +236,35 @@ object ZoneMap {
         coalesce(sum("a_misassigned"), lit(0L)).as("misassigned"))
   }
 
+  /** REPAIR the statistics sidecar from the data files — the recovery
+    * verb for the one failure [[zoneMapAudit]] can detect but the store
+    * cannot heal by itself: a crash inside [[appendZoneMapped]]'s window
+    * (data appended, sidecar swap not reached) leaves sidecar counts
+    * that disagree with disk and a scan that silently prunes live rows.
+    * The repair is [[writeZoneMapped]]'s own sidecar derivation — one
+    * full pass over `data/` grouped by zone, swapped in via temp-path +
+    * rename — so `audit → stat_mismatches > 0 → rebuildZoneSidecar →
+    * audit clean` is the complete documented recovery loop (spec-gated
+    * in ZoneMapSpec with an injected stale sidecar). Deliberately a
+    * separate verb, not an auto-heal: a full data scan is the cost the
+    * append path exists to avoid, and the operator should see the audit
+    * evidence before paying it.
+    */
+  def rebuildZoneSidecar(spark: SparkSession, path: String): Unit =
+      graft.operators.StoreLock.withWriteLock(path) {
+    val keyCol = spark.read.parquet(s"$path/_meta").head.getString(3)
+    val tmp = s"$path/_zones_tmp"
+    graft.operators.StoreFs.delete(spark, tmp)
+    spark.read.parquet(s"$path/data")
+      .groupBy(col("zone").cast("long").as("zone"))
+      .agg(min(col(keyCol)).cast("long").as("min_key"),
+        max(col(keyCol)).cast("long").as("max_key"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    graft.operators.StoreFs.replace(spark, tmp, s"$path/_zones")
+  }
+
   /** Range scan `lo ≤ key ≤ hi` (inclusive) that reads ONLY zones whose
     * [min_key, max_key] intersects the predicate: the sidecar nominates
     * zone ids (bounded driver list, ≤ `zones` ≤ [[MaxZones]]), the scan

@@ -111,4 +111,38 @@ object StreamingIndex {
           graft.operators.StoreFs.mkdirs(spark, marker)
         }
     }
+
+  /** Streaming CDC ingest into the SNAPSHOT store — the fifth persisted
+    * store's live-maintenance path: each micro-batch of change rows
+    * (payload columns + `opCol` ∈ {"u","d"}) becomes one
+    * [[graft.operators.Curation.writeSnapshotDelta]] at version
+    * `startVersion + batchId` (batch ids are the monotone version
+    * counter a CDC tail needs), upserts and tombstones split by the op
+    * column. Deltas cost ∝ the trigger's churn, reconstruction stays the
+    * ONE window of [[graft.operators.Curation.readSnapshotAt]], and
+    * retention ([[graft.operators.Curation.pruneSnapshots]]) sweeps the
+    * ingested history like any hand-written chain. Same processed-batch
+    * markers as every ingest here (a replayed delta would
+    * `errorifexists`-fail loudly rather than double rows — strictly
+    * safer than the append stores — but the marker keeps replays clean
+    * no-ops instead of stream-killing errors). Gated: q215
+    * (reconstruction over the streamed chain ≡ the one-merge oracle).
+    */
+  def ingestSnapshotDeltas(spark: SparkSession, source: DataFrame,
+                           checkpoint: String, rootDir: String,
+                           idCol: String, opCol: String,
+                           startVersion: Long): Unit =
+    BoundedStream.runForeachBatch(source, identity, checkpoint, "append") {
+      (batch, id) =>
+        val marker = s"$rootDir/_delta_ingested/batch=$id"
+        if (!graft.operators.StoreFs.exists(spark, marker)) {
+          import org.apache.spark.sql.functions.col
+          graft.operators.Curation.writeSnapshotDelta(spark, rootDir,
+            version = startVersion + id,
+            upserts = batch.filter(col(opCol) === "u").drop(opCol),
+            deleteIds = batch.filter(col(opCol) === "d").select(col(idCol)),
+            idCol = idCol)
+          graft.operators.StoreFs.mkdirs(spark, marker)
+        }
+    }
 }

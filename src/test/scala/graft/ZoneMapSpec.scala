@@ -148,6 +148,29 @@ class ZoneMapSpec extends SparkTestBase {
       Long.MaxValue - 2L, Long.MaxValue).count() == 1)
   }
 
+  test("stale-sidecar corruption: audit detects, rebuildZoneSidecar heals, scan recovers") {
+    // inject the documented crash window (data appended, sidecar swap not
+    // reached): a raw data-file append behind the store's back. key 60
+    // honestly belongs to zone 2 (60·4 div 100) so assignment audits
+    // clean — only the sidecar stats are stale.
+    val dir = store(Seq(0L, 10L, 25L, 50L, 75L, 99L), zones = 4)
+    Seq((100L, 60L, 2L)).toDF("id", "key", "zone")
+      .write.mode("append").partitionBy("zone").parquet(s"$dir/data")
+    // the failure is REAL: zone 2's sidecar says [50, 50], so a scan for
+    // the appended key prunes the zone and silently loses the live row
+    assert(ZoneMap.scanRange(spark, dir, "key", 55L, 70L).count() == 0)
+    val bad = ZoneMap.zoneMapAudit(spark, dir).head
+    assert(bad.getAs[Long]("stat_mismatches") >= 1L)
+    assert(bad.getAs[Long]("misassigned") == 0L)
+    // the recovery loop: rebuild the sidecar from the data files
+    ZoneMap.rebuildZoneSidecar(spark, dir)
+    val good = ZoneMap.zoneMapAudit(spark, dir).head
+    assert(good.getAs[Long]("stat_mismatches") == 0L)
+    assert(good.getAs[Long]("zone_mismatch") == 0L)
+    assert(ZoneMap.scanRange(spark, dir, "key", 55L, 70L)
+      .select("key").as[Long].collect().toSeq == Seq(60L))
+  }
+
   test("append cost is ∝ batch: build files are not rewritten") {
     val dir = Files.createTempDirectory("graft-zm-appfiles").toString
     ZoneMap.writeZoneMapped(
