@@ -2388,6 +2388,103 @@ object SparkEntry {
         .orderBy(col("bm25_micro").desc, col("doc_id"))
     }),
 
+    // The snapshot store's fsck over q199's chain: inventory, zero
+    // unreachable deltas, zero clash/dup rows (the write-time contracts
+    // re-verified against the on-disk truth), and the logical row count
+    // of the newest reconstruction — the audit verb completed across all
+    // FIVE persisted stores.
+    "q218_snapshot_audit" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-snap-audit").toString
+      SnapshotDirs.add(root)
+      Curation.writeSnapshot(d, root, version = 1)
+      Curation.writeSnapshotDelta(s, root, version = 2,
+        upserts = d.filter(col("doc_id") % 7 === 3)
+          .withColumn("text", concat(col("text"), lit(" rev2"))),
+        deleteIds = d.filter(col("doc_id") % 11 === 5 &&
+          col("doc_id") % 7 =!= 3).select("doc_id"),
+        idCol = "doc_id")
+      Curation.writeSnapshotDelta(s, root, version = 3,
+        upserts = d.filter(col("doc_id") % 13 === 1)
+          .withColumn("text", concat(col("text"), lit(" rev3")))
+          .unionByName(d.filter(col("doc_id") < 5)
+            .withColumn("doc_id", col("doc_id") + 100000L)
+            .withColumn("text",
+              concat(lit("late arrival "), col("doc_id") - 100000L))),
+        deleteIds = d.filter(col("doc_id") % 17 === 2 &&
+          col("doc_id") % 13 =!= 1).select("doc_id"),
+        idCol = "doc_id")
+      Curation.snapshotAudit(s, root, "doc_id")
+    }),
+
+    // q218 through the SQL front door (graft_snapshot_audit TVF). Must
+    // hash-match q218's invariant row.
+    "q219_sql_snapshot_audit" -> ((s, dir) => {
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      val d = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sql-snap-audit").toString
+      SnapshotDirs.add(root)
+      Curation.writeSnapshot(d, root, version = 1)
+      Curation.writeSnapshotDelta(s, root, version = 2,
+        upserts = d.filter(col("doc_id") % 7 === 3)
+          .withColumn("text", concat(col("text"), lit(" rev2"))),
+        deleteIds = d.filter(col("doc_id") % 11 === 5 &&
+          col("doc_id") % 7 =!= 3).select("doc_id"),
+        idCol = "doc_id")
+      Curation.writeSnapshotDelta(s, root, version = 3,
+        upserts = d.filter(col("doc_id") % 13 === 1)
+          .withColumn("text", concat(col("text"), lit(" rev3")))
+          .unionByName(d.filter(col("doc_id") < 5)
+            .withColumn("doc_id", col("doc_id") + 100000L)
+            .withColumn("text",
+              concat(lit("late arrival "), col("doc_id") - 100000L))),
+        deleteIds = d.filter(col("doc_id") % 17 === 2 &&
+          col("doc_id") % 13 =!= 1).select("doc_id"),
+        idCol = "doc_id")
+      s.sql(s"SELECT * FROM graft_snapshot_audit('$root', 'doc_id')")
+    }),
+
+    // FILTERED HYBRID retrieval — the production query a metadata-scoped
+    // RAG deployment actually runs: BOTH legs index-served AND
+    // eligibility-scoped (filtered BM25 top-25 + filtered IVF-PQ ADC
+    // top-25, ids ≡ 0 mod 3) → RRF → MMR over the fused candidates.
+    // q212's stack with q216/q171's filters composed in; every stage's
+    // arithmetic under one hash.
+    "q220_rag_filtered" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val e = Tables(s, dir).embeddings
+      val rootT = java.nio.file.Files
+        .createTempDirectory("graft-ragf-text").toString
+      SnapshotDirs.add(rootT)
+      val rootV = java.nio.file.Files
+        .createTempDirectory("graft-ragf-vec").toString
+      SnapshotDirs.add(rootV)
+      TextAnalysis.buildTextIndex(docs, "doc_id", "text", rootT)
+      Similarity.buildIvfPqIndex(e, "vec_id", "embedding", rootV)
+      val wb = Window.orderBy(col("bm25_micro").desc, col("doc_id").asc)
+      val bm = TextAnalysis.searchTextIndexFiltered(s, rootT,
+          Seq("spark", "hash", "window"),
+          docs.filter(col("doc_id") % 3 === 0).select("doc_id"), k = 25)
+        .withColumn("rank", row_number().over(wb))
+        .select("doc_id", "rank")
+      val wv = Window.orderBy(col("adc_micro").asc, col("neighbor_id").asc)
+      val kn = Similarity.searchIvfPqIndexFiltered(s, rootV,
+          e.filter(col("vec_id") === 0), "vec_id", "embedding",
+          e.filter(col("vec_id") % 3 === 0).select("vec_id"),
+          k = 25, nprobe = 2)
+        .withColumn("rank", row_number().over(wv))
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      val fused = TextAnalysis.rrfFuse(Seq(bm, kn), kConst = 60, topK = 25)
+      val cand = fused.join(
+        e.select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("v")), "doc_id")
+      Similarity.mmrRerankScored(cand, "doc_id", "v", "rrf_micro",
+          k = 5, lambdaPct = 70)
+        .orderBy("rank")
+    }),
+
     // q216 through the SQL front door (graft_bm25_filtered TVF, allowed
     // ids as a registered view). Must hash-match q216.
     "q217_sql_filtered_bm25" -> ((s, dir) => {
@@ -3798,6 +3895,9 @@ object SparkEntry {
       // filtered lexical retrieval through the SQL front door must
       // reproduce the library call row-for-row
       "q217_sql_filtered_bm25" -> "q216_filtered_bm25",
+      // the CDC store's fsck through the SQL front door must reproduce
+      // the library call's invariant row
+      "q219_sql_snapshot_audit" -> "q218_snapshot_audit",
       // the snapshot-store round trip feeding the incremental dedup must
       // reproduce the in-memory batch-vs-corpus answer
       "q122_snapshot_dedup" -> "q41_incremental_dedup",
@@ -7103,7 +7203,13 @@ object SparkEntry {
 
     "q200_rag_stack" -> ragStackOracle,
 
-    "q212_rag_indexed" -> ragIndexedOracle,
+    "q212_rag_indexed" -> ragIndexedOracle(),
+
+    // the filtered-hybrid twin: both legs' RANKED sets restricted to
+    // ids ≡ 0 (mod 3) pre-cut, statistics and codebooks global
+    "q220_rag_filtered" -> ragIndexedOracle(
+      bmWhere = "WHERE doc_id % 3 = 0 ",
+      adcWhere = "WHERE cd.id % 3 = 0\n         "),
 
     // The twin-augmented corpus, q177's signature packing, and the BRUTE
     // radius scan — by pigeonhole (radius 3 < 4 bands) the banded plan
@@ -7240,6 +7346,33 @@ object SparkEntry {
         |      FROM s WHERE doc_id % 3 = 0)
         |SELECT doc_id, n_terms_hit, bm25_micro FROM r WHERE rk <= 25
         |ORDER BY bm25_micro DESC, doc_id""".stripMargin,
+
+    // The fsck row over q199's chain: the inventory and zero-violation
+    // columns are the invariants, n_live is q199's merged corpus counted.
+    "q218_snapshot_audit" ->
+      """WITH base AS (SELECT doc_id, text, 1 AS v, 'u' AS op FROM documents),
+        |u2 AS (SELECT doc_id, text || ' rev2' AS text, 2 AS v, 'u' AS op
+        |       FROM documents WHERE doc_id % 7 = 3),
+        |d2 AS (SELECT doc_id, NULL AS text, 2 AS v, 'd' AS op
+        |       FROM documents WHERE doc_id % 11 = 5 AND doc_id % 7 <> 3),
+        |u3 AS (SELECT doc_id, text || ' rev3' AS text, 3 AS v, 'u' AS op
+        |       FROM documents WHERE doc_id % 13 = 1
+        |       UNION ALL
+        |       SELECT doc_id + 100000, 'late arrival ' || doc_id::VARCHAR,
+        |              3, 'u'
+        |       FROM documents WHERE doc_id < 5),
+        |d3 AS (SELECT doc_id, NULL AS text, 3 AS v, 'd' AS op
+        |       FROM documents WHERE doc_id % 17 = 2 AND doc_id % 13 <> 1),
+        |chain AS (SELECT * FROM base UNION ALL SELECT * FROM u2
+        |          UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM u3
+        |          UNION ALL SELECT * FROM d3),
+        |r AS (SELECT doc_id, text, op,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY v DESC, op) AS rk
+        |      FROM chain)
+        |SELECT 1::BIGINT AS n_fulls, 2::BIGINT AS n_deltas,
+        |       0::BIGINT AS n_unreachable_deltas, 0::BIGINT AS clash_rows,
+        |       0::BIGINT AS dup_upsert_ids,
+        |       (SELECT count(*) FROM r WHERE rk = 1 AND op = 'u')::BIGINT AS n_live""".stripMargin,
 
     // The retention-composed chain re-derived: v2's upserts/deletes baked
     // into the compaction-point state, v4's folded on top (upserts from
@@ -7892,11 +8025,15 @@ object SparkEntry {
   /** Oracle twin of the q212 INDEX-SERVED retrieval stack: q200's BM25
     * CTEs, the q153 IVF-PQ assignment/encode/LUT/ADC chain standing in
     * for the cosine leg (25 nearest by integer ADC distance, nprobe 2),
-    * RRF fusion, and the shared unrolled greedy.
+    * RRF fusion, and the shared unrolled greedy. `bmWhere` / `adcWhere`
+    * restrict the two legs' RANKED sets for the q220 filtered-hybrid
+    * twin (corpus statistics and codebooks stay global — the
+    * filtered-retrieval semantics under test).
     */
-  private def ragIndexedOracle: String =
+  private def ragIndexedOracle(bmWhere: String = "",
+                               adcWhere: String = ""): String =
     mmrUnrolledSql(
-      """WITH tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      s"""WITH tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |            FROM documents),
         |t AS (SELECT doc_id, term FROM tt WHERE term <> ''),
         |dl AS (SELECT doc_id,
@@ -7917,7 +8054,7 @@ object SparkEntry {
         |sb AS (SELECT doc_id, sum(micro)::BIGINT AS bm25_micro
         |       FROM m GROUP BY doc_id),
         |rb AS (SELECT doc_id, row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rank
-        |       FROM sb QUALIFY rank <= 25),
+        |       FROM sb ${bmWhere}QUALIFY rank <= 25),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |icents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
         |asg AS (SELECT id, v, cell FROM (
@@ -7961,7 +8098,7 @@ object SparkEntry {
         |pair AS (SELECT cd.id AS doc_id, sum(l.w)::BIGINT AS adc
         |         FROM code cd JOIN lut l ON l.cell = cd.cell AND l.s = cd.s
         |                               AND l.j = cd.code AND l.query_id <> cd.id
-        |         GROUP BY cd.id),
+        |         ${adcWhere}GROUP BY cd.id),
         |rv AS (SELECT doc_id, row_number() OVER (ORDER BY adc, doc_id) AS rank
         |       FROM pair QUALIFY rank <= 25),
         |contrib AS (SELECT doc_id, 1000000 // (60 + rank) AS cc FROM rb

@@ -531,6 +531,17 @@ object GraftTableFunctions {
         int("graft_snapshot_prune", args(1)))
       receipt("snapshot_prune", str("graft_snapshot_prune", args.head))
     }),
+    // graft_snapshot_audit(dir, idCol) — the CDC store's fsck as a
+    // one-row SQL relation (q161/q162/q195's treatment), completing the
+    // audit verb across all five persisted stores' SQL surfaces
+    ("graft_snapshot_audit", { args =>
+      require(args.length == 2,
+        s"graft_snapshot_audit(dir, idCol) got ${args.length} args")
+      graft.operators.Curation.snapshotAudit(active,
+          str("graft_snapshot_audit", args.head),
+          str("graft_snapshot_audit", args(1)))
+        .queryExecution.analyzed
+    }),
     // graft_snapshot_delta(dir, version, upsertsView, deletesView, idCol)
     // — the CDC write verb: a delta costs ∝ churn, and with this the
     // whole delta-chain lifecycle (write/delta/prune/time-travel) is

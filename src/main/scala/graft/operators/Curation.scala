@@ -634,6 +634,60 @@ object Curation {
       .select(dataCols.map(col): _*)
   }
 
+  /** The snapshot store's fsck — [[graft.sinks.ZoneMap.zoneMapAudit]]'s
+    * contract for the CDC store, completing the audit verb across all
+    * five persisted stores. One row of invariants:
+    *
+    *  - `n_fulls` / `n_deltas` — chain inventory;
+    *  - `n_unreachable_deltas` — deltas at versions ≤ the oldest full
+    *    (MUST be 0: a delta folds only over a full strictly below it,
+    *    so these can never be selected — [[pruneSnapshots]] sweeps them;
+    *    a nonzero count means a full was deleted out-of-band);
+    *  - `clash_rows` — ids in BOTH a delta's upserts and its deletes
+    *    (MUST be 0: [[writeSnapshotDelta]] rejects at write; the fsck
+    *    re-verifies the on-disk truth against out-of-band writes);
+    *  - `dup_upsert_ids` — ids duplicated within one delta's upserts
+    *    (MUST be 0, same contract);
+    *  - `n_live` — row count of the reconstruction at the newest
+    *    version (the store's logical size).
+    *
+    * Cost: one scan per delta component (∝ chain churn, the same fold
+    * shape as [[readSnapshotAt]]) + one reconstruction.
+    */
+  def snapshotAudit(spark: org.apache.spark.sql.SparkSession,
+                    rootDir: String, idCol: String): DataFrame = {
+    val fulls = snapshotVersions(rootDir)
+    require(fulls.nonEmpty, s"no snapshots under $rootDir")
+    val deltas = deltaVersions(rootDir)
+    val unreachable = deltas.count(_ <= fulls.min)
+    val perDelta = deltas.map { v =>
+      val ups = spark.read
+        .parquet(s"$rootDir/_delta/version=$v/upserts")
+        .select(col(idCol).as("id")).withColumn("_v", lit(v))
+      val dels = spark.read
+        .parquet(s"$rootDir/_delta/version=$v/deletes")
+        .select(col(idCol).as("id")).withColumn("_v", lit(v))
+      (ups, dels)
+    }
+    val (clash, dup) =
+      if (perDelta.isEmpty) (0L, 0L)
+      else {
+        val allUps = perDelta.map(_._1).reduce(_ unionByName _)
+        val allDels = perDelta.map(_._2).reduce(_ unionByName _)
+        (allUps.join(allDels, Seq("id", "_v")).count(),
+          allUps.groupBy("id", "_v").agg(count(lit(1)).as("n"))
+            .filter(col("n") > 1).count())
+      }
+    val newest = (fulls ++ deltas).max
+    val nLive = readSnapshotAt(spark, rootDir, newest, idCol).count()
+    val sp = spark
+    import sp.implicits._
+    Seq((fulls.size.toLong, deltas.size.toLong, unreachable.toLong,
+        clash, dup, nLive))
+      .toDF("n_fulls", "n_deltas", "n_unreachable_deltas", "clash_rows",
+        "dup_upsert_ids", "n_live")
+  }
+
   /** [[corpusDiff]] between two STORED versions — the audit a re-crawl
     * runs before spending downstream dedup/curation compute. Both sides
     * are partition-pruned single-version scans.
