@@ -2485,6 +2485,53 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // The ENTIRE filtered hybrid RAG stack from SQL text alone: both
+    // stores BUILT by write TVFs, both legs ranked by filtered search
+    // TVFs (plain-SQL windows over their ≤ 25-row outputs), fused by
+    // graft_rrf, diversified by graft_mmr_scored — the flagship pipeline
+    // with not one line of Scala in the loop. Must hash-match q220
+    // pick-for-pick.
+    "q221_sql_rag_filtered" -> ((s, dir) => {
+      graft.api.SqlFrontDoor.registerViews(s, dir)
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      val docs = Tables(s, dir).documents
+      val e = Tables(s, dir).embeddings
+      val rootT = java.nio.file.Files
+        .createTempDirectory("graft-sqlragf-text").toString
+      SnapshotDirs.add(rootT)
+      val rootV = java.nio.file.Files
+        .createTempDirectory("graft-sqlragf-vec").toString
+      SnapshotDirs.add(rootV)
+      docs.createOrReplaceTempView("q221_docs")
+      e.createOrReplaceTempView("q221_vecs")
+      docs.filter(col("doc_id") % 3 === 0).select("doc_id")
+        .createOrReplaceTempView("q221_allowed_docs")
+      e.filter(col("vec_id") % 3 === 0).select("vec_id")
+        .createOrReplaceTempView("q221_allowed_vecs")
+      e.filter(col("vec_id") === 0).select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$rootV/queries")
+      s.sql(s"SELECT * FROM graft_text_index_build('$rootT', 'q221_docs', 'doc_id', 'text')").collect()
+      s.sql(s"SELECT * FROM graft_ivfpq_build('$rootV', 'q221_vecs', 'vec_id', 'embedding')").collect()
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW q221_bm AS
+               |SELECT doc_id,
+               |       row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rank
+               |FROM graft_bm25_filtered('$rootT', 'spark hash window', 25,
+               |                         'q221_allowed_docs')""".stripMargin)
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW q221_kn AS
+               |SELECT neighbor_id AS doc_id,
+               |       row_number() OVER (ORDER BY adc_micro, neighbor_id) AS rank
+               |FROM graft_ivfpq_filtered('$rootV', '$rootV/queries', 25, 2,
+               |                          'q221_allowed_vecs')""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW q221_cand AS
+              |SELECT f.doc_id, CAST(v.embedding AS ARRAY<DOUBLE>) AS v,
+              |       f.rrf_micro
+              |FROM graft_rrf('q221_bm', 'q221_kn', 60, 25) f
+              |JOIN q221_vecs v ON v.vec_id = f.doc_id""".stripMargin)
+      s.sql("""SELECT * FROM graft_mmr_scored('q221_cand', 'doc_id', 'v',
+              |  'rrf_micro', 5, 70)
+              |ORDER BY rank""".stripMargin)
+    }),
+
     // q216 through the SQL front door (graft_bm25_filtered TVF, allowed
     // ids as a registered view). Must hash-match q216.
     "q217_sql_filtered_bm25" -> ((s, dir) => {
@@ -3898,6 +3945,10 @@ object SparkEntry {
       // the CDC store's fsck through the SQL front door must reproduce
       // the library call's invariant row
       "q219_sql_snapshot_audit" -> "q218_snapshot_audit",
+      // the flagship filtered-hybrid pipeline driven from SQL text alone
+      // (stores built by write TVFs, legs/fusion/MMR all TVFs) must
+      // reproduce the Scala composition pick-for-pick
+      "q221_sql_rag_filtered" -> "q220_rag_filtered",
       // the snapshot-store round trip feeding the incremental dedup must
       // reproduce the in-memory batch-vs-corpus answer
       "q122_snapshot_dedup" -> "q41_incremental_dedup",

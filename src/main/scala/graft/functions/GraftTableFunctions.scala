@@ -142,6 +142,39 @@ object GraftTableFunctions {
           "vec_id", "embedding", k = k, nprobe = nprobe)
         .queryExecution.analyzed
     }),
+    // graft_ivfpq_filtered(indexDir, queriesParquet, k, nprobe,
+    // allowedView) — filtered compressed-store search: top-k among only
+    // the view's ids, eligibility applied before the ADC rank window
+    ("graft_ivfpq_filtered", { args =>
+      require(args.length == 5,
+        "graft_ivfpq_filtered(indexDir, queriesParquet, k, nprobe, " +
+          s"allowedView) got ${args.length} args")
+      graft.operators.Similarity.searchIvfPqIndexFiltered(active,
+          str("graft_ivfpq_filtered", args.head),
+          active.read.parquet(str("graft_ivfpq_filtered", args(1))),
+          "vec_id", "embedding",
+          view("graft_ivfpq_filtered", args(4)),
+          k = int("graft_ivfpq_filtered", args(2)),
+          nprobe = int("graft_ivfpq_filtered", args(3)))
+        .queryExecution.analyzed
+    }),
+    // graft_mmr_scored(candView, idCol, vecCol, relCol, k, lambdaPct) —
+    // the PRE-SCORED MMR form (q200/q212's composition point): the
+    // caller's fused relevance rides in relCol, vectors supply the
+    // diversity term
+    ("graft_mmr_scored", { args =>
+      require(args.length == 6,
+        "graft_mmr_scored(candView, idCol, vecCol, relCol, k, lambdaPct) " +
+          s"got ${args.length} args")
+      graft.operators.Similarity.mmrRerankScored(
+          view("graft_mmr_scored", args.head),
+          str("graft_mmr_scored", args(1)),
+          str("graft_mmr_scored", args(2)),
+          str("graft_mmr_scored", args(3)),
+          k = int("graft_mmr_scored", args(4)),
+          lambdaPct = int("graft_mmr_scored", args(5)))
+        .queryExecution.analyzed
+    }),
     // graft_phrase_search(indexDir, 'exact phrase', [buckets]) — exact
     // consecutive-position phrase hits from a positions-enabled index
     ("graft_phrase_search", { args =>
