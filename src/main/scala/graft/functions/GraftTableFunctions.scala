@@ -564,6 +564,19 @@ object GraftTableFunctions {
         int("graft_snapshot_prune", args(1)))
       receipt("snapshot_prune", str("graft_snapshot_prune", args.head))
     }),
+    // graft_store_lock_status(dir) — single-writer lock observability:
+    // whether a store is currently locked, as a 1-row relation, so an
+    // operator can check before queueing a maintenance job from SQL
+    ("graft_store_lock_status", { args =>
+      require(args.length == 1,
+        s"graft_store_lock_status(dir) got ${args.length} args")
+      val dir = str("graft_store_lock_status", args.head)
+      val sp = active
+      import sp.implicits._
+      Seq((dir, graft.operators.StoreLock.isLocked(dir)))
+        .toDF("store", "locked")
+        .queryExecution.analyzed
+    }),
     // graft_snapshot_audit(dir, idCol) — the CDC store's fsck as a
     // one-row SQL relation (q161/q162/q195's treatment), completing the
     // audit verb across all five persisted stores' SQL surfaces

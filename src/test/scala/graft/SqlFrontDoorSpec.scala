@@ -110,8 +110,14 @@ class SqlFrontDoorSpec extends SparkTestBase {
       .orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(search(sqlRoot) == search(scalaRoot) && search(sqlRoot).nonEmpty)
-    // the single-writer lock reaches through the SQL surface too
+    // the single-writer lock reaches through the SQL surface too — and
+    // is OBSERVABLE from it (graft_store_lock_status)
+    def lockedFromSql = spark.sql(
+      s"SELECT locked FROM graft_store_lock_status('$sqlRoot')")
+      .head.getBoolean(0)
+    assert(!lockedFromSql)
     graft.operators.StoreLock.withWriteLock(sqlRoot) {
+      assert(lockedFromSql)
       val e = intercept[Exception] {
         spark.sql(
           s"SELECT * FROM graft_text_index_append('$sqlRoot', 'wv_docs', 'doc_id', 'text', 8)")
@@ -122,5 +128,6 @@ class SqlFrontDoorSpec extends SparkTestBase {
       assert(chain(e).exists(_.contains("concurrent writer")),
         chain(e).mkString(" | "))
     }
+    assert(!lockedFromSql)
   }
 }
