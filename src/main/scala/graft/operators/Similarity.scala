@@ -610,15 +610,23 @@ object Similarity {
     * the classic filtered-ANN bug).
     *
     * Scale shape: the probe-pruned cell scan is unchanged; the predicate
-    * is one broadcast semi-join against the (small, distinct) allowed-id
-    * set. A selective filter makes recall the caller's concern (fewer
-    * eligible candidates per probed cell) — raise nprobe, same knob as
-    * always.
+    * is one UNHINTED semi-join against the allowed-id set, applied AFTER
+    * the probe-cell cut so only probed-cell candidates ever reach it. The
+    * caller's eligibility set is unbounded by contract ("language = en"
+    * selects half a corpus), so the join carries NO broadcast hint — AQE
+    * sizes it: a genuinely small set still broadcasts under
+    * autoBroadcastJoinThreshold; a billion-id set becomes a shuffle
+    * semi-join on the uniform id key instead of a driver OOM. A selective
+    * filter makes recall the caller's concern (fewer eligible candidates
+    * per probed cell) — raise nprobe, same knob as always.
     */
   def searchIvfIndexFiltered(spark: SparkSession, dir: String,
                              queries: DataFrame, idCol: String,
                              vecCol: String, allowed: DataFrame,
                              k: Int, nprobe: Int = 2): DataFrame = {
+    require(allowed.columns.length == 1,
+      s"allowed must be a single-column frame of eligible ids; got " +
+        s"${allowed.columns.length} columns (${allowed.columns.mkString(", ")})")
     graft.functions.CosineSim.ensureRegistered(spark)
     val centDf = spark.read.parquet(s"$dir/centroids")
     val q = queries.select(col(idCol).as("query_id"),
@@ -632,7 +640,6 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("cid").as("cell"))
     val allow = allowed.select(allowed.columns.head).toDF("id").distinct()
     val postings0 = spark.read.parquet(s"$dir/postings")
-      .join(broadcast(allow), Seq("id"), "left_semi")
     val postings =
       if (graft.operators.StoreFs.exists(spark, s"$dir/tombstones"))
         postings0.join(broadcast(
@@ -643,6 +650,10 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     postings.select(col("id").as("neighbor_id"), col("v"), col("cell"))
       .join(broadcast(probes), "cell")
+      // eligibility AFTER the cell cut (semantics identical — both are
+      // pre-rank filters), no broadcast hint: AQE picks by actual size
+      .join(allow.select(col("id").as("neighbor_id")), Seq("neighbor_id"),
+        "left_semi")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosineFast(col("qv"), col("v")))
       .withColumn("rk", row_number().over(wTop))
@@ -1660,7 +1671,7 @@ object Similarity {
                         queries: DataFrame, idCol: String, vecCol: String,
                         cents: Seq[(Long, Array[Double])],
                         full: Seq[Array[Double]], k: Int, nprobe: Int,
-                        m: Int): DataFrame = {
+                        m: Int, allow: Option[DataFrame] = None): DataFrame = {
     val centDf = {
       import sp.implicits._
       cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
@@ -1678,7 +1689,18 @@ object Similarity {
         pqLut(col("qr"), full, m).as("lut"))
     val wTop = Window.partitionBy("query_id")
       .orderBy(col("adc_micro").asc, col("neighbor_id").asc)
-    codes.join(broadcast(probes), "cell")
+    val candidates0 = codes.join(broadcast(probes), "cell")
+    // eligibility AFTER the cell cut, with NO broadcast hint: the allowed
+    // set is caller-supplied and unbounded ("language = en" is half a
+    // corpus) — AQE broadcasts a small one and shuffle-semi-joins a huge
+    // one, instead of force-feeding billions of ids through the driver
+    val candidates = allow match {
+      case Some(a) => candidates0.join(
+        a.select(col(a.columns.head).as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+      case None => candidates0
+    }
+    candidates
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_micro", pqAdc(col("lut"), col("code_word"), m))
       .withColumn("rk", row_number().over(wTop))
@@ -1946,20 +1968,25 @@ object Similarity {
   }
 
   /** [[searchIvfIndexFiltered]] for the compressed store: the eligible-id
-    * semi-join applied to the 4-byte code scan before the ADC rank
-    * window — same pre-rank semantics (k survivors are k ELIGIBLE
-    * survivors), same tombstone anti-join, ~1/16th the scan bytes.
+    * semi-join applied to the probed-cell 4-byte code candidates before
+    * the ADC rank window — same pre-rank semantics (k survivors are k
+    * ELIGIBLE survivors), same tombstone anti-join, ~1/16th the scan
+    * bytes. The eligibility join carries NO broadcast hint (the allowed
+    * set is unbounded by contract — AQE sizes it); tombstones stay
+    * broadcast (bounded by compaction cadence).
     */
   def searchIvfPqIndexFiltered(spark: SparkSession, dir: String,
                                queries: DataFrame, idCol: String,
                                vecCol: String, allowed: DataFrame,
                                k: Int, nprobe: Int = 2): DataFrame = {
+    require(allowed.columns.length == 1,
+      s"allowed must be a single-column frame of eligible ids; got " +
+        s"${allowed.columns.length} columns (${allowed.columns.mkString(", ")})")
     graft.functions.CosineSim.ensureRegistered(spark)
     graft.functions.GraftExtensions.ensureRegistered(spark, "graft_matvec_dots")
     val (cents, full, m) = readIvfPqModel(spark, dir)
     val allow = allowed.select(allowed.columns.head).toDF("id").distinct()
     val postings0 = spark.read.parquet(s"$dir/postings")
-      .join(broadcast(allow), Seq("id"), "left_semi")
     val postings =
       if (graft.operators.StoreFs.exists(spark, s"$dir/tombstones"))
         postings0.join(broadcast(
@@ -1968,7 +1995,8 @@ object Similarity {
       else postings0
     val codes = postings.select(col("id").as("neighbor_id"),
       col("cell").cast("long").as("cell"), col("code_word"))
-    ivfPqScan(spark, codes, queries, idCol, vecCol, cents, full, k, nprobe, m)
+    ivfPqScan(spark, codes, queries, idCol, vecCol, cents, full, k, nprobe,
+      m, allow = Some(allow))
   }
 
   /** PQ-code COLLISION buckets — the 4-byte semantic-dedup candidate

@@ -1054,18 +1054,27 @@ object TextAnalysis {
     * is the standard filtered-retrieval semantics (and what the oracle
     * recomputes).
     *
-    * Scale shape: unchanged bucket-pruned scan + one broadcast semi-join
-    * against the (small, distinct) allowed-id set — the same single added
-    * exchange-free step as the vector stores' filtered searches.
+    * Scale shape: unchanged bucket-pruned scan + one UNHINTED semi-join
+    * against the allowed-id set — applied to the already-term-pruned
+    * candidate postings, with NO broadcast hint: the caller's eligibility
+    * set is unbounded by contract ("language = en" selects half a
+    * corpus), so AQE sizes the join (small set → broadcast under
+    * autoBroadcastJoinThreshold; huge set → shuffle semi-join on the
+    * uniform doc_id key). Same discipline as the vector stores' filtered
+    * searches.
     */
   def searchTextIndexFiltered(spark: org.apache.spark.sql.SparkSession,
                               dir: String, terms: Seq[String],
                               allowed: DataFrame,
                               k1: Double = 1.2, b: Double = 0.75,
                               k: Int = 10, buckets: Int = 64,
-                              requireAll: Boolean = false): DataFrame =
+                              requireAll: Boolean = false): DataFrame = {
+    require(allowed.columns.length == 1,
+      s"allowed must be a single-column frame of eligible doc ids; got " +
+        s"${allowed.columns.length} columns (${allowed.columns.mkString(", ")})")
     searchTextIndexImpl(spark, dir, terms, Some(allowed), k1, b, k,
       buckets, requireAll)
+  }
 
   private def searchTextIndexImpl(spark: org.apache.spark.sql.SparkSession,
                                   dir: String, terms: Seq[String],
@@ -1107,10 +1116,12 @@ object TextAnalysis {
           Seq("doc_id"), "left_anti")
       else qt0
     // eligibility BEFORE scoring/rank (filtered-retrieval semantics) —
-    // one broadcast semi-join; df/stats above stay global by design
+    // one semi-join with NO broadcast hint (the allowed set is
+    // caller-supplied and unbounded; AQE broadcasts a small one and
+    // shuffle-semi-joins a huge one); df/stats above stay global by design
     val qt = allowed match {
       case Some(a) => qt1.join(
-        broadcast(a.select(col(a.columns.head).as("doc_id")).distinct()),
+        a.select(col(a.columns.head).as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
       case None => qt1
     }
