@@ -83,6 +83,14 @@ object Bench {
     */
   private val CanaryDriftLimit = 2.0
 
+  /** Max tolerated max/min ratio across a query's own timed runs before
+    * its median is flagged query-locally contaminated (the r13 judge's
+    * prescribed ~2.5×). Honest engine variance across 3 back-to-back
+    * runs of the same plan is well under this; a burst of external load
+    * inside one run is not.
+    */
+  private val SpreadLimit = 2.5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     var spark = GraftSession.local(GraftSession.envCores, "graft-bench")
@@ -200,7 +208,7 @@ object Bench {
     // their BenchOne-isolated costs), visible in the `canary` map but not
     // a reason to distrust the median; SUSTAINED elevation across the
     // window is.
-    val contaminatedQs = {
+    val canaryFlaggedQs = {
       val seq = canaries.toSeq
       seq.zipWithIndex.collect {
         case ((k, post), i)
@@ -209,6 +217,17 @@ object Bench {
               post) > CanaryDriftLimit * canaryBase => k
       }
     }
+    // query-LOCAL contamination the adjacent canaries can miss (the r13
+    // artifact recorded q59 median 6.15s vs its own min 0.51s, unflagged:
+    // the load burst fit between two probes): a query whose own 3 runs
+    // spread past SpreadLimit saw wildly different machines — its median
+    // is one sample of a loaded box, not a plan cost. The min is still
+    // the closest-to-idle observation, so the artifact stays
+    // self-diagnosing: read queries_min for flagged entries.
+    val spreadFlaggedQs = spreads.collect {
+      case (k, (lo, hi)) if lo > 0 && hi / lo > SpreadLimit => k
+    }.toSeq
+    val contaminatedQs = (canaryFlaggedQs ++ spreadFlaggedQs).distinct
     val qs = medians.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val mins = spreads.map { case (k, (lo, _)) => s"${jstr(k)}:$lo" }.mkString("{", ",", "}")
     val maxs = spreads.map { case (k, (_, hi)) => s"${jstr(k)}:$hi" }.mkString("{", ",", "}")
@@ -216,7 +235,8 @@ object Bench {
     val cs = canaries.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val total = medians.values.sum
     val cqs = contaminatedQs.map(jstr).mkString("[", ",", "]")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"queries_min":$mins,"queries_max":$maxs,"errors":$es,"failed":${errors.size},"canary_base":$canaryBase,"canary_max":$canaryMax,"canary_spike":$canarySpike,"canary_drift":$canaryDrift,"canary_contaminated":${canaryDrift > CanaryDriftLimit},"queries_contaminated":$cqs,"canary":$cs,"sf":${jstr(sfDir)}}"""
+    val sqs = spreadFlaggedQs.map(jstr).mkString("[", ",", "]")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"queries_min":$mins,"queries_max":$maxs,"errors":$es,"failed":${errors.size},"canary_base":$canaryBase,"canary_max":$canaryMax,"canary_spike":$canarySpike,"canary_drift":$canaryDrift,"canary_contaminated":${canaryDrift > CanaryDriftLimit},"queries_contaminated":$cqs,"queries_spread_flagged":$sqs,"spread_limit":$SpreadLimit,"canary":$cs,"sf":${jstr(sfDir)}}"""
     println(fullJson)
     // Durable copy of the full record: the driver's stdout tail capture is
     // bounded (the r10/r11 artifacts recorded only whichever map happened

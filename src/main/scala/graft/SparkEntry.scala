@@ -2462,7 +2462,7 @@ object SparkEntry {
         .createTempDirectory("graft-ragf-vec").toString
       SnapshotDirs.add(rootV)
       TextAnalysis.buildTextIndex(docs, "doc_id", "text", rootT)
-      Similarity.buildIvfPqIndex(e, "vec_id", "embedding", rootV)
+      Similarity.buildIvfPqIndexAdaptive(e, "vec_id", "embedding", rootV)
       val wb = Window.orderBy(col("bm25_micro").desc, col("doc_id").asc)
       val bm = TextAnalysis.searchTextIndexFiltered(s, rootT,
           Seq("spark", "hash", "window"),
@@ -2511,7 +2511,7 @@ object SparkEntry {
       e.filter(col("vec_id") === 0).select("vec_id", "embedding")
         .write.mode("overwrite").parquet(s"$rootV/queries")
       s.sql(s"SELECT * FROM graft_text_index_build('$rootT', 'q221_docs', 'doc_id', 'text')").collect()
-      s.sql(s"SELECT * FROM graft_ivfpq_build('$rootV', 'q221_vecs', 'vec_id', 'embedding')").collect()
+      s.sql(s"SELECT * FROM graft_ivfpq_build('$rootV', 'q221_vecs', 'vec_id', 'embedding', 8, 16, 0, 7)").collect()
       s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW q221_bm AS
                |SELECT doc_id,
                |       row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rank
@@ -7257,10 +7257,12 @@ object SparkEntry {
     "q212_rag_indexed" -> ragIndexedOracle(),
 
     // the filtered-hybrid twin: both legs' RANKED sets restricted to
-    // ids ≡ 0 (mod 3) pre-cut, statistics and codebooks global
+    // ids ≡ 0 (mod 3) pre-cut, statistics and codebooks global; the
+    // vector leg under the ADAPTIVE ⌈√n⌉ IVF codebook (q211's recipe)
     "q220_rag_filtered" -> ragIndexedOracle(
       bmWhere = "WHERE doc_id % 3 = 0 ",
-      adcWhere = "WHERE cd.id % 3 = 0\n         "),
+      adcWhere = "WHERE cd.id % 3 = 0\n         ",
+      adaptive = true),
 
     // The twin-augmented corpus, q177's signature packing, and the BRUTE
     // radius scan — by pigeonhole (radius 3 < 4 bands) the banded plan
@@ -8082,7 +8084,20 @@ object SparkEntry {
     * filtered-retrieval semantics under test).
     */
   private def ragIndexedOracle(bmWhere: String = "",
-                               adcWhere: String = ""): String =
+                               adcWhere: String = "",
+                               adaptive: Boolean = false): String = {
+    // the IVF codebook anchor: fixed step 25 (the classic build) or the
+    // adaptive ⌈√n⌉ policy recomputed from the oracle's own count
+    // (q211_filtered_pq_adaptive's recipe) — which build the gate ran
+    // is the caller's declaration
+    val icents =
+      if (adaptive)
+        """st AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS s FROM e),
+          |icents AS (SELECT cid, cv FROM (
+          |    SELECT vec_id AS cid, v AS cv FROM e, st WHERE vec_id % st.s = 0
+          |    ORDER BY cid LIMIT 4096)),""".stripMargin
+      else
+        "icents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),"
     mmrUnrolledSql(
       s"""WITH tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |            FROM documents),
@@ -8107,7 +8122,7 @@ object SparkEntry {
         |rb AS (SELECT doc_id, row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rank
         |       FROM sb ${bmWhere}QUALIFY rank <= 25),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |icents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+        |$icents
         |asg AS (SELECT id, v, cell FROM (
         |    SELECT e.vec_id AS id, e.v, cc.cid AS cell,
         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -8163,6 +8178,7 @@ object SparkEntry {
         |c AS (SELECT r.doc_id AS id, e2.v, r.rrf_micro AS rel
         |      FROM r JOIN e e2 ON e2.vec_id = r.doc_id)""".stripMargin,
       k = 5, lam = 70)
+  }
 
   /** Oracle twin of [[graft.operators.Curation.curationLineage]]: the
     * q37 quality derivation, the q15 language argmax, the q8 fingerprint

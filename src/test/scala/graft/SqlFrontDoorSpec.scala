@@ -130,4 +130,36 @@ class SqlFrontDoorSpec extends SparkTestBase {
     }
     assert(!lockedFromSql)
   }
+
+  test("write-verb TVFs mutate at EXECUTION, not analysis: EXPLAIN is side-effect-free, collect writes once") {
+    import TestSpark.spark.implicits._
+    graft.functions.GraftTableFunctions.ensureRegistered(spark)
+    val docs = Seq((0L, "spark hash"), (1L, "spark window"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("dw_docs")
+    val root = java.nio.file.Files.createTempDirectory("graft-defer-wv").toString
+    val stmt = spark.sql(
+      s"SELECT * FROM graft_text_index_build('$root', 'dw_docs', 'doc_id', 'text', 8)")
+    // the r13 shape wrote HERE (analysis time): spark.sql() has analyzed
+    // the statement, EXPLAIN has rendered the plan — and nothing exists
+    stmt.explain()
+    assert(!graft.operators.StoreFs.exists(spark, s"$root/postings"),
+      "analysis/EXPLAIN performed the store write")
+    // first action performs the write exactly once
+    val receipt = stmt.collect()
+    assert(receipt.length == 1 && receipt.head.getBoolean(2))
+    assert(graft.operators.StoreFs.exists(spark, s"$root/postings"))
+    def hits = graft.operators.TextAnalysis
+      .searchTextIndex(spark, root, Seq("spark"), k = 10, buckets = 8).count()
+    val afterBuild = hits
+    // re-collecting the SAME DataFrame memoizes — no double write; the
+    // append-twice-via-view hazard the advisory flagged needs a fresh
+    // statement (INSERT semantics), not a re-read of this one
+    stmt.collect()
+    assert(hits == afterBuild)
+    // a destructive verb is EXPLAIN-safe too: the advisory's exact case
+    val prune = spark.sql(s"SELECT * FROM graft_snapshot_prune('$root', 1)")
+    prune.explain()
+    assert(hits == afterBuild, "EXPLAIN of a prune mutated the store")
+  }
 }
