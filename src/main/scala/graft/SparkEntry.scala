@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
-import graft.operators.{Analytics, AsOf, Bpe, Curation, Dedup, Multimodal, RangeJoin, Relational, Sampling, Similarity, TextAnalysis, Windowed}
+import graft.operators.{Analytics, AsOf, Bpe, Composite, Curation, Dedup, Multimodal, RangeJoin, Relational, Sampling, Similarity, TextAnalysis, Windowed}
 import graft.sources.{CsvSource, JsonSource, LogLines}
 import graft.streaming.{BoundedStream, Stateful, StreamingPHash}
 
@@ -2461,8 +2461,13 @@ object SparkEntry {
       val rootV = java.nio.file.Files
         .createTempDirectory("graft-ragf-vec").toString
       SnapshotDirs.add(rootV)
-      TextAnalysis.buildTextIndex(docs, "doc_id", "text", rootT)
-      Similarity.buildIvfPqIndexAdaptive(e, "vec_id", "embedding", rootV)
+      // the two-store build runs under a composition manifest: a crash
+      // between the builds leaves a PENDING manifest Composite.audit
+      // flags, where both per-store fscks would pass (CompositeSpec)
+      Composite.build(s, rootT, Composite.ragMembers(rootT, rootV)) {
+        TextAnalysis.buildTextIndex(docs, "doc_id", "text", rootT)
+        Similarity.buildIvfPqIndexAdaptive(e, "vec_id", "embedding", rootV)
+      }
       val wb = Window.orderBy(col("bm25_micro").desc, col("doc_id").asc)
       val bm = TextAnalysis.searchTextIndexFiltered(s, rootT,
           Seq("spark", "hash", "window"),
@@ -2510,8 +2515,10 @@ object SparkEntry {
         .createOrReplaceTempView("q221_allowed_vecs")
       e.filter(col("vec_id") === 0).select("vec_id", "embedding")
         .write.mode("overwrite").parquet(s"$rootV/queries")
+      s.sql(s"SELECT * FROM graft_composite_begin('$rootT', '$rootT', '$rootV')").collect()
       s.sql(s"SELECT * FROM graft_text_index_build('$rootT', 'q221_docs', 'doc_id', 'text')").collect()
       s.sql(s"SELECT * FROM graft_ivfpq_build('$rootV', 'q221_vecs', 'vec_id', 'embedding', 8, 16, 0, 7)").collect()
+      s.sql(s"SELECT * FROM graft_composite_commit('$rootT')").collect()
       s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW q221_bm AS
                |SELECT doc_id,
                |       row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rank
@@ -2530,6 +2537,55 @@ object SparkEntry {
       s.sql("""SELECT * FROM graft_mmr_scored('q221_cand', 'doc_id', 'v',
               |  'rrf_micro', 5, 70)
               |ORDER BY rank""".stripMargin)
+    }),
+
+    // The COMPOSITE fsck over a healthy two-store RAG stack: both member
+    // builds bracketed by the manifest (begin → builds → commit), audit
+    // reports every member fully present under a committed manifest.
+    // The crash-between-builds case — pending manifest, per-store fscks
+    // blind — is gated in CompositeSpec (filesystem kill injection isn't
+    // expressible as a fixture query). Store paths are temp dirs, so the
+    // gate returns the deterministic columns only.
+    "q222_composite_audit" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val e = Tables(s, dir).embeddings
+      val rootT = java.nio.file.Files
+        .createTempDirectory("graft-comp-text").toString
+      SnapshotDirs.add(rootT)
+      val rootV = java.nio.file.Files
+        .createTempDirectory("graft-comp-vec").toString
+      SnapshotDirs.add(rootV)
+      Composite.build(s, rootT, Composite.ragMembers(rootT, rootV)) {
+        TextAnalysis.buildTextIndex(docs, "doc_id", "text", rootT)
+        Similarity.buildIvfPqIndexAdaptive(e, "vec_id", "embedding", rootV)
+      }
+      Composite.audit(s, rootT)
+        .select("member", "n_components", "n_present", "present", "state",
+          "healthy")
+        .orderBy("member")
+    }),
+
+    // q222 through the SQL front door: manifest verbs + composite fsck
+    // as TVFs (graft_composite_begin/commit, graft_rag_audit). Must
+    // hash-match q222.
+    "q223_sql_rag_audit" -> ((s, dir) => {
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      val docs = Tables(s, dir).documents
+      val e = Tables(s, dir).embeddings
+      val rootT = java.nio.file.Files
+        .createTempDirectory("graft-sqlcomp-text").toString
+      SnapshotDirs.add(rootT)
+      val rootV = java.nio.file.Files
+        .createTempDirectory("graft-sqlcomp-vec").toString
+      SnapshotDirs.add(rootV)
+      docs.createOrReplaceTempView("q223_docs")
+      e.createOrReplaceTempView("q223_vecs")
+      s.sql(s"SELECT * FROM graft_composite_begin('$rootT', '$rootT', '$rootV')").collect()
+      s.sql(s"SELECT * FROM graft_text_index_build('$rootT', 'q223_docs', 'doc_id', 'text')").collect()
+      s.sql(s"SELECT * FROM graft_ivfpq_build('$rootV', 'q223_vecs', 'vec_id', 'embedding', 8, 16, 0, 7)").collect()
+      s.sql(s"SELECT * FROM graft_composite_commit('$rootT')").collect()
+      s.sql(s"""SELECT member, n_components, n_present, present, state, healthy
+               |FROM graft_rag_audit('$rootT') ORDER BY member""".stripMargin)
     }),
 
     // q216 through the SQL front door (graft_bm25_filtered TVF, allowed
@@ -3949,6 +4005,9 @@ object SparkEntry {
       // (stores built by write TVFs, legs/fusion/MMR all TVFs) must
       // reproduce the Scala composition pick-for-pick
       "q221_sql_rag_filtered" -> "q220_rag_filtered",
+      // the composite fsck through the SQL front door must reproduce
+      // the library audit's member rows exactly
+      "q223_sql_rag_audit" -> "q222_composite_audit",
       // the snapshot-store round trip feeding the incremental dedup must
       // reproduce the in-memory batch-vs-corpus answer
       "q122_snapshot_dedup" -> "q41_incremental_dedup",
@@ -7263,6 +7322,17 @@ object SparkEntry {
       bmWhere = "WHERE doc_id % 3 = 0 ",
       adcWhere = "WHERE cd.id % 3 = 0\n         ",
       adaptive = true),
+
+    // a HEALTHY composed build's audit is fully determined by the
+    // manifest contract: both members present under a committed
+    // manifest (text = 3 components, vectors = 4). The oracle pins the
+    // exact invariant rows; the unhealthy paths are CompositeSpec's.
+    "q222_composite_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('text', 3::BIGINT, 3::BIGINT, true, 'committed', true),
+        |  ('vectors', 4::BIGINT, 4::BIGINT, true, 'committed', true))
+        |AS t(member, n_components, n_present, present, state, healthy)
+        |ORDER BY member""".stripMargin,
 
     // The twin-augmented corpus, q177's signature packing, and the BRUTE
     // radius scan — by pigeonhole (radius 3 < 4 bands) the banded plan

@@ -646,6 +646,41 @@ object GraftTableFunctions {
           view("graft_snapshot_delta", args(3)),
           str("graft_snapshot_delta", args(4)))
       }
+    }),
+    // graft_composite_begin(manifestDir, textDir, vecDir) — declare a
+    // RAG composition (text index + IVF-PQ) BEFORE its member builds, so
+    // a crash between them is detectable (graft_rag_audit) even though
+    // every per-store fsck sees a healthy store
+    ("graft_composite_begin", { args =>
+      require(args.length == 3,
+        s"graft_composite_begin(manifestDir, textDir, vecDir) got ${args.length} args")
+      writeVerb("composite_begin", str("graft_composite_begin", args.head)) {
+        graft.operators.Composite.begin(active,
+          str("graft_composite_begin", args.head),
+          graft.operators.Composite.ragMembers(
+            str("graft_composite_begin", args(1)),
+            str("graft_composite_begin", args(2))))
+      }
+    }),
+    // graft_composite_commit(manifestDir) — every member build landed:
+    // verifies presence, swaps pending → committed
+    ("graft_composite_commit", { args =>
+      require(args.length == 1,
+        s"graft_composite_commit(manifestDir) got ${args.length} args")
+      writeVerb("composite_commit", str("graft_composite_commit", args.head)) {
+        graft.operators.Composite.commit(active,
+          str("graft_composite_commit", args.head))
+      }
+    }),
+    // graft_rag_audit(manifestDir) — the composite fsck: per-member
+    // presence + the manifest-level verdict (pending = unhealthy, the
+    // crash-between-builds state no per-store audit can see)
+    ("graft_rag_audit", { args =>
+      require(args.length == 1,
+        s"graft_rag_audit(manifestDir) got ${args.length} args")
+      graft.operators.Composite.audit(active,
+          str("graft_rag_audit", args.head))
+        .queryExecution.analyzed
     }))
 
   /** A write verb's logical plan: the mutation DEFERRED to execution

@@ -415,6 +415,8 @@ object Similarity {
     cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
       .coalesce(1) // bounded by maxCentroids — one small model file
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    // a rebuild returns to the classic layout: no stale segment manifest
+    StoreSegments.reset(sp, dir, "postings")
     ivfAssign(df, idCol, vecCol, cents)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
   }
@@ -443,8 +445,8 @@ object Similarity {
       .orderBy("cid").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
     require(cents.nonEmpty, s"no centroids at $dir/centroids — build first")
-    ivfAssign(batch, idCol, vecCol, cents)
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/postings")
+    StoreSegments.append(spark, dir, "postings", "cell",
+      ivfAssign(batch, idCol, vecCol, cents))
   }
 
   /** DELETION from a [[buildIvfIndex]] index — [[
@@ -474,7 +476,7 @@ object Similarity {
           spark.read.parquet(s"$dir/tombstones").select("id").distinct(),
           Seq("id"), "left_anti")
       else del0
-    val delPost = spark.read.parquet(s"$dir/postings")
+    val delPost = StoreSegments.read(spark, dir, "postings", "cell")
       .join(broadcast(del), "id")
       .select(col("id"), col("cell").cast("long").as("cell"))
     if (!delPost.isEmpty)
@@ -499,19 +501,16 @@ object Similarity {
         .map(_.getLong(0)).toSeq
       if (affected.isEmpty) StoreFs.delete(spark, s"$dir/tombstones")
       else {
-        val tmp = s"$dir/compact_tmp"
-        StoreFs.delete(spark, tmp)
-        spark.read.parquet(s"$dir/postings")
+        // reader-safe publish (r14): survivors land in a NEW immutable
+        // segment and ONE atomic manifest flip supersedes the affected
+        // cells — no live directory is swapped, so a concurrent search
+        // holding either manifest version sees a complete store
+        val survivors = StoreSegments.read(spark, dir, "postings", "cell")
           .filter(col("cell").isin(affected: _*))
           .join(tombIds, Seq("id"), "left_anti")
-          .repartition(col("cell"))
-          .write.partitionBy("cell").parquet(s"$tmp/postings")
-        affected.foreach { c =>
-          StoreFs.replace(spark, s"$tmp/postings/cell=$c",
-            s"$dir/postings/cell=$c")
-        }
+        StoreSegments.compact(spark, dir, "postings", "cell", affected,
+          survivors)
         StoreFs.delete(spark, s"$dir/tombstones")
-        StoreFs.delete(spark, tmp)
       }
     }
   }
@@ -535,12 +534,11 @@ object Similarity {
     * recomputed in SQL).
     */
   def ivfIndexAudit(spark: SparkSession, dir: String): DataFrame = {
-    val tombIds =
-      if (graft.operators.StoreFs.exists(spark, s"$dir/tombstones"))
-        spark.read.parquet(s"$dir/tombstones").select("id").distinct()
-      else spark.range(0).select(col("id"))
+    val tombIds = graft.operators.StoreFs
+      .tombstoneIds(spark, s"$dir/tombstones", "id")
+      .getOrElse(spark.range(0).select(col("id")))
     val nTomb = tombIds.count()
-    val postings = spark.read.parquet(s"$dir/postings")
+    val postings = StoreSegments.read(spark, dir, "postings", "cell")
       .join(broadcast(tombIds), Seq("id"), "left_anti")
     val cents = spark.read.parquet(s"$dir/centroids").select(col("cid"))
     val perId = postings.groupBy("id").agg(count(lit(1)).as("n"))
@@ -579,16 +577,14 @@ object Similarity {
       .withColumn("prk", row_number().over(wProbe))
       .filter(col("prk") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid").as("cell"))
-    val postings0 = spark.read.parquet(s"$dir/postings")
+    val postings0 = StoreSegments.read(spark, dir, "postings", "cell")
     // tombstoned vectors are invisible to search (broadcast anti-join —
     // tombstones stay delete-batch-sized because compactIvfIndex drains
     // them into physical cell rewrites)
     val postings =
-      if (graft.operators.StoreFs.exists(spark, s"$dir/tombstones"))
-        postings0.join(broadcast(
-          spark.read.parquet(s"$dir/tombstones").select("id").distinct()),
-          Seq("id"), "left_anti")
-      else postings0
+      graft.operators.StoreFs.tombstoneIds(spark, s"$dir/tombstones", "id")
+        .map(t => postings0.join(broadcast(t), Seq("id"), "left_anti"))
+        .getOrElse(postings0)
     val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     postings.select(col("id").as("neighbor_id"), col("v"), col("cell"))
       .join(broadcast(probes), "cell")
@@ -639,13 +635,11 @@ object Similarity {
       .filter(col("prk") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid").as("cell"))
     val allow = allowed.select(allowed.columns.head).toDF("id").distinct()
-    val postings0 = spark.read.parquet(s"$dir/postings")
+    val postings0 = StoreSegments.read(spark, dir, "postings", "cell")
     val postings =
-      if (graft.operators.StoreFs.exists(spark, s"$dir/tombstones"))
-        postings0.join(broadcast(
-          spark.read.parquet(s"$dir/tombstones").select("id").distinct()),
-          Seq("id"), "left_anti")
-      else postings0
+      graft.operators.StoreFs.tombstoneIds(spark, s"$dir/tombstones", "id")
+        .map(t => postings0.join(broadcast(t), Seq("id"), "left_anti"))
+        .getOrElse(postings0)
     val wTop = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     postings.select(col("id").as("neighbor_id"), col("v"), col("cell"))
@@ -1772,6 +1766,8 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_codebook")
     Seq((m, ksub, dim)).toDF("m", "ksub", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_meta")
+    // a rebuild returns to the classic layout: no stale segment manifest
+    StoreSegments.reset(sp, dir, "postings")
     withRes.select(col("id"), pqCodeWord(col("r"), full, m).as("code_word"),
         col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
@@ -1807,10 +1803,10 @@ object Similarity {
                        idCol: String, vecCol: String): Unit =
       StoreLock.withWriteLock(dir) {
     val (cents, full, m) = readIvfPqModel(spark, dir)
-    ivfResiduals(batch, idCol, vecCol, cents)
-      .select(col("id"), pqCodeWord(col("r"), full, m).as("code_word"),
-        col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/postings")
+    StoreSegments.append(spark, dir, "postings", "cell",
+      ivfResiduals(batch, idCol, vecCol, cents)
+        .select(col("id"), pqCodeWord(col("r"), full, m).as("code_word"),
+          col("cell")))
   }
 
   /** DELETION from a [[buildIvfPqIndex]] store — the takedown verb for
@@ -1859,13 +1855,11 @@ object Similarity {
     graft.functions.CosineSim.ensureRegistered(spark)
     graft.functions.GraftExtensions.ensureRegistered(spark, "graft_matvec_dots")
     val (cents, full, m) = readIvfPqModel(spark, dir)
-    val postings0 = spark.read.parquet(s"$dir/postings")
+    val postings0 = StoreSegments.read(spark, dir, "postings", "cell")
     val postings =
-      if (graft.operators.StoreFs.exists(spark, s"$dir/tombstones"))
-        postings0.join(broadcast(
-          spark.read.parquet(s"$dir/tombstones").select("id").distinct()),
-          Seq("id"), "left_anti")
-      else postings0
+      graft.operators.StoreFs.tombstoneIds(spark, s"$dir/tombstones", "id")
+        .map(t => postings0.join(broadcast(t), Seq("id"), "left_anti"))
+        .getOrElse(postings0)
     val codes = postings.select(col("id").as("neighbor_id"),
       col("cell").cast("long").as("cell"), col("code_word"))
     ivfPqScan(spark, codes, queries, idCol, vecCol, cents, full, k, nprobe, m)
@@ -1986,13 +1980,11 @@ object Similarity {
     graft.functions.GraftExtensions.ensureRegistered(spark, "graft_matvec_dots")
     val (cents, full, m) = readIvfPqModel(spark, dir)
     val allow = allowed.select(allowed.columns.head).toDF("id").distinct()
-    val postings0 = spark.read.parquet(s"$dir/postings")
+    val postings0 = StoreSegments.read(spark, dir, "postings", "cell")
     val postings =
-      if (graft.operators.StoreFs.exists(spark, s"$dir/tombstones"))
-        postings0.join(broadcast(
-          spark.read.parquet(s"$dir/tombstones").select("id").distinct()),
-          Seq("id"), "left_anti")
-      else postings0
+      graft.operators.StoreFs.tombstoneIds(spark, s"$dir/tombstones", "id")
+        .map(t => postings0.join(broadcast(t), Seq("id"), "left_anti"))
+        .getOrElse(postings0)
     val codes = postings.select(col("id").as("neighbor_id"),
       col("cell").cast("long").as("cell"), col("code_word"))
     ivfPqScan(spark, codes, queries, idCol, vecCol, cents, full, k, nprobe,

@@ -40,6 +40,22 @@ object StoreLock {
     */
   val LockName = "_lock"
 
+  /** Filesystems whose create-if-absent is genuinely ATOMIC (namenode-
+    * or kernel-arbitrated). On anything else — the object stores: s3a,
+    * gcs, abfs — `create(overwrite = false)` is check-then-create, two
+    * writers can both "win", and the single-writer guarantee silently
+    * degrades to nothing on exactly the deployments most likely to race.
+    * Acquisition on a non-whitelisted scheme WARNS loudly (once per
+    * scheme) instead of silently accepting: the store still works, the
+    * operator knows the lock is advisory there, and the documented fix
+    * is an HDFS-backed lock root or an external coordinator.
+    */
+  val AtomicCreateSchemes: Set[String] =
+    Set("file", "hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs", "o3fs")
+
+  private val warnedSchemes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def resolved(conf: Option[org.apache.hadoop.conf.Configuration]) =
     conf
       .orElse(org.apache.spark.sql.SparkSession.getActiveSession
@@ -55,6 +71,13 @@ object StoreLock {
                       (body: => T): T = {
     val lock = new Path(dir, LockName)
     val fs = lock.getFileSystem(resolved(conf))
+    val scheme = String.valueOf(fs.getScheme)
+    if (!AtomicCreateSchemes.contains(scheme) && warnedSchemes.add(scheme))
+      System.err.println(
+        s"[graft] WARNING: store lock on scheme '$scheme' is ADVISORY — " +
+          "create-if-absent is not atomic there (check-then-create), so " +
+          "two racing writers can both acquire; use an HDFS-family lock " +
+          "root for a real single-writer guarantee")
     val payload =
       s"pid=${ProcessHandle.current().pid()} thread=${Thread.currentThread().getName} " +
         s"acquired_epoch_ms=${System.currentTimeMillis()}"

@@ -673,6 +673,9 @@ object TextAnalysis {
         // mistake); clustered, each bucket is one writer's contiguous
         // output, which is also the layout a pruned read wants
         .repartition(col("bucket")))
+    // a rebuild returns to the classic layout: no stale segment manifests
+    Seq("postings", "terms", "stats", "docs")
+      .foreach(c => StoreSegments.reset(df.sparkSession, dir, c))
     postings.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
     postings.groupBy("term", "bucket").agg(count(lit(1)).as("df"))
@@ -718,18 +721,18 @@ object TextAnalysis {
         .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("cnt"))
         .withColumn("bucket", termBucket(col("term"), buckets))
         .repartition(col("bucket")))
-    postings.write.mode("append").partitionBy("bucket")
-      .parquet(s"$dir/postings")
-    postings.groupBy("term", "bucket").agg(count(lit(1)).as("df"))
-      .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$dir/terms")
-    dl.agg(count(lit(1)).cast("long").as("n_docs"),
-        sum("dl").cast("long").as("sum_dl"))
-      .coalesce(1).write.mode("append").parquet(s"$dir/stats")
-    dl.select(col("doc_id"), col("dl"))
-      .withColumn("dbucket", termBucket(col("doc_id").cast("string"), buckets))
-      .repartition(col("dbucket"))
-      .write.mode("append").partitionBy("dbucket").parquet(s"$dir/docs")
+    StoreSegments.append(spark, dir, "postings", "bucket", postings)
+    StoreSegments.append(spark, dir, "terms", "bucket",
+      postings.groupBy("term", "bucket").agg(count(lit(1)).as("df"))
+        .repartition(col("bucket")))
+    StoreSegments.appendPlain(spark, dir, "stats",
+      dl.agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("dl").cast("long").as("sum_dl"))
+        .coalesce(1))
+    StoreSegments.append(spark, dir, "docs", "dbucket",
+      dl.select(col("doc_id"), col("dl"))
+        .withColumn("dbucket", termBucket(col("doc_id").cast("string"), buckets))
+        .repartition(col("dbucket")))
   }
 
   /** DELETION from a [[buildTextIndex]] index — the storage verb a crawl
@@ -777,21 +780,22 @@ object TextAnalysis {
       .distinct().collect().map(_.getInt(0)).toSeq
     if (dbuckets.isEmpty) return // nothing new to delete
     val deleted = CacheScope.persisted(
-      spark.read.parquet(s"$dir/docs")
+      StoreSegments.read(spark, dir, "docs", "dbucket")
         .filter(col("dbucket").isin(dbuckets: _*))
         .join(broadcast(del), "doc_id")
         .select(col("doc_id"), col("dl")))
     if (deleted.isEmpty) return // ids absent from the index entirely
-    deleted.agg((lit(0L) - count(lit(1))).cast("long").as("n_docs"),
-        (lit(0L) - coalesce(sum("dl"), lit(0L))).cast("long").as("sum_dl"))
-      .coalesce(1).write.mode("append").parquet(s"$dir/stats")
+    StoreSegments.appendPlain(spark, dir, "stats",
+      deleted.agg((lit(0L) - count(lit(1))).cast("long").as("n_docs"),
+          (lit(0L) - coalesce(sum("dl"), lit(0L))).cast("long").as("sum_dl"))
+        .coalesce(1))
     val delPost = CacheScope.persisted(
-      spark.read.parquet(s"$dir/postings")
+      StoreSegments.read(spark, dir, "postings", "bucket")
         .join(broadcast(deleted.select("doc_id")), "doc_id"))
-    delPost.groupBy("term", "bucket")
-      .agg((lit(0L) - count(lit(1))).cast("long").as("df"))
-      .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$dir/terms")
+    StoreSegments.append(spark, dir, "terms", "bucket",
+      delPost.groupBy("term", "bucket")
+        .agg((lit(0L) - count(lit(1))).cast("long").as("df"))
+        .repartition(col("bucket")))
     // tombstones carry the touched postings buckets (compaction's work
     // list); a postings-less doc tombstones with bucket = -1
     delPost.select(col("doc_id"), col("bucket").cast("int").as("bucket"))
@@ -830,59 +834,50 @@ object TextAnalysis {
     val affectedD = tombIds.select(
         termBucket(col("doc_id").cast("string"), buckets).as("dbucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val tmp = s"$dir/compact_tmp"
-    StoreFs.delete(spark, tmp)
     // positions/ (when present) shares the postings' bucket space — a
     // doc's position rows live in exactly the buckets its postings rows
     // do (both key termBucket over the same non-empty tokens) — so the
     // tombstones' postings-bucket list IS the positions work list
     val affectedP: Seq[Int] =
       if (StoreFs.exists(spark, s"$dir/positions")) affected else Seq.empty
+    // reader-safe publish per component (r14): survivors land in NEW
+    // immutable segments, each component flips its manifest atomically —
+    // no live bucket directory is swapped, so a concurrent search
+    // holding either manifest version sees a complete index
     if (affected.nonEmpty) {
-      spark.read.parquet(s"$dir/postings")
-        .filter(col("bucket").isin(affected: _*))
-        .join(tombIds, Seq("doc_id"), "left_anti")
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(s"$tmp/postings")
-      spark.read.parquet(s"$dir/terms")
-        .filter(col("bucket").isin(affected: _*))
-        .groupBy("term", "bucket").agg(sum("df").cast("long").as("df"))
-        .filter(col("df") > 0)
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(s"$tmp/terms")
+      StoreSegments.compact(spark, dir, "postings", "bucket",
+        affected.map(_.toLong),
+        StoreSegments.read(spark, dir, "postings", "bucket")
+          .filter(col("bucket").isin(affected: _*))
+          .join(tombIds, Seq("doc_id"), "left_anti"))
+      StoreSegments.compact(spark, dir, "terms", "bucket",
+        affected.map(_.toLong),
+        StoreSegments.read(spark, dir, "terms", "bucket")
+          .filter(col("bucket").isin(affected: _*))
+          .groupBy("term", "bucket").agg(sum("df").cast("long").as("df"))
+          .filter(col("df") > 0))
     }
     if (affectedP.nonEmpty) {
-      spark.read.parquet(s"$dir/positions")
-        .filter(col("bucket").isin(affectedP: _*))
-        .join(tombIds, Seq("doc_id"), "left_anti")
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(s"$tmp/positions")
+      StoreSegments.compact(spark, dir, "positions", "bucket",
+        affectedP.map(_.toLong),
+        StoreSegments.read(spark, dir, "positions", "bucket")
+          .filter(col("bucket").isin(affectedP: _*))
+          .join(tombIds, Seq("doc_id"), "left_anti"))
     }
-    spark.read.parquet(s"$dir/docs")
-      .filter(col("dbucket").isin(affectedD: _*))
-      .join(tombIds, Seq("doc_id"), "left_anti")
-      .repartition(col("dbucket"))
-      .write.partitionBy("dbucket").parquet(s"$tmp/docs")
+    StoreSegments.compact(spark, dir, "docs", "dbucket",
+      affectedD.map(_.toLong),
+      StoreSegments.read(spark, dir, "docs", "dbucket")
+        .filter(col("dbucket").isin(affectedD: _*))
+        .join(tombIds, Seq("doc_id"), "left_anti"))
     // stats: collapse every segment row (build + appends + negative
-    // delete rows) to ONE exact total row
-    spark.read.parquet(s"$dir/stats")
-      .agg(sum("n_docs").cast("long").as("n_docs"),
-        sum("sum_dl").cast("long").as("sum_dl"))
-      .coalesce(1).write.parquet(s"$tmp/stats")
-    // swap: every read above has materialized, so the replaces are safe
-    affected.foreach { b =>
-      StoreFs.replace(spark, s"$tmp/postings/bucket=$b", s"$dir/postings/bucket=$b")
-      StoreFs.replace(spark, s"$tmp/terms/bucket=$b", s"$dir/terms/bucket=$b")
-    }
-    affectedP.foreach { b =>
-      StoreFs.replace(spark, s"$tmp/positions/bucket=$b", s"$dir/positions/bucket=$b")
-    }
-    affectedD.foreach { b =>
-      StoreFs.replace(spark, s"$tmp/docs/dbucket=$b", s"$dir/docs/dbucket=$b")
-    }
-    StoreFs.replace(spark, s"$tmp/stats", s"$dir/stats")
+    // delete rows) to ONE exact total row — whole-component replace,
+    // same manifest flip
+    StoreSegments.replaceAll(spark, dir, "stats",
+      StoreSegments.read(spark, dir, "stats", "")
+        .agg(sum("n_docs").cast("long").as("n_docs"),
+          sum("sum_dl").cast("long").as("sum_dl"))
+        .coalesce(1))
     StoreFs.delete(spark, s"$dir/tombstones")
-    StoreFs.delete(spark, tmp)
     tombIds.unpersist()
   }
 
@@ -896,15 +891,21 @@ object TextAnalysis {
     */
   private def writePositions(df: DataFrame, idCol: String, textCol: String,
                              dir: String, buckets: Int,
-                             mode: String): Unit =
-    df.select(col(idCol).as("doc_id"),
+                             mode: String): Unit = {
+    val rows = df.select(col(idCol).as("doc_id"),
         posexplode(array_remove(tokens(col(textCol)), ""))
           .as(Seq("pos", "term")))
       .groupBy("doc_id", "term")
       .agg(sort_array(collect_list(col("pos").cast("long"))).as("poss"))
       .withColumn("bucket", termBucket(col("term"), buckets))
       .repartition(col("bucket"))
-      .write.mode(mode).partitionBy("bucket").parquet(s"$dir/positions")
+    if (mode == "overwrite") {
+      StoreSegments.reset(df.sparkSession, dir, "positions")
+      rows.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$dir/positions")
+    } else StoreSegments.append(df.sparkSession, dir, "positions",
+      "bucket", rows)
+  }
 
   /** EXACT PHRASE SEARCH over a positions-enabled index: docs where the
     * phrase's terms occur at consecutive positions, with the occurrence
@@ -933,15 +934,13 @@ object TextAnalysis {
         .map(b => f"$b%02x").mkString
       (java.lang.Long.parseLong(hex.substring(0, 15), 16) % buckets).toInt
     }.distinct
-    val pos0 = spark.read.parquet(s"$dir/positions")
+    val pos0 = StoreSegments.read(spark, dir, "positions", "bucket")
       .filter(col("bucket").isin(wanted: _*))
       .filter(col("term").isin(phrase.distinct: _*))
     val pos =
-      if (StoreFs.exists(spark, s"$dir/tombstones"))
-        pos0.join(broadcast(
-          spark.read.parquet(s"$dir/tombstones").select("doc_id").distinct()),
-          Seq("doc_id"), "left_anti")
-      else pos0
+      StoreFs.tombstoneIds(spark, s"$dir/tombstones", "doc_id")
+        .map(t => pos0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+        .getOrElse(pos0)
     val slots = phrase.zipWithIndex.map { case (t, i) =>
       pos.filter(col("term") === t)
         .select(col("doc_id"),
@@ -983,16 +982,15 @@ object TextAnalysis {
   def textIndexAudit(spark: org.apache.spark.sql.SparkSession,
                      dir: String): DataFrame = {
     val tombIds =
-      if (StoreFs.exists(spark, s"$dir/tombstones"))
-        spark.read.parquet(s"$dir/tombstones").select("doc_id").distinct()
-      else spark.emptyDataFrame.withColumn("doc_id", lit(null).cast("long"))
-        .limit(0)
+      StoreFs.tombstoneIds(spark, s"$dir/tombstones", "doc_id")
+        .getOrElse(spark.emptyDataFrame
+          .withColumn("doc_id", lit(null).cast("long")).limit(0))
     val nTomb = tombIds.count()
-    val postings = spark.read.parquet(s"$dir/postings")
+    val postings = StoreSegments.read(spark, dir, "postings", "bucket")
       .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
-    val docs = spark.read.parquet(s"$dir/docs")
+    val docs = StoreSegments.read(spark, dir, "docs", "dbucket")
       .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
-    val dfStored = spark.read.parquet(s"$dir/terms")
+    val dfStored = StoreSegments.read(spark, dir, "terms", "bucket")
       .groupBy("term").agg(sum("df").cast("long").as("df_stored"))
       .filter(col("df_stored") =!= 0)
     val dfLive = postings.groupBy("term")
@@ -1003,7 +1001,7 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("n_df_mismatch"))
     val live = docs.agg(count(lit(1)).cast("long").as("n_docs"),
       coalesce(sum("dl"), lit(0L)).cast("long").as("sum_dl"))
-    val stats = spark.read.parquet(s"$dir/stats")
+    val stats = StoreSegments.read(spark, dir, "stats", "")
       .agg(sum("n_docs").cast("long").as("stats_docs"),
         sum("sum_dl").cast("long").as("stats_dl"))
     val orphans = postings.select("doc_id").distinct()
@@ -1094,15 +1092,15 @@ object TextAnalysis {
     // merge segment rows: totals sum exactly (Longs), and avgdl derives
     // with the IDENTICAL `sum · 1.0 / count` expression shape bm25Search
     // uses, so a one-segment index and an appended one score the same
-    val stats = spark.read.parquet(s"$dir/stats")
+    val stats = StoreSegments.read(spark, dir, "stats", "")
       .agg(sum("n_docs").cast("long").as("n_docs"),
         sum("sum_dl").cast("long").as("sum_dl"))
       .withColumn("avgdl", col("sum_dl") * lit(1.0) / col("n_docs"))
-    val dfreq = spark.read.parquet(s"$dir/terms")
+    val dfreq = StoreSegments.read(spark, dir, "terms", "bucket")
       .filter(col("bucket").isin(wanted: _*))
       .filter(col("term").isin(terms: _*))
       .groupBy("term").agg(sum("df").cast("long").as("df"))
-    val qt0 = spark.read.parquet(s"$dir/postings")
+    val qt0 = StoreSegments.read(spark, dir, "postings", "bucket")
       .filter(col("bucket").isin(wanted: _*))
       .filter(col("term").isin(terms: _*))
     // tombstoned docs are invisible to scoring (broadcast anti-join —
@@ -1110,11 +1108,9 @@ object TextAnalysis {
     // them); df and stats need nothing here, their segment sums already
     // absorb the delete's negative rows
     val qt1 =
-      if (StoreFs.exists(spark, s"$dir/tombstones"))
-        qt0.join(broadcast(
-          spark.read.parquet(s"$dir/tombstones").select("doc_id").distinct()),
-          Seq("doc_id"), "left_anti")
-      else qt0
+      StoreFs.tombstoneIds(spark, s"$dir/tombstones", "doc_id")
+        .map(t => qt0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+        .getOrElse(qt0)
     // eligibility BEFORE scoring/rank (filtered-retrieval semantics) —
     // one semi-join with NO broadcast hint (the allowed set is
     // caller-supplied and unbounded; AQE broadcasts a small one and

@@ -122,11 +122,14 @@ object StreamingIndex {
     * ONE window of [[graft.operators.Curation.readSnapshotAt]], and
     * retention ([[graft.operators.Curation.pruneSnapshots]]) sweeps the
     * ingested history like any hand-written chain. Same processed-batch
-    * markers as every ingest here (a replayed delta would
-    * `errorifexists`-fail loudly rather than double rows — strictly
-    * safer than the append stores — but the marker keeps replays clean
-    * no-ops instead of stream-killing errors). Gated: q215
-    * (reconstruction over the streamed chain ≡ the one-merge oracle).
+    * markers as every ingest here, plus CRASH-REPLAY recovery: a replay
+    * that finds a versioned delta dir without its marker (the previous
+    * attempt died between write and marker, or mid-write with a
+    * half-delta) drops the partial dir and rewrites it from the
+    * identical replayed batch — without this, the delta's
+    * `errorifexists` would kill the stream permanently on restart.
+    * Gated: q215 (reconstruction over the streamed chain ≡ the
+    * one-merge oracle) + the replay case in StreamingIndexSpec.
     */
   def ingestSnapshotDeltas(spark: SparkSession, source: DataFrame,
                            checkpoint: String, rootDir: String,
@@ -137,6 +140,17 @@ object StreamingIndex {
         val marker = s"$rootDir/_delta_ingested/batch=$id"
         if (!graft.operators.StoreFs.exists(spark, marker)) {
           import org.apache.spark.sql.functions.col
+          // CRASH-REPLAY recovery: no marker but an existing delta dir
+          // means the previous attempt died between the delta write and
+          // the marker — or mid-write, leaving a half-delta (upserts
+          // without deletes) that breaks readSnapshotAt. foreachBatch
+          // replays the SAME batch id with the SAME rows, so dropping
+          // the partial dir and rewriting is exact, and turns what would
+          // be a permanent errorifexists stream-kill into the clean
+          // no-op the marker contract promises.
+          val deltaDir = s"$rootDir/_delta/version=${startVersion + id}"
+          if (graft.operators.StoreFs.exists(spark, deltaDir))
+            graft.operators.StoreFs.delete(spark, deltaDir)
           graft.operators.Curation.writeSnapshotDelta(spark, rootDir,
             version = startVersion + id,
             upserts = batch.filter(col(opCol) === "u").drop(opCol),

@@ -76,4 +76,32 @@ class StreamingIndexSpec extends SparkTestBase {
       .select("neighbor_id").as[Long].collect().toSet
     assert(hits.contains(1L), hits.toString)
   }
+
+  test("ingestSnapshotDeltas: a half-written delta without its marker is dropped and rewritten on replay") {
+    import graft.operators.Curation
+    val root = java.nio.file.Files.createTempDirectory("graft-sdelta").toString
+    val base = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("doc_id", "text")
+    Curation.writeSnapshot(base, root, version = 1)
+    val changes = Seq((1L, "b2", "u"), (2L, "", "d"))
+      .toDF("doc_id", "text", "op")
+    changes.coalesce(1).write.parquet(s"$root/arrivals")
+    // simulate the crash window: the previous attempt wrote the UPSERTS
+    // half of delta version=2 and died before deletes and marker — the
+    // exact state the r13 advisory flagged as a permanent stream-kill
+    // (writeSnapshotDelta is errorifexists) and a readSnapshotAt breaker
+    Seq((1L, "stale-half-write")).toDF("doc_id", "text")
+      .write.parquet(s"$root/_delta/version=2/upserts")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sdelta-ck").toString
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$root/arrivals").schema)
+      .parquet(s"$root/arrivals")
+    // must NOT die on errorifexists: the partial dir is detected (no
+    // marker) and replaced by the replayed batch
+    StreamingIndex.ingestSnapshotDeltas(spark, src, ckpt, root,
+      "doc_id", "op", startVersion = 2)
+    val got = Curation.readSnapshotAt(spark, root, version = 2, idCol = "doc_id")
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((0L, "a"), (1L, "b2")), got.toString)
+  }
 }
