@@ -3153,6 +3153,28 @@ object SparkEntry {
         .orderBy(col("bm25_micro").desc, col("doc_id"))
     }),
 
+    // VACUUM (major compaction) on the text index: q132's lifecycle with
+    // the consolidation verb — tombstones drained AND every component's
+    // accumulated segments (the append's, the compact's) merged back to
+    // one, negative df rows netted out. Must still answer q131's
+    // from-scratch-over-survivors oracle.
+    "q225_text_index_vacuum" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-text-vacuum").toString
+      SnapshotDirs.add(root)
+      TextAnalysis.buildTextIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root)
+      TextAnalysis.appendTextIndex(s, root,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      TextAnalysis.deleteFromTextIndex(s, root,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id")
+      TextAnalysis.vacuumTextIndex(s, root)
+      TextAnalysis.searchTextIndex(s, root,
+          Seq("spark", "hash", "window"), k = 25)
+        .orderBy(col("bm25_micro").desc, col("doc_id"))
+    }),
+
     // DELETION from the persisted IVF index: build even (adaptive √n
     // codebook) + append odd + tombstone-delete vec_id % 7 == 3, then the
     // pruned search — deleted vectors stop matching immediately, the
@@ -3189,6 +3211,28 @@ object SparkEntry {
       Similarity.deleteFromIvfIndex(s, root,
         e.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
       Similarity.compactIvfIndex(s, root)
+      Similarity.searchIvfIndex(s, root, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+    }),
+
+    // VACUUM (major compaction) on the IVF store — q134's lifecycle with
+    // the consolidation verb (tombstones drained + postings segments
+    // merged to one), driven through the SQL front door so the TVF is
+    // the gated surface. Must still answer q133's oracle.
+    "q224_ivf_vacuum" -> ((s, dir) => {
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivf-vacuum").toString
+      SnapshotDirs.add(root)
+      Similarity.buildIvfIndexAdaptive(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", root)
+      Similarity.appendIvfIndex(s, root,
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      Similarity.deleteFromIvfIndex(s, root,
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
+      s.sql(s"SELECT * FROM graft_ivf_vacuum('$root')").collect()
       Similarity.searchIvfIndex(s, root, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 3, nprobe = 2)
         .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
@@ -4026,6 +4070,11 @@ object SparkEntry {
       // both equal the from-scratch build over the survivors
       "q132_text_index_compact" -> "q131_text_index_delete",
       "q134_ivf_compact" -> "q133_ivf_delete",
+      // VACUUM (major compaction) must answer the same oracle as the
+      // delete and minor-compact forms: consolidation changes files,
+      // never answers
+      "q224_ivf_vacuum" -> "q133_ivf_delete",
+      "q225_text_index_vacuum" -> "q131_text_index_delete",
       // the same delete-then-compact invariant on the COMPRESSED store:
       // the tombstone-era search (q205) must already equal the
       // from-scratch-over-survivors oracle q159 is gated on

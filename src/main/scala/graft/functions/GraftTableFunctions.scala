@@ -647,6 +647,34 @@ object GraftTableFunctions {
           str("graft_snapshot_delta", args(4)))
       }
     }),
+    // graft_ivf_vacuum(dir) / graft_ivfpq_vacuum(dir) /
+    // graft_text_index_vacuum(dir[, buckets]) — MAJOR compaction:
+    // drain tombstones, consolidate accumulated append segments to one
+    ("graft_ivf_vacuum", { args =>
+      require(args.length == 1,
+        s"graft_ivf_vacuum(dir) got ${args.length} args")
+      writeVerb("ivf_vacuum", str("graft_ivf_vacuum", args.head)) {
+        graft.operators.Similarity.vacuumIvfIndex(active,
+          str("graft_ivf_vacuum", args.head))
+      }
+    }),
+    ("graft_ivfpq_vacuum", { args =>
+      require(args.length == 1,
+        s"graft_ivfpq_vacuum(dir) got ${args.length} args")
+      writeVerb("ivfpq_vacuum", str("graft_ivfpq_vacuum", args.head)) {
+        graft.operators.Similarity.vacuumIvfPqIndex(active,
+          str("graft_ivfpq_vacuum", args.head))
+      }
+    }),
+    ("graft_text_index_vacuum", { args =>
+      require(args.length == 1 || args.length == 2,
+        s"graft_text_index_vacuum(dir[, buckets]) got ${args.length} args")
+      writeVerb("text_index_vacuum", str("graft_text_index_vacuum", args.head)) {
+        graft.operators.TextAnalysis.vacuumTextIndex(active,
+          str("graft_text_index_vacuum", args.head),
+          buckets = if (args.length == 2) int("graft_text_index_vacuum", args(1)) else 64)
+      }
+    }),
     // graft_composite_begin(manifestDir, textDir, vecDir) — declare a
     // RAG composition (text index + IVF-PQ) BEFORE its member builds, so
     // a crash between them is detectable (graft_rag_audit) even though

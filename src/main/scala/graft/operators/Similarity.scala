@@ -515,6 +515,31 @@ object Similarity {
     }
   }
 
+  /** VACUUM — the vector stores' MAJOR compaction: drain any tombstones
+    * ([[compactIvfIndex]]'s affected-cell rewrite) and then consolidate
+    * every live postings segment into one
+    * ([[StoreSegments.vacuum]] — each append since the first manifest
+    * added a segment; a search plan unions that many scans, fine at
+    * tens, pointless at thousands). Reader-safe end to end: both steps
+    * publish by manifest flip, superseded directories survive one more
+    * maintenance cycle. Cost: one full postings rewrite — the LSM
+    * major-compaction trade, paid on operator decision, never silently.
+    * Shared by the IVF and IVF-PQ stores (same postings contract).
+    */
+  def vacuumIvfIndex(spark: SparkSession, dir: String): Unit = {
+    compactIvfIndex(spark, dir)
+    StoreLock.withWriteLock(dir) {
+      StoreSegments.vacuum(spark, dir, "postings", "cell")
+    }
+  }
+
+  /** [[vacuumIvfIndex]] for the compressed store — identical mechanics,
+    * 16-byte rows (the layout-sharing argument of
+    * [[deleteFromIvfPqIndex]]).
+    */
+  def vacuumIvfPqIndex(spark: SparkSession, dir: String): Unit =
+    vacuumIvfIndex(spark, dir)
+
   /** INDEX INTEGRITY AUDIT — [[graft.operators.TextAnalysis
     * .textIndexAudit]]'s fsck contract for the vector store. One row:
     *

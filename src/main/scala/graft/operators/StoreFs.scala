@@ -355,6 +355,46 @@ private[graft] object StoreSegments {
       base.map(_.copy(excluded = Nil, dropAll = true)) :+ Entry(rel, Nil))
   }
 
+  /** VACUUM — the major compaction: consolidate every live row of a
+    * segmented component into ONE fresh segment and mark every prior
+    * directory fully superseded (classic-layout components are already
+    * one directory — no-op). Appends accumulate one segment each; a
+    * reader's plan is a union of that many scans, fine at tens,
+    * pointless at thousands — vacuum resets the segment count to one at
+    * the cost of one full component rewrite, the same trade every
+    * LSM/lakehouse major compaction makes. Reader-safe like compact:
+    * the consolidated segment publishes with one manifest flip, the
+    * superseded directories survive until the next verb's GC.
+    */
+  def vacuum(spark: SparkSession, dir: String, comp: String,
+             keyCol: String): Unit =
+    vacuumWith(spark, dir, comp, keyCol, postGc = true, live = null)
+
+  /** [[vacuum]] with a caller-supplied consolidated frame (the text
+    * index's terms pass their `sum(df) > 0` merge — consolidation must
+    * net out negative delete rows, not copy them).
+    */
+  def vacuumWith(spark: SparkSession, dir: String, comp: String,
+                 keyCol: String, live: DataFrame): Unit =
+    vacuumWith(spark, dir, comp, keyCol, postGc = false, live = live)
+
+  private def vacuumWith(spark: SparkSession, dir: String, comp: String,
+                         keyCol: String, postGc: Boolean,
+                         live: DataFrame): Unit =
+    entries(spark, dir, comp) match {
+      case None => () // classic layout — nothing to consolidate
+      case Some(_) =>
+        gcSuperseded(spark, dir, comp, keyCol) // clear prior grace debt
+        entries(spark, dir, comp).foreach { es =>
+          val rows =
+            if (postGc) readOnce(spark, dir, comp, keyCol) else live
+          val seg = newSegment(spark, dir, comp, keyCol, rows)
+          publish(spark, dir, comp,
+            es.map(_.copy(excluded = Nil, dropAll = true)) ++
+              seg.map(rel => Entry(rel, Nil)).toSeq)
+        }
+    }
+
   /** Drop data whose grace period expired: the previous verb's
     * superseded key directories, entries those deletions empty out, and
     * segment dirs no manifest lists. The BASE dir itself is never

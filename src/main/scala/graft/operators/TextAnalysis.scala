@@ -824,6 +824,44 @@ object TextAnalysis {
     else compactTextIndexLocked(spark, dir, buckets)
   }
 
+  /** VACUUM — the text index's MAJOR compaction
+    * ([[graft.operators.Similarity.vacuumIvfIndex]]'s contract): drain
+    * tombstones, then consolidate each segmented component back to one
+    * segment — postings/terms/positions/docs via
+    * [[StoreSegments.vacuum]], stats collapsed to its one exact total
+    * row (only when already segmented — a classic-layout store is left
+    * classic). The terms consolidation ALSO nets out any remaining
+    * negative delete rows (same `sum(df) > 0` merge the search performs
+    * per query — after vacuum no query pays it again). Reader-safe:
+    * every publish is a manifest flip.
+    */
+  def vacuumTextIndex(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, buckets: Int = 64): Unit = {
+    compactTextIndex(spark, dir, buckets)
+    StoreLock.withWriteLock(dir) {
+      // terms carry mergeable (possibly negative) df rows — consolidate
+      // through the same merge the search runs, not a raw row copy
+      if (StoreSegments.entries(spark, dir, "terms").isDefined) {
+        val merged = StoreSegments.read(spark, dir, "terms", "bucket")
+          .groupBy("term", "bucket").agg(sum("df").cast("long").as("df"))
+          .filter(col("df") > 0)
+          .repartition(col("bucket"))
+        StoreSegments.vacuumWith(spark, dir, "terms", "bucket", merged)
+      }
+      Seq("postings" -> "bucket", "positions" -> "bucket",
+          "docs" -> "dbucket").foreach { case (comp, key) =>
+        if (StoreFs.exists(spark, s"$dir/$comp"))
+          StoreSegments.vacuum(spark, dir, comp, key)
+      }
+      if (StoreSegments.entries(spark, dir, "stats").isDefined)
+        StoreSegments.replaceAll(spark, dir, "stats",
+          StoreSegments.read(spark, dir, "stats", "")
+            .agg(sum("n_docs").cast("long").as("n_docs"),
+              sum("sum_dl").cast("long").as("sum_dl"))
+            .coalesce(1))
+    }
+  }
+
   private def compactTextIndexLocked(
       spark: org.apache.spark.sql.SparkSession,
       dir: String, buckets: Int): Unit = {

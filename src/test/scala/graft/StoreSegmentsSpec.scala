@@ -151,4 +151,67 @@ class StoreSegmentsSpec extends SparkTestBase {
     }
     assert(search().contains(1L)) // the rebuild restored every doc
   }
+
+  test("vacuum consolidates accumulated segments to one; answers unchanged; negative terms rows netted") {
+    val dir = tmp("graft-seg-vac")
+    val docs = (0L until 40L)
+      .map(i => (i, s"spark window hash doc$i"))
+      .toDF("doc_id", "text")
+    TextAnalysis.buildTextIndex(docs.filter(col("doc_id") < 20),
+      "doc_id", "text", dir, buckets = 8)
+    TextAnalysis.deleteFromTextIndex(spark, dir,
+      Seq(1L).toDF("doc_id"), "doc_id", buckets = 8)
+    TextAnalysis.compactTextIndex(spark, dir, buckets = 8) // manifest born
+    // three appends = three more postings segments + three stats rows
+    (20L until 35L by 5L).foreach { lo =>
+      TextAnalysis.appendTextIndex(spark, dir,
+        docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 5),
+        "doc_id", "text", buckets = 8)
+    }
+    TextAnalysis.deleteFromTextIndex(spark, dir,
+      Seq(22L).toDF("doc_id"), "doc_id", buckets = 8)
+    def search() = TextAnalysis.searchTextIndex(spark, dir,
+        Seq("spark", "hash"), k = 50, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val before = search()
+    TextAnalysis.vacuumTextIndex(spark, dir, buckets = 8)
+    assert(search() == before) // consolidation changes files, not answers
+    // one more verb GCs the superseded dirs; the component then lists
+    // exactly one live segment per manifest
+    TextAnalysis.vacuumTextIndex(spark, dir, buckets = 8)
+    Seq("postings", "terms", "docs").foreach { c =>
+      val live = StoreSegments.entries(spark, dir, c).get.filterNot(_.dropAll)
+      assert(live.size == 1, s"$c: ${live.size} live segments after vacuum")
+    }
+    assert(search() == before)
+    // negative df rows are gone: every terms row is positive
+    assert(StoreSegments.read(spark, dir, "terms", "bucket")
+      .filter(col("df") <= 0).count() == 0)
+  }
+
+  test("IVF vacuum: segments collapse to one, tombstones drained, search equals pre-vacuum") {
+    val dir = tmp("graft-seg-ivfvac")
+    val v = vecs(60)
+    Similarity.buildIvfIndex(v.filter(col("vec_id") < 30),
+      "vec_id", "embedding", dir, centStep = 3)
+    Similarity.deleteFromIvfIndex(spark, dir, Seq(1L).toDF("vec_id"), "vec_id")
+    Similarity.compactIvfIndex(spark, dir) // manifest born
+    Similarity.appendIvfIndex(spark, dir,
+      v.filter(col("vec_id") >= 30), "vec_id", "embedding")
+    Similarity.deleteFromIvfIndex(spark, dir, Seq(31L).toDF("vec_id"), "vec_id")
+    def search() = Similarity.searchIvfIndex(spark, dir,
+        v.filter(col("vec_id") === 7L), "vec_id", "embedding",
+        k = 60, nprobe = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    val before = search()
+    assert(!before.contains(1L) && !before.contains(31L))
+    Similarity.vacuumIvfIndex(spark, dir)
+    assert(!StoreFs.exists(spark, s"$dir/tombstones"))
+    assert(search() == before)
+    Similarity.vacuumIvfIndex(spark, dir) // GC pass
+    val live = StoreSegments.entries(spark, dir, "postings")
+      .get.filterNot(_.dropAll)
+    assert(live.size == 1, s"${live.size} live segments after vacuum")
+    assert(search() == before)
+  }
 }
