@@ -7374,11 +7374,12 @@ object SparkEntry {
 
     // a HEALTHY composed build's audit is fully determined by the
     // manifest contract: both members present under a committed
-    // manifest (text = 3 components, vectors = 4). The oracle pins the
-    // exact invariant rows; the unhealthy paths are CompositeSpec's.
+    // manifest (text = 4 components incl. docs, vectors = 4). The
+    // oracle pins the exact invariant rows; the unhealthy paths are
+    // CompositeSpec's.
     "q222_composite_audit" ->
       """SELECT * FROM (VALUES
-        |  ('text', 3::BIGINT, 3::BIGINT, true, 'committed', true),
+        |  ('text', 4::BIGINT, 4::BIGINT, true, 'committed', true),
         |  ('vectors', 4::BIGINT, 4::BIGINT, true, 'committed', true))
         |AS t(member, n_components, n_present, present, state, healthy)
         |ORDER BY member""".stripMargin,

@@ -700,6 +700,26 @@ object GraftTableFunctions {
           str("graft_composite_commit", args.head))
       }
     }),
+    // graft_store_segments(storeDir, component) — segment-layout
+    // observability (graft_store_lock_status's sibling): the manifest's
+    // live directories with their superseded-key counts, or the one
+    // classic-layout row — what an operator reads before deciding a
+    // vacuum is due
+    ("graft_store_segments", { args =>
+      require(args.length == 2,
+        s"graft_store_segments(storeDir, component) got ${args.length} args")
+      val dir = str("graft_store_segments", args.head)
+      val comp = str("graft_store_segments", args(1))
+      val sp = active
+      import sp.implicits._
+      val rows = graft.operators.StoreSegments.entries(sp, dir, comp) match {
+        case None => Seq((comp, "classic", 0L, false, true))
+        case Some(es) => es.map(e =>
+          (e.rel, "segment", e.excluded.size.toLong, e.dropAll, !e.dropAll))
+      }
+      rows.toDF("path", "layout", "n_superseded_keys", "superseded", "live")
+        .queryExecution.analyzed
+    }),
     // graft_rag_audit(manifestDir) — the composite fsck: per-member
     // presence + the manifest-level verdict (pending = unhealthy, the
     // crash-between-builds state no per-store audit can see)

@@ -44,10 +44,12 @@ object Composite {
                           components: Seq[String])
 
   /** The standard members for the filtered-RAG stack: a text index and
-    * an IVF-PQ index — the q220/q221 composition.
+    * an IVF-PQ index — the q220/q221 composition. The text essentials
+    * include `docs` (the delete verb and the fsck need it, not just the
+    * search path).
     */
   def ragMembers(textDir: String, vecDir: String): Seq[Member] = Seq(
-    Member("text", textDir, Seq("stats", "terms", "postings")),
+    Member("text", textDir, Seq("stats", "terms", "postings", "docs")),
     Member("vectors", vecDir,
       Seq("centroids", "pq_codebook", "pq_meta", "postings")))
 

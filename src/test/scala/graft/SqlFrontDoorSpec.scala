@@ -162,4 +162,28 @@ class SqlFrontDoorSpec extends SparkTestBase {
     prune.explain()
     assert(hits == afterBuild, "EXPLAIN of a prune mutated the store")
   }
+
+  test("graft_store_segments: classic layout reports one row; a compact flips it to a live segment view") {
+    import TestSpark.spark.implicits._
+    graft.functions.GraftTableFunctions.ensureRegistered(spark)
+    val vecs = (0L until 30L).map { i =>
+      val base = Array.fill(4)(0.0); base((i % 3).toInt) = 1.0
+      base(3) = 0.01 * i
+      (i, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-segtvf").toString
+    graft.operators.Similarity.buildIvfIndex(vecs, "vec_id", "embedding",
+      root, centStep = 3)
+    def seg() = spark.sql(
+      s"SELECT * FROM graft_store_segments('$root', 'postings')").collect()
+    val classic = seg()
+    assert(classic.length == 1 && classic.head.getString(1) == "classic")
+    graft.operators.Similarity.deleteFromIvfIndex(spark, root,
+      Seq(1L).toDF("vec_id"), "vec_id")
+    graft.operators.Similarity.compactIvfIndex(spark, root)
+    val after = seg()
+    assert(after.exists(r => r.getString(1) == "segment" && r.getBoolean(4)),
+      after.mkString("; "))
+    assert(after.exists(_.getLong(2) > 0), after.mkString("; "))
+  }
 }
