@@ -185,10 +185,28 @@ object ZoneMap {
   }
 
   /** The statistics sidecar as a DataFrame — the pruning decision's input,
-    * queryable like any other table.
+    * queryable like any other table. Plan construction retries the
+    * vanished-file race (a concurrent append/repair swapping the sidecar
+    * between our listing and footer read — the [[graft.operators
+    * .StoreSegments]] read discipline applied to the one store component
+    * still published by directory swap; the swap window is one rename,
+    * so one retry settles it).
     */
   def zoneStats(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/_zones")
+    retryOnVanish(spark.read.parquet(s"$path/_zones"))
+
+  private def retryOnVanish[T](body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable
+            if attempt < 4 && graft.operators.StoreFs.isMissingFileError(e) =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** The store's fsck: every invariant the scan path depends on, checked
     * against the actual data and reported as ONE row — the q147/q149
@@ -275,9 +293,13 @@ object ZoneMap {
     */
   def scanRange(spark: SparkSession, path: String, keyCol: String,
                 lo: Long, hi: Long): DataFrame = {
-    val zs = zoneStats(spark, path)
-      .filter(col("max_key") >= lo && col("min_key") <= hi)
-      .select("zone").collect().map(_.getLong(0))
+    // the sidecar consult re-plans AND re-collects on a vanished-file
+    // race (the swap window is one rename — one retry settles it)
+    val zs = retryOnVanish {
+      zoneStats(spark, path)
+        .filter(col("max_key") >= lo && col("min_key") <= hi)
+        .select("zone").collect().map(_.getLong(0))
+    }
     spark.read.parquet(s"$path/data")
       .filter(col("zone").isin(zs.toSeq: _*))
       .filter(col(keyCol) >= lo && col(keyCol) <= hi)
