@@ -3163,15 +3163,23 @@ object SparkEntry {
       val root = java.nio.file.Files
         .createTempDirectory("graft-text-vacuum").toString
       SnapshotDirs.add(root)
+      // 16 buckets, not the 64 default: bucket count is LAYOUT, not
+      // semantics (scores are bucket-independent — same q131 oracle),
+      // and the vacuum gate pays per-bucket commit overhead across five
+      // maintenance passes — 16 exercises the identical consolidation
+      // at a quarter of the constant cost
       TextAnalysis.buildTextIndex(
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root)
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root,
+        buckets = 16)
       TextAnalysis.appendTextIndex(s, root,
-        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        buckets = 16)
       TextAnalysis.deleteFromTextIndex(s, root,
-        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id")
-      TextAnalysis.vacuumTextIndex(s, root)
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id",
+        buckets = 16)
+      TextAnalysis.vacuumTextIndex(s, root, buckets = 16)
       TextAnalysis.searchTextIndex(s, root,
-          Seq("spark", "hash", "window"), k = 25)
+          Seq("spark", "hash", "window"), k = 25, buckets = 16)
         .orderBy(col("bm25_micro").desc, col("doc_id"))
     }),
 
