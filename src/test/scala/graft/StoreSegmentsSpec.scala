@@ -214,4 +214,107 @@ class StoreSegmentsSpec extends SparkTestBase {
     assert(live.size == 1, s"${live.size} live segments after vacuum")
     assert(search() == before)
   }
+
+  test("model-based lifecycle: random append/delete/compact/vacuum sequences always equal the id-set model") {
+    // the assurance test for a new storage layer: drive the segmented
+    // store through a seeded random verb sequence and compare the live
+    // id set against an in-memory model after EVERY step — any
+    // manifest/GC/exclusion bookkeeping error surfaces as a diff at the
+    // step that introduced it
+    val rnd = new scala.util.Random(42)
+    val dir = tmp("graft-seg-model")
+    def vec(i: Long) = {
+      val base = Array.fill(4)(0.0); base((i % 3).toInt) = 1.0
+      base(3) = 0.01 * i
+      (i, base.toSeq)
+    }
+    var nextId = 20L
+    Similarity.buildIvfIndex(
+      (0L until 20L).map(vec).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, centStep = 3)
+    val model = scala.collection.mutable.Set((0L until 20L): _*)
+    val tombstoned = scala.collection.mutable.Set[Long]()
+    def liveIds() = StoreSegments.read(spark, dir, "postings", "cell")
+      .select("id").as[Long].collect().toSet -- tombstoned
+    (1 to 30).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 => // append a fresh batch (new ids by contract)
+          val n = 1 + rnd.nextInt(6)
+          val batch = (nextId until nextId + n).map(vec)
+            .toDF("vec_id", "embedding")
+          Similarity.appendIvfIndex(spark, dir, batch, "vec_id", "embedding")
+          model ++= (nextId until nextId + n); nextId += n
+        case 1 => // delete a random live subset
+          val victims = model.toSeq.filter(_ => rnd.nextBoolean()).take(4)
+          if (victims.nonEmpty) {
+            Similarity.deleteFromIvfIndex(spark, dir,
+              victims.toDF("vec_id"), "vec_id")
+            model --= victims; tombstoned ++= victims
+          }
+        case 2 =>
+          Similarity.compactIvfIndex(spark, dir)
+          tombstoned.clear() // drained: physical rows now match the model
+        case 3 =>
+          Similarity.vacuumIvfIndex(spark, dir)
+          tombstoned.clear()
+      }
+      val got = liveIds()
+      assert(got == model.toSet,
+        s"step $step diverged: extra=${got -- model} missing=${model.toSet -- got}")
+    }
+    // the search path agrees with the model at the end too
+    Similarity.vacuumIvfIndex(spark, dir)
+    val found = Similarity.searchIvfIndex(spark, dir,
+        Seq(vec(999L)).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 10000, nprobe = 4096)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(found == model.toSet,
+      s"search diverged: extra=${found -- model} missing=${model.toSet -- found}")
+  }
+
+  test("model-based TEXT lifecycle: random append/delete/compact/vacuum vs the doc-set model, scores included") {
+    val rnd = new scala.util.Random(7)
+    val dir = tmp("graft-seg-txtmodel")
+    def doc(i: Long) = (i, s"spark hash doc$i " + ("pad " * (i % 3).toInt))
+    var nextId = 10L
+    TextAnalysis.buildTextIndex((0L until 10L).map(doc).toDF("doc_id", "text"),
+      "doc_id", "text", dir, buckets = 8)
+    val model = scala.collection.mutable.Set((0L until 10L): _*)
+    def searchIds() = TextAnalysis.searchTextIndex(spark, dir,
+        Seq("spark"), k = 100000, buckets = 8)
+      .select("doc_id").as[Long].collect().toSet
+    (1 to 24).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 =>
+          val n = 1 + rnd.nextInt(4)
+          TextAnalysis.appendTextIndex(spark, dir,
+            (nextId until nextId + n).map(doc).toDF("doc_id", "text"),
+            "doc_id", "text", buckets = 8)
+          model ++= (nextId until nextId + n); nextId += n
+        case 1 =>
+          val victims = model.toSeq.filter(_ => rnd.nextBoolean()).take(3)
+          if (victims.nonEmpty) {
+            TextAnalysis.deleteFromTextIndex(spark, dir,
+              victims.toDF("doc_id"), "doc_id", buckets = 8)
+            model --= victims
+          }
+        case 2 => TextAnalysis.compactTextIndex(spark, dir, buckets = 8)
+        case 3 => TextAnalysis.vacuumTextIndex(spark, dir, buckets = 8)
+      }
+      // the SEARCH view (tombstones anti-joined, df/stats merged across
+      // segments and negative delete rows) must equal the model after
+      // EVERY verb — this is the user-visible contract
+      val got = searchIds()
+      assert(got == model.toSet,
+        s"step $step diverged: extra=${got -- model} missing=${model.toSet -- got}")
+    }
+    // after a final vacuum the AUDIT's inventory equals the model too
+    TextAnalysis.vacuumTextIndex(spark, dir, buckets = 8)
+    val audit = TextAnalysis.textIndexAudit(spark, dir).collect().head
+    assert(audit.getAs[Long]("n_docs") == model.size.toLong, audit.toString)
+    assert(audit.getAs[Boolean]("stats_docs_match")
+      && audit.getAs[Boolean]("stats_dl_match")
+      && audit.getAs[Long]("n_df_mismatch") == 0L
+      && audit.getAs[Long]("n_orphan_postings") == 0L, audit.toString)
+  }
 }
