@@ -720,6 +720,17 @@ object GraftTableFunctions {
       rows.toDF("path", "layout", "n_superseded_keys", "superseded", "live")
         .queryExecution.analyzed
     }),
+    // graft_composite_abandon(manifestDir) — the recovery verb: drop a
+    // pending manifest after a crash investigation (members untouched),
+    // so the audit → abandon → rebuild loop is SQL-reachable end to end
+    ("graft_composite_abandon", { args =>
+      require(args.length == 1,
+        s"graft_composite_abandon(manifestDir) got ${args.length} args")
+      writeVerb("composite_abandon", str("graft_composite_abandon", args.head)) {
+        graft.operators.Composite.abandon(active,
+          str("graft_composite_abandon", args.head))
+      }
+    }),
     // graft_rag_audit(manifestDir) — the composite fsck: per-member
     // presence + the manifest-level verdict (pending = unhealthy, the
     // crash-between-builds state no per-store audit can see)

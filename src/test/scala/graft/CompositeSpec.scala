@@ -104,4 +104,24 @@ class CompositeSpec extends SparkTestBase {
       .select("state", "healthy").collect().head
     assert(r.getString(0) == "absent" && !r.getBoolean(1))
   }
+
+  test("the SQL recovery loop: begin → crash → rag_audit flags pending → abandon → rebuild audits healthy") {
+    graft.functions.GraftTableFunctions.ensureRegistered(spark)
+    val rootT = tmp("graft-comp-sqlrec-t"); val rootV = tmp("graft-comp-sqlrec-v")
+    docs.createOrReplaceTempView("rec_docs")
+    vecs.createOrReplaceTempView("rec_vecs")
+    spark.sql(s"SELECT * FROM graft_composite_begin('$rootT', '$rootT', '$rootV')").collect()
+    spark.sql(s"SELECT * FROM graft_text_index_build('$rootT', 'rec_docs', 'doc_id', 'text', 8)").collect()
+    // "crash" here: the vector build never runs
+    def state() = spark.sql(
+      s"SELECT DISTINCT state, healthy FROM graft_rag_audit('$rootT')")
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(state() == Seq(("pending", false)))
+    spark.sql(s"SELECT * FROM graft_composite_abandon('$rootT')").collect()
+    spark.sql(s"SELECT * FROM graft_composite_begin('$rootT', '$rootT', '$rootV')").collect()
+    spark.sql(s"SELECT * FROM graft_text_index_build('$rootT', 'rec_docs', 'doc_id', 'text', 8)").collect()
+    spark.sql(s"SELECT * FROM graft_ivfpq_build('$rootV', 'rec_vecs', 'vec_id', 'embedding')").collect()
+    spark.sql(s"SELECT * FROM graft_composite_commit('$rootT')").collect()
+    assert(state() == Seq(("committed", true)))
+  }
 }
