@@ -323,6 +323,15 @@ private[graft] object StoreSegments {
     * affected keys' survivors as a new segment, and flip the manifest —
     * every pre-flip reader keeps a complete view of the old version,
     * every post-flip reader sees exactly the new one.
+    *
+    * Refuses a compaction that would leave the component with NO live
+    * rows (every key excluded, no survivors): an emptied store has no
+    * parquet footers left to infer a schema from, so the next read would
+    * fail with an inscrutable inference error one GC cycle later. The
+    * refusal happens BEFORE the flip — the store keeps its pre-compact
+    * view (tombstones intact), and the operator gets told to drop the
+    * store instead of emptying it. Driver-metadata cost only, and only
+    * on the empty-survivors path.
     */
   def compact(spark: SparkSession, dir: String, comp: String,
               keyCol: String, affected: Seq[Long],
@@ -334,6 +343,21 @@ private[graft] object StoreSegments {
       if (e.dropAll) e
       else e.copy(excluded = (e.excluded ++ affected).distinct))
     val seg = newSegment(spark, dir, comp, keyCol, survivors)
+    if (seg.isEmpty) {
+      val anyLive = excluded.exists { e =>
+        !e.dropAll && {
+          val ex = e.excluded.toSet
+          StoreFs.listSubdirs(spark, s"$dir/${e.rel}")
+            .filter(_.startsWith(s"$keyCol="))
+            .map(_.stripPrefix(s"$keyCol=").toLong)
+            .exists(k => !ex.contains(k))
+        }
+      }
+      require(anyLive,
+        s"refusing to compact $dir/$comp: no live rows would remain — " +
+          "a store cannot be emptied by maintenance; drop the store " +
+          "directory instead")
+    }
     publish(spark, dir, comp,
       excluded ++ seg.map(rel => Entry(rel, Nil)).toSeq)
   }
@@ -389,6 +413,14 @@ private[graft] object StoreSegments {
           val rows =
             if (postGc) readOnce(spark, dir, comp, keyCol) else live
           val seg = newSegment(spark, dir, comp, keyCol, rows)
+          // same refusal as [[compact]]: consolidating to ZERO live rows
+          // would publish an all-superseded manifest no read can satisfy
+          // (require(live.nonEmpty) in readOnce) — fail loudly BEFORE the
+          // flip, store unchanged
+          require(seg.nonEmpty,
+            s"refusing to vacuum $dir/$comp: no live rows would remain — " +
+              "a store cannot be emptied by maintenance; drop the store " +
+              "directory instead")
           publish(spark, dir, comp,
             es.map(_.copy(excluded = Nil, dropAll = true)) ++
               seg.map(rel => Entry(rel, Nil)).toSeq)

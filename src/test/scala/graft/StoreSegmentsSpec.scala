@@ -215,6 +215,49 @@ class StoreSegmentsSpec extends SparkTestBase {
     assert(search() == before)
   }
 
+  test("maintenance refuses to EMPTY a store: compact/vacuum with zero survivors fail loudly, store stays readable") {
+    // delete EVERY vector, then try to drain the tombstones: the store
+    // would end with zero live rows — no parquet footer left to infer a
+    // schema from, so the next read would die one GC cycle later with an
+    // inference error pointing nowhere. The verbs refuse BEFORE the
+    // manifest flip instead: loud, immediate, and the store keeps its
+    // pre-compact view (search still answers through the tombstone
+    // anti-join).
+    val dir = tmp("graft-seg-empty")
+    val v = vecs(12)
+    Similarity.buildIvfIndex(v, "vec_id", "embedding", dir, centStep = 3)
+    Similarity.deleteFromIvfIndex(spark, dir,
+      v.select(col("vec_id")), "vec_id")
+    def search() = Similarity.searchIvfIndex(spark, dir,
+        v.filter(col("vec_id") === 1L), "vec_id", "embedding",
+        k = 50, nprobe = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(search().isEmpty) // everything tombstoned: empty, not an error
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.compactIvfIndex(spark, dir)
+    }
+    assert(e1.getMessage.contains("no live rows would remain"), e1.getMessage)
+    // the refusal left the store intact: tombstones still mask, and a
+    // partial un-delete path (rebuild-free) still works — append new ids
+    assert(search().isEmpty)
+    Similarity.appendIvfIndex(spark, dir,
+      vecs(14).filter(col("vec_id") >= 12L), "vec_id", "embedding")
+    assert(search() == Set(12L, 13L))
+    // with live rows back, the same verbs succeed
+    Similarity.compactIvfIndex(spark, dir)
+    Similarity.vacuumIvfIndex(spark, dir)
+    assert(search() == Set(12L, 13L))
+    // the vacuum path refuses the same way (segmented layout, then
+    // everything deleted)
+    Similarity.deleteFromIvfIndex(spark, dir,
+      Seq(12L, 13L).toDF("vec_id"), "vec_id")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.vacuumIvfIndex(spark, dir)
+    }
+    assert(e2.getMessage.contains("no live rows would remain"), e2.getMessage)
+    assert(search().isEmpty)
+  }
+
   test("model-based lifecycle: random append/delete/compact/vacuum sequences always equal the id-set model") {
     // the assurance test for a new storage layer: drive the segmented
     // store through a seeded random verb sequence and compare the live
