@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
-import graft.operators.{Analytics, AsOf, Bpe, Composite, Curation, Dedup, Multimodal, RangeJoin, Relational, Sampling, Similarity, TextAnalysis, Windowed}
+import graft.operators.{Analytics, AsOf, Bpe, Composite, Curation, Dedup, Multimodal, RangeJoin, Relational, Sampling, Similarity, StoreMaintenance, TextAnalysis, Windowed}
 import graft.sources.{CsvSource, JsonSource, LogLines}
 import graft.streaming.{BoundedStream, Stateful, StreamingPHash}
 
@@ -3858,6 +3858,125 @@ object SparkEntry {
         s"""SELECT doc_id, text FROM graft_snapshot_at('$root', 3, 'doc_id')
            |ORDER BY doc_id""".stripMargin)
     }),
+
+    // CDC DIFF between two reconstructed versions — "what did v3 change
+    // over v2?", the audit a pipeline runs before re-spending
+    // dedup/curation compute on a new drop. q199's chain; the (2, 3]
+    // range holds only a delta, so the engine takes the churn-
+    // proportional path: both reconstructions scoped per chain LEG to the
+    // delta's touched ids (upserts ∪ deletes — Spark won't push a
+    // semi-join through a union, so reconstructAt pushes it by hand) and
+    // only DIFFERING rows emitted. The oracle re-derives every status
+    // from the chain arithmetic: late arrivals are added, re-upserts of
+    // v2-present ids are changed, upserts of v2-DELETED ids are added
+    // (re-births), deletes of v2-present ids are removed, and deletes of
+    // v2-absent ids produce nothing at all.
+    "q226_snapshot_diff" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-snap-diff").toString
+      SnapshotDirs.add(root)
+      Curation.writeSnapshot(d, root, version = 1)
+      Curation.writeSnapshotDelta(s, root, version = 2,
+        upserts = d.filter(col("doc_id") % 7 === 3)
+          .withColumn("text", concat(col("text"), lit(" rev2"))),
+        deleteIds = d.filter(col("doc_id") % 11 === 5 &&
+          col("doc_id") % 7 =!= 3).select("doc_id"),
+        idCol = "doc_id")
+      Curation.writeSnapshotDelta(s, root, version = 3,
+        upserts = d.filter(col("doc_id") % 13 === 1)
+          .withColumn("text", concat(col("text"), lit(" rev3")))
+          .unionByName(d.filter(col("doc_id") < 5)
+            .withColumn("doc_id", col("doc_id") + 100000L)
+            .withColumn("text",
+              concat(lit("late arrival "), col("doc_id") - 100000L))),
+        deleteIds = d.filter(col("doc_id") % 17 === 2 &&
+          col("doc_id") % 13 =!= 1).select("doc_id"),
+        idCol = "doc_id")
+      Curation.diffSnapshotsAt(s, root, oldVersion = 2, newVersion = 3,
+          idCol = "doc_id", textCol = "text")
+        .orderBy("id")
+    }),
+
+    // q226 through the SQL front door (graft_snapshot_diff TVF) — the
+    // version-diff verb joins the SQL-queryable store surface. Must
+    // hash-match q226.
+    "q227_sql_snapshot_diff" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sql-snap-diff").toString
+      SnapshotDirs.add(root)
+      Curation.writeSnapshot(d, root, version = 1)
+      Curation.writeSnapshotDelta(s, root, version = 2,
+        upserts = d.filter(col("doc_id") % 7 === 3)
+          .withColumn("text", concat(col("text"), lit(" rev2"))),
+        deleteIds = d.filter(col("doc_id") % 11 === 5 &&
+          col("doc_id") % 7 =!= 3).select("doc_id"),
+        idCol = "doc_id")
+      Curation.writeSnapshotDelta(s, root, version = 3,
+        upserts = d.filter(col("doc_id") % 13 === 1)
+          .withColumn("text", concat(col("text"), lit(" rev3")))
+          .unionByName(d.filter(col("doc_id") < 5)
+            .withColumn("doc_id", col("doc_id") + 100000L)
+            .withColumn("text",
+              concat(lit("late arrival "), col("doc_id") - 100000L))),
+        deleteIds = d.filter(col("doc_id") % 17 === 2 &&
+          col("doc_id") % 13 =!= 1).select("doc_id"),
+        idCol = "doc_id")
+      graft.api.SqlFrontDoor.sql(s, dir,
+        s"""SELECT id, status
+           |FROM graft_snapshot_diff('$root', 2, 3, 'doc_id', 'text')
+           |ORDER BY id""".stripMargin)
+    }),
+
+    // THRESHOLD-DRIVEN maintenance on the IVF store: q133's lifecycle
+    // with the POLICY verb in place of a hand-placed compact — the first
+    // maintain sees the delete's tombstones and drains them (compact),
+    // the second sees a healthy store and does nothing (the idempotence
+    // a scheduled job needs; decisions spec-asserted in
+    // StoreMaintenanceSpec). Must still answer q133's oracle.
+    "q228_ivf_maintain" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivf-maintain").toString
+      SnapshotDirs.add(root)
+      Similarity.buildIvfIndexAdaptive(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", root)
+      Similarity.appendIvfIndex(s, root,
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      Similarity.deleteFromIvfIndex(s, root,
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
+      StoreMaintenance.maintainIvfIndex(s, root)   // tombstones → compact
+      StoreMaintenance.maintainIvfIndex(s, root)   // healthy → none
+      Similarity.searchIvfIndex(s, root, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+    }),
+
+    // q206's SQL text-index lifecycle with graft_text_index_maintain as
+    // the care verb (16-bucket layout — q225's argument): the scheduled
+    // `SELECT * FROM graft_text_index_maintain(...)` form an operator
+    // crons. Must still answer q131's oracle.
+    "q229_sql_text_maintain" -> ((s, dir) => {
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      val docs = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sql-text-maintain").toString
+      SnapshotDirs.add(root)
+      docs.filter(col("doc_id") % 2 === 0)
+        .createOrReplaceTempView("q229_even")
+      docs.filter(col("doc_id") % 2 === 1)
+        .createOrReplaceTempView("q229_odd")
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+        .createOrReplaceTempView("q229_del")
+      s.sql(s"SELECT * FROM graft_text_index_build('$root', 'q229_even', 'doc_id', 'text', 16)").collect()
+      s.sql(s"SELECT * FROM graft_text_index_append('$root', 'q229_odd', 'doc_id', 'text', 16)").collect()
+      s.sql(s"SELECT * FROM graft_text_index_delete('$root', 'q229_del', 'doc_id', 16)").collect()
+      s.sql(s"SELECT * FROM graft_text_index_maintain('$root', 16)").collect()
+      s.sql(s"SELECT * FROM graft_text_index_maintain('$root', 16)").collect()
+      s.sql(s"""SELECT * FROM graft_bm25_search('$root', 'spark hash window', 25, 16)
+               |ORDER BY bm25_micro DESC, doc_id""".stripMargin)
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -4060,6 +4179,14 @@ object SparkEntry {
       // the composite fsck through the SQL front door must reproduce
       // the library audit's member rows exactly
       "q223_sql_rag_audit" -> "q222_composite_audit",
+      // the version-diff verb through the SQL front door must reproduce
+      // the library diff row-for-row
+      "q227_sql_snapshot_diff" -> "q226_snapshot_diff",
+      // threshold-driven maintenance must change FILES, never answers:
+      // the policy-maintained stores answer the same oracles as their
+      // hand-compacted twins (decisions spec-asserted)
+      "q228_ivf_maintain" -> "q133_ivf_delete",
+      "q229_sql_text_maintain" -> "q131_text_index_delete",
       // the snapshot-store round trip feeding the incremental dedup must
       // reproduce the in-memory batch-vs-corpus answer
       "q122_snapshot_dedup" -> "q41_incremental_dedup",
@@ -7554,6 +7681,33 @@ object SparkEntry {
         |       0::BIGINT AS n_unreachable_deltas, 0::BIGINT AS clash_rows,
         |       0::BIGINT AS dup_upsert_ids,
         |       (SELECT count(*) FROM r WHERE rk = 1 AND op = 'u')::BIGINT AS n_live""".stripMargin,
+
+    // The v2→v3 diff statuses re-derived from the chain arithmetic:
+    // an id is PRESENT at v2 unless v2 deleted it; v3's late arrivals
+    // are 'added'; v3 upserts are 'changed' when v2-present (the ' rev3'
+    // suffix guarantees the fingerprint moved) and 'added' (re-birth)
+    // when v2 had deleted them; v3 deletes are 'removed' only when
+    // v2-present — deleting an id v2 already removed changes nothing and
+    // emits nothing.
+    "q226_snapshot_diff" ->
+      """WITH late AS (
+        |  SELECT doc_id + 100000 AS id FROM documents WHERE doc_id < 5),
+        |ups AS (SELECT doc_id AS id FROM documents WHERE doc_id % 13 = 1),
+        |dels AS (SELECT doc_id AS id FROM documents
+        |         WHERE doc_id % 17 = 2 AND doc_id % 13 <> 1),
+        |present_v2 AS (
+        |  SELECT doc_id AS id FROM documents
+        |  WHERE NOT (doc_id % 11 = 5 AND doc_id % 7 <> 3))
+        |SELECT id, status FROM (
+        |  SELECT id, 'added' AS status FROM late
+        |  UNION ALL
+        |  SELECT u.id AS id,
+        |         CASE WHEN p.id IS NULL THEN 'added' ELSE 'changed' END AS status
+        |  FROM ups u LEFT JOIN present_v2 p ON u.id = p.id
+        |  UNION ALL
+        |  SELECT d.id AS id, 'removed' AS status
+        |  FROM dels d JOIN present_v2 p ON d.id = p.id)
+        |ORDER BY id""".stripMargin,
 
     // The retention-composed chain re-derived: v2's upserts/deletes baked
     // into the compaction-point state, v4's folded on top (upserts from

@@ -360,6 +360,22 @@ object GraftTableFunctions {
           str("graft_snapshot_at", args(2)))
         .queryExecution.analyzed
     }),
+    // graft_snapshot_diff(storeDir, oldVersion, newVersion, idCol,
+    // textCol) — what changed between two reconstructed versions, rows
+    // that DIFFER only (added/removed/changed); churn-proportional when
+    // the range holds only deltas
+    ("graft_snapshot_diff", { args =>
+      require(args.length == 5,
+        "graft_snapshot_diff(storeDir, oldVersion, newVersion, idCol, " +
+          s"textCol) got ${args.length} args")
+      graft.operators.Curation.diffSnapshotsAt(active,
+          str("graft_snapshot_diff", args.head),
+          lng("graft_snapshot_diff", args(1)),
+          lng("graft_snapshot_diff", args(2)),
+          str("graft_snapshot_diff", args(3)),
+          str("graft_snapshot_diff", args(4)))
+        .queryExecution.analyzed
+    }),
     // graft_zonemap_audit(storeDir) — the layout store's fsck as a
     // one-row SQL relation (q161/q162's treatment)
     ("graft_zonemap_audit", { args =>
@@ -673,6 +689,58 @@ object GraftTableFunctions {
         graft.operators.TextAnalysis.vacuumTextIndex(active,
           str("graft_text_index_vacuum", args.head),
           buckets = if (args.length == 2) int("graft_text_index_vacuum", args(1)) else 64)
+      }
+    }),
+    // graft_ivf_maintain(dir[, maxSegments, maxTombstones]) /
+    // graft_ivfpq_maintain(...) / graft_text_index_maintain(dir[,
+    // buckets, maxSegments, maxTombstones]) — THRESHOLD-DRIVEN
+    // maintenance: probe the store's health signals (live directory
+    // legs, tombstoned ids — driver metadata + one churn-bounded scan)
+    // and apply the smallest sufficient verb (vacuum / compact / none).
+    // The scheduled-job form of store care: idempotent when nothing is
+    // due, so a cron-style `SELECT * FROM graft_ivf_maintain(...)` is
+    // safe to fire on every cycle
+    ("graft_ivf_maintain", { args =>
+      require(args.length == 1 || args.length == 3,
+        s"graft_ivf_maintain(dir[, maxSegments, maxTombstones]) got ${args.length} args")
+      writeVerb("ivf_maintain", str("graft_ivf_maintain", args.head)) {
+        graft.operators.StoreMaintenance.maintainIvfIndex(active,
+          str("graft_ivf_maintain", args.head),
+          maxSegments =
+            if (args.length == 3) int("graft_ivf_maintain", args(1)) else 8,
+          maxTombstones =
+            if (args.length == 3) lng("graft_ivf_maintain", args(2)) else 0L)
+      }
+    }),
+    ("graft_ivfpq_maintain", { args =>
+      require(args.length == 1 || args.length == 3,
+        s"graft_ivfpq_maintain(dir[, maxSegments, maxTombstones]) got ${args.length} args")
+      writeVerb("ivfpq_maintain", str("graft_ivfpq_maintain", args.head)) {
+        graft.operators.StoreMaintenance.maintainIvfPqIndex(active,
+          str("graft_ivfpq_maintain", args.head),
+          maxSegments =
+            if (args.length == 3) int("graft_ivfpq_maintain", args(1)) else 8,
+          maxTombstones =
+            if (args.length == 3) lng("graft_ivfpq_maintain", args(2)) else 0L)
+      }
+    }),
+    ("graft_text_index_maintain", { args =>
+      require(args.length == 1 || args.length == 2 || args.length == 4,
+        "graft_text_index_maintain(dir[, buckets, maxSegments, " +
+          s"maxTombstones]) got ${args.length} args")
+      writeVerb("text_index_maintain",
+          str("graft_text_index_maintain", args.head)) {
+        graft.operators.StoreMaintenance.maintainTextIndex(active,
+          str("graft_text_index_maintain", args.head),
+          buckets =
+            if (args.length >= 2) int("graft_text_index_maintain", args(1))
+            else 64,
+          maxSegments =
+            if (args.length == 4) int("graft_text_index_maintain", args(2))
+            else 8,
+          maxTombstones =
+            if (args.length == 4) lng("graft_text_index_maintain", args(3))
+            else 0L)
       }
     }),
     // graft_composite_begin(manifestDir, textDir, vecDir) — declare a

@@ -603,20 +603,38 @@ object Curation {
     */
   def readSnapshotAt(spark: org.apache.spark.sql.SparkSession,
                      rootDir: String, version: Long,
-                     idCol: String): DataFrame = {
+                     idCol: String): DataFrame =
+    reconstructAt(spark, rootDir, version, idCol, scope = None)
+
+  /** [[readSnapshotAt]], optionally RESTRICTED to an id set: the scope
+    * semi-join is applied per chain LEG (base + every delta component),
+    * not post-window, so the shuffle carries only the scoped ids' rows —
+    * Spark does not push joins through unions, so pushing by hand here is
+    * what makes [[diffSnapshotsAt]]'s churn-proportional claim true. The
+    * scope frame is NOT hint-broadcast (the r13 filtered-search lesson):
+    * AQE broadcasts a small id set and shuffle-joins a huge one.
+    */
+  private def reconstructAt(spark: org.apache.spark.sql.SparkSession,
+                            rootDir: String, version: Long, idCol: String,
+                            scope: Option[DataFrame]): DataFrame = {
     val fulls = snapshotVersions(rootDir).filter(_ <= version)
     require(fulls.nonEmpty, s"no full snapshot at or below version $version")
     val base = fulls.max
     val deltas = deltaVersions(rootDir).filter(v => v > base && v <= version)
+    def scoped(df: DataFrame): DataFrame =
+      scope.fold(df)(s => df.join(s.select(col(idCol)), Seq(idCol),
+        "left_semi"))
     val baseDf = spark.read.parquet(s"$rootDir/version=$base")
     val dataCols = baseDf.columns.toSeq
-    val baseTagged = baseDf
+    val baseTagged = scoped(baseDf)
       .withColumn("_v", lit(base)).withColumn("_op", lit("u"))
     val chain = deltas.foldLeft(baseTagged) { (acc, v) =>
-      val ups = spark.read.parquet(s"$rootDir/_delta/version=$v/upserts")
-        .select(dataCols.map(col): _*)
+      val ups = scoped(
+        spark.read.parquet(s"$rootDir/_delta/version=$v/upserts")
+          .select(dataCols.map(col): _*))
         .withColumn("_v", lit(v)).withColumn("_op", lit("u"))
-      val dels = spark.read.parquet(s"$rootDir/_delta/version=$v/deletes")
+      val dels = scoped(
+        spark.read.parquet(s"$rootDir/_delta/version=$v/deletes"))
       val delRows = dels.select(
         col(idCol) +: dataCols.filter(_ != idCol).map(c =>
           lit(null).cast(baseDf.schema(c).dataType).as(c)): _*)
@@ -700,6 +718,69 @@ object Curation {
       all.filter(col("version") === oldVersion),
       all.filter(col("version") === newVersion),
       idCol, textCol)
+  }
+
+  /** [[diffSnapshots]] for the DELTA-CHAIN store: what changed between two
+    * RECONSTRUCTED versions (either may be delta-defined — "diff v2
+    * against v4" works whether those are fulls, deltas, or a mix). Emits
+    * only rows that DIFFER — `(id, status ∈ added/removed/changed)` —
+    * because at CDC scale the unchanged rows are the 100 TB of output
+    * nobody asked for.
+    *
+    * Cost dichotomy, chosen from the chain's own metadata:
+    *
+    *  - **deltas only in `(old, new]`** — an id untouched by every delta
+    *    in the range reconstructs identically on both sides, so the diff
+    *    is computed ONLY over the touched ids (the union of the range's
+    *    upsert/delete id columns): both reconstructions are scoped
+    *    per-leg by [[reconstructAt]], and the compare costs ∝ CHURN, not
+    *    corpus;
+    *  - **a FULL snapshot in the range** — a full rewrite can touch
+    *    anything (its writer made no change declaration), so the diff is
+    *    the honest full compare: two reconstructions, fingerprints
+    *    computed map-side ([[corpusDiff]] — text never crosses the
+    *    exchange), one full-outer join on the id.
+    *
+    * An upsert that rewrote identical content reconstructs to equal
+    * fingerprints and is correctly NOT emitted (status would be
+    * `unchanged`).
+    */
+  def diffSnapshotsAt(spark: org.apache.spark.sql.SparkSession,
+                      rootDir: String, oldVersion: Long, newVersion: Long,
+                      idCol: String, textCol: String): DataFrame = {
+    require(newVersion > oldVersion,
+      s"diffSnapshotsAt needs oldVersion < newVersion: " +
+        s"$oldVersion >= $newVersion")
+    val fullsBetween = snapshotVersions(rootDir)
+      .filter(v => v > oldVersion && v <= newVersion)
+    val changedOnly: DataFrame => DataFrame =
+      _.filter(col("status") =!= "unchanged")
+    if (fullsBetween.nonEmpty)
+      changedOnly(corpusDiff(
+        readSnapshotAt(spark, rootDir, oldVersion, idCol),
+        readSnapshotAt(spark, rootDir, newVersion, idCol),
+        idCol, textCol))
+    else {
+      val deltas = deltaVersions(rootDir)
+        .filter(v => v > oldVersion && v <= newVersion)
+      if (deltas.isEmpty)
+        // identical reconstructions by construction: nothing differs
+        // (same (id, status) shape as corpusDiff)
+        spark.range(0).select(col("id"), lit("unchanged").as("status"))
+      else {
+        val touched = deltas.map { v =>
+          spark.read.parquet(s"$rootDir/_delta/version=$v/upserts")
+            .select(col(idCol))
+            .unionByName(
+              spark.read.parquet(s"$rootDir/_delta/version=$v/deletes")
+                .select(col(idCol)))
+        }.reduce(_ unionByName _).distinct()
+        changedOnly(corpusDiff(
+          reconstructAt(spark, rootDir, oldVersion, idCol, Some(touched)),
+          reconstructAt(spark, rootDir, newVersion, idCol, Some(touched)),
+          idCol, textCol))
+      }
+    }
   }
 
   /** Token-yield accounting over [[curate]]: per split, how many documents

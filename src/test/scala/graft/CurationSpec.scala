@@ -225,6 +225,63 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("diffSnapshotsAt: churn-scoped diff over deltas, full-compare fallback across a full rewrite") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snapdiff").toFile
+    try {
+      // v1 full: ids 1-6. v2 delta: edit 2, delete 3, delete 9 (absent —
+      // must emit nothing), re-write 4 with IDENTICAL text (unchanged —
+      // must emit nothing). v3 delta: add 7, re-birth 3.
+      Curation.writeSnapshot(
+        (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+        root.getPath, 1L)
+      Curation.writeSnapshotDelta(spark, root.getPath, 2L,
+        upserts = Seq((2L, "doc 2 edited"), (4L, "doc 4"))
+          .toDF("doc_id", "text"),
+        deleteIds = Seq(3L, 9L).toDF("doc_id"), idCol = "doc_id")
+      Curation.writeSnapshotDelta(spark, root.getPath, 3L,
+        upserts = Seq((7L, "doc 7"), (3L, "doc 3 reborn"))
+          .toDF("doc_id", "text"),
+        deleteIds = spark.range(0).select(col("id").as("doc_id")),
+        idCol = "doc_id")
+      def diffMap(o: Long, n: Long) =
+        Curation.diffSnapshotsAt(spark, root.getPath, o, n, "doc_id", "text")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // v1 -> v2: only the delta's REAL changes; the no-op upsert of 4
+      // and the delete of absent 9 are silent
+      assert(diffMap(1L, 2L) == Map(2L -> "changed", 3L -> "removed"))
+      // v1 -> v3 spans both deltas; the v3 re-birth of 3 lands as
+      // changed (present on both sides, text moved)
+      assert(diffMap(1L, 3L) ==
+        Map(2L -> "changed", 3L -> "changed", 7L -> "added"))
+      // v2 -> v3: the re-birth is an ADD against v2 (where 3 was deleted)
+      assert(diffMap(2L, 3L) == Map(7L -> "added", 3L -> "added"))
+      // a FULL snapshot in the range declares no churn — the fallback
+      // full compare must still catch its silent rewrite of id 5
+      Curation.writeSnapshot(
+        Seq((1L, "doc 1"), (2L, "doc 2 edited"), (3L, "doc 3 reborn"),
+          (5L, "doc 5 silently rewritten"), (6L, "doc 6"), (7L, "doc 7"))
+          .toDF("doc_id", "text"),
+        root.getPath, 4L)
+      assert(diffMap(3L, 4L) ==
+        Map(4L -> "removed", 5L -> "changed"))
+      // same reconstruction on both sides (no versions in range): empty
+      Curation.writeSnapshotDelta(spark, root.getPath, 6L,
+        upserts = Seq((8L, "doc 8")).toDF("doc_id", "text"),
+        deleteIds = spark.range(0).select(col("id").as("doc_id")),
+        idCol = "doc_id")
+      assert(diffMap(4L, 5L).isEmpty)
+      require(diffMap(4L, 6L) == Map(8L -> "added"))
+      intercept[IllegalArgumentException] {
+        Curation.diffSnapshotsAt(spark, root.getPath, 3L, 3L, "doc_id", "text")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(root)
+    }
+  }
+
   test("corpusDiff: added/removed/changed/unchanged; normalization-invariant") {
     val oldDf = Seq((1L, "one"), (2L, "two"), (3L, "three"))
       .toDF("doc_id", "text")
