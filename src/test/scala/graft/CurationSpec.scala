@@ -282,6 +282,88 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("model-based CDC lifecycle: random delta/full chains — reconstruction and diff equal the in-memory model at every version") {
+    // the storage-layer assurance pattern (StoreSegmentsSpec's model
+    // tests) applied to the delta-chain store: drive a seeded random
+    // sequence of deltas (new ids, edits, no-op re-upserts, deletes) and
+    // full snapshots (compaction points, occasionally with a SILENT
+    // rewrite no delta declares), and after every version compare both
+    // the reconstruction AND the version-to-version diff against a plain
+    // in-memory map — any last-writer-wins, tombstone, scope-join, or
+    // fallback-dichotomy error surfaces at the step that introduced it
+    val rnd = new scala.util.Random(11)
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc-model")
+      .toFile
+    try {
+      var model = (0L until 12L).map(i => i -> s"doc$i").toMap
+      val history = scala.collection.mutable.Map(1L -> model)
+      var nextId = 12L
+      Curation.writeSnapshot(
+        model.toSeq.toDF("doc_id", "text"), root.getPath, 1L)
+      def modelDiff(o: Map[Long, String], n: Map[Long, String]) =
+        (n.keySet -- o.keySet).map(_ -> "added") ++
+          (o.keySet -- n.keySet).map(_ -> "removed") ++
+          (o.keySet & n.keySet).filter(k => o(k) != n(k))
+            .map(_ -> "changed")
+      def engineDiff(a: Long, b: Long) =
+        Curation.diffSnapshotsAt(spark, root.getPath, a, b,
+            "doc_id", "text")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+      (2L to 13L).foreach { version =>
+        if (rnd.nextInt(4) == 0) {
+          // full compaction point; half the time with a silent rewrite
+          // the fallback full-compare must catch
+          if (rnd.nextBoolean() && model.nonEmpty) {
+            val k = model.keys.toSeq(rnd.nextInt(model.size))
+            model = model.updated(k, s"${model(k)} silent$version")
+          }
+          Curation.writeSnapshot(
+            model.toSeq.toDF("doc_id", "text"), root.getPath, version)
+        } else {
+          val adds = (0 until rnd.nextInt(3))
+            .map(i => (nextId + i) -> s"doc${nextId + i}")
+          nextId += adds.size
+          val existing = model.keys.toSeq.sorted
+          val edits = existing.filter(_ => rnd.nextInt(5) == 0).take(3)
+            .map(k => k -> s"${model(k)} v$version")
+          val noops = existing.filter(_ => rnd.nextInt(7) == 0).take(2)
+            .filterNot(edits.map(_._1).contains)
+            .map(k => k -> model(k)) // re-upsert identical content
+          val upserts = (adds ++ edits ++ noops).toMap
+          val deletes = existing
+            .filterNot(upserts.keySet.contains)
+            .filter(_ => rnd.nextInt(6) == 0).take(3)
+          Curation.writeSnapshotDelta(spark, root.getPath, version,
+            upserts = upserts.toSeq.toDF("doc_id", "text"),
+            deleteIds = deletes.toDF("doc_id"), idCol = "doc_id")
+          model = (model ++ upserts) -- deletes
+        }
+        history(version) = model
+        val got = Curation.readSnapshotAt(spark, root.getPath, version,
+            "doc_id")
+          .collect().map(r => r.getAs[Long]("doc_id") ->
+            r.getAs[String]("text")).toMap
+        assert(got == model, s"version $version reconstruction diverged")
+        assert(engineDiff(version - 1, version) ==
+          modelDiff(history(version - 1), model),
+          s"version ${version - 1}->$version diff diverged")
+      }
+      // random cross-version spans (delta-only scoped path AND
+      // full-in-range fallback, chosen by the chain's own metadata)
+      (1 to 8).foreach { _ =>
+        val a = 1L + rnd.nextInt(12)
+        val b = a + 1L + rnd.nextInt((13 - a).toInt)
+        assert(engineDiff(a, b) == modelDiff(history(a), history(b)),
+          s"span $a->$b diff diverged")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(root)
+    }
+  }
+
   test("corpusDiff: added/removed/changed/unchanged; normalization-invariant") {
     val oldDf = Seq((1L, "one"), (2L, "two"), (3L, "three"))
       .toDF("doc_id", "text")
