@@ -3977,6 +3977,48 @@ object SparkEntry {
       s.sql(s"""SELECT * FROM graft_bm25_search('$root', 'spark hash window', 25, 16)
                |ORDER BY bm25_micro DESC, doc_id""".stripMargin)
     }),
+
+    // DELIVERY INTEGRITY for an exported corpus: the shuffled-shard
+    // training export + its manifest (per-shard row count +
+    // order-insensitive bit_xor of 60-bit id fingerprints) + the audit
+    // recomputing both from the data. The oracle re-derives the shard
+    // assignment (md5('seed:'||id) — q69's permutation arithmetic), the
+    // counts AND the xor checksums; both sides hash the actual integrity
+    // values, not just the verdicts. Damage paths (lost shard, appended
+    // duplicates, missing manifest) are spec-asserted in SinksSpec.
+    "q230_export_audit" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-export-audit").toString
+      SnapshotDirs.add(root)
+      graft.sinks.Sinks.writeShuffled(docs.select("doc_id", "text"),
+        "doc_id", numShards = 16, seed = 7L, path = root)
+      graft.sinks.Sinks.exportManifest(s, root, Seq("shard"), "doc_id")
+      graft.sinks.Sinks.exportAudit(s, root, Seq("shard"), "doc_id")
+        .select(col("shard").cast("long").as("shard"),
+          col("n_rows_manifest"), col("n_rows_data"),
+          col("checksum_manifest"), col("checksum_data"),
+          col("shard_ok"), col("healthy"))
+        .orderBy("shard")
+    }),
+
+    // q230 through the SQL front door (graft_export_manifest +
+    // graft_export_audit TVFs). Must hash-match q230.
+    "q231_sql_export_audit" -> ((s, dir) => {
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      val docs = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sql-export-audit").toString
+      SnapshotDirs.add(root)
+      graft.sinks.Sinks.writeShuffled(docs.select("doc_id", "text"),
+        "doc_id", numShards = 16, seed = 7L, path = root)
+      s.sql(s"SELECT * FROM graft_export_manifest('$root', 'shard', 'doc_id')").collect()
+      s.sql(s"""SELECT cast(shard AS bigint) AS shard, n_rows_manifest,
+               |  n_rows_data, checksum_manifest, checksum_data, shard_ok,
+               |  healthy
+               |FROM graft_export_audit('$root', 'shard', 'doc_id')
+               |ORDER BY shard""".stripMargin)
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -4187,6 +4229,9 @@ object SparkEntry {
       // hand-compacted twins (decisions spec-asserted)
       "q228_ivf_maintain" -> "q133_ivf_delete",
       "q229_sql_text_maintain" -> "q131_text_index_delete",
+      // the export-integrity audit through the SQL front door must
+      // reproduce the library verdicts and checksums row-for-row
+      "q231_sql_export_audit" -> "q230_export_audit",
       // the snapshot-store round trip feeding the incremental dedup must
       // reproduce the in-memory batch-vs-corpus answer
       "q122_snapshot_dedup" -> "q41_incremental_dedup",
@@ -7708,6 +7753,26 @@ object SparkEntry {
         |  SELECT d.id AS id, 'removed' AS status
         |  FROM dels d JOIN present_v2 p ON d.id = p.id)
         |ORDER BY id""".stripMargin,
+
+    // The export-integrity manifest re-derived: shard = q69's
+    // permutation arithmetic (md5('7:'||id) first 15 hex digits mod 16),
+    // checksum = bit_xor of the 60-bit id fingerprints per shard. A
+    // healthy export's manifest and data sides are equal by
+    // construction, so both columns carry the same re-derived value —
+    // the hash pins the counts and checksums themselves.
+    "q230_export_audit" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |           % 16 AS shard,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS fp
+        |  FROM documents),
+        |m AS (SELECT shard, count(*)::BIGINT AS n, bit_xor(fp) AS cks
+        |      FROM a GROUP BY shard)
+        |SELECT shard::BIGINT AS shard, n AS n_rows_manifest,
+        |       n AS n_rows_data, cks AS checksum_manifest,
+        |       cks AS checksum_data, TRUE AS shard_ok, TRUE AS healthy
+        |FROM m ORDER BY shard""".stripMargin,
 
     // The retention-composed chain re-derived: v2's upserts/deletes baked
     // into the compaction-point state, v4's folded on top (upserts from

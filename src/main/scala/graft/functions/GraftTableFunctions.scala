@@ -691,6 +691,20 @@ object GraftTableFunctions {
           buckets = if (args.length == 2) int("graft_text_index_vacuum", args(1)) else 64)
       }
     }),
+    // graft_export_audit(path, keyColsCsv, idCol) — delivery-integrity
+    // check of an exported corpus against its _export_manifest: per
+    // partition-combo row-count + order-insensitive id-checksum verdicts
+    // plus the overall healthy conjunction
+    ("graft_export_audit", { args =>
+      require(args.length == 3,
+        s"graft_export_audit(path, keyColsCsv, idCol) got ${args.length} args")
+      graft.sinks.Sinks.exportAudit(active,
+          str("graft_export_audit", args.head),
+          str("graft_export_audit", args(1)).split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq,
+          str("graft_export_audit", args(2)))
+        .queryExecution.analyzed
+    }),
     // graft_ivf_maintain(dir[, maxSegments, maxTombstones]) /
     // graft_ivfpq_maintain(...) / graft_text_index_maintain(dir[,
     // buckets, maxSegments, maxTombstones]) — THRESHOLD-DRIVEN
@@ -722,6 +736,20 @@ object GraftTableFunctions {
             if (args.length == 3) int("graft_ivfpq_maintain", args(1)) else 8,
           maxTombstones =
             if (args.length == 3) lng("graft_ivfpq_maintain", args(2)) else 0L)
+      }
+    }),
+    // graft_export_manifest(path, keyColsCsv, idCol) — write the
+    // delivery-integrity manifest for an exported corpus (the writer-side
+    // half of graft_export_audit)
+    ("graft_export_manifest", { args =>
+      require(args.length == 3,
+        s"graft_export_manifest(path, keyColsCsv, idCol) got ${args.length} args")
+      writeVerb("export_manifest", str("graft_export_manifest", args.head)) {
+        graft.sinks.Sinks.exportManifest(active,
+          str("graft_export_manifest", args.head),
+          str("graft_export_manifest", args(1)).split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq,
+          str("graft_export_manifest", args(2)))
       }
     }),
     ("graft_text_index_maintain", { args =>

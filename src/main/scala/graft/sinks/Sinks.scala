@@ -88,6 +88,73 @@ object Sinks {
       .parquet(path)
   }
 
+  /** DELIVERY-INTEGRITY manifest for an exported corpus
+    * ([[writeCorpus]] / [[writeShuffled]] output): one row per partition
+    * key combination with its row count and an ORDER-INSENSITIVE id
+    * checksum (`bit_xor` of the 60-bit id fingerprints — xor needs no
+    * overflow guard and ignores row order, which a shard re-read never
+    * preserves). Written under `_export_manifest` (underscore-prefixed:
+    * invisible to readers of the data path).
+    *
+    * What it protects: the copy/move/read boundary between this engine
+    * and a trainer — a shard directory lost in a transfer, a partial
+    * copy, a double-applied append all flip [[exportAudit]]'s verdict.
+    * What it does NOT protect: in-row bit rot (parquet page checksums
+    * already cover that) — membership and volume integrity only, stated
+    * honestly.
+    *
+    * Scale: one pass over the export (the same scan the export itself
+    * just wrote), aggregated on the partition keys — map-side partial
+    * xor/count, one tiny shuffle, manifest size ∝ partition-combo count.
+    */
+  def exportManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+                     keyCols: Seq[String], idCol: String): Unit = {
+    require(keyCols.nonEmpty, "exportManifest needs >= 1 partition column")
+    spark.read.parquet(path)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"bit_xor(${checksumExpr(idCol)})").as("id_checksum"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_export_manifest")
+  }
+
+  private def checksumExpr(idCol: String): String =
+    "cast(conv(substring(md5(lower(trim(cast(" +
+      s"`$idCol` as string)))), 1, 15), 16, 10) as bigint)"
+
+  /** Recompute [[exportManifest]]'s counts/checksums from the data and
+    * compare: one row per partition key combination seen on EITHER side
+    * (a shard lost after manifest time shows as data-side null; a shard
+    * that appeared out-of-band as manifest-side null), with the row-count
+    * and checksum verdicts, plus the overall `healthy` conjunction
+    * repeated per row ([[graft.operators.Composite.audit]]'s shape). The
+    * trainer-side "am I reading exactly what curation wrote" check.
+    */
+  def exportAudit(spark: org.apache.spark.sql.SparkSession, path: String,
+                  keyCols: Seq[String], idCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty, "exportAudit needs >= 1 partition column")
+    require(graft.operators.StoreFs.exists(spark, s"$path/_export_manifest"),
+      s"no export manifest at $path/_export_manifest — exportManifest first")
+    val m = spark.read.parquet(s"$path/_export_manifest")
+      .withColumnRenamed("n_rows", "n_rows_manifest")
+      .withColumnRenamed("id_checksum", "checksum_manifest")
+    val d = spark.read.parquet(path)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows_data"),
+        expr(s"bit_xor(${checksumExpr(idCol)})").as("checksum_data"))
+    val joined = m.join(d, keyCols, "full_outer")
+      .withColumn("shard_ok",
+        col("n_rows_manifest").isNotNull && col("n_rows_data").isNotNull &&
+          col("n_rows_manifest") === col("n_rows_data") &&
+          col("checksum_manifest") === col("checksum_data"))
+    // the global verdict is one tiny agg over the shard rows (bounded by
+    // the partition-combo count), joined back — no global window
+    joined.crossJoin(
+      joined.agg(coalesce(min(col("shard_ok")), lit(false))
+        .as("healthy")))
+  }
+
   /** K3 (`bolt/bolt.go:522-541`): the nasalog report — per host, a
     * `host:count` header line, each distinct route on its own line, then a
     * `===` separator; hosts sorted, routes sorted within a host.

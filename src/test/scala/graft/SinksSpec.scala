@@ -86,6 +86,50 @@ class SinksSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("export manifest/audit: healthy round trip; lost shard, duplicate rows, and missing manifest all flagged") {
+    val spark = TestSpark.spark
+    val df = (0L until 120L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = tmp("export-audit")
+    Sinks.writeShuffled(df, "doc_id", numShards = 4, seed = 3L, out)
+    // no manifest yet: the audit refuses with a pointer, not a null join
+    val e = intercept[IllegalArgumentException] {
+      Sinks.exportAudit(spark, out, Seq("shard"), "doc_id")
+    }
+    assert(e.getMessage.contains("_export_manifest"), e.getMessage)
+    Sinks.exportManifest(spark, out, Seq("shard"), "doc_id")
+    def audit() = Sinks.exportAudit(spark, out, Seq("shard"), "doc_id")
+    assert(audit().collect().forall(_.getAs[Boolean]("healthy")))
+    assert(audit().count() == 4)
+    // duplicate delivery: a shard's part file copied in place (the
+    // double-applied transfer) — count AND checksum... count flips, the
+    // xor checksum alone would cancel pair-duplicates, which is why the
+    // audit verdict requires BOTH
+    val shard0 = Paths.get(out, "shard=0")
+    val part = Files.list(shard0).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq.head
+    Files.copy(part, shard0.resolve("part-copy.parquet"))
+    val dup = audit().orderBy("shard").collect()
+    assert(!dup.head.getAs[Boolean]("shard_ok"))
+    assert(dup.forall(r => !r.getAs[Boolean]("healthy")))
+    assert(dup.count(_.getAs[Boolean]("shard_ok")) == 3)
+    Files.delete(shard0.resolve("part-copy.parquet"))
+    assert(audit().collect().forall(_.getAs[Boolean]("healthy")))
+    // lost shard: the whole directory gone mid-transfer — the audit
+    // keeps the manifest's row (data-side nulls), flags it, and the
+    // global verdict flips
+    def rmDir(p: java.nio.file.Path): Unit = {
+      Files.list(p).iterator().asScala.toSeq.foreach(Files.delete)
+      Files.delete(p)
+    }
+    rmDir(Paths.get(out, "shard=2"))
+    val lost = Sinks.exportAudit(spark, out, Seq("shard"), "doc_id")
+      .orderBy("shard").collect()
+    assert(lost.length == 4)
+    val s2 = lost.find(_.getAs[Int]("shard") == 2).get
+    assert(!s2.getAs[Boolean]("shard_ok") && s2.isNullAt(s2.fieldIndex("n_rows_data")))
+    assert(lost.forall(r => !r.getAs[Boolean]("healthy")))
+  }
+
   test("writeShuffled: order survives maxRecordsPerFile splitting a shard into many files") {
     import graft.operators.Sampling
     val df = (0L until 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
