@@ -4019,6 +4019,75 @@ object SparkEntry {
                |FROM graft_export_audit('$root', 'shard', 'doc_id')
                |ORDER BY shard""".stripMargin)
     }),
+
+    // THRESHOLD-DRIVEN maintenance on the CDC store: q199's 2-delta
+    // chain at maxChain=1 trips the policy, which materializes the
+    // reconstruction at v3 as a compaction-point FULL at v4 (q213's
+    // manual move, decided by the chain's own length); the second
+    // maintain sees a zero-length chain and does nothing. The
+    // reconstruction AT the new full must answer q199's oracle —
+    // compaction points change chain shape, never content.
+    "q232_snapshot_maintain" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-snap-maintain").toString
+      SnapshotDirs.add(root)
+      Curation.writeSnapshot(d, root, version = 1)
+      Curation.writeSnapshotDelta(s, root, version = 2,
+        upserts = d.filter(col("doc_id") % 7 === 3)
+          .withColumn("text", concat(col("text"), lit(" rev2"))),
+        deleteIds = d.filter(col("doc_id") % 11 === 5 &&
+          col("doc_id") % 7 =!= 3).select("doc_id"),
+        idCol = "doc_id")
+      Curation.writeSnapshotDelta(s, root, version = 3,
+        upserts = d.filter(col("doc_id") % 13 === 1)
+          .withColumn("text", concat(col("text"), lit(" rev3")))
+          .unionByName(d.filter(col("doc_id") < 5)
+            .withColumn("doc_id", col("doc_id") + 100000L)
+            .withColumn("text",
+              concat(lit("late arrival "), col("doc_id") - 100000L))),
+        deleteIds = d.filter(col("doc_id") % 17 === 2 &&
+          col("doc_id") % 13 =!= 1).select("doc_id"),
+        idCol = "doc_id")
+      StoreMaintenance.maintainSnapshotStore(s, root, "doc_id",
+        maxChain = 1)                               // chain 2 > 1 → full v4
+      StoreMaintenance.maintainSnapshotStore(s, root, "doc_id",
+        maxChain = 1)                               // chain 0 → none
+      Curation.readSnapshotAt(s, root, version = 4, idCol = "doc_id")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // q232 through the SQL front door (graft_snapshot_maintain +
+    // graft_snapshot_at). Must hash-match q199's oracle too.
+    "q233_sql_snapshot_maintain" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sql-snap-maintain").toString
+      SnapshotDirs.add(root)
+      Curation.writeSnapshot(d, root, version = 1)
+      Curation.writeSnapshotDelta(s, root, version = 2,
+        upserts = d.filter(col("doc_id") % 7 === 3)
+          .withColumn("text", concat(col("text"), lit(" rev2"))),
+        deleteIds = d.filter(col("doc_id") % 11 === 5 &&
+          col("doc_id") % 7 =!= 3).select("doc_id"),
+        idCol = "doc_id")
+      Curation.writeSnapshotDelta(s, root, version = 3,
+        upserts = d.filter(col("doc_id") % 13 === 1)
+          .withColumn("text", concat(col("text"), lit(" rev3")))
+          .unionByName(d.filter(col("doc_id") < 5)
+            .withColumn("doc_id", col("doc_id") + 100000L)
+            .withColumn("text",
+              concat(lit("late arrival "), col("doc_id") - 100000L))),
+        deleteIds = d.filter(col("doc_id") % 17 === 2 &&
+          col("doc_id") % 13 =!= 1).select("doc_id"),
+        idCol = "doc_id")
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      s.sql(s"SELECT * FROM graft_snapshot_maintain('$root', 'doc_id', 1)").collect()
+      graft.api.SqlFrontDoor.sql(s, dir,
+        s"""SELECT doc_id, text FROM graft_snapshot_at('$root', 4, 'doc_id')
+           |ORDER BY doc_id""".stripMargin)
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -4232,6 +4301,11 @@ object SparkEntry {
       // the export-integrity audit through the SQL front door must
       // reproduce the library verdicts and checksums row-for-row
       "q231_sql_export_audit" -> "q230_export_audit",
+      // a policy-written compaction-point full changes chain SHAPE,
+      // never content: the reconstruction at the new full answers the
+      // un-compacted chain's oracle (and the TVF twin matches)
+      "q232_snapshot_maintain" -> "q199_snapshot_delta",
+      "q233_sql_snapshot_maintain" -> "q199_snapshot_delta",
       // the snapshot-store round trip feeding the incremental dedup must
       // reproduce the in-memory batch-vs-corpus answer
       "q122_snapshot_dedup" -> "q41_incremental_dedup",

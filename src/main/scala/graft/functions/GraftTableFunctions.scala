@@ -752,6 +752,22 @@ object GraftTableFunctions {
           str("graft_export_manifest", args(2)))
       }
     }),
+    // graft_snapshot_maintain(dir, idCol[, maxChain]) — the CDC store's
+    // policy: write a compaction-point full when the delta chain above
+    // the newest full has grown past maxChain (reconstruction cost grows
+    // with chain length; this bounds it)
+    ("graft_snapshot_maintain", { args =>
+      require(args.length == 2 || args.length == 3,
+        s"graft_snapshot_maintain(dir, idCol[, maxChain]) got ${args.length} args")
+      writeVerb("snapshot_maintain", str("graft_snapshot_maintain", args.head)) {
+        graft.operators.StoreMaintenance.maintainSnapshotStore(active,
+          str("graft_snapshot_maintain", args.head),
+          str("graft_snapshot_maintain", args(1)),
+          maxChain =
+            if (args.length == 3) int("graft_snapshot_maintain", args(2))
+            else 8)
+      }
+    }),
     ("graft_text_index_maintain", { args =>
       require(args.length == 1 || args.length == 2 || args.length == 4,
         "graft_text_index_maintain(dir[, buckets, maxSegments, " +

@@ -89,6 +89,36 @@ object StoreMaintenance {
                          maxTombstones: Long = 0): DataFrame =
     maintainIvfIndex(spark, dir, maxSegments, maxTombstones)
 
+  /** Maintain the DELTA-CHAIN snapshot store: when the chain above the
+    * newest full snapshot has grown past `maxChain` deltas, write a
+    * COMPACTION-POINT full (the reconstruction at the newest version,
+    * materialized as `version = newest + 1` — exactly the manual move
+    * q213's lifecycle makes), so every later read folds a short chain
+    * again. The probe is a directory listing; the verb it may run costs
+    * one reconstruction + one full write — reconstruction cost is WHY
+    * the policy exists (it grows with chain length, and this bounds it).
+    *
+    * Receipt: `(store, action ∈ compact|none, n_tombstones = chain
+    * length, n_live_legs = chain + 1 base)` — the same shape as the
+    * index stores' receipts so one dashboard reads all five.
+    */
+  def maintainSnapshotStore(spark: SparkSession, rootDir: String,
+                            idCol: String,
+                            maxChain: Int = 8): DataFrame = {
+    val fulls = Curation.snapshotVersions(rootDir)
+    require(fulls.nonEmpty, s"no full snapshot under $rootDir — write first")
+    val newestFull = fulls.max
+    val deltas = Curation.deltaVersions(rootDir).filter(_ > newestFull)
+    val newest = (newestFull +: deltas).max
+    val chain = deltas.size.toLong
+    val action = if (chain > maxChain) "compact" else "none"
+    if (action == "compact")
+      Curation.writeSnapshot(
+        Curation.readSnapshotAt(spark, rootDir, newest, idCol),
+        rootDir, version = newest + 1)
+    receipt(spark, rootDir, action, chain, chain + 1)
+  }
+
   /** Maintain a [[TextAnalysis.buildTextIndex]] store. `buckets` is the
     * store's layout constant (the compact/vacuum verbs need it, exactly
     * as at build time).

@@ -75,6 +75,40 @@ class StoreMaintenanceSpec extends SparkTestBase {
       && got.contains(30L) && got.contains(32L))
   }
 
+  test("snapshot decisions: none under the chain threshold, compaction-point full above it, idempotent after") {
+    import graft.operators.Curation
+    val dir = tmp("graft-maint-snap")
+    Curation.writeSnapshot(
+      Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text"), dir, 1L)
+    def maintain(max: Int) = StoreMaintenance
+      .maintainSnapshotStore(spark, dir, "doc_id", maxChain = max)
+      .collect().head
+    assert(maintain(2).getAs[String]("action") == "none")
+    Curation.writeSnapshotDelta(spark, dir, 2L,
+      upserts = Seq((3L, "three")).toDF("doc_id", "text"),
+      deleteIds = Seq(1L).toDF("doc_id"), idCol = "doc_id")
+    Curation.writeSnapshotDelta(spark, dir, 3L,
+      upserts = Seq((2L, "two edited")).toDF("doc_id", "text"),
+      deleteIds = spark.range(0).select(col("id").as("doc_id")),
+      idCol = "doc_id")
+    // chain 2 ≤ max 2: still none
+    assert(maintain(2).getAs[String]("action") == "none")
+    val r = maintain(1) // chain 2 > 1 → compaction-point full at v4
+    assert(r.getAs[String]("action") == "compact")
+    assert(r.getAs[Long]("n_tombstones") == 2L) // chain length signal
+    assert(Curation.snapshotVersions(dir) == Seq(1L, 4L))
+    // the new full IS the reconstruction: content unchanged
+    val got = Curation.readSnapshotAt(spark, dir, 4L, "doc_id")
+      .collect().map(r2 => r2.getLong(0) -> r2.getString(1)).toMap
+    assert(got == Map(2L -> "two edited", 3L -> "three"))
+    // chain above v4 is empty: the scheduled re-fire decides none
+    assert(maintain(1).getAs[String]("action") == "none")
+    intercept[IllegalArgumentException] {
+      StoreMaintenance.maintainSnapshotStore(spark, tmp("graft-maint-empty"),
+        "doc_id")
+    }
+  }
+
   test("text decisions: compact on tombstones, vacuum on stats-leg pile-up from appends") {
     val dir = tmp("graft-maint-text")
     def doc(i: Long) = (i, s"spark hash doc$i")
