@@ -136,7 +136,28 @@ object Bench {
     val spreads = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val canaries = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def jstrEarly(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    // Incremental flush — the r14 lesson: the driver killed the bench at its
+    // window boundary and the round's only artifact was `rc:124` + log tail,
+    // because the JSON was emitted once, at the very end. Writing the
+    // partial record after EVERY query turns an overrun into
+    // partial-but-usable signal (medians for everything that finished, plus
+    // a progress cursor naming the query that was running).
+    def flushPartial(done: Int, total: Int, current: String): Unit = {
+      val qs = medians.map { case (k, v) => s"${jstrEarly(k)}:$v" }.mkString("{", ",", "}")
+      val es = errors.map { case (k, v) => s"${jstrEarly(k)}:${jstrEarly(v)}" }.mkString("{", ",", "}")
+      val line = s"""{"metric":"bench_partial","done":$done,"n_gates":$total,"running":${jstrEarly(current)},"total_so_far":${medians.values.sum},"queries":$qs,"errors":$es,"sf":${jstrEarly(sfDir)}}"""
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+    }
     var sinceRecycle = 0
+    var doneCount = 0
     names.foreach { name =>
       // UNTIMED session recycle (see object doc): resets accumulated
       // session-scoped pressure so late-run medians stay comparable to
@@ -177,6 +198,12 @@ object Bench {
       // contaminated stretch of the run shows up against the query names
       // it overlapped, not just as a whole-run flag
       canaries(name) = canaryOnce(spark)
+      doneCount += 1
+      flushPartial(doneCount, names.size, name)
+      // Per-query progress line on stdout: with the WindowExec spam
+      // silenced (GraftSession), these are what a bounded tail capture
+      // shows on a timeout — which query, how far through, at what cost.
+      println(f"""{"metric":"q","i":$doneCount,"n":${names.size},"name":${jstrEarly(name)},"median":${medians.getOrElse(name, -1.0)}%.3f}""")
     }
     canaryBase = math.min(canaryBase,
       (canaryBaseRuns.head +: canaries.values.toSeq).min)
@@ -236,7 +263,7 @@ object Bench {
     val total = medians.values.sum
     val cqs = contaminatedQs.map(jstr).mkString("[", ",", "]")
     val sqs = spreadFlaggedQs.map(jstr).mkString("[", ",", "]")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"queries_min":$mins,"queries_max":$maxs,"errors":$es,"failed":${errors.size},"canary_base":$canaryBase,"canary_max":$canaryMax,"canary_spike":$canarySpike,"canary_drift":$canaryDrift,"canary_contaminated":${canaryDrift > CanaryDriftLimit},"queries_contaminated":$cqs,"queries_spread_flagged":$sqs,"spread_limit":$SpreadLimit,"canary":$cs,"sf":${jstr(sfDir)}}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"n_gates":${names.size},"queries":$qs,"queries_min":$mins,"queries_max":$maxs,"errors":$es,"failed":${errors.size},"canary_base":$canaryBase,"canary_max":$canaryMax,"canary_spike":$canarySpike,"canary_drift":$canaryDrift,"canary_contaminated":${canaryDrift > CanaryDriftLimit},"queries_contaminated":$cqs,"queries_spread_flagged":$sqs,"spread_limit":$SpreadLimit,"canary":$cs,"sf":${jstr(sfDir)}}"""
     println(fullJson)
     // Durable copy of the full record: the driver's stdout tail capture is
     // bounded (the r10/r11 artifacts recorded only whichever map happened
@@ -256,7 +283,7 @@ object Bench {
     val slowest = medians.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"${jstr(k)}:${math.round(v * 1000) / 1000.0}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"bench_summary","total":${math.round(total * 1000) / 1000.0},"n_queries":${medians.size},"failed":${errors.size},"runs":$Runs,"canary_drift":${math.round(canaryDrift * 1000) / 1000.0},"canary_contaminated":${canaryDrift > CanaryDriftLimit},"n_queries_contaminated":${contaminatedQs.size},"slowest":$slowest,"sf":${jstr(sfDir)},"full_json":"bench_out.json"}""")
+    println(s"""{"metric":"bench_summary","total":${math.round(total * 1000) / 1000.0},"n_queries":${medians.size},"n_gates":${names.size},"failed":${errors.size},"runs":$Runs,"canary_drift":${math.round(canaryDrift * 1000) / 1000.0},"canary_contaminated":${canaryDrift > CanaryDriftLimit},"n_queries_contaminated":${contaminatedQs.size},"slowest":$slowest,"sf":${jstr(sfDir)},"full_json":"bench_out.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

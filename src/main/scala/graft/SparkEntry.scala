@@ -1801,8 +1801,12 @@ object SparkEntry {
       val root = java.nio.file.Files
         .createTempDirectory("graft-stream-text").toString
       SnapshotDirs.add(root)
+      // 16-bucket layout — q131's diet note (q88's oracle is bucket-free);
+      // 3 arrivals × per-trigger append made this the heaviest streaming
+      // gate at 64 buckets
       TextAnalysis.buildTextIndex(
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root)
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root,
+        buckets = 16)
       docs.filter(col("doc_id") % 2 === 1).repartition(3)
         .write.mode("overwrite").parquet(s"$root/arrivals")
       val schema = s.read.parquet(s"$root/arrivals").schema
@@ -1812,9 +1816,9 @@ object SparkEntry {
         .createTempDirectory("q140-ckpt").toString
       SnapshotDirs.add(ckpt)
       graft.streaming.StreamingIndex.ingestTextIndex(
-        s, src, ckpt, root, "doc_id", "text")
+        s, src, ckpt, root, "doc_id", "text", buckets = 16)
       TextAnalysis.searchTextIndex(s, root,
-          Seq("spark", "hash", "window"), k = 25)
+          Seq("spark", "hash", "window"), k = 25, buckets = 16)
         .orderBy(col("bm25_micro").desc, col("doc_id"))
     }),
 
@@ -1853,7 +1857,9 @@ object SparkEntry {
       val root = java.nio.file.Files
         .createTempDirectory("graft-stream-ivfpq").toString
       SnapshotDirs.add(root)
-      Similarity.buildIvfPqIndex(e.filter(col("vec_id") % 2 === 0),
+      // adaptive build — q155's r15 note (this gate aliases q155's
+      // oracle, so the build policies must stay twinned)
+      Similarity.buildIvfPqIndexAdaptive(e.filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding", root)
       e.filter(col("vec_id") % 2 === 1).repartition(3)
         .write.mode("overwrite").parquet(s"$root/arrivals")
@@ -2012,7 +2018,10 @@ object SparkEntry {
       val root = java.nio.file.Files
         .createTempDirectory("graft-ivfpq-append").toString
       SnapshotDirs.add(root)
-      Similarity.buildIvfPqIndex(e.filter(col("vec_id") % 2 === 0),
+      // ADAPTIVE ⌈√n⌉ build (r14 verdict #7: the lifecycle composites
+      // move off the fixed-step anchor; q154 keeps the fixed-policy pin)
+      // — the oracle recomputes the step from its own count
+      Similarity.buildIvfPqIndexAdaptive(e.filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding", root)
       Similarity.appendIvfPqIndex(s, root,
         e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
@@ -2051,7 +2060,8 @@ object SparkEntry {
       val root = java.nio.file.Files
         .createTempDirectory("graft-ivfpq-life").toString
       SnapshotDirs.add(root)
-      Similarity.buildIvfPqIndex(e.filter(col("vec_id") % 2 === 0),
+      // adaptive build — q155's r15 note (oracle recomputes ⌈√n⌉)
+      Similarity.buildIvfPqIndexAdaptive(e.filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding", root)
       Similarity.appendIvfPqIndex(s, root,
         e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
@@ -2075,7 +2085,8 @@ object SparkEntry {
       val root = java.nio.file.Files
         .createTempDirectory("graft-ivfpq-delete").toString
       SnapshotDirs.add(root)
-      Similarity.buildIvfPqIndex(e.filter(col("vec_id") % 2 === 0),
+      // adaptive build — q155's r15 note (hash-equals q159's oracle)
+      Similarity.buildIvfPqIndexAdaptive(e.filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding", root)
       Similarity.appendIvfPqIndex(s, root,
         e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
@@ -2102,10 +2113,11 @@ object SparkEntry {
         .createOrReplaceTempView("q206_odd")
       docs.filter(col("doc_id") % 7 === 3).select("doc_id")
         .createOrReplaceTempView("q206_del")
-      s.sql(s"SELECT * FROM graft_text_index_build('$root', 'q206_even', 'doc_id', 'text')").collect()
-      s.sql(s"SELECT * FROM graft_text_index_append('$root', 'q206_odd', 'doc_id', 'text')").collect()
-      s.sql(s"SELECT * FROM graft_text_index_delete('$root', 'q206_del', 'doc_id')").collect()
-      s.sql(s"""SELECT * FROM graft_bm25_search('$root', 'spark hash window', 25)
+      // 16-bucket layout — q131's diet note (the oracle is bucket-free)
+      s.sql(s"SELECT * FROM graft_text_index_build('$root', 'q206_even', 'doc_id', 'text', 16)").collect()
+      s.sql(s"SELECT * FROM graft_text_index_append('$root', 'q206_odd', 'doc_id', 'text', 16)").collect()
+      s.sql(s"SELECT * FROM graft_text_index_delete('$root', 'q206_del', 'doc_id', 16)").collect()
+      s.sql(s"""SELECT * FROM graft_bm25_search('$root', 'spark hash window', 25, 16)
                |ORDER BY bm25_micro DESC, doc_id""".stripMargin)
     }),
 
@@ -2198,7 +2210,8 @@ object SparkEntry {
         .createOrReplaceTempView("q210_del")
       e.filter(col("vec_id") < 20).select("vec_id", "embedding")
         .write.mode("overwrite").parquet(s"$root/queries")
-      s.sql(s"SELECT * FROM graft_ivfpq_build('$root', 'q210_even', 'vec_id', 'embedding')").collect()
+      // ivfStep=0 → adaptive ⌈√n⌉ build, matching q159's Scala twin
+      s.sql(s"SELECT * FROM graft_ivfpq_build('$root', 'q210_even', 'vec_id', 'embedding', 8, 16, 0, 7)").collect()
       s.sql(s"SELECT * FROM graft_ivfpq_append('$root', 'q210_odd', 'vec_id', 'embedding')").collect()
       s.sql(s"SELECT * FROM graft_ivfpq_delete('$root', 'q210_del', 'vec_id')").collect()
       s.sql(s"SELECT * FROM graft_ivfpq_compact('$root')").collect()
@@ -2925,12 +2938,17 @@ object SparkEntry {
       val root = java.nio.file.Files
         .createTempDirectory("graft-text-audit").toString
       SnapshotDirs.add(root)
+      // 16-bucket layout — q131's diet note; the audit invariants are
+      // bucket-independent like the scores
       TextAnalysis.buildTextIndex(
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root)
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root,
+        buckets = 16)
       TextAnalysis.appendTextIndex(s, root,
-        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        buckets = 16)
       TextAnalysis.deleteFromTextIndex(s, root,
-        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id")
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id",
+        buckets = 16)
       TextAnalysis.textIndexAudit(s, root)
     }),
 
@@ -2941,12 +2959,16 @@ object SparkEntry {
       val root = java.nio.file.Files
         .createTempDirectory("graft-sql-text-audit").toString
       SnapshotDirs.add(root)
+      // 16-bucket layout — q147's twin, same diet
       TextAnalysis.buildTextIndex(
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root)
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root,
+        buckets = 16)
       TextAnalysis.appendTextIndex(s, root,
-        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        buckets = 16)
       TextAnalysis.deleteFromTextIndex(s, root,
-        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id")
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id",
+        buckets = 16)
       graft.api.SqlFrontDoor.sql(s, dir,
         s"SELECT * FROM graft_text_index_audit('$root')")
     }),
@@ -2977,12 +2999,15 @@ object SparkEntry {
       val root = java.nio.file.Files
         .createTempDirectory("graft-text-append").toString
       SnapshotDirs.add(root)
+      // 16-bucket layout — q131's diet note (same bucket-free oracle)
       TextAnalysis.buildTextIndex(
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root)
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root,
+        buckets = 16)
       TextAnalysis.appendTextIndex(s, root,
-        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        buckets = 16)
       TextAnalysis.searchTextIndex(s, root,
-          Seq("spark", "hash", "window"), k = 25)
+          Seq("spark", "hash", "window"), k = 25, buckets = 16)
         .orderBy(col("bm25_micro").desc, col("doc_id"))
     }),
 
@@ -3119,14 +3144,21 @@ object SparkEntry {
       val root = java.nio.file.Files
         .createTempDirectory("graft-text-delete").toString
       SnapshotDirs.add(root)
+      // 16 buckets (q225's argument, applied family-wide in r15's gate
+      // diet): bucket count is LAYOUT, not semantics — scores are
+      // bucket-independent, oracle unchanged — and the lifecycle gates
+      // pay per-bucket commit overhead on every verb
       TextAnalysis.buildTextIndex(
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root)
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root,
+        buckets = 16)
       TextAnalysis.appendTextIndex(s, root,
-        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        buckets = 16)
       TextAnalysis.deleteFromTextIndex(s, root,
-        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id")
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id",
+        buckets = 16)
       TextAnalysis.searchTextIndex(s, root,
-          Seq("spark", "hash", "window"), k = 25)
+          Seq("spark", "hash", "window"), k = 25, buckets = 16)
         .orderBy(col("bm25_micro").desc, col("doc_id"))
     }),
 
@@ -3141,15 +3173,19 @@ object SparkEntry {
       val root = java.nio.file.Files
         .createTempDirectory("graft-text-compact").toString
       SnapshotDirs.add(root)
+      // 16-bucket layout — q131's diet note applies (same oracle)
       TextAnalysis.buildTextIndex(
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root)
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root,
+        buckets = 16)
       TextAnalysis.appendTextIndex(s, root,
-        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        buckets = 16)
       TextAnalysis.deleteFromTextIndex(s, root,
-        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id")
-      TextAnalysis.compactTextIndex(s, root)
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "doc_id",
+        buckets = 16)
+      TextAnalysis.compactTextIndex(s, root, buckets = 16)
       TextAnalysis.searchTextIndex(s, root,
-          Seq("spark", "hash", "window"), k = 25)
+          Seq("spark", "hash", "window"), k = 25, buckets = 16)
         .orderBy(col("bm25_micro").desc, col("doc_id"))
     }),
 
@@ -4576,14 +4612,14 @@ object SparkEntry {
         |         sum(CASE WHEN k >= 32 THEN bit::BIGINT << (k - 32) ELSE 0 END)::BIGINT AS fhi,
         |         sum(CASE WHEN k < 32 THEN bit::BIGINT << k ELSE 0 END)::BIGINT AS flo
         |  FROM bits GROUP BY doc_id, f),
-        |hash AS (
+        |hash AS MATERIALIZED (
         |  SELECT doc_id,
         |         bit_xor(((fhi * (1::BIGINT << r)) % 4294967296)
         |                 + (fhi // (1::BIGINT << (32 - r))))::BIGINT AS hash_hi,
         |         bit_xor(((flo * (1::BIGINT << r)) % 4294967296)
         |                 + (flo // (1::BIGINT << (32 - r))))::BIGINT AS hash_lo
         |  FROM fhash GROUP BY doc_id),
-        |bands AS (
+        |bands AS MATERIALIZED (
         |  SELECT doc_id, b,
         |         CASE b WHEN 0 THEN hash_lo % 65536 WHEN 1 THEN hash_lo // 65536
         |                WHEN 2 THEN hash_hi % 65536 ELSE hash_hi // 65536 END AS bv
@@ -4625,12 +4661,12 @@ object SparkEntry {
         |         CASE WHEN 64 * loud > sum(loud) OVER (PARTITION BY doc_id)
         |              THEN 1 ELSE 0 END AS bit
         |  FROM vals),
-        |hash AS (
+        |hash AS MATERIALIZED (
         |  SELECT doc_id,
         |         sum(CASE WHEN k >= 32 THEN bit::BIGINT << (k - 32) ELSE 0 END)::BIGINT AS hash_hi,
         |         sum(CASE WHEN k < 32 THEN bit::BIGINT << k ELSE 0 END)::BIGINT AS hash_lo
         |  FROM bits GROUP BY doc_id),
-        |bands AS (
+        |bands AS MATERIALIZED (
         |  SELECT doc_id, b,
         |         CASE b WHEN 0 THEN hash_lo % 65536 WHEN 1 THEN hash_lo // 65536
         |                WHEN 2 THEN hash_hi % 65536 ELSE hash_hi // 65536 END AS bv
@@ -4673,12 +4709,12 @@ object SparkEntry {
         |         CASE WHEN 64 * loud > sum(loud) OVER (PARTITION BY doc_id)
         |              THEN 1 ELSE 0 END AS bit
         |  FROM vals),
-        |hash AS (
+        |hash AS MATERIALIZED (
         |  SELECT doc_id,
         |         sum(CASE WHEN k >= 32 THEN bit::BIGINT << (k - 32) ELSE 0 END)::BIGINT AS hash_hi,
         |         sum(CASE WHEN k < 32 THEN bit::BIGINT << k ELSE 0 END)::BIGINT AS hash_lo
         |  FROM bits GROUP BY doc_id),
-        |bands AS (
+        |bands AS MATERIALIZED (
         |  SELECT doc_id, b,
         |         CASE b WHEN 0 THEN hash_lo % 65536 WHEN 1 THEN hash_lo // 65536
         |                WHEN 2 THEN hash_hi % 65536 ELSE hash_hi // 65536 END AS bv
@@ -4687,7 +4723,7 @@ object SparkEntry {
         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |  FROM bands x JOIN bands y
         |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         |  SELECT doc_a AS u, doc_b AS v FROM cand
         |  JOIN hash a ON a.doc_id = doc_a
         |  JOIN hash b ON b.doc_id = doc_b
@@ -4732,14 +4768,14 @@ object SparkEntry {
         |         sum(CASE WHEN k >= 32 THEN bit::BIGINT << (k - 32) ELSE 0 END)::BIGINT AS fhi,
         |         sum(CASE WHEN k < 32 THEN bit::BIGINT << k ELSE 0 END)::BIGINT AS flo
         |  FROM bits GROUP BY doc_id, f),
-        |hash AS (
+        |hash AS MATERIALIZED (
         |  SELECT doc_id,
         |         bit_xor(((fhi * (1::BIGINT << r)) % 4294967296)
         |                 + (fhi // (1::BIGINT << (32 - r))))::BIGINT AS hash_hi,
         |         bit_xor(((flo * (1::BIGINT << r)) % 4294967296)
         |                 + (flo // (1::BIGINT << (32 - r))))::BIGINT AS hash_lo
         |  FROM fhash GROUP BY doc_id),
-        |bands AS (
+        |bands AS MATERIALIZED (
         |  SELECT doc_id, b,
         |         CASE b WHEN 0 THEN hash_lo % 65536 WHEN 1 THEN hash_lo // 65536
         |                WHEN 2 THEN hash_hi % 65536 ELSE hash_hi // 65536 END AS bv
@@ -4748,7 +4784,7 @@ object SparkEntry {
         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |  FROM bands x JOIN bands y
         |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         |  SELECT doc_a AS u, doc_b AS v FROM cand
         |  JOIN hash a ON a.doc_id = doc_a
         |  JOIN hash b ON b.doc_id = doc_b
@@ -5417,11 +5453,11 @@ object SparkEntry {
         |         bit_xor(((flo * (1::BIGINT << r)) % 4294967296)
         |                 + (flo // (1::BIGINT << (32 - r))))::BIGINT AS hash_lo
         |  FROM vi_fhash GROUP BY doc_id),
-        |un AS (
+        |un AS MATERIALIZED (
         |  SELECT doc_id * 4 + 0 AS id, hash_hi, hash_lo FROM ig_hash
         |  UNION ALL SELECT doc_id * 4 + 1, hash_hi, hash_lo FROM au_hash
         |  UNION ALL SELECT doc_id * 4 + 2, hash_hi, hash_lo FROM vi_hash),
-        |bands AS (
+        |bands AS MATERIALIZED (
         |  SELECT id, id % 4 AS m, b,
         |         CASE b WHEN 0 THEN hash_lo % 65536 WHEN 1 THEN hash_lo // 65536
         |                WHEN 2 THEN hash_hi % 65536 ELSE hash_hi // 65536 END AS bv
@@ -5430,7 +5466,7 @@ object SparkEntry {
         |  SELECT DISTINCT x.id AS ia, y.id AS ib
         |  FROM bands x JOIN bands y
         |    ON x.m = y.m AND x.b = y.b AND x.bv = y.bv AND x.id < y.id),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         |  SELECT ia AS u, ib AS v FROM cand
         |  JOIN un a ON a.id = ia
         |  JOIN un b ON b.id = ib
@@ -5514,12 +5550,12 @@ object SparkEntry {
         |         CASE WHEN 64 * luma > sum(luma) OVER (PARTITION BY doc_id)
         |              THEN 1 ELSE 0 END AS bit
         |  FROM samp),
-        |hash AS (
+        |hash AS MATERIALIZED (
         |  SELECT doc_id,
         |         sum(CASE WHEN k >= 32 THEN bit::BIGINT << (k - 32) ELSE 0 END)::BIGINT AS hash_hi,
         |         sum(CASE WHEN k < 32 THEN bit::BIGINT << k ELSE 0 END)::BIGINT AS hash_lo
         |  FROM bits GROUP BY doc_id),
-        |bands AS (
+        |bands AS MATERIALIZED (
         |  SELECT doc_id, b,
         |         CASE b WHEN 0 THEN hash_lo % 65536 WHEN 1 THEN hash_lo // 65536
         |                WHEN 2 THEN hash_hi % 65536 ELSE hash_hi // 65536 END AS bv
@@ -5528,7 +5564,7 @@ object SparkEntry {
         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |  FROM bands x JOIN bands y
         |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         |  SELECT doc_a AS u, doc_b AS v FROM cand
         |  JOIN hash a ON a.doc_id = doc_a
         |  JOIN hash b ON b.doc_id = doc_b
@@ -5565,12 +5601,12 @@ object SparkEntry {
         |         CASE WHEN 64 * luma > sum(luma) OVER (PARTITION BY doc_id)
         |              THEN 1 ELSE 0 END AS bit
         |  FROM samp),
-        |hash AS (
+        |hash AS MATERIALIZED (
         |  SELECT doc_id,
         |         sum(CASE WHEN k >= 32 THEN bit::BIGINT << (k - 32) ELSE 0 END)::BIGINT AS hash_hi,
         |         sum(CASE WHEN k < 32 THEN bit::BIGINT << k ELSE 0 END)::BIGINT AS hash_lo
         |  FROM bits GROUP BY doc_id),
-        |bands AS (
+        |bands AS MATERIALIZED (
         |  SELECT doc_id, b,
         |         CASE b WHEN 0 THEN hash_lo % 65536 WHEN 1 THEN hash_lo // 65536
         |                WHEN 2 THEN hash_hi % 65536 ELSE hash_hi // 65536 END AS bv
@@ -5681,7 +5717,7 @@ object SparkEntry {
         |FROM documents GROUP BY fp ORDER BY keep_id""".stripMargin,
 
     "q9_jaccard_dups" ->
-      s"""WITH sh AS ($ShinglesCte)
+      s"""WITH sh AS MATERIALIZED ($ShinglesCte)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       round(len(list_intersect(a.s, b.s)) /
          |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
@@ -5698,7 +5734,7 @@ object SparkEntry {
     // Brute-force ground truth at 0.6 — the prefix filter must not change
     // the output.
     "q21_jaccard_prefix" ->
-      s"""WITH sh AS ($ShinglesCte)
+      s"""WITH sh AS MATERIALIZED ($ShinglesCte)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       round(len(list_intersect(a.s, b.s)) /
          |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
@@ -5867,8 +5903,8 @@ object SparkEntry {
     // Connected components as a recursive transitive closure over the q9
     // pair graph: canon(u) = min(u, every node reachable from u).
     "q25_dedup_groups" ->
-      s"""WITH RECURSIVE sh AS ($ShinglesCte),
-         |pairs AS (
+      s"""WITH RECURSIVE sh AS MATERIALIZED ($ShinglesCte),
+         |pairs AS MATERIALIZED (
          |  SELECT a.doc_id AS u, b.doc_id AS v
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |  WHERE len(list_intersect(a.s, b.s)) /
@@ -5884,8 +5920,8 @@ object SparkEntry {
     // Same transitive closure as q25, then the apply: drop non-canonical
     // members, fingerprint what survives.
     "q31_dedup_apply" ->
-      s"""WITH RECURSIVE sh AS ($ShinglesCte),
-         |pairs AS (
+      s"""WITH RECURSIVE sh AS MATERIALIZED ($ShinglesCte),
+         |pairs AS MATERIALIZED (
          |  SELECT a.doc_id AS u, b.doc_id AS v
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |  WHERE len(list_intersect(a.s, b.s)) /
@@ -6395,8 +6431,8 @@ object SparkEntry {
     // q25's transitive closure + q58's quality-micro formula + an argmax
     // window: the group winner is row_number 1 by (score desc, doc_id).
     "q89_dedup_quality" ->
-      s"""WITH RECURSIVE sh AS ($ShinglesCte),
-         |pairs AS (
+      s"""WITH RECURSIVE sh AS MATERIALIZED ($ShinglesCte),
+         |pairs AS MATERIALIZED (
          |  SELECT a.doc_id AS u, b.doc_id AS v
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |  WHERE len(list_intersect(a.s, b.s)) /
@@ -6901,8 +6937,12 @@ object SparkEntry {
     // — build(even) + append(odd) must be indistinguishable from this.
     "q155_ivfpq_append" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |icents AS (SELECT vec_id AS cid, v AS cv FROM e
-        |           WHERE vec_id % 2 = 0 AND vec_id % 25 = 0),
+        |st AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS s FROM e
+        |       WHERE vec_id % 2 = 0),
+        |icents AS (SELECT cid, cv FROM (
+        |    SELECT vec_id AS cid, v AS cv FROM e, st
+        |    WHERE vec_id % 2 = 0 AND vec_id % st.s = 0
+        |    ORDER BY cid LIMIT 4096)),
         |asg AS (SELECT id, v, cell FROM (
         |    SELECT e.vec_id AS id, e.v, c.cid AS cell,
         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -6957,8 +6997,12 @@ object SparkEntry {
     // corpus, exactly like the frozen on-disk index).
     "q159_ivfpq_lifecycle" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |icents AS (SELECT vec_id AS cid, v AS cv FROM e
-        |           WHERE vec_id % 2 = 0 AND vec_id % 25 = 0),
+        |st AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS s FROM e
+        |       WHERE vec_id % 2 = 0),
+        |icents AS (SELECT cid, cv FROM (
+        |    SELECT vec_id AS cid, v AS cv FROM e, st
+        |    WHERE vec_id % 2 = 0 AND vec_id % st.s = 0
+        |    ORDER BY cid LIMIT 4096)),
         |asg AS (SELECT id, v, cell FROM (
         |    SELECT e.vec_id AS id, e.v, c.cid AS cell,
         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -8173,7 +8217,7 @@ object SparkEntry {
          |         sum(x.value * (s$p.sg - 1000000 * y.y))::BIGINT AS g
          |       FROM x JOIN y USING (doc_id) JOIN s$p USING (doc_id)
          |       GROUP BY x.dim_idx),
-         |w$p AS (SELECT w${p - 1}.dim_idx,
+         |w$p AS MATERIALIZED (SELECT w${p - 1}.dim_idx,
          |         (w${p - 1}.wm - ((2 * abs(g) + 1000) // 2000) *
          |          (CASE WHEN g < 0 THEN -1 ELSE 1 END))::BIGINT AS wm
          |       FROM w${p - 1} JOIN g$p USING (dim_idx)),""".stripMargin
@@ -8185,7 +8229,7 @@ object SparkEntry {
        |        CASE WHEN ('0x' || substr(md5(w), 16, 1))::BIGINT % 2 = 0
        |             THEN cnt ELSE -cnt END AS sv
        |      FROM c),
-       |x AS (SELECT doc_id, dim_idx, sum(sv)::BIGINT AS value
+       |x AS MATERIALIZED (SELECT doc_id, dim_idx, sum(sv)::BIGINT AS value
        |      FROM v GROUP BY doc_id, dim_idx HAVING sum(sv) <> 0),
        |y AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
        |w0 AS (SELECT DISTINCT dim_idx, 0::BIGINT AS wm FROM x),
@@ -8408,7 +8452,7 @@ object SparkEntry {
          |         list_dot_product(e.v, q.qv) /
          |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
          |       FROM e, q WHERE e.vec_id <> 0),
-         |c AS (SELECT id, v, CAST(floor(cos * 1e6 + 0.5) AS BIGINT) AS rel FROM (
+         |c AS MATERIALIZED (SELECT id, v, CAST(floor(cos * 1e6 + 0.5) AS BIGINT) AS rel FROM (
          |        SELECT id, v, cos, row_number() OVER (ORDER BY cos DESC, id) AS rk
          |        FROM c0)
          |      WHERE rk <= $n)""".stripMargin,
@@ -8420,8 +8464,14 @@ object SparkEntry {
     * the candidate set with double vectors and integer relevance.
     */
   private def mmrUnrolledSql(candCte: String, k: Int, lam: Int): String = {
+    // AS MATERIALIZED on every multiply-referenced CTE: DuckDB 1.0
+    // INLINES CTEs by default, so each of the k unrolled steps was
+    // re-evaluating the whole candidate stack (for the indexed-RAG
+    // oracles that is BM25 + the full IVF-PQ chain — measured 409s →
+    // 0.7s at sf0.01, bit-identical results). Oracle-side syntax only;
+    // Spark never parses these.
     val steps = (2 to k).map { t =>
-      s"""s$t AS (SELECT c.id, c.rel, m.msim,
+      s"""s$t AS MATERIALIZED (SELECT c.id, c.rel, m.msim,
          |  $lam*c.rel - ${100 - lam}*m.msim AS score
          |  FROM c JOIN (SELECT ia AS id, max(sim) AS msim FROM p
          |               WHERE ib IN (SELECT id FROM sel${t - 1}) GROUP BY ia) m
@@ -8435,12 +8485,12 @@ object SparkEntry {
         s"msim AS max_sim_micro, score AS mmr_score FROM s$t")
       .mkString("\nUNION ALL ")
     s"""$candCte,
-       |p AS (SELECT a.id AS ia, b.id AS ib,
+       |p AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib,
        |        CAST(floor(list_dot_product(a.v, b.v) /
        |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
        |          * 1e6 + 0.5) AS BIGINT) AS sim
        |      FROM c a JOIN c b ON a.id <> b.id),
-       |s1 AS (SELECT id, rel, 0::BIGINT AS msim, $lam*rel AS score FROM c
+       |s1 AS MATERIALIZED (SELECT id, rel, 0::BIGINT AS msim, $lam*rel AS score FROM c
        |       ORDER BY $lam*rel DESC, id LIMIT 1),
        |sel1 AS (SELECT id FROM s1),
        |$steps
@@ -8492,7 +8542,7 @@ object SparkEntry {
         |r AS (SELECT doc_id, rrf_micro,
         |             row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
         |      FROM f QUALIFY rank <= 25),
-        |c AS (SELECT r.doc_id AS id, e2.v, r.rrf_micro AS rel
+        |c AS MATERIALIZED (SELECT r.doc_id AS id, e2.v, r.rrf_micro AS rel
         |      FROM r JOIN e e2 ON e2.vec_id = r.doc_id)""".stripMargin,
       k = 5, lam = 70)
 
@@ -8596,7 +8646,7 @@ object SparkEntry {
         |r AS (SELECT doc_id, rrf_micro,
         |             row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
         |      FROM f QUALIFY rank <= 25),
-        |c AS (SELECT r.doc_id AS id, e2.v, r.rrf_micro AS rel
+        |c AS MATERIALIZED (SELECT r.doc_id AS id, e2.v, r.rrf_micro AS rel
         |      FROM r JOIN e e2 ON e2.vec_id = r.doc_id)""".stripMargin,
       k = 5, lam = 70)
   }

@@ -12,6 +12,11 @@ object Verify {
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = GraftSession.local(GraftSession.envCores, "graft-verify")
     new java.io.File(outDir).mkdirs()
+    // oracle_sql.json FIRST (it depends on nothing computed below): if the
+    // sweep is killed at a window boundary, the driver's DuckDB compare can
+    // still score every per-query dir written so far — partial rows instead
+    // of an empty artifact (the r14 failure mode).
+    writeOracleJson(outDir)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -26,6 +31,10 @@ object Verify {
       spark.catalog.clearCache()
       SparkEntry.cleanupStreamArtifacts(spark)
     }
+    spark.stop()
+  }
+
+  private def writeOracleJson(outDir: String): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -41,6 +50,5 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

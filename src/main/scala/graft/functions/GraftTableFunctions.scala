@@ -717,7 +717,7 @@ object GraftTableFunctions {
     ("graft_ivf_maintain", { args =>
       require(args.length == 1 || args.length == 3,
         s"graft_ivf_maintain(dir[, maxSegments, maxTombstones]) got ${args.length} args")
-      writeVerb("ivf_maintain", str("graft_ivf_maintain", args.head)) {
+      maintainVerb("ivf_maintain", str("graft_ivf_maintain", args.head)) {
         graft.operators.StoreMaintenance.maintainIvfIndex(active,
           str("graft_ivf_maintain", args.head),
           maxSegments =
@@ -729,7 +729,7 @@ object GraftTableFunctions {
     ("graft_ivfpq_maintain", { args =>
       require(args.length == 1 || args.length == 3,
         s"graft_ivfpq_maintain(dir[, maxSegments, maxTombstones]) got ${args.length} args")
-      writeVerb("ivfpq_maintain", str("graft_ivfpq_maintain", args.head)) {
+      maintainVerb("ivfpq_maintain", str("graft_ivfpq_maintain", args.head)) {
         graft.operators.StoreMaintenance.maintainIvfPqIndex(active,
           str("graft_ivfpq_maintain", args.head),
           maxSegments =
@@ -759,7 +759,7 @@ object GraftTableFunctions {
     ("graft_snapshot_maintain", { args =>
       require(args.length == 2 || args.length == 3,
         s"graft_snapshot_maintain(dir, idCol[, maxChain]) got ${args.length} args")
-      writeVerb("snapshot_maintain", str("graft_snapshot_maintain", args.head)) {
+      maintainVerb("snapshot_maintain", str("graft_snapshot_maintain", args.head)) {
         graft.operators.StoreMaintenance.maintainSnapshotStore(active,
           str("graft_snapshot_maintain", args.head),
           str("graft_snapshot_maintain", args(1)),
@@ -772,7 +772,7 @@ object GraftTableFunctions {
       require(args.length == 1 || args.length == 2 || args.length == 4,
         "graft_text_index_maintain(dir[, buckets, maxSegments, " +
           s"maxTombstones]) got ${args.length} args")
-      writeVerb("text_index_maintain",
+      maintainVerb("text_index_maintain",
           str("graft_text_index_maintain", args.head)) {
         graft.operators.StoreMaintenance.maintainTextIndex(active,
           str("graft_text_index_maintain", args.head),
@@ -790,16 +790,34 @@ object GraftTableFunctions {
     // graft_composite_begin(manifestDir, textDir, vecDir) — declare a
     // RAG composition (text index + IVF-PQ) BEFORE its member builds, so
     // a crash between them is detectable (graft_rag_audit) even though
-    // every per-store fsck sees a healthy store
+    // every per-store fsck sees a healthy store.
+    //
+    // General form (r14 "what's missing #3" — the library's Member list
+    // was already generic; this exposes it): graft_composite_begin(
+    // manifestDir, membersSpec) where membersSpec declares ANY member
+    // list as `name|dir|comp1,comp2;name2|dir2|comp3` — `;` between
+    // members, `|` between a member's fields, `,` between its required
+    // components ('|' and ';' don't occur in store paths; a dir that
+    // somehow contains one needs the Scala API). A three-store pipeline
+    // (text + vectors + zone-mapped export) declares itself from SQL:
+    //   graft_composite_begin('/m', 'text|/t|stats,terms,postings,docs;
+    //     vectors|/v|centroids,pq_codebook,pq_meta,postings;
+    //     export|/e|corpus')
     ("graft_composite_begin", { args =>
-      require(args.length == 3,
-        s"graft_composite_begin(manifestDir, textDir, vecDir) got ${args.length} args")
+      require(args.length == 2 || args.length == 3,
+        "graft_composite_begin(manifestDir, textDir, vecDir) or " +
+          "(manifestDir, membersSpec) got " + args.length + " args")
       writeVerb("composite_begin", str("graft_composite_begin", args.head)) {
+        val members =
+          if (args.length == 3)
+            graft.operators.Composite.ragMembers(
+              str("graft_composite_begin", args(1)),
+              str("graft_composite_begin", args(2)))
+          else
+            graft.operators.Composite.parseMembersSpec(
+              str("graft_composite_begin", args(1)))
         graft.operators.Composite.begin(active,
-          str("graft_composite_begin", args.head),
-          graft.operators.Composite.ragMembers(
-            str("graft_composite_begin", args(1)),
-            str("graft_composite_begin", args(2))))
+          str("graft_composite_begin", args.head), members)
       }
     }),
     // graft_composite_commit(manifestDir) — every member build landed:
@@ -866,12 +884,31 @@ object GraftTableFunctions {
       : LogicalPlan =
     graft.plans.WriteVerbPlan(verb, dir, () => body)
 
+  /** [[writeVerb]] whose result is the MAINTENANCE RECEIPT: the thunk
+    * runs the policy at execution time and the statement's rows are the
+    * decision `(store, action, n_tombstones, n_live_legs)` — so a
+    * scheduled SQL job can observe which verb actually ran (r14 advice:
+    * the Unit-bodied form discarded it).
+    */
+  private def maintainVerb(verb: String, dir: String)
+                          (body: => org.apache.spark.sql.DataFrame)
+      : LogicalPlan =
+    graft.plans.RowsVerbPlan(verb, dir, () => {
+      body.collect().toSeq.map { r =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(r.getString(0)),
+          UTF8String.fromString(r.getString(1)),
+          r.getLong(2), r.getLong(3))
+      }
+    }, graft.plans.RowsVerbPlan.maintainSchema)
+
   /** Idempotent per-session registration — same contract as
     * [[GraftExtensions.ensureRegistered]], for the table registry.
     */
   def ensureRegistered(spark: SparkSession): Unit = {
-    // the write verbs' deferred-mutation leaf needs its planner rule
+    // the write verbs' deferred-mutation leaves need their planner rules
     graft.plans.WriteVerbStrategy.ensureInjected(spark)
+    graft.plans.RowsVerbStrategy.ensureInjected(spark)
     val registry = spark.sessionState.tableFunctionRegistry
     tableFunctions.foreach { case (name, builder) =>
       val ident = FunctionIdentifier(name)

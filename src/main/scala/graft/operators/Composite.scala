@@ -53,6 +53,24 @@ object Composite {
     Member("vectors", vecDir,
       Seq("centroids", "pq_codebook", "pq_meta", "postings")))
 
+  /** Parse the SQL front door's member spec —
+    * `name|dir|comp1,comp2;name2|dir2|comp3` (`;` between members, `|`
+    * between fields, `,` between components) — into [[Member]]s. The
+    * separators don't occur in store paths; malformed entries fail
+    * loudly with the offending fragment named.
+    */
+  def parseMembersSpec(spec: String): Seq[Member] = {
+    val members = spec.split(";").map(_.trim).filter(_.nonEmpty).toSeq
+    require(members.nonEmpty, s"empty composite member spec: '$spec'")
+    members.map { m =>
+      val parts = m.split("\\|", -1).map(_.trim)
+      require(parts.length == 3 && parts.forall(_.nonEmpty),
+        s"malformed composite member '$m' — expected name|dir|comp1,comp2")
+      Member(parts(0), parts(1),
+        parts(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    }
+  }
+
   private val PendingName = "_composite/pending"
   private val CommittedName = "_composite/committed"
 

@@ -441,6 +441,16 @@ object Curation {
     */
   def writeSnapshot(df: DataFrame, rootDir: String, version: Long): Unit =
       StoreLock.withWriteLock(rootDir) {
+    writeSnapshotUnlocked(df, rootDir, version)
+  }
+
+  /** [[writeSnapshot]] body for callers ALREADY holding the store's write
+    * lock ([[StoreMaintenance.maintainSnapshotStore]] holds it across its
+    * probe + write so two scheduled firings can't both decide 'compact' —
+    * the lock is not reentrant, so the locked wrapper can't be nested).
+    */
+  private[graft] def writeSnapshotUnlocked(df: DataFrame, rootDir: String,
+                                           version: Long): Unit = {
     require(version >= 0, s"version must be >= 0: $version")
     df.write.mode("errorifexists").parquet(s"$rootDir/version=$version")
   }

@@ -104,7 +104,15 @@ object StoreMaintenance {
     */
   def maintainSnapshotStore(spark: SparkSession, rootDir: String,
                             idCol: String,
-                            maxChain: Int = 8): DataFrame = {
+                            maxChain: Int = 8): DataFrame =
+      // Probe + write under ONE write-lock acquisition (r14 advice): two
+      // scheduled firings could otherwise both probe the same chain, both
+      // decide 'compact', and the loser abort on writeSnapshot's
+      // errorifexists instead of the idempotent no-op the cron pitch
+      // promises. With the chain length re-read inside the lock, the
+      // second firing sees the winner's fresh compaction point and
+      // cleanly decides 'none'.
+      StoreLock.withWriteLock(rootDir) {
     val fulls = Curation.snapshotVersions(rootDir)
     require(fulls.nonEmpty, s"no full snapshot under $rootDir — write first")
     val newestFull = fulls.max
@@ -113,7 +121,7 @@ object StoreMaintenance {
     val chain = deltas.size.toLong
     val action = if (chain > maxChain) "compact" else "none"
     if (action == "compact")
-      Curation.writeSnapshot(
+      Curation.writeSnapshotUnlocked(
         Curation.readSnapshotAt(spark, rootDir, newest, idCol),
         rootDir, version = newest + 1)
     receipt(spark, rootDir, action, chain, chain + 1)

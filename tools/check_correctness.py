@@ -6,7 +6,7 @@ hash the way the driver does (columns sorted by name, values stringified).
 
 Usage: python3 tools/check_correctness.py <sf_dir> <verify_out_dir>
 """
-import sys, json, glob, os
+import sys, json, glob, os, time
 import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -18,8 +18,12 @@ for t in ("region nation customer supplier part orders lineitem events "
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 fail = 0
 for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
+    t0 = time.time()
     spark_dir = f"{out_dir}/{name}"
     res = {"rows_match": False, "schema_match": False, "hash_match": False}
     try:
@@ -44,8 +48,10 @@ for name, sql in sorted(oracle.items()):
     ok = res.get("hash_match") and res.get("schema_match")
     if not ok:
         fail += 1
+    res["secs"] = round(time.time() - t0, 2)
     print(("PASS " if ok else "FAIL "), name,
-          json.dumps({k: v for k, v in res.items() if k != "first_diffs"}))
+          json.dumps({k: v for k, v in res.items() if k != "first_diffs"}),
+          flush=True)
     if "first_diffs" in res:
         for a, b in res["first_diffs"]:
             print("   spark:", a, "\n  oracle:", b)
