@@ -4124,6 +4124,85 @@ object SparkEntry {
         s"""SELECT doc_id, text FROM graft_snapshot_at('$root', 4, 'doc_id')
            |ORDER BY doc_id""".stripMargin)
     }),
+
+    // THREE-member composition declared from SQL via the general member
+    // spec (r15: graft_composite_begin's 2-arg form) — text index +
+    // IVF-PQ index + integrity-manifested export under ONE composite
+    // manifest; the audit's deterministic columns are the gate (q222's
+    // treatment — store paths are temp dirs). The kill-injection and
+    // refused-commit paths are CompositeSpec's.
+    "q234_composite_members" -> ((s, dir) => {
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      val docs = Tables(s, dir).documents
+      val e = Tables(s, dir).embeddings
+      val rootT = java.nio.file.Files
+        .createTempDirectory("graft-comp3-text").toString
+      SnapshotDirs.add(rootT)
+      val rootV = java.nio.file.Files
+        .createTempDirectory("graft-comp3-vec").toString
+      SnapshotDirs.add(rootV)
+      val rootE = java.nio.file.Files
+        .createTempDirectory("graft-comp3-exp").toString + "/export"
+      SnapshotDirs.add(rootE)
+      docs.createOrReplaceTempView("q234_docs")
+      e.createOrReplaceTempView("q234_vecs")
+      val spec = s"text|$rootT|stats,terms,postings,docs;" +
+        s"vectors|$rootV|centroids,pq_codebook,pq_meta,postings;" +
+        s"export|$rootE|_export_manifest"
+      s.sql(s"SELECT * FROM graft_composite_begin('$rootT', '$spec')").collect()
+      s.sql(s"SELECT * FROM graft_text_index_build('$rootT', 'q234_docs', 'doc_id', 'text', 16)").collect()
+      s.sql(s"SELECT * FROM graft_ivfpq_build('$rootV', 'q234_vecs', 'vec_id', 'embedding', 8, 16, 0, 7)").collect()
+      graft.sinks.Sinks.writeShuffled(docs.select("doc_id", "text"),
+        "doc_id", numShards = 8, seed = 5L, path = rootE)
+      s.sql(s"SELECT * FROM graft_export_manifest('$rootE', 'shard', 'doc_id')").collect()
+      s.sql(s"SELECT * FROM graft_composite_commit('$rootT')").collect()
+      s.sql(s"""SELECT member, n_components, n_present, present, state, healthy
+               |FROM graft_rag_audit('$rootT') ORDER BY member""".stripMargin)
+    }),
+
+    // The maintenance DECISION RECEIPT through the SQL front door (r15:
+    // the maintain TVFs return (store, action, n_tombstones,
+    // n_live_legs) instead of the generic write receipt — RowsVerbPlan).
+    // q232's chain construction; the receipts themselves are the gate:
+    // firing 1 sees chain 2 > maxChain 1 and compacts, firing 2 sees the
+    // fresh compaction point (chain 0) and cleanly decides none — the
+    // scheduled-SQL-job observability the receipt exists for. Store path
+    // is a temp dir, so the deterministic columns only.
+    "q235_maintain_receipt" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-receipt").toString
+      SnapshotDirs.add(root)
+      Curation.writeSnapshot(d, root, version = 1)
+      Curation.writeSnapshotDelta(s, root, version = 2,
+        upserts = d.filter(col("doc_id") % 7 === 3)
+          .withColumn("text", concat(col("text"), lit(" rev2"))),
+        deleteIds = d.filter(col("doc_id") % 11 === 5 &&
+          col("doc_id") % 7 =!= 3).select("doc_id"),
+        idCol = "doc_id")
+      Curation.writeSnapshotDelta(s, root, version = 3,
+        upserts = d.filter(col("doc_id") % 13 === 1)
+          .withColumn("text", concat(col("text"), lit(" rev3"))),
+        deleteIds = d.filter(col("doc_id") % 17 === 2 &&
+          col("doc_id") % 13 =!= 1).select("doc_id"),
+        idCol = "doc_id")
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      // two separate statements = two policy firings, each collected
+      // eagerly so the second's probe runs after the first's write
+      val r1 = s.sql(
+        s"SELECT * FROM graft_snapshot_maintain('$root', 'doc_id', 1)")
+        .collect().head
+      val r2 = s.sql(
+        s"SELECT * FROM graft_snapshot_maintain('$root', 'doc_id', 1)")
+        .collect().head
+      val sp = s
+      import sp.implicits._
+      Seq(
+        (1L, r1.getString(1), r1.getLong(2), r1.getLong(3)),
+        (2L, r2.getString(1), r2.getLong(2), r2.getLong(3)))
+        .toDF("step", "action", "n_tombstones", "n_live_legs")
+        .orderBy("step")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -7681,6 +7760,30 @@ object SparkEntry {
         |  ('vectors', 4::BIGINT, 4::BIGINT, true, 'committed', true))
         |AS t(member, n_components, n_present, present, state, healthy)
         |ORDER BY member""".stripMargin,
+
+    // The three-member composition's audit: the export member declares
+    // one required component (its integrity manifest), the index members
+    // their four essentials each — all present under a committed
+    // manifest. Presence counts derive from the declared spec, which is
+    // the point: the manifest pins WHAT a complete stack is.
+    "q234_composite_members" ->
+      """SELECT * FROM (VALUES
+        |  ('export', 1::BIGINT, 1::BIGINT, true, 'committed', true),
+        |  ('text', 4::BIGINT, 4::BIGINT, true, 'committed', true),
+        |  ('vectors', 4::BIGINT, 4::BIGINT, true, 'committed', true))
+        |AS t(member, n_components, n_present, present, state, healthy)
+        |ORDER BY member""".stripMargin,
+
+    // The receipts derive from chain arithmetic alone: firing 1 probes a
+    // 2-delta chain over maxChain 1 (n_tombstones = chain = 2,
+    // n_live_legs = chain + base = 3) and compacts; firing 2 probes the
+    // compaction-point store (chain 0, one leg) and decides none.
+    "q235_maintain_receipt" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 'compact', 2::BIGINT, 3::BIGINT),
+        |  (2::BIGINT, 'none', 0::BIGINT, 1::BIGINT))
+        |AS t(step, action, n_tombstones, n_live_legs)
+        |ORDER BY step""".stripMargin,
 
     // The twin-augmented corpus, q177's signature packing, and the BRUTE
     // radius scan — by pigeonhole (radius 3 < 4 bands) the banded plan
