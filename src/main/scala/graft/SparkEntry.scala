@@ -4203,6 +4203,53 @@ object SparkEntry {
         .toDF("step", "action", "n_tombstones", "n_live_legs")
         .orderBy("step")
     }),
+
+    // CDC-DRIVEN index freshness (IndexSync): a text index built at
+    // snapshot v1 follows the store to v3 through ONE sync — diff names
+    // the churn, removed/changed ids leave as tombstones, the re-append
+    // of changed ids triggers the tombstone drain (the search anti-join
+    // is absolute on doc_id, so re-adding without draining would shadow
+    // the new postings — exercised here under the hash), added/changed
+    // content enters via the scoped reconstruction. The synced index
+    // must answer the from-scratch BM25 oracle over the corpus
+    // RECONSTRUCTED at v3 — rebuild-equivalence at churn cost. Driven
+    // through the graft_text_index_sync TVF so the SQL surface is the
+    // thing gated; receipt semantics (applied/noop/pending-refusal,
+    // cross-sync re-birth) are IndexSyncSpec's.
+    "q236_text_sync" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-text-sync").toString
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-text-sync-idx").toString
+      SnapshotDirs.add(root)
+      SnapshotDirs.add(idx)
+      // v1 is a SUBSET (%5 != 4), so v2/v3 upserts include genuinely NEW
+      // ids (`added`), not just rewrites
+      Curation.writeSnapshot(d.filter(col("doc_id") % 5 =!= 4), root,
+        version = 1)
+      Curation.writeSnapshotDelta(s, root, version = 2,
+        upserts = d.filter(col("doc_id") % 7 === 3)
+          .withColumn("text", concat(col("text"), lit(" rev2"))),
+        deleteIds = d.filter(col("doc_id") % 11 === 5 &&
+          col("doc_id") % 7 =!= 3).select("doc_id"),
+        idCol = "doc_id")
+      Curation.writeSnapshotDelta(s, root, version = 3,
+        upserts = d.filter(col("doc_id") % 13 === 1)
+          .withColumn("text", concat(col("text"), lit(" rev3"))),
+        deleteIds = d.filter(col("doc_id") % 17 === 2 &&
+          col("doc_id") % 13 =!= 1).select("doc_id"),
+        idCol = "doc_id")
+      TextAnalysis.buildTextIndex(
+        Curation.readSnapshotAt(s, root, version = 1, idCol = "doc_id"),
+        "doc_id", "text", idx, buckets = 16)
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      s.sql(s"SELECT * FROM graft_text_index_sync('$idx', '$root', 1, 3, " +
+        "'doc_id', 'text', 16)").collect()
+      TextAnalysis.searchTextIndex(s, idx,
+          Seq("spark", "hash", "window"), k = 25, buckets = 16)
+        .orderBy(col("bm25_micro").desc, col("doc_id"))
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -7974,6 +8021,50 @@ object SparkEntry {
         |  SELECT d.id AS id, 'removed' AS status
         |  FROM dels d JOIN present_v2 p ON d.id = p.id)
         |ORDER BY id""".stripMargin,
+
+    // The synced index must equal a from-scratch build over the corpus
+    // RECONSTRUCTED at v3, so the oracle replays the chain arithmetic
+    // (membership: ((v1-subset minus v2-deletes) plus v2-upserts, minus
+    // v3-deletes) plus v3-upserts; text: the LAST upsert's suffix wins)
+    // and then runs q131's exact BM25 shape over the result
+    "q236_text_sync" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 1 THEN text || ' rev3'
+        |              WHEN doc_id % 7 = 3 THEN text || ' rev2'
+        |              ELSE text END AS text
+        |  FROM documents
+        |  WHERE ((((doc_id % 5 <> 4
+        |            AND NOT (doc_id % 11 = 5 AND doc_id % 7 <> 3))
+        |           OR doc_id % 7 = 3)
+        |          AND NOT (doc_id % 17 = 2 AND doc_id % 13 <> 1))
+        |         OR doc_id % 13 = 1)),
+        |tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM d),
+        |t AS (SELECT doc_id, term FROM tt WHERE term <> ''),
+        |dl AS (SELECT doc_id,
+        |              len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS dl
+        |       FROM d),
+        |avg AS (SELECT sum(dl)::BIGINT * 1.0 / count(*) AS avgdl FROM dl),
+        |n AS (SELECT count(*)::BIGINT AS n_docs FROM d),
+        |qt AS (SELECT doc_id, term, count(*)::BIGINT AS cnt FROM t
+        |       WHERE term IN ('spark', 'hash', 'window') GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*)::BIGINT AS df FROM qt GROUP BY term),
+        |m AS (SELECT qt.doc_id,
+        |             round(ln((n.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+        |                   ((qt.cnt * (1.2 + 1.0)) /
+        |                    (qt.cnt + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avg.avgdl)))
+        |                   * 1e6)::BIGINT AS micro
+        |      FROM qt JOIN dl USING (doc_id) JOIN dfq USING (term)
+        |      CROSS JOIN n CROSS JOIN avg),
+        |s AS (SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+        |             sum(micro)::BIGINT AS bm25_micro
+        |      FROM m GROUP BY doc_id),
+        |r AS (SELECT doc_id, n_terms_hit, bm25_micro,
+        |             row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rk
+        |      FROM s)
+        |SELECT doc_id, n_terms_hit, bm25_micro FROM r WHERE rk <= 25
+        |ORDER BY bm25_micro DESC, doc_id""".stripMargin,
 
     // The export-integrity manifest re-derived: shard = q69's
     // permutation arithmetic (md5('7:'||id) first 15 hex digits mod 16),

@@ -787,6 +787,30 @@ object GraftTableFunctions {
             else 0L)
       }
     }),
+    // graft_text_index_sync(indexDir, storeDir, oldV, newV, idCol,
+    // textCol[, buckets]) — CDC-driven index freshness: apply the
+    // snapshot store's (oldV, newV] range to the text index at churn
+    // cost (diff → delete → drain-if-shadowed → append) instead of a
+    // rebuild. Returns the sync receipt (action applied/noop + the
+    // added/changed/removed counts), so the scheduled job that fires it
+    // observes what it did; a replayed range is a clean noop
+    ("graft_text_index_sync", { args =>
+      require(args.length == 6 || args.length == 7,
+        "graft_text_index_sync(indexDir, storeDir, oldV, newV, idCol, " +
+          s"textCol[, buckets]) got ${args.length} args")
+      syncVerb("text_index_sync", str("graft_text_index_sync", args.head)) {
+        graft.operators.IndexSync.syncTextIndexFromSnapshots(active,
+          str("graft_text_index_sync", args.head),
+          str("graft_text_index_sync", args(1)),
+          lng("graft_text_index_sync", args(2)),
+          lng("graft_text_index_sync", args(3)),
+          str("graft_text_index_sync", args(4)),
+          str("graft_text_index_sync", args(5)),
+          buckets =
+            if (args.length == 7) int("graft_text_index_sync", args(6))
+            else 64)
+      }
+    }),
     // graft_composite_begin(manifestDir, textDir, vecDir) — declare a
     // RAG composition (text index + IVF-PQ) BEFORE its member builds, so
     // a crash between them is detectable (graft_rag_audit) even though
@@ -901,6 +925,24 @@ object GraftTableFunctions {
           r.getLong(2), r.getLong(3))
       }
     }, graft.plans.RowsVerbPlan.maintainSchema)
+
+  /** [[maintainVerb]]'s sibling for [[graft.operators.IndexSync]]'s
+    * receipt shape `(verb, store, action, old_version, new_version,
+    * n_added, n_changed, n_removed, compacted)`.
+    */
+  private def syncVerb(verb: String, dir: String)
+                      (body: => org.apache.spark.sql.DataFrame)
+      : LogicalPlan =
+    graft.plans.RowsVerbPlan(verb, dir, () => {
+      body.collect().toSeq.map { r =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(r.getString(0)),
+          UTF8String.fromString(r.getString(1)),
+          UTF8String.fromString(r.getString(2)),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getBoolean(8))
+      }
+    }, graft.plans.RowsVerbPlan.syncSchema)
 
   /** Idempotent per-session registration — same contract as
     * [[GraftExtensions.ensureRegistered]], for the table registry.

@@ -616,6 +616,17 @@ object Curation {
                      idCol: String): DataFrame =
     reconstructAt(spark, rootDir, version, idCol, scope = None)
 
+  /** [[readSnapshotAt]] RESTRICTED to `scope`'s ids — the public face of
+    * the per-leg scoped reconstruction [[diffSnapshotsAt]] rides: the
+    * semi-join is pushed into every chain leg by hand, so the read costs
+    * the scoped ids' rows, never the corpus. What an incremental
+    * consumer ([[IndexSync]]) reads to fetch ONLY the churned documents.
+    */
+  def readSnapshotAt(spark: org.apache.spark.sql.SparkSession,
+                     rootDir: String, version: Long,
+                     idCol: String, scope: DataFrame): DataFrame =
+    reconstructAt(spark, rootDir, version, idCol, Some(scope))
+
   /** [[readSnapshotAt]], optionally RESTRICTED to an id set: the scope
     * semi-join is applied per chain LEG (base + every delta component),
     * not post-window, so the shuffle carries only the scoped ids' rows —

@@ -42,6 +42,21 @@ object RowsVerbPlan {
     AttributeReference("action", StringType, nullable = false)(),
     AttributeReference("n_tombstones", LongType, nullable = false)(),
     AttributeReference("n_live_legs", LongType, nullable = false)())
+
+  /** The CDC-sync receipt's fixed shape — mirrors
+    * [[graft.operators.IndexSync]]'s one-row DataFrame.
+    */
+  def syncSchema: Seq[Attribute] = Seq(
+    AttributeReference("verb", StringType, nullable = false)(),
+    AttributeReference("store", StringType, nullable = false)(),
+    AttributeReference("action", StringType, nullable = false)(),
+    AttributeReference("old_version", LongType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)(),
+    AttributeReference("n_added", LongType, nullable = false)(),
+    AttributeReference("n_changed", LongType, nullable = false)(),
+    AttributeReference("n_removed", LongType, nullable = false)(),
+    AttributeReference("compacted",
+      org.apache.spark.sql.types.BooleanType, nullable = false)())
 }
 
 /** Physical node: the verb fires on the driver at first action, once,
