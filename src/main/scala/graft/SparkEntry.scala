@@ -4250,6 +4250,52 @@ object SparkEntry {
           Seq("spark", "hash", "window"), k = 25, buckets = 16)
         .orderBy(col("bm25_micro").desc, col("doc_id"))
     }),
+
+    // q236's composition for the VECTOR store: the IVF index follows the
+    // snapshot store's embedding churn (corpusDiff fingerprints the
+    // array through a string cast). Content changes are PERMUTATIONS
+    // (reverse at v2, rotate-left at v3) — value-exact, no float
+    // arithmetic at the engine/oracle boundary. The codebook stays
+    // FROZEN at the build version (append's contract), so the oracle
+    // derives centroids from v1's membership and assigns the v3 corpus
+    // to them — exactly what a synced index must serve. Driven through
+    // the graft_ivf_sync TVF; the IVF-PQ sibling shares every line of
+    // the sync skeleton and its verbs are oracle-gated at q205/q210, so
+    // it is spec-covered (IndexSyncSpec) rather than re-gated.
+    "q237_ivf_sync" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivf-sync").toString
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-ivf-sync-idx").toString
+      SnapshotDirs.add(root)
+      SnapshotDirs.add(idx)
+      Curation.writeSnapshot(e.filter(col("vec_id") % 5 =!= 4), root,
+        version = 1)
+      Curation.writeSnapshotDelta(s, root, version = 2,
+        upserts = e.filter(col("vec_id") % 7 === 3)
+          .withColumn("embedding", reverse(col("embedding"))),
+        deleteIds = e.filter(col("vec_id") % 11 === 5 &&
+          col("vec_id") % 7 =!= 3).select("vec_id"),
+        idCol = "vec_id")
+      Curation.writeSnapshotDelta(s, root, version = 3,
+        upserts = e.filter(col("vec_id") % 13 === 1)
+          .withColumn("embedding", expr(
+            "concat(slice(embedding, 2, size(embedding)-1), " +
+              "slice(embedding, 1, 1))")),
+        deleteIds = e.filter(col("vec_id") % 17 === 2 &&
+          col("vec_id") % 13 =!= 1).select("vec_id"),
+        idCol = "vec_id")
+      Similarity.buildIvfIndexAdaptive(
+        Curation.readSnapshotAt(s, root, version = 1, idCol = "vec_id"),
+        "vec_id", "embedding", idx)
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      s.sql(s"SELECT * FROM graft_ivf_sync('$idx', '$root', 1, 3, " +
+        "'vec_id', 'embedding')").collect()
+      Similarity.searchIvfIndex(s, idx, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -8065,6 +8111,55 @@ object SparkEntry {
         |      FROM s)
         |SELECT doc_id, n_terms_hit, bm25_micro FROM r WHERE rk <= 25
         |ORDER BY bm25_micro DESC, doc_id""".stripMargin,
+
+    // q133's oracle shape under the sync chain: centroids derive from
+    // the BUILD version's membership (%5<>4, original vectors — the
+    // frozen codebook), assignment runs over the v3-reconstructed corpus
+    // (membership = chain arithmetic; content = last-upsert-wins
+    // permutations: rotate at v3 beats reverse at v2), queries are the
+    // original vectors
+    "q237_ivf_sync" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+        |corp AS (SELECT * FROM e WHERE vec_id % 5 <> 4),
+        |st AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS s FROM corp),
+        |cents AS (SELECT vec_id AS cid, v0 AS cv FROM corp, st
+        |          WHERE vec_id % st.s = 0 ORDER BY cid LIMIT 4096),
+        |keep AS MATERIALIZED (
+        |  SELECT vec_id,
+        |         CASE WHEN vec_id % 13 = 1 THEN list_concat(v0[2:], [v0[1]])
+        |              WHEN vec_id % 7 = 3 THEN list_reverse(v0)
+        |              ELSE v0 END AS v
+        |  FROM e
+        |  WHERE ((((vec_id % 5 <> 4
+        |            AND NOT (vec_id % 11 = 5 AND vec_id % 7 <> 3))
+        |           OR vec_id % 7 = 3)
+        |          AND NOT (vec_id % 17 = 2 AND vec_id % 13 <> 1))
+        |         OR vec_id % 13 = 1)),
+        |asg AS (SELECT id, v, cell FROM (
+        |    SELECT k.vec_id AS id, k.v, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY k.vec_id ORDER BY
+        |             list_dot_product(k.v, c.cv) /
+        |             (sqrt(list_dot_product(k.v, k.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS rk
+        |    FROM keep k CROSS JOIN cents c) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, v0 AS qv FROM e WHERE vec_id < 20),
+        |probes AS (SELECT query_id, qv, cell FROM (
+        |    SELECT q.query_id, q.qv, c.cid AS cell,
+        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |             list_dot_product(q.qv, c.cv) /
+        |             (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cid) AS prk
+        |    FROM q CROSS JOIN cents c) WHERE prk <= 2),
+        |s AS (SELECT p.query_id, a.id AS neighbor_id,
+        |             list_dot_product(p.qv, a.v) /
+        |             (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS c
+        |      FROM probes p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.id),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+        |      FROM s)
+        |SELECT query_id, neighbor_id, round(c, 4) + 0 AS cos FROM r WHERE rk <= 3
+        |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
 
     // The export-integrity manifest re-derived: shard = q69's
     // permutation arithmetic (md5('7:'||id) first 15 hex digits mod 16),

@@ -811,6 +811,38 @@ object GraftTableFunctions {
             else 64)
       }
     }),
+    // graft_ivf_sync / graft_ivfpq_sync(indexDir, storeDir, oldV, newV,
+    // idCol, vecCol) — graft_text_index_sync's contract for the vector
+    // stores (frozen codebooks; a changed embedding diffs as 'changed'
+    // through the string-cast fingerprint)
+    ("graft_ivf_sync", { args =>
+      require(args.length == 6,
+        "graft_ivf_sync(indexDir, storeDir, oldV, newV, idCol, vecCol) " +
+          s"got ${args.length} args")
+      syncVerb("ivf_sync", str("graft_ivf_sync", args.head)) {
+        graft.operators.IndexSync.syncIvfIndexFromSnapshots(active,
+          str("graft_ivf_sync", args.head),
+          str("graft_ivf_sync", args(1)),
+          lng("graft_ivf_sync", args(2)),
+          lng("graft_ivf_sync", args(3)),
+          str("graft_ivf_sync", args(4)),
+          str("graft_ivf_sync", args(5)))
+      }
+    }),
+    ("graft_ivfpq_sync", { args =>
+      require(args.length == 6,
+        "graft_ivfpq_sync(indexDir, storeDir, oldV, newV, idCol, vecCol) " +
+          s"got ${args.length} args")
+      syncVerb("ivfpq_sync", str("graft_ivfpq_sync", args.head)) {
+        graft.operators.IndexSync.syncIvfPqIndexFromSnapshots(active,
+          str("graft_ivfpq_sync", args.head),
+          str("graft_ivfpq_sync", args(1)),
+          lng("graft_ivfpq_sync", args(2)),
+          lng("graft_ivfpq_sync", args(3)),
+          str("graft_ivfpq_sync", args(4)),
+          str("graft_ivfpq_sync", args(5)))
+      }
+    }),
     // graft_composite_begin(manifestDir, textDir, vecDir) — declare a
     // RAG composition (text index + IVF-PQ) BEFORE its member builds, so
     // a crash between them is detectable (graft_rag_audit) even though

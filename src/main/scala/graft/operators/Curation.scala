@@ -402,13 +402,20 @@ object Curation {
     * One full outer join on the id; content comparison is on
     * [[TextAnalysis.fingerprint]] (normalized md5), computed map-side on
     * each side — text never crosses the exchange, only (id, fingerprint).
+    *
+    * The content column is cast to string first — a no-op for text, and
+    * what lets a NON-string column (an embedding array, a struct) diff
+    * by value: Spark's cast renders distinct values distinctly, so the
+    * fingerprint moves exactly when the content does. That makes the
+    * whole snapshot-diff plane ([[diffSnapshotsAt]], [[IndexSync]])
+    * usable for vector stores, not just documents.
     */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                  textCol: String): DataFrame = {
     val o = oldDf.select(col(idCol).as("id"),
-      TextAnalysis.fingerprint(col(textCol)).as("old_fp"))
+      TextAnalysis.fingerprint(col(textCol).cast("string")).as("old_fp"))
     val n = newDf.select(col(idCol).as("id"),
-      TextAnalysis.fingerprint(col(textCol)).as("new_fp"))
+      TextAnalysis.fingerprint(col(textCol).cast("string")).as("new_fp"))
     o.join(n, Seq("id"), "full_outer")
       .select(col("id"),
         when(col("old_fp").isNull, "added")

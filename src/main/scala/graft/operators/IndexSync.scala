@@ -101,15 +101,80 @@ object IndexSync {
                                  indexDir: String, storeDir: String,
                                  oldVersion: Long, newVersion: Long,
                                  idCol: String, textCol: String,
-                                 buckets: Int = 64): DataFrame = {
+                                 buckets: Int = 64): DataFrame =
+    syncStore(spark, indexDir, storeDir, oldVersion, newVersion,
+      idCol, contentCol = textCol,
+      verb = "sync_text_index", tombstoneIdCol = "doc_id",
+      deleteFn = ids =>
+        TextAnalysis.deleteFromTextIndex(spark, indexDir, ids, idCol,
+          buckets),
+      compactFn = () => TextAnalysis.compactTextIndex(spark, indexDir,
+        buckets),
+      appendFn = batch =>
+        TextAnalysis.appendTextIndex(spark, indexDir, batch, idCol,
+          textCol, buckets))
+
+  /** [[syncTextIndexFromSnapshots]] for the IVF vector store — the RAG
+    * stack's other member follows the same snapshot store (the content
+    * column is the embedding; [[Curation.corpusDiff]] fingerprints it
+    * through a string cast, so a changed vector diffs as `changed`).
+    * The codebook stays FROZEN across syncs ([[Similarity.appendIvfIndex]]'s
+    * contract): the synced index answers as a from-scratch assignment of
+    * the target-version corpus to the ORIGINAL centroids — gated exactly
+    * so (q237's oracle derives centroids from the BUILD version's
+    * membership). Codebook drift is a rebuild decision, not a sync step.
+    */
+  def syncIvfIndexFromSnapshots(spark: SparkSession,
+                                indexDir: String, storeDir: String,
+                                oldVersion: Long, newVersion: Long,
+                                idCol: String, vecCol: String): DataFrame =
+    syncStore(spark, indexDir, storeDir, oldVersion, newVersion,
+      idCol, contentCol = vecCol,
+      verb = "sync_ivf_index", tombstoneIdCol = "id",
+      deleteFn = ids =>
+        Similarity.deleteFromIvfIndex(spark, indexDir, ids, idCol),
+      compactFn = () => Similarity.compactIvfIndex(spark, indexDir),
+      appendFn = batch =>
+        Similarity.appendIvfIndex(spark, indexDir, batch, idCol, vecCol))
+
+  /** [[syncIvfIndexFromSnapshots]] for the IVF-PQ store (frozen coarse
+    * codebook AND frozen PQ sub-codebooks — the append/delete/compact
+    * verbs' existing contract).
+    */
+  def syncIvfPqIndexFromSnapshots(spark: SparkSession,
+                                  indexDir: String, storeDir: String,
+                                  oldVersion: Long, newVersion: Long,
+                                  idCol: String, vecCol: String): DataFrame =
+    syncStore(spark, indexDir, storeDir, oldVersion, newVersion,
+      idCol, contentCol = vecCol,
+      verb = "sync_ivfpq_index", tombstoneIdCol = "id",
+      deleteFn = ids =>
+        Similarity.deleteFromIvfPqIndex(spark, indexDir, ids, idCol),
+      compactFn = () => Similarity.compactIvfPqIndex(spark, indexDir),
+      appendFn = batch =>
+        Similarity.appendIvfPqIndex(spark, indexDir, batch, idCol, vecCol))
+
+  /** The shared sync skeleton: marker discipline, churn diff, and the
+    * delete → drain-if-shadowed → scoped-append composition, with the
+    * store-specific verbs injected. `tombstoneIdCol` is the id column
+    * name INSIDE the store's `tombstones/` component (the text index
+    * writes `doc_id`, the vector stores write `id`).
+    */
+  private def syncStore(spark: SparkSession,
+                        indexDir: String, storeDir: String,
+                        oldVersion: Long, newVersion: Long,
+                        idCol: String, contentCol: String,
+                        verb: String, tombstoneIdCol: String,
+                        deleteFn: DataFrame => Unit,
+                        compactFn: () => Unit,
+                        appendFn: DataFrame => Unit): DataFrame = {
     require(newVersion > oldVersion,
-      s"syncTextIndexFromSnapshots needs oldVersion < newVersion: " +
-        s"$oldVersion >= $newVersion")
+      s"$verb needs oldVersion < newVersion: $oldVersion >= $newVersion")
     def receipt(action: String, nAdded: Long, nChanged: Long,
                 nRemoved: Long, compacted: Boolean): DataFrame = {
       val sp = spark
       import sp.implicits._
-      Seq(("sync_text_index", indexDir, action, oldVersion, newVersion,
+      Seq((verb, indexDir, action, oldVersion, newVersion,
         nAdded, nChanged, nRemoved, compacted))
         .toDF("verb", "store", "action", "old_version", "new_version",
           "n_added", "n_changed", "n_removed", "compacted")
@@ -141,7 +206,7 @@ object IndexSync {
     if (decided == "noop") return receipt("noop", 0L, 0L, 0L, compacted = false)
     CacheScope.withCaches {
       val diff = CacheScope.persisted(Curation.diffSnapshotsAt(
-        spark, storeDir, oldVersion, newVersion, idCol, textCol))
+        spark, storeDir, oldVersion, newVersion, idCol, contentCol))
       val counts = diff.groupBy("status").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val nAdded = counts.getOrElse("added", 0L)
@@ -149,28 +214,25 @@ object IndexSync {
       val nRemoved = counts.getOrElse("removed", 0L)
       var compacted = false
       if (nChanged + nRemoved > 0)
-        TextAnalysis.deleteFromTextIndex(spark, indexDir,
-          diff.filter(col("status").isin("changed", "removed"))
-            .select(col("id").as(idCol)),
-          idCol, buckets)
+        deleteFn(diff.filter(col("status").isin("changed", "removed"))
+          .select(col("id").as(idCol)))
       if (nAdded + nChanged > 0) {
         val toAppend = diff.filter(col("status").isin("added", "changed"))
           .select(col("id").as(idCol))
         // drain tombstones iff one would shadow a (re-)appended id —
         // the smallest sufficient verb, StoreMaintenance's rule
         val shadowed = StoreFs
-          .tombstoneIds(spark, s"$indexDir/tombstones", "doc_id")
+          .tombstoneIds(spark, s"$indexDir/tombstones", tombstoneIdCol)
           .exists(t => !toAppend
-            .join(t.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
+            .join(t.select(col(tombstoneIdCol).as(idCol)), Seq(idCol),
+              "left_semi")
             .isEmpty)
         if (shadowed) {
-          TextAnalysis.compactTextIndex(spark, indexDir, buckets)
+          compactFn()
           compacted = true
         }
-        TextAnalysis.appendTextIndex(spark, indexDir,
-          Curation.readSnapshotAt(spark, storeDir, newVersion, idCol,
-            scope = toAppend),
-          idCol, textCol, buckets)
+        appendFn(Curation.readSnapshotAt(spark, storeDir, newVersion,
+          idCol, scope = toAppend))
       }
       StoreLock.withWriteLock(syncLockDir(indexDir)) {
         StoreFs.writeFile(spark, appliedPath(indexDir), newVersion.toString)

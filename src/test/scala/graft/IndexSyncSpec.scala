@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, IndexSync, StoreFs, TextAnalysis}
+import graft.operators.{Curation, IndexSync, Similarity, StoreFs, TextAnalysis}
 
 /** CDC-driven index freshness ([[graft.operators.IndexSync]]): the
   * rebuild-equivalence half is oracle-gated (q236 hash-equals the
@@ -166,6 +166,98 @@ class IndexSyncSpec extends SparkTestBase {
       2, 3, "doc_id", "text", buckets = 4)
       .collect().head.getAs[String]("action") == "applied")
     assert(hits(idx, "foxtrot") == Set(6L))
+  }
+
+  // one-hot direction per id (id % 3) + a small id-proportional tail, so
+  // "which centroid a vector matches" is controlled by the test
+  private def vecs(ids: Long*): org.apache.spark.sql.DataFrame =
+    ids.map { i =>
+      val v = Array.fill(4)(0.0); v((i % 3).toInt) = 1.0; v(3) = 0.001 * i
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+
+  private def oneHot(d: Int): Seq[Double] = {
+    val v = Array.fill(4)(0.0); v(d) = 1.0; v.toSeq
+  }
+
+  private def neighbors(idx: String, dir: Int, k: Int): Set[Long] =
+    Similarity.searchIvfIndex(spark, idx,
+        Seq((999L, oneHot(dir))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = k, nprobe = 3)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+
+  test("IVF sync: changed vectors re-assign to their new cells, re-birth served after the drain") {
+    val store = tmp("graft-ivf-sync-store")
+    val idx = tmp("graft-ivf-sync-idx")
+    // ids 0..8: directions 0,1,2,0,1,2,0,1,2
+    Curation.writeSnapshot(vecs(0L to 8L: _*), store, version = 1)
+    // v2: id 4 deleted (delete-only — the tombstone stays live, no drain)
+    Curation.writeSnapshotDelta(spark, store, version = 2,
+      upserts = spark.emptyDataset[(Long, Seq[Double])]
+        .toDF("vec_id", "embedding"),
+      deleteIds = Seq(4L).toDF("vec_id"), idCol = "vec_id")
+    // v3: id 3 flips direction 0 -> 2 (changed), id 9 arrives (dir 1),
+    // id 4 reborn on direction 0 — the re-adds meet 4's LIVE tombstone
+    Curation.writeSnapshotDelta(spark, store, version = 3,
+      upserts = Seq(
+          (3L, { val v = Array.fill(4)(0.0); v(2) = 1.0; v(3) = 0.003; v.toSeq }),
+          (9L, { val v = Array.fill(4)(0.0); v(1) = 1.0; v(3) = 0.009; v.toSeq }),
+          (4L, { val v = Array.fill(4)(0.0); v(0) = 1.0; v(3) = 0.004; v.toSeq }))
+        .toDF("vec_id", "embedding"),
+      deleteIds = spark.emptyDataset[Long].toDF("vec_id"), idCol = "vec_id")
+    Similarity.buildIvfIndex(
+      Curation.readSnapshotAt(spark, store, 1, "vec_id"),
+      "vec_id", "embedding", idx, centStep = 3)
+    val r1 = IndexSync.syncIvfIndexFromSnapshots(spark, idx, store,
+      1, 2, "vec_id", "embedding").collect().head
+    assert(r1.getAs[String]("action") == "applied")
+    assert(r1.getAs[Long]("n_removed") == 1L)  // 4
+    assert(!r1.getAs[Boolean]("compacted"))    // pure delete: tombstone only
+    // membership after sync1 (all 3 cells probed, so k=20 = full live set)
+    assert(neighbors(idx, 0, k = 20) ==
+      Set(0L, 1L, 2L, 3L, 5L, 6L, 7L, 8L))
+    // sync2: 3 changed (its own delete shadows it), 4 reborn against its
+    // LIVE v2 tombstone, 9 added — ONE drain serves all of them
+    val r2 = IndexSync.syncIvfIndexFromSnapshots(spark, idx, store,
+      2, 3, "vec_id", "embedding").collect().head
+    assert(r2.getAs[Long]("n_added") == 2L)    // 4, 9
+    assert(r2.getAs[Long]("n_changed") == 1L)  // 3
+    assert(r2.getAs[Boolean]("compacted"))
+    assert(neighbors(idx, 0, k = 20) ==
+      Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
+    // 3's content moved to direction 2: it ranks in dir-2's top-3
+    // (tails .002/.003/.005 — ids 2, 3, 5) and is OUT of dir-0's top-3
+    // ({0, 4, 6}; a stale dir-0 posting for 3 would rank cos≈1 and flip
+    // this — the re-assignment proof); reborn 4 (tail .004) slots
+    // between 0 and 6
+    assert(neighbors(idx, 2, k = 3) == Set(2L, 3L, 5L))
+    assert(neighbors(idx, 0, k = 3) == Set(0L, 4L, 6L))
+    assert(IndexSync.appliedVersion(spark, idx).contains(3L))
+  }
+
+  test("IVF-PQ sync: the compressed store follows the same snapshot chain") {
+    val store = tmp("graft-pq-sync-store")
+    val idx = tmp("graft-pq-sync-idx")
+    Curation.writeSnapshot(vecs(0L to 11L: _*), store, version = 1)
+    Curation.writeSnapshotDelta(spark, store, version = 2,
+      upserts = Seq(
+          (12L, { val v = Array.fill(4)(0.0); v(1) = 1.0; v(3) = 0.012; v.toSeq }))
+        .toDF("vec_id", "embedding"),
+      deleteIds = Seq(7L).toDF("vec_id"), idCol = "vec_id")
+    Similarity.buildIvfPqIndex(
+      Curation.readSnapshotAt(spark, store, 1, "vec_id"),
+      "vec_id", "embedding", idx, m = 2, ksub = 4, ivfStep = 4, pqStep = 3)
+    val r = IndexSync.syncIvfPqIndexFromSnapshots(spark, idx, store,
+      1, 2, "vec_id", "embedding").collect().head
+    assert(r.getAs[String]("action") == "applied")
+    assert(r.getAs[Long]("n_added") == 1L)
+    assert(r.getAs[Long]("n_removed") == 1L)
+    assert(!r.getAs[Boolean]("compacted")) // no shadowed re-append
+    val got = Similarity.searchIvfPqIndex(spark, idx,
+        Seq((999L, oneHot(1))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 12, nprobe = 3)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(got.contains(12L) && !got.contains(7L))
   }
 
   test("empty range: zero churn applies cleanly and advances the marker") {
