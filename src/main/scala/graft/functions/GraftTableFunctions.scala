@@ -635,6 +635,17 @@ object GraftTableFunctions {
         .toDF("store", "locked")
         .queryExecution.analyzed
     }),
+    // graft_sync_status(dir) — CDC-sync observability
+    // (graft_store_lock_status's sibling): the applied version a
+    // scheduler resumes from, and the pending range if a sync crashed
+    // mid-apply — what a scheduled job SELECTs before picking its range
+    ("graft_sync_status", { args =>
+      require(args.length == 1,
+        s"graft_sync_status(dir) got ${args.length} args")
+      graft.operators.IndexSync.syncStatus(active,
+          str("graft_sync_status", args.head))
+        .queryExecution.analyzed
+    }),
     // graft_snapshot_audit(dir, idCol) — the CDC store's fsck as a
     // one-row SQL relation (q161/q162/q195's treatment), completing the
     // audit verb across all five persisted stores' SQL surfaces

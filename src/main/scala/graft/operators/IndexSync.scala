@@ -74,6 +74,46 @@ object IndexSync {
       Some(StoreFs.readFileUtf8(spark, appliedPath(indexDir)).trim.toLong)
     else None
 
+  /** The pending marker's (oldVersion, newVersion) range, if a sync is
+    * mid-apply or crashed — the operator's first read in a recovery.
+    */
+  def pendingRange(spark: SparkSession,
+                   indexDir: String): Option[(Long, Long)] =
+    if (!StoreFs.exists(spark, pendingPath(indexDir))) None
+    else {
+      val parts = StoreFs.readFileUtf8(spark, pendingPath(indexDir))
+        .trim.split("\t")
+      Some((parts(0).toLong, parts(1).toLong))
+    }
+
+  /** Sync observability as a one-row DataFrame (`graft_sync_status`'s
+    * body): the applied version a scheduler resumes from, and the
+    * pending range if a sync crashed mid-apply (null-valued columns when
+    * absent). [[StoreLock.isLocked]]'s treatment, for the sync markers.
+    */
+  def syncStatus(spark: SparkSession, indexDir: String): DataFrame = {
+    val applied = appliedVersion(spark, indexDir)
+    val pending = pendingRange(spark, indexDir)
+    val row = org.apache.spark.sql.Row(indexDir,
+      applied.map(java.lang.Long.valueOf).orNull,
+      pending.isDefined,
+      pending.map(p => java.lang.Long.valueOf(p._1)).orNull,
+      pending.map(p => java.lang.Long.valueOf(p._2)).orNull)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("store",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("applied_version",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("pending",
+        org.apache.spark.sql.types.BooleanType, nullable = false),
+      org.apache.spark.sql.types.StructField("pending_old",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("pending_new",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
+  }
+
   /** Clear a crashed sync's pending marker — the documented recovery
     * verb, to be run AFTER restoring or rebuilding the index at
     * `rebuiltAtVersion` (which becomes the new applied marker).

@@ -150,6 +150,14 @@ class IndexSyncSpec extends SparkTestBase {
         1, 2, "doc_id", "text", buckets = 4)
     }
     assert(e.getMessage.contains("PENDING"))
+    // observability: the status TVF names the crashed range
+    graft.functions.GraftTableFunctions.ensureRegistered(spark)
+    val st = spark.sql(s"SELECT * FROM graft_sync_status('$idx')")
+      .collect().head
+    assert(st.getAs[Boolean]("pending"))
+    assert(st.isNullAt(st.fieldIndex("applied_version")))
+    assert(st.getAs[Long]("pending_old") == 1L &&
+      st.getAs[Long]("pending_new") == 2L)
     // operator rebuilds at v2 and abandons the marker
     StoreFs.deleteContents(spark, idx)
     TextAnalysis.buildTextIndex(
@@ -158,6 +166,10 @@ class IndexSyncSpec extends SparkTestBase {
     IndexSync.abandonSync(spark, idx, rebuiltAtVersion = 2)
     assert(IndexSync.appliedVersion(spark, idx).contains(2L))
     assert(!StoreFs.exists(spark, s"$idx/_sync/pending"))
+    val st2 = spark.sql(s"SELECT * FROM graft_sync_status('$idx')")
+      .collect().head
+    assert(!st2.getAs[Boolean]("pending"))
+    assert(st2.getAs[Long]("applied_version") == 2L)
     // and the next range syncs normally
     Curation.writeSnapshotDelta(spark, store, version = 3,
       upserts = docs(6L -> "foxtrot common"),
