@@ -4296,6 +4296,65 @@ object SparkEntry {
           "vec_id", "embedding", k = 3, nprobe = 2)
         .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
     }),
+
+    // INCREMENTAL DELIVERY (exportDelta): q236's snapshot chain shipped
+    // to a consumer as adds/ + removes/ (changed ids on BOTH sides —
+    // delete-then-add replaces content without an upsert primitive),
+    // each sharded and integrity-manifested. Both audits must be healthy
+    // (engine require); the gate hashes the per-(side, shard) counts,
+    // id checksums AND content checksums read back from the EXPORTED
+    // files — membership and content of the delivery itself — against
+    // the chain arithmetic re-derived in SQL.
+    "q238_export_delta" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-delta-store").toString
+      val exp = java.nio.file.Files
+        .createTempDirectory("graft-delta-exp").toString
+      SnapshotDirs.add(root)
+      SnapshotDirs.add(exp)
+      Curation.writeSnapshot(d.filter(col("doc_id") % 5 =!= 4), root,
+        version = 1)
+      Curation.writeSnapshotDelta(s, root, version = 2,
+        upserts = d.filter(col("doc_id") % 7 === 3)
+          .withColumn("text", concat(col("text"), lit(" rev2"))),
+        deleteIds = d.filter(col("doc_id") % 11 === 5 &&
+          col("doc_id") % 7 =!= 3).select("doc_id"),
+        idCol = "doc_id")
+      Curation.writeSnapshotDelta(s, root, version = 3,
+        upserts = d.filter(col("doc_id") % 13 === 1)
+          .withColumn("text", concat(col("text"), lit(" rev3"))),
+        deleteIds = d.filter(col("doc_id") % 17 === 2 &&
+          col("doc_id") % 13 =!= 1).select("doc_id"),
+        idCol = "doc_id")
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      s.sql(s"SELECT * FROM graft_export_delta('$exp', '$root', 1, 3, " +
+        "'doc_id', 'text', 8, 5)").collect()
+      Seq("adds", "removes").foreach { side =>
+        val a = graft.sinks.Sinks.exportAudit(s, s"$exp/$side",
+          Seq("shard"), "doc_id")
+        require(a.select("healthy").head.getBoolean(0),
+          s"delta export $side audit unhealthy")
+      }
+      val adds = s.read.parquet(s"$exp/adds")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint))")
+            .as("id_checksum"),
+          expr("bit_xor(cast(conv(substring(md5(lower(trim(text))), 1, 15), 16, 10) as bigint))")
+            .as("text_checksum"))
+        .withColumn("side", lit("adds"))
+      val removes = s.read.parquet(s"$exp/removes")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint))")
+            .as("id_checksum"))
+        .withColumn("text_checksum", lit(0L))
+        .withColumn("side", lit("removes"))
+      adds.unionByName(removes)
+        .select("side", "shard", "n_rows", "id_checksum", "text_checksum")
+        .orderBy("side", "shard")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -8160,6 +8219,41 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, neighbor_id, round(c, 4) + 0 AS cos FROM r WHERE rk <= 3
         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+    // The delta export's two sides re-derived from the chain arithmetic:
+    // adds = present@v3 AND (absent@v1 OR upserted — a suffix always
+    // changes the text), removes = present@v1 AND (absent@v3 OR
+    // upserted); shard/checksum arithmetic is q230's (seed-5 permutation
+    // hash, 60-bit md5 fingerprints), content checksum is the normalized
+    // fingerprint64 of the FINAL text (last upsert's suffix wins)
+    "q238_export_delta" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 1 THEN text || ' rev3'
+        |              WHEN doc_id % 7 = 3 THEN text || ' rev2'
+        |              ELSE text END AS text,
+        |         (doc_id % 5 <> 4) AS p1,
+        |         ((((doc_id % 5 <> 4
+        |             AND NOT (doc_id % 11 = 5 AND doc_id % 7 <> 3))
+        |            OR doc_id % 7 = 3)
+        |           AND NOT (doc_id % 17 = 2 AND doc_id % 13 <> 1))
+        |          OR doc_id % 13 = 1) AS p3,
+        |         (doc_id % 7 = 3 OR doc_id % 13 = 1) AS upserted,
+        |         ('0x' || substr(md5('5:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |           % 8 AS shard,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS idfp
+        |  FROM documents)
+        |SELECT side, shard, n_rows, id_checksum, text_checksum FROM (
+        |  SELECT 'adds' AS side, shard, count(*)::BIGINT AS n_rows,
+        |         bit_xor(idfp) AS id_checksum,
+        |         bit_xor(('0x' || substr(md5(lower(trim(text))), 1, 15))::BIGINT)
+        |           AS text_checksum
+        |  FROM base WHERE p3 AND (NOT p1 OR upserted) GROUP BY shard
+        |  UNION ALL
+        |  SELECT 'removes' AS side, shard, count(*)::BIGINT AS n_rows,
+        |         bit_xor(idfp) AS id_checksum, 0::BIGINT AS text_checksum
+        |  FROM base WHERE p1 AND (NOT p3 OR upserted) GROUP BY shard)
+        |ORDER BY side, shard""".stripMargin,
 
     // The export-integrity manifest re-derived: shard = q69's
     // permutation arithmetic (md5('7:'||id) first 15 hex digits mod 16),

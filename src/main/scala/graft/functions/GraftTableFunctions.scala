@@ -854,6 +854,38 @@ object GraftTableFunctions {
           str("graft_ivfpq_sync", args(5)))
       }
     }),
+    // graft_export_delta(exportDir, storeDir, oldV, newV, idCol,
+    // contentCol[, numShards, seed]) — INCREMENTAL delivery: ship the
+    // snapshot range's churn (adds/ + removes/, each sharded and
+    // integrity-manifested) instead of a full re-export; returns the
+    // counts receipt
+    ("graft_export_delta", { args =>
+      require(args.length == 6 || args.length == 8,
+        "graft_export_delta(exportDir, storeDir, oldV, newV, idCol, " +
+          s"contentCol[, numShards, seed]) got ${args.length} args")
+      graft.plans.RowsVerbPlan("export_delta",
+        str("graft_export_delta", args.head), () => {
+          graft.sinks.Sinks.exportDelta(active,
+            str("graft_export_delta", args(1)),
+            lng("graft_export_delta", args(2)),
+            lng("graft_export_delta", args(3)),
+            str("graft_export_delta", args(4)),
+            str("graft_export_delta", args(5)),
+            str("graft_export_delta", args.head),
+            numShards =
+              if (args.length == 8) int("graft_export_delta", args(6))
+              else 16,
+            seed =
+              if (args.length == 8) lng("graft_export_delta", args(7))
+              else 5L)
+          .collect().toSeq.map { r =>
+            org.apache.spark.sql.catalyst.InternalRow(
+              UTF8String.fromString(r.getString(0)),
+              UTF8String.fromString(r.getString(1)),
+              r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+          }
+        }, graft.plans.RowsVerbPlan.deltaExportSchema)
+    }),
     // graft_composite_begin(manifestDir, textDir, vecDir) — declare a
     // RAG composition (text index + IVF-PQ) BEFORE its member builds, so
     // a crash between them is detectable (graft_rag_audit) even though

@@ -57,6 +57,17 @@ object RowsVerbPlan {
     AttributeReference("n_removed", LongType, nullable = false)(),
     AttributeReference("compacted",
       org.apache.spark.sql.types.BooleanType, nullable = false)())
+
+  /** The delta-export receipt's fixed shape — mirrors
+    * [[graft.sinks.Sinks.exportDelta]]'s one-row DataFrame.
+    */
+  def deltaExportSchema: Seq[Attribute] = Seq(
+    AttributeReference("verb", StringType, nullable = false)(),
+    AttributeReference("store", StringType, nullable = false)(),
+    AttributeReference("old_version", LongType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)(),
+    AttributeReference("n_adds", LongType, nullable = false)(),
+    AttributeReference("n_removes", LongType, nullable = false)())
 }
 
 /** Physical node: the verb fires on the driver at first action, once,

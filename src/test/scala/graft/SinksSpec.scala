@@ -165,4 +165,62 @@ class SinksSpec extends SparkTestBase {
     assert(readSingleText(out) ==
       "hostA:3\nhostA/a\nhostA/b\n===\nhostB:2\nhostB/x\n===\n")
   }
+
+  test("exportDelta apply contract: delete removes then ingest adds turns a v1 copy into exactly v3") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val store = Files.createTempDirectory("graft-delta-store").toString
+    val exp = Files.createTempDirectory("graft-delta-exp").toString
+    val v1 = Seq(1L -> "alpha", 2L -> "bravo", 3L -> "charlie",
+      4L -> "delta", 5L -> "echo").toDF("doc_id", "text")
+    graft.operators.Curation.writeSnapshot(v1, store, version = 1)
+    // v2: change 2, remove 4, add 6
+    graft.operators.Curation.writeSnapshotDelta(spark, store, version = 2,
+      upserts = Seq(2L -> "bravo2", 6L -> "foxtrot").toDF("doc_id", "text"),
+      deleteIds = Seq(4L).toDF("doc_id"), idCol = "doc_id")
+    // v3: change 6, remove 5
+    graft.operators.Curation.writeSnapshotDelta(spark, store, version = 3,
+      upserts = Seq(6L -> "foxtrot3").toDF("doc_id", "text"),
+      deleteIds = Seq(5L).toDF("doc_id"), idCol = "doc_id")
+    val r = Sinks.exportDelta(spark, store, oldVersion = 1, newVersion = 3,
+      "doc_id", "text", exp, numShards = 4, seed = 9L).collect().head
+    assert(r.getAs[Long]("n_adds") == 2L)    // 6 added, 2 changed
+    assert(r.getAs[Long]("n_removes") == 3L) // 4, 5 removed, 2 changed
+    // the consumer's apply: v1 copy minus removes' ids, plus adds' rows
+    val removes = spark.read.parquet(s"$exp/removes").select("doc_id")
+    val adds = spark.read.parquet(s"$exp/adds").select("doc_id", "text")
+    val applied = v1.join(removes, Seq("doc_id"), "left_anti")
+      .unionByName(adds)
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSet
+    val want = graft.operators.Curation
+      .readSnapshotAt(spark, store, 3, "doc_id")
+      .select("doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(applied == want)
+    assert(want == Set(1L -> "alpha", 2L -> "bravo2", 3L -> "charlie",
+      6L -> "foxtrot3"))
+    // both sides carry healthy integrity manifests
+    Seq("adds", "removes").foreach { side =>
+      val a = Sinks.exportAudit(spark, s"$exp/$side", Seq("shard"), "doc_id")
+      assert(a.select("healthy").head.getBoolean(0), s"$side unhealthy")
+    }
+    // the range marker records the export
+    assert(graft.operators.StoreFs
+      .readFileUtf8(spark, s"$exp/_delta_range") == "1\t3\t2\t3")
+    // re-export overwrites (idempotent delivery), zero-churn range ships
+    // nothing but still writes its marker
+    Sinks.exportDelta(spark, store, 1, 3, "doc_id", "text", exp,
+      numShards = 4, seed = 9L)
+    assert(spark.read.parquet(s"$exp/adds").count() == 2)
+    val exp2 = Files.createTempDirectory("graft-delta-empty").toString
+    graft.operators.Curation.writeSnapshotDelta(spark, store, version = 4,
+      upserts = spark.emptyDataset[(Long, String)].toDF("doc_id", "text"),
+      deleteIds = spark.emptyDataset[Long].toDF("doc_id"), idCol = "doc_id")
+    val r2 = Sinks.exportDelta(spark, store, 3, 4, "doc_id", "text", exp2,
+      numShards = 4, seed = 9L).collect().head
+    assert(r2.getAs[Long]("n_adds") == 0L && r2.getAs[Long]("n_removes") == 0L)
+    assert(!graft.operators.StoreFs.exists(spark, s"$exp2/adds"))
+    assert(graft.operators.StoreFs
+      .readFileUtf8(spark, s"$exp2/_delta_range") == "3\t4\t0\t0")
+  }
 }
