@@ -83,6 +83,16 @@ object Bench {
     */
   private val CanaryDriftLimit = 2.0
 
+  /** Warmup-run duration (seconds, at the target fixture) above which a
+    * query is benched with a single timed run instead of [[Runs]] — see
+    * the adaptive note at the warmup site. The cutoff sits well above the
+    * sub-second analytic gates and well below the multi-second store
+    * lifecycles, so ordinary variance cannot flip a query across it in a
+    * way that matters (a 2.5-3s query measured either way is the same
+    * signal).
+    */
+  private val HeavyCutoff = 2.5
+
   /** Max tolerated max/min ratio across a query's own timed runs before
     * its median is flagged query-locally contaminated (the r13 judge's
     * prescribed ~2.5×). Honest engine variance across 3 back-to-back
@@ -136,6 +146,7 @@ object Bench {
     val spreads = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val canaries = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val singleRun = scala.collection.mutable.ArrayBuffer[String]()
     def jstrEarly(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -171,10 +182,22 @@ object Bench {
       }
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       var failed = false
-      // target-fixture warmup (untimed): errors deferred to the timed runs
+      // target-fixture warmup (untimed): errors deferred to the timed runs.
+      // Its duration also SIZES the timed-run count: the store-lifecycle
+      // gates (~30 queries, 4-25s each) are ~70% of the run's wall at 4
+      // target-scale executions apiece, and it is exactly that tail that
+      // pushed the driver's r14/r15 bench past its 60-minute window on a
+      // loaded box. A query whose warmup already ran past [[HeavyCutoff]]
+      // gets ONE timed run (2 executions total instead of 4) — a single
+      // post-warmup sample of a 5-25s pipeline is dominated by real plan
+      // cost, not scheduler jitter, and the per-query canary probes still
+      // flag a load-polluted window. Sub-cutoff queries keep median-of-3.
+      val warmT0 = System.nanoTime()
       try { runOnce(name, sfDir); cleanup() }
       catch { case _: Throwable => cleanup() }
-      (1 to Runs).foreach { _ =>
+      val warmSec = (System.nanoTime() - warmT0) / 1e9
+      val runsFor = if (warmSec > HeavyCutoff) 1 else Runs
+      (1 to runsFor).foreach { _ =>
         if (!failed) {
           val t0 = System.nanoTime()
           try {
@@ -193,6 +216,7 @@ object Bench {
         val s = times.sorted
         medians(name) = s(s.length / 2)
         spreads(name) = (s.head, s.last)
+        if (runsFor == 1) singleRun += name
       }
       // one canary probe per query, adjacent to its timed window — a
       // contaminated stretch of the run shows up against the query names
@@ -263,7 +287,8 @@ object Bench {
     val total = medians.values.sum
     val cqs = contaminatedQs.map(jstr).mkString("[", ",", "]")
     val sqs = spreadFlaggedQs.map(jstr).mkString("[", ",", "]")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"n_gates":${names.size},"queries":$qs,"queries_min":$mins,"queries_max":$maxs,"errors":$es,"failed":${errors.size},"canary_base":$canaryBase,"canary_max":$canaryMax,"canary_spike":$canarySpike,"canary_drift":$canaryDrift,"canary_contaminated":${canaryDrift > CanaryDriftLimit},"queries_contaminated":$cqs,"queries_spread_flagged":$sqs,"spread_limit":$SpreadLimit,"canary":$cs,"sf":${jstr(sfDir)}}"""
+    val srs = singleRun.map(jstr).mkString("[", ",", "]")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"heavy_cutoff":$HeavyCutoff,"queries_single_run":$srs,"n_gates":${names.size},"queries":$qs,"queries_min":$mins,"queries_max":$maxs,"errors":$es,"failed":${errors.size},"canary_base":$canaryBase,"canary_max":$canaryMax,"canary_spike":$canarySpike,"canary_drift":$canaryDrift,"canary_contaminated":${canaryDrift > CanaryDriftLimit},"queries_contaminated":$cqs,"queries_spread_flagged":$sqs,"spread_limit":$SpreadLimit,"canary":$cs,"sf":${jstr(sfDir)}}"""
     println(fullJson)
     // Durable copy of the full record: the driver's stdout tail capture is
     // bounded (the r10/r11 artifacts recorded only whichever map happened

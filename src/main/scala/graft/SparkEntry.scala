@@ -4355,6 +4355,86 @@ object SparkEntry {
         .select("side", "shard", "n_rows", "id_checksum", "text_checksum")
         .orderBy("side", "shard")
     }),
+
+    // DELTA APPLY (the consumer-side verb): q238's delivery EXECUTED —
+    // a version-stamped v1 full export plus the (1,3] delta becomes a v3
+    // copy through graft_export_apply (audit-gated, range-disciplined,
+    // re-manifested). The gate hashes the applied copy itself: per-shard
+    // counts + id AND content checksums must equal the v3 corpus
+    // re-derived from the chain arithmetic in SQL — membership and
+    // content of what a trainer would actually read.
+    "q239_export_apply" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-apply-store").toString
+      val exp = java.nio.file.Files
+        .createTempDirectory("graft-apply-exp").toString
+      SnapshotDirs.add(root)
+      SnapshotDirs.add(exp)
+      Curation.writeSnapshot(d.filter(col("doc_id") % 5 =!= 4), root,
+        version = 1)
+      Curation.writeSnapshotDelta(s, root, version = 2,
+        upserts = d.filter(col("doc_id") % 7 === 3)
+          .withColumn("text", concat(col("text"), lit(" rev2"))),
+        deleteIds = d.filter(col("doc_id") % 11 === 5 &&
+          col("doc_id") % 7 =!= 3).select("doc_id"),
+        idCol = "doc_id")
+      Curation.writeSnapshotDelta(s, root, version = 3,
+        upserts = d.filter(col("doc_id") % 13 === 1)
+          .withColumn("text", concat(col("text"), lit(" rev3"))),
+        deleteIds = d.filter(col("doc_id") % 17 === 2 &&
+          col("doc_id") % 13 =!= 1).select("doc_id"),
+        idCol = "doc_id")
+      graft.functions.GraftTableFunctions.ensureRegistered(s)
+      s.sql(s"SELECT * FROM graft_export_snapshot('$exp/copy1', " +
+        s"'$root', 1, 'doc_id', 8, 5)").collect()
+      s.sql(s"SELECT * FROM graft_export_delta('$exp/delta', '$root', " +
+        "1, 3, 'doc_id', 'text', 8, 5)").collect()
+      s.sql(s"SELECT * FROM graft_export_apply('$exp/copy3', " +
+        s"'$exp/copy1', '$exp/delta', 'doc_id', 8, 5)").collect()
+      val audit = graft.sinks.Sinks.exportAudit(s, s"$exp/copy3",
+        Seq("shard"), "doc_id")
+      require(audit.select("healthy").head.getBoolean(0),
+        "applied copy audit unhealthy")
+      s.read.parquet(s"$exp/copy3")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint))")
+            .as("id_checksum"),
+          expr("bit_xor(cast(conv(substring(md5(lower(trim(text))), 1, 15), 16, 10) as bigint))")
+            .as("text_checksum"))
+        .orderBy("shard")
+    }),
+
+    // PLAN-AUDIT LINTER: the judge's recurring plan checklist as an
+    // operator. Four frames whose hazards are known by construction —
+    // a cross join (cartesian), a non-equi outer join (nested loop), a
+    // global window, and a clean pushed-filter aggregation — audited on
+    // a child session with auto-broadcast OFF so the planned shapes are
+    // identical at every sf (size estimates can otherwise flip a
+    // cartesian into a broadcast nested loop between fixtures). The
+    // audit is planning-only: nothing here executes the frames. The
+    // oracle pins the exact hazard rows — severity, hazard, node and
+    // detail are all deterministic for a fixed plan shape.
+    "q240_plan_audit" -> ((s, dir) => {
+      val child = s.newSession()
+      child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val d = Tables(child, dir).documents.select(col("doc_id"))
+      val e = Tables(child, dir).documents.select(col("doc_id").as("b"))
+      val frames = Seq(
+        "cross" -> d.crossJoin(e),
+        "nonequi" -> d.join(e, col("doc_id") < col("b"), "left_outer"),
+        "window" -> d.withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("doc_id"))),
+        "clean" -> Tables(child, dir).documents
+          .filter(col("doc_id") > 10)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n")))
+      frames.map { case (label, f) =>
+        graft.operators.PlanAudit.audit(f).withColumn("q", lit(label))
+      }.reduce(_ unionByName _)
+        .select("q", "severity", "hazard", "node", "detail")
+        .orderBy("q", "severity", "hazard", "node", "detail")
+    }),
   )
 
   /** Monotonic suffix for streaming-query names/sinks — a query function can
@@ -8254,6 +8334,70 @@ object SparkEntry {
         |         bit_xor(idfp) AS id_checksum, 0::BIGINT AS text_checksum
         |  FROM base WHERE p1 AND (NOT p3 OR upserted) GROUP BY shard)
         |ORDER BY side, shard""".stripMargin,
+
+    // The APPLIED copy re-derived: membership at v3 is q238's p3
+    // predicate, content carries the rev2/rev3 upsert suffixes, shard is
+    // the delivery permutation (md5('5:'||id) first 15 hex digits mod 8).
+    // Engine side ships v1 full, applies the (1,3] delta, and hashes the
+    // copy a trainer would read — so counts, id membership AND content
+    // must all equal the chain arithmetic.
+    "q239_export_apply" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 1 THEN text || ' rev3'
+        |              WHEN doc_id % 7 = 3 THEN text || ' rev2'
+        |              ELSE text END AS text,
+        |         ((((doc_id % 5 <> 4
+        |             AND NOT (doc_id % 11 = 5 AND doc_id % 7 <> 3))
+        |            OR doc_id % 7 = 3)
+        |           AND NOT (doc_id % 17 = 2 AND doc_id % 13 <> 1))
+        |          OR doc_id % 13 = 1) AS p3,
+        |         ('0x' || substr(md5('5:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |           % 8 AS shard,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS idfp
+        |  FROM documents)
+        |SELECT shard, count(*)::BIGINT AS n_rows,
+        |       bit_xor(idfp) AS id_checksum,
+        |       bit_xor(('0x' || substr(md5(lower(trim(text))), 1, 15))::BIGINT)
+        |         AS text_checksum
+        |FROM base WHERE p3 GROUP BY shard
+        |ORDER BY shard""".stripMargin,
+
+    // The plan linter's hazard rows are PINNED constants: the four
+    // audited frames' plans are fixed by construction (auto-broadcast
+    // disabled on the audit session, both join sides the same table, so
+    // no size estimate can flip a shape between fixtures). The one
+    // subtlety the pin documents: the non-equi LEFT OUTER join shows a
+    // single unfiltered scan because Catalyst infers `b IS NOT NULL` on
+    // the build side (a null never satisfies `<`), which lands as a
+    // pushed data filter — the cross join, with nothing to infer, shows
+    // both scans unfiltered.
+    "q240_plan_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('clean','INFO','broadcasts','BroadcastExchangeExec','count=0'),
+        |  ('clean','INFO','shuffles','ShuffleExchangeExec','count=1'),
+        |  ('cross','ERROR','cartesian-product','CartesianProductExec',
+        |   'row counts multiply; at 100x data this is 10,000x the work - give the join an equi-condition or a banded/bucketed key'),
+        |  ('cross','INFO','broadcasts','BroadcastExchangeExec','count=0'),
+        |  ('cross','INFO','shuffles','ShuffleExchangeExec','count=0'),
+        |  ('cross','INFO','unfiltered-scan','FileSourceScanExec',
+        |   'full scan (no pushed or partition filters), columns=[doc_id]'),
+        |  ('cross','INFO','unfiltered-scan','FileSourceScanExec',
+        |   'full scan (no pushed or partition filters), columns=[doc_id]'),
+        |  ('nonequi','ERROR','nested-loop-join','BroadcastNestedLoopJoinExec',
+        |   'non-equi LeftOuter join compares every pair; bound one side or derive an equi-join key (banding)'),
+        |  ('nonequi','INFO','broadcasts','BroadcastExchangeExec','count=1'),
+        |  ('nonequi','INFO','shuffles','ShuffleExchangeExec','count=0'),
+        |  ('nonequi','INFO','unfiltered-scan','FileSourceScanExec',
+        |   'full scan (no pushed or partition filters), columns=[doc_id]'),
+        |  ('window','INFO','broadcasts','BroadcastExchangeExec','count=0'),
+        |  ('window','INFO','shuffles','ShuffleExchangeExec','count=1'),
+        |  ('window','INFO','unfiltered-scan','FileSourceScanExec',
+        |   'full scan (no pushed or partition filters), columns=[doc_id]'),
+        |  ('window','WARN','global-window','WindowExec',
+        |   'no PARTITION BY: every row funnels through one task - safe only if the input is provably bounded (pre-cut top-k)')
+        |) AS t(q, severity, hazard, node, detail)
+        |ORDER BY q, severity, hazard, node, detail""".stripMargin,
 
     // The export-integrity manifest re-derived: shard = q69's
     // permutation arithmetic (md5('7:'||id) first 15 hex digits mod 16),

@@ -886,6 +886,76 @@ object GraftTableFunctions {
           }
         }, graft.plans.RowsVerbPlan.deltaExportSchema)
     }),
+    // graft_plan_audit(sqlText) — the 100 TB-readiness linter as a TVF:
+    // plan the statement (never execute it) and return its hazard rows
+    // (cartesian products, global windows, unfiltered scans, exchange
+    // counts) — `SELECT * FROM graft_plan_audit('SELECT …')` before
+    // submitting a pipeline
+    ("graft_plan_audit", { args =>
+      require(args.length == 1,
+        s"graft_plan_audit(sqlText) got ${args.length} args")
+      graft.operators.PlanAudit.auditSql(active,
+          str("graft_plan_audit", args.head))
+        .queryExecution.analyzed
+    }),
+    // graft_export_snapshot(exportDir, storeDir, version, idCol[,
+    // numShards, seed]) — the ONE full-corpus delivery, version-stamped
+    // so later graft_export_apply calls can enforce range discipline
+    ("graft_export_snapshot", { args =>
+      require(args.length == 4 || args.length == 6,
+        "graft_export_snapshot(exportDir, storeDir, version, idCol[, " +
+          s"numShards, seed]) got ${args.length} args")
+      graft.plans.RowsVerbPlan("export_snapshot",
+        str("graft_export_snapshot", args.head), () => {
+          graft.sinks.Sinks.exportSnapshot(active,
+            str("graft_export_snapshot", args(1)),
+            lng("graft_export_snapshot", args(2)),
+            str("graft_export_snapshot", args(3)),
+            str("graft_export_snapshot", args.head),
+            numShards =
+              if (args.length == 6) int("graft_export_snapshot", args(4))
+              else 16,
+            seed =
+              if (args.length == 6) lng("graft_export_snapshot", args(5))
+              else 5L)
+          .collect().toSeq.map { r =>
+            org.apache.spark.sql.catalyst.InternalRow(
+              UTF8String.fromString(r.getString(0)),
+              UTF8String.fromString(r.getString(1)),
+              r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+          }
+        }, graft.plans.RowsVerbPlan.deltaExportSchema)
+    }),
+    // graft_export_apply(outDir, copyDir, deltaDir, idCol[, numShards,
+    // seed]) — execute the delete-then-add apply contract on a consumer
+    // copy: audits the delivery, enforces the version-stamp range
+    // discipline, lands the advanced copy at outDir; returns the receipt
+    ("graft_export_apply", { args =>
+      require(args.length == 4 || args.length == 6,
+        "graft_export_apply(outDir, copyDir, deltaDir, idCol[, " +
+          s"numShards, seed]) got ${args.length} args")
+      graft.plans.RowsVerbPlan("export_apply",
+        str("graft_export_apply", args.head), () => {
+          graft.sinks.Sinks.applyDelta(active,
+            str("graft_export_apply", args(1)),
+            str("graft_export_apply", args(2)),
+            str("graft_export_apply", args.head),
+            str("graft_export_apply", args(3)),
+            numShards =
+              if (args.length == 6) int("graft_export_apply", args(4))
+              else 16,
+            seed =
+              if (args.length == 6) lng("graft_export_apply", args(5))
+              else 5L)
+          .collect().toSeq.map { r =>
+            org.apache.spark.sql.catalyst.InternalRow(
+              UTF8String.fromString(r.getString(0)),
+              UTF8String.fromString(r.getString(1)),
+              r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+              r.getLong(6))
+          }
+        }, graft.plans.RowsVerbPlan.deltaApplySchema)
+    }),
     // graft_composite_begin(manifestDir, textDir, vecDir) — declare a
     // RAG composition (text index + IVF-PQ) BEFORE its member builds, so
     // a crash between them is detectable (graft_rag_audit) even though

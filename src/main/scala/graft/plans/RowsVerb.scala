@@ -68,6 +68,17 @@ object RowsVerbPlan {
     AttributeReference("new_version", LongType, nullable = false)(),
     AttributeReference("n_adds", LongType, nullable = false)(),
     AttributeReference("n_removes", LongType, nullable = false)())
+
+  /** [[deltaExportSchema]] + the applied copy's row count — the
+    * consumer-side apply receipt ([[graft.sinks.Sinks.applyDelta]]). */
+  def deltaApplySchema: Seq[Attribute] = Seq(
+    AttributeReference("verb", StringType, nullable = false)(),
+    AttributeReference("store", StringType, nullable = false)(),
+    AttributeReference("old_version", LongType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)(),
+    AttributeReference("n_adds", LongType, nullable = false)(),
+    AttributeReference("n_removes", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)())
 }
 
 /** Physical node: the verb fires on the driver at first action, once,

@@ -239,6 +239,112 @@ object Sinks {
     }
   }
 
+  /** FULL delivery with a version stamp: export the snapshot store's
+    * reconstruction at `version` as a [[writeShuffled]]-sharded,
+    * [[exportManifest]]-integrity-manifested copy carrying a
+    * `_corpus_version` marker — the anchor [[applyDelta]]'s range
+    * discipline checks against (a delta `(old, new]` only applies to a
+    * copy stamped `old`). This is the ONE full-corpus ship; every later
+    * freshness drop rides [[exportDelta]] + [[applyDelta]] at churn cost.
+    */
+  def exportSnapshot(spark: org.apache.spark.sql.SparkSession,
+                     storeDir: String, version: Long, idCol: String,
+                     exportDir: String, numShards: Int = 16,
+                     seed: Long = 5L): DataFrame = {
+    val corpus = graft.operators.Curation.readSnapshotAt(spark, storeDir,
+      version, idCol)
+    writeShuffled(corpus, idCol, numShards, seed, exportDir)
+    exportManifest(spark, exportDir, Seq("shard"), idCol)
+    graft.operators.StoreFs.writeFile(spark, s"$exportDir/_corpus_version",
+      version.toString)
+    val n = spark.read.parquet(exportDir).count()
+    val sp = spark
+    import sp.implicits._
+    Seq(("export_snapshot", exportDir, version, version, n, 0L))
+      .toDF("verb", "store", "old_version", "new_version", "n_adds",
+        "n_removes")
+  }
+
+  /** APPLY a [[exportDelta]] delivery onto a consumer copy — the verb
+    * that executes the documented delete-then-add contract instead of
+    * leaving it to the trainer's shell scripts. `copyDir` (a
+    * [[exportSnapshot]] / previous applyDelta output) is read, `removes`'
+    * ids are anti-joined away, `adds`' full rows appended, and the result
+    * lands at `outDir` re-sharded with a fresh integrity manifest and the
+    * advanced `_corpus_version` stamp — so applies CHAIN: v1 copy +
+    * (1,2] + (2,3] deltas ≡ a v3 copy, each hop churn-proportional in
+    * everything but the copy rewrite itself.
+    *
+    * Refusals (all BEFORE any byte is written):
+    *  - `outDir == copyDir` — the apply reads its input lazily while
+    *    writing; an in-place overwrite would read its own output;
+    *  - a version-stamped copy whose stamp ≠ the delta's `old_version` —
+    *    a gapped or double-applied delta silently diverges (changed ids
+    *    would delete rows that were never there / add rows twice), so
+    *    the mismatch refuses loudly (the [[graft.operators.IndexSync]]
+    *    range discipline, consumer-side);
+    *  - an UNHEALTHY delivery: both present sides are [[exportAudit]]ed
+    *    first — a shard lost in the engine→trainer copy refuses the
+    *    apply rather than materializing a silently short corpus. A
+    *    doubted delivery is re-exported, not patched.
+    *
+    * Scale: the audits and the anti-join's build side are churn-bounded
+    * (AQE broadcasts them when small — unhinted, the filtered-search
+    * discipline); the copy rewrite is the one corpus-proportional pass,
+    * the honest floor for a consumer that stores plain sharded parquet.
+    */
+  def applyDelta(spark: org.apache.spark.sql.SparkSession,
+                 copyDir: String, deltaDir: String, outDir: String,
+                 idCol: String, numShards: Int = 16,
+                 seed: Long = 5L): DataFrame = {
+    require(new java.io.File(outDir).getCanonicalPath !=
+      new java.io.File(copyDir).getCanonicalPath,
+      s"applyDelta cannot apply in place (outDir == copyDir): $outDir")
+    val range = graft.operators.StoreFs
+      .readFileUtf8(spark, s"$deltaDir/_delta_range").trim.split("\t")
+    val (oldV, newV) = (range(0).toLong, range(1).toLong)
+    val (nAdds, nRemoves) = (range(2).toLong, range(3).toLong)
+    val stampPath = s"$copyDir/_corpus_version"
+    if (graft.operators.StoreFs.exists(spark, stampPath)) {
+      val stamp = graft.operators.StoreFs.readFileUtf8(spark, stampPath)
+        .trim.toLong
+      require(stamp == oldV,
+        s"applyDelta range mismatch: copy at version $stamp, delta " +
+          s"covers ($oldV, $newV] — apply the ($stamp, …] delta first " +
+          "(a gapped or replayed delta silently diverges)")
+    }
+    Seq("adds" -> nAdds, "removes" -> nRemoves).foreach {
+      case (side, n) if n > 0 =>
+        val a = exportAudit(spark, s"$deltaDir/$side", Seq("shard"), idCol)
+        require(a.select("healthy").head.getBoolean(0),
+          s"applyDelta refuses an unhealthy delivery: $deltaDir/$side " +
+            "fails its integrity audit — re-export the delta")
+      case _ => ()
+    }
+    val copy = spark.read.parquet(copyDir).drop("shard")
+    val removed =
+      if (nRemoves > 0)
+        copy.join(
+          spark.read.parquet(s"$deltaDir/removes").select(col(idCol)),
+          Seq(idCol), "left_anti")
+      else copy
+    val applied =
+      if (nAdds > 0)
+        removed.unionByName(
+          spark.read.parquet(s"$deltaDir/adds").drop("shard"))
+      else removed
+    writeShuffled(applied, idCol, numShards, seed, outDir)
+    exportManifest(spark, outDir, Seq("shard"), idCol)
+    graft.operators.StoreFs.writeFile(spark, s"$outDir/_corpus_version",
+      newV.toString)
+    val n = spark.read.parquet(outDir).count()
+    val sp = spark
+    import sp.implicits._
+    Seq(("export_apply", outDir, oldV, newV, nAdds, nRemoves, n))
+      .toDF("verb", "store", "old_version", "new_version", "n_adds",
+        "n_removes", "n_rows")
+  }
+
   /** K3 (`bolt/bolt.go:522-541`): the nasalog report — per host, a
     * `host:count` header line, each distinct route on its own line, then a
     * `===` separator; hosts sorted, routes sorted within a host.

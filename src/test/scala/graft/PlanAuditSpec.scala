@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.PlanAudit
+
+/** The plan linter against constructed plans whose hazards are known by
+  * construction — and a proof that auditing never executes the query.
+  */
+class PlanAuditSpec extends SparkTestBase {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def hazardSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    PlanAudit.hazards(df).map(h => s"${h.severity}:${h.hazard}").toSet
+
+  test("cartesian product and non-equi join are ERROR hazards; scaleSafe refuses them") {
+    val a = spark.range(0, 1000).toDF("x")
+    val b = spark.range(0, 1000).toDF("y")
+    val noBroadcast = spark.newSession()
+    noBroadcast.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val a2 = noBroadcast.range(0, 1000).toDF("x")
+    val b2 = noBroadcast.range(0, 1000).toDF("y")
+    val cross = a2.crossJoin(b2)
+    assert(hazardSet(cross).contains("ERROR:cartesian-product"))
+    assert(!PlanAudit.scaleSafe(cross))
+    // non-equi OUTER join can only plan as a nested-loop
+    val bnl = a.join(b, col("x") < col("y"), "left_outer")
+    assert(hazardSet(bnl).contains("ERROR:nested-loop-join"))
+    assert(!PlanAudit.scaleSafe(bnl))
+  }
+
+  test("global window is WARN; partitioned window is not flagged") {
+    val d = spark.range(0, 100).toDF("x")
+    val global = d.withColumn("r", row_number().over(Window.orderBy("x")))
+    assert(hazardSet(global).contains("WARN:global-window"))
+    assert(PlanAudit.scaleSafe(global)) // WARN, not ERROR
+    val partitioned = d.withColumn("r",
+      row_number().over(Window.partitionBy(col("x") % 10).orderBy("x")))
+    assert(!hazardSet(partitioned).contains("WARN:global-window"))
+  }
+
+  test("global sort is INFO; a clean aggregation carries only exchange-count rows") {
+    val d = spark.range(0, 100).toDF("x")
+    // sort a DERIVED column: range is already ordered by x, so an
+    // orderBy("x") is optimizer-eliminated before planning
+    assert(hazardSet(d.select((col("x") * 7 % 13).as("y")).orderBy("y"))
+      .contains("INFO:global-sort"))
+    val clean = d.groupBy((col("x") % 10).as("g")).agg(sum("x").as("s"))
+    val hs = PlanAudit.hazards(clean)
+    assert(hs.forall(_.severity == "INFO"))
+    assert(hs.find(_.hazard == "shuffles").get.detail == "count=1")
+  }
+
+  test("unfiltered parquet scan is INFO; a pushed filter clears it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit").toString
+    spark.range(0, 100).toDF("x").write.mode("overwrite")
+      .parquet(s"$dir/t")
+    val t = spark.read.parquet(s"$dir/t")
+    assert(hazardSet(t.groupBy().count()).contains("INFO:unfiltered-scan"))
+    assert(!hazardSet(t.filter(col("x") > 50).groupBy().count())
+      .contains("INFO:unfiltered-scan"))
+  }
+
+  test("audit plans but never executes; TVF form works from SQL") {
+    val d = spark.range(0, 10).toDF("x")
+      .select(expr("assert_true(x < 5, 'boom')").as("a"), col("x"))
+    // executing d would throw (rows with x >= 5); auditing must not
+    val rows = PlanAudit.audit(d).collect()
+    assert(rows.nonEmpty)
+    graft.functions.GraftTableFunctions.ensureRegistered(spark)
+    spark.range(0, 10).toDF("x").createOrReplaceTempView("plan_audit_t")
+    val tvf = spark.sql(
+      "SELECT * FROM graft_plan_audit(" +
+        "'SELECT x, row_number() OVER (ORDER BY x) r FROM plan_audit_t')")
+      .collect()
+    assert(tvf.exists(r => r.getString(1) == "global-window"))
+  }
+}

@@ -223,4 +223,71 @@ class SinksSpec extends SparkTestBase {
     assert(graft.operators.StoreFs
       .readFileUtf8(spark, s"$exp2/_delta_range") == "3\t4\t0\t0")
   }
+
+  test("applyDelta: chained applies reach the head version; gap, in-place, and damaged deliveries refuse") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val store = Files.createTempDirectory("graft-apply-store").toString
+    val base = Files.createTempDirectory("graft-apply").toString
+    val v1 = Seq(1L -> "alpha", 2L -> "bravo", 3L -> "charlie",
+      4L -> "delta", 5L -> "echo").toDF("doc_id", "text")
+    graft.operators.Curation.writeSnapshot(v1, store, version = 1)
+    graft.operators.Curation.writeSnapshotDelta(spark, store, version = 2,
+      upserts = Seq(2L -> "bravo2", 6L -> "foxtrot").toDF("doc_id", "text"),
+      deleteIds = Seq(4L).toDF("doc_id"), idCol = "doc_id")
+    graft.operators.Curation.writeSnapshotDelta(spark, store, version = 3,
+      upserts = Seq(6L -> "foxtrot3").toDF("doc_id", "text"),
+      deleteIds = Seq(5L).toDF("doc_id"), idCol = "doc_id")
+    // one full ship at v1, then per-version deltas
+    val r0 = Sinks.exportSnapshot(spark, store, 1, "doc_id",
+      s"$base/copy1", numShards = 4, seed = 9L).collect().head
+    assert(r0.getAs[Long]("n_adds") == 5L)
+    assert(graft.operators.StoreFs
+      .readFileUtf8(spark, s"$base/copy1/_corpus_version").trim == "1")
+    Sinks.exportDelta(spark, store, 1, 2, "doc_id", "text",
+      s"$base/d12", numShards = 4, seed = 9L)
+    Sinks.exportDelta(spark, store, 2, 3, "doc_id", "text",
+      s"$base/d23", numShards = 4, seed = 9L)
+    // chained applies: v1 + (1,2] + (2,3] == the v3 reconstruction
+    val r1 = Sinks.applyDelta(spark, s"$base/copy1", s"$base/d12",
+      s"$base/copy2", "doc_id", numShards = 4, seed = 9L).collect().head
+    assert(r1.getAs[Long]("new_version") == 2L)
+    val r2 = Sinks.applyDelta(spark, s"$base/copy2", s"$base/d23",
+      s"$base/copy3", "doc_id", numShards = 4, seed = 9L).collect().head
+    assert(r2.getAs[Long]("n_rows") == 4L)
+    val got = spark.read.parquet(s"$base/copy3").select("doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(got == Set(1L -> "alpha", 2L -> "bravo2", 3L -> "charlie",
+      6L -> "foxtrot3"))
+    // the applied copy is itself a manifested, version-stamped delivery
+    assert(Sinks.exportAudit(spark, s"$base/copy3", Seq("shard"), "doc_id")
+      .select("healthy").head.getBoolean(0))
+    assert(graft.operators.StoreFs
+      .readFileUtf8(spark, s"$base/copy3/_corpus_version").trim == "3")
+    // gap refusal: the (2,3] delta cannot apply to the v1 copy
+    val gap = intercept[IllegalArgumentException] {
+      Sinks.applyDelta(spark, s"$base/copy1", s"$base/d23",
+        s"$base/bad", "doc_id", numShards = 4, seed = 9L)
+    }
+    assert(gap.getMessage.contains("range mismatch"))
+    // in-place refusal
+    assert(intercept[IllegalArgumentException] {
+      Sinks.applyDelta(spark, s"$base/copy1", s"$base/d12",
+        s"$base/copy1", "doc_id")
+    }.getMessage.contains("in place"))
+    // damaged delivery: duplicate a data file after manifest time (a
+    // double-copied shard in transfer) — counts flip, the audit fails,
+    // and the apply refuses before writing anything
+    val shardDir = Files.list(Paths.get(s"$base/d12/adds")).iterator()
+      .asScala.filter(_.getFileName.toString.startsWith("shard=")).toSeq.head
+    val dataFile = Files.list(shardDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    Files.copy(dataFile, shardDir.resolve("zdup.parquet"))
+    val dmg = intercept[IllegalArgumentException] {
+      Sinks.applyDelta(spark, s"$base/copy1", s"$base/d12",
+        s"$base/bad2", "doc_id", numShards = 4, seed = 9L)
+    }
+    assert(dmg.getMessage.contains("unhealthy"))
+    assert(!graft.operators.StoreFs.exists(spark, s"$base/bad2"))
+  }
 }
