@@ -4392,10 +4392,10 @@ object SparkEntry {
         "1, 3, 'doc_id', 'text', 8, 5)").collect()
       s.sql(s"SELECT * FROM graft_export_apply('$exp/copy3', " +
         s"'$exp/copy1', '$exp/delta', 'doc_id', 8, 5)").collect()
-      val audit = graft.sinks.Sinks.exportAudit(s, s"$exp/copy3",
-        Seq("shard"), "doc_id")
-      require(audit.select("healthy").head.getBoolean(0),
-        "applied copy audit unhealthy")
+      // (no extra audit here: the checksum groupBy below IS the content
+      // check, and SinksSpec asserts the applied copy audits healthy —
+      // this gate was the suite's most expensive at 33s before the
+      // redundant two-pass audit and re-scan receipts were dropped)
       s.read.parquet(s"$exp/copy3")
         .groupBy(col("shard").cast("long").as("shard"))
         .agg(count(lit(1)).as("n_rows"),

@@ -257,13 +257,23 @@ object Sinks {
     exportManifest(spark, exportDir, Seq("shard"), idCol)
     graft.operators.StoreFs.writeFile(spark, s"$exportDir/_corpus_version",
       version.toString)
-    val n = spark.read.parquet(exportDir).count()
+    val n = manifestRowCount(spark, exportDir)
     val sp = spark
     import sp.implicits._
     Seq(("export_snapshot", exportDir, version, version, n, 0L))
       .toDF("verb", "store", "old_version", "new_version", "n_adds",
         "n_removes")
   }
+
+  /** Receipt row count from the export's OWN just-written manifest (a
+    * shard-count-bounded parquet, one tiny read) — the data was fully
+    * scanned once at manifest time; re-scanning it again for a receipt
+    * number doubled the cost of every export/apply.
+    */
+  private def manifestRowCount(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Long =
+    spark.read.parquet(s"$path/_export_manifest")
+      .agg(coalesce(sum("n_rows"), lit(0L))).head.getLong(0)
 
   /** APPLY a [[exportDelta]] delivery onto a consumer copy — the verb
     * that executes the documented delete-then-add contract instead of
@@ -337,7 +347,7 @@ object Sinks {
     exportManifest(spark, outDir, Seq("shard"), idCol)
     graft.operators.StoreFs.writeFile(spark, s"$outDir/_corpus_version",
       newV.toString)
-    val n = spark.read.parquet(outDir).count()
+    val n = manifestRowCount(spark, outDir)
     val sp = spark
     import sp.implicits._
     Seq(("export_apply", outDir, oldV, newV, nAdds, nRemoves, n))
