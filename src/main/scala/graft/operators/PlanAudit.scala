@@ -114,7 +114,25 @@ object PlanAudit {
         found += Hazard("INFO", "unfiltered-scan", "FileSourceScanExec",
           s"full scan (no pushed or partition filters), columns=[$cols]")
       case _: ShuffleExchangeExec => shuffles += 1
-      case _: BroadcastExchangeExec => broadcasts += 1
+      case b: BroadcastExchangeExec =>
+        broadcasts += 1
+        // A planner-CHOSEN broadcast is under the threshold by its own
+        // size estimate, so an over-threshold broadcast means a hint (or
+        // a nested-loop fallback) forced it — the exact pattern behind
+        // this project's one historical OOM class (a caller-supplied
+        // "allowed ids" frame force-broadcast into a filtered search).
+        // Skipped when auto-broadcast is disabled (threshold <= 0): every
+        // broadcast is then deliberate or a join-strategy necessity.
+        val thresh =
+          df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+        val est = b.child.logicalLink.orElse(b.logicalLink)
+          .map(_.stats.sizeInBytes)
+        if (thresh > 0 && est.exists(_ > BigInt(thresh)))
+          found += Hazard("WARN", "large-broadcast", "BroadcastExchangeExec",
+            s"estimated ~${est.get / 1024} KiB exceeds " +
+              s"autoBroadcastJoinThreshold ($thresh B): a forced " +
+              "broadcast of an unbounded side OOMs executors at scale - " +
+              "drop the hint and let AQE size the join")
       case _ => ()
     }
     found += Hazard("INFO", "shuffles", "ShuffleExchangeExec",

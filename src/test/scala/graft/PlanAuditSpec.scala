@@ -63,6 +63,27 @@ class PlanAuditSpec extends SparkTestBase {
       .contains("INFO:unfiltered-scan"))
   }
 
+  test("hint-forced broadcast over the threshold is WARN; planner-chosen broadcast is not") {
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    val big = ns.range(0, 100000).toDF("x")
+    val forced = big.join(
+      broadcast(big.withColumnRenamed("x", "y")), col("x") === col("y"))
+    assert(hazardSet(forced).contains("WARN:large-broadcast"))
+    // a side the planner itself sized under the threshold is fine
+    val small = ns.range(0, 10).toDF("y")
+    val chosen = big.join(small, col("x") === col("y"))
+    assert(hazardSet(chosen).contains("INFO:broadcasts") &&
+      !hazardSet(chosen).contains("WARN:large-broadcast"))
+    // with auto-broadcast disabled every broadcast is deliberate: skip
+    val off = spark.newSession()
+    off.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val offBig = off.range(0, 100000).toDF("x")
+    val offForced = offBig.join(
+      broadcast(offBig.withColumnRenamed("x", "y")), col("x") === col("y"))
+    assert(!hazardSet(offForced).contains("WARN:large-broadcast"))
+  }
+
   test("audit plans but never executes; TVF form works from SQL") {
     val d = spark.range(0, 10).toDF("x")
       .select(expr("assert_true(x < 5, 'boom')").as("a"), col("x"))
