@@ -10,15 +10,19 @@ package graft
   * A query that throws is reported in an `"errors"` map, NOT as a timing.
   *
   * Timing protocol (this box shows ±2× run-to-run variance on single runs):
-  *  - an untimed warmup of every query at the smallest fixture first, so no
-  *    measured run pays JVM/codegen/class-load cost;
-  *  - one more untimed run at the TARGET fixture immediately before each
-  *    query's timed runs — the small-fixture warmup compiles the code paths
-  *    but not the target-sized shuffles/broadcasts, so without this, run 1
-  *    paid target-scale JIT/GC shaping and `queries_max` showed 3-5×
-  *    first-run outliers that read as regressions they weren't;
+  *  - an untimed run at the TARGET fixture immediately before each query's
+  *    timed runs: it pays the JVM/codegen/class-load cost AND the
+  *    target-sized shuffle/broadcast JIT/GC shaping, so no timed run shows
+  *    the 3-5× first-run outliers that read as regressions they aren't
+  *    (an earlier additional all-queries warmup at sf0.001 was redundant
+  *    with this and cost ~5 min of the driver's window — removed);
   *  - then `Runs` timed executions per query, reporting the MEDIAN in
-  *    `queries` (what the driver reads) plus per-query min/max spread;
+  *    `queries` (what the driver reads) plus per-query min/max spread —
+  *    except that a query whose target warmup ran past [[HeavyCutoff]]
+  *    gets a single timed run (the store-lifecycle tail at 4 target-scale
+  *    executions apiece is what pushed two rounds' benches past their
+  *    window; one post-warmup sample of a 5-25s pipeline is plan cost,
+  *    not jitter, and the canary/spread flags still police it);
   *  - `spark.catalog.clearCache()` between executions — OUTSIDE the timed
   *    window (teardown of the previous run's cache is not the next run's
   *    cost) — so every run re-does its own persist work instead of reading
@@ -105,12 +109,6 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     var spark = GraftSession.local(GraftSession.envCores, "graft-bench")
 
-    // Warmup fixture: the smallest sibling of the configured dir if present
-    // (warmup should be cheap), else the configured dir itself.
-    val warmDir = {
-      val sibling = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
-      if (sibling.isDirectory) sibling.getPath else sfDir
-    }
     def runOnce(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
@@ -123,21 +121,20 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // Per-query try/catch: one broken query must not skip warmup for the
-    // rest (its real error is reported from the timed run below).
-    names.foreach { name =>
-      try runOnce(name, warmDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup $name skipped: ${e.getMessage}")
-      }
-      cleanup()
-    }
+    // NOTE an earlier protocol ran every query once at sf0.001 before
+    // anything else ("global warmup"). That loop predates the per-query
+    // UNTIMED target-fixture warmup below, which now does the same
+    // JIT/codegen/class-load priming immediately before each query's
+    // timed runs — and unlike the global loop it survives the session
+    // recycles (a recycled session needs re-priming anyway). The global
+    // loop had become ~5 minutes of pure redundancy inside a 60-minute
+    // driver window that two rounds overran, so it is gone.
 
-    // Canary baseline: median of 5 probes after warmup (the warmup loop
-    // above has already JIT-compiled range/sum). If the box is ALREADY
-    // loaded at baseline time, the baseline inflates and drift under-reads
-    // — so the minimum across baseline AND per-query probes anchors the
-    // ratio instead (the fastest observation is the closest to idle).
+    // Canary baseline: median of 5 probes (the first 2 are discarded
+    // priming runs that JIT range/sum). If the box is ALREADY loaded at
+    // baseline time, the baseline inflates and drift under-reads — so the
+    // minimum across baseline AND per-query probes anchors the ratio
+    // instead (the fastest observation is the closest to idle).
     (1 to 2).foreach(_ => canaryOnce(spark))
     val canaryBaseRuns = (1 to 5).map(_ => canaryOnce(spark)).sorted
     var canaryBase = canaryBaseRuns(canaryBaseRuns.length / 2)

@@ -90,14 +90,28 @@ object PlanAudit {
     val found = scala.collection.mutable.ArrayBuffer[Hazard]()
     var shuffles = 0
     var broadcasts = 0
+    // A pair-join is only a hazard when BOTH sides grow with the data: a
+    // cross join against a grouping-free aggregate (a corpus total, a
+    // threshold) or a literal few-row frame is the ordinary scalar-
+    // broadcast idiom — this repo's own operators use it — and flagging
+    // it ERROR would teach users to ignore the linter.
+    def pairHazard(l: SparkPlan, r: SparkPlan, node: String,
+                   errHazard: String, errDetail: String): Hazard =
+      if (boundedSide(l) || boundedSide(r))
+        Hazard("INFO", "bounded-pair-join", node,
+          "one side is provably bounded (grouping-free aggregate, small " +
+            "literal relation, or small limit) - the scalar-broadcast " +
+            "idiom, constant work per row at any scale")
+      else Hazard("ERROR", errHazard, node, errDetail)
     plan.foreach {
-      case _: CartesianProductExec =>
-        found += Hazard("ERROR", "cartesian-product", "CartesianProductExec",
+      case c: CartesianProductExec =>
+        found += pairHazard(c.left, c.right, "CartesianProductExec",
+          "cartesian-product",
           "row counts multiply; at 100x data this is 10,000x the work - " +
             "give the join an equi-condition or a banded/bucketed key")
       case j: BroadcastNestedLoopJoinExec =>
-        found += Hazard("ERROR", "nested-loop-join",
-          "BroadcastNestedLoopJoinExec",
+        found += pairHazard(j.left, j.right, "BroadcastNestedLoopJoinExec",
+          "nested-loop-join",
           s"non-equi ${j.joinType} join compares every pair; " +
             "bound one side or derive an equi-join key (banding)")
       case w: WindowExec if w.partitionSpec.isEmpty =>
@@ -140,6 +154,33 @@ object PlanAudit {
     found += Hazard("INFO", "broadcasts", "BroadcastExchangeExec",
       s"count=$broadcasts")
     found.toSeq
+  }
+
+  /** True when `p` provably produces a bounded row count regardless of
+    * input size: a grouping-free aggregate (≤1 row), a literal local
+    * relation of ≤128 rows, or a ≤4096-row limit — walked through the
+    * count-preserving wrappers (project/filter/sort/exchange/codegen
+    * glue) but NOT through Generate/Expand/Union, which can multiply.
+    */
+  private def boundedSide(p: SparkPlan): Boolean = p match {
+    case agg: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      agg.groupingExpressions.isEmpty
+    case l: org.apache.spark.sql.execution.LocalTableScanExec =>
+      l.rows.length <= 128
+    case g: org.apache.spark.sql.execution.GlobalLimitExec =>
+      g.limit >= 0 && g.limit <= 4096
+    case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
+      t.limit <= 4096
+    case _: org.apache.spark.sql.execution.ProjectExec |
+         _: org.apache.spark.sql.execution.FilterExec |
+         _: SortExec |
+         _: BroadcastExchangeExec | _: ShuffleExchangeExec |
+         _: org.apache.spark.sql.execution.WholeStageCodegenExec |
+         _: org.apache.spark.sql.execution.InputAdapter |
+         _: org.apache.spark.sql.execution.LocalLimitExec |
+         _: org.apache.spark.sql.execution.CoalesceExec =>
+      boundedSide(p.children.head)
+    case _ => false
   }
 
   /** Convenience for CI gates: true when the plan carries no ERROR-severity

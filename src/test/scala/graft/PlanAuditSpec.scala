@@ -31,6 +31,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!PlanAudit.scaleSafe(bnl))
   }
 
+  test("scalar-broadcast cross joins downgrade to INFO bounded-pair-join") {
+    val noBroadcast = spark.newSession()
+    noBroadcast.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val d = noBroadcast.range(0, 1000).toDF("x")
+    // corpus-total against every row: the ordinary scalar idiom
+    val scalarCross = d.crossJoin(d.agg(sum("x").as("total")))
+    assert(hazardSet(scalarCross).contains("INFO:bounded-pair-join"))
+    assert(!hazardSet(scalarCross).contains("ERROR:cartesian-product"))
+    assert(PlanAudit.scaleSafe(scalarCross))
+    // literal few-row side, non-equi: bounded work per probe row
+    import noBroadcast.implicits._
+    val thresholds = Seq(10L, 100L, 500L).toDF("t")
+    val banded = d.join(thresholds, col("x") < col("t"), "left_outer")
+    assert(hazardSet(banded).contains("INFO:bounded-pair-join"))
+    assert(PlanAudit.scaleSafe(banded))
+  }
+
   test("global window is WARN; partitioned window is not flagged") {
     val d = spark.range(0, 100).toDF("x")
     val global = d.withColumn("r", row_number().over(Window.orderBy("x")))
@@ -82,6 +99,19 @@ class PlanAuditSpec extends SparkTestBase {
     val offForced = offBig.join(
       broadcast(offBig.withColumnRenamed("x", "y")), col("x") === col("y"))
     assert(!hazardSet(offForced).contains("WARN:large-broadcast"))
+  }
+
+  test("dogfood: the engine's own operators plan scale-safe") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    assert(PlanAudit.scaleSafe(
+      graft.operators.Dedup.exact(docs, "doc_id", "text")))
+    assert(PlanAudit.scaleSafe(
+      graft.operators.TextAnalysis.qualityRules(docs, "doc_id", "text")))
+    // bm25Search carries a corpus-stats scalar cross join: must read as
+    // the bounded idiom, not an ERROR
+    assert(PlanAudit.scaleSafe(graft.operators.TextAnalysis.bm25Search(
+      docs, "doc_id", "text", Seq("beta"), k = 2)))
   }
 
   test("audit plans but never executes; TVF form works from SQL") {
