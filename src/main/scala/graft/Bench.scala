@@ -65,6 +65,16 @@ object Bench {
     * minutes-long in the r10 artifact) still shows as a clean multiple.
     */
   private def canaryOnce(spark: org.apache.spark.sql.SparkSession): Double = {
+    // Drain intra-JVM residue FIRST (untimed): the probe exists to detect
+    // EXTERNAL load, but the background GC of a just-finished heavy query
+    // competes for the same cores and read as ~2-5× "load" on probes
+    // adjacent to the store-lifecycle stretch — with the r15 removal of
+    // the global warmup loop (whose residue had inflated the baseline to
+    // match), that false-flagged 47 of 241 queries on a near-idle box,
+    // every one adjacent to a heavy gate, while the per-query spread rule
+    // flagged zero. A blocking full GC finishes that work before the
+    // probe starts, so the probe isolates what it is for.
+    System.gc()
     val t0 = System.nanoTime()
     spark.range(0, 1L << 29, 1, 32)
       .select(org.apache.spark.sql.functions.sum(
@@ -86,6 +96,21 @@ object Bench {
     * `canary` so a polluted STRETCH is localizable after the fact.
     */
   private val CanaryDriftLimit = 2.0
+
+  /** Per-QUERY both-adjacent-probes limit — deliberately far above
+    * [[CanaryDriftLimit]]. Measured on this box (r15, two full runs):
+    * probes adjacent to the store-lifecycle stretch read 2-3.5× base even
+    * after the pre-probe GC drain, from intra-JVM co-tenants the drain
+    * cannot stop (the 1-minute ContextCleaner periodic GC colliding with
+    * a 0.3s probe at random, stream teardown threads) — a 2× per-query
+    * rule false-flagged 47-69 of 241 queries on a box whose spread rule
+    * flagged ≤1. Genuine external load in the r10 artifact sat at 8-15×
+    * for minutes. The regimes are separated by a decade, so 5× flags
+    * only the unambiguous one; the 2× MEDIAN drift rule still catches
+    * whole-run pollution, and the full per-query probe map lands in the
+    * artifact for post-hoc reads either way.
+    */
+  private val CanaryLocalLimit = 5.0
 
   /** Warmup-run duration (seconds, at the target fixture) above which a
     * query is benched with a single timed run instead of [[Runs]] — see
@@ -249,20 +274,19 @@ object Bench {
       } + "\""
     // per-QUERY contamination: load visible on BOTH sides of the query's
     // timed window (min of the probe before it — i.e. after its
-    // predecessor — and the probe after it, over the drift limit). A
-    // single-sided spike is the query's own teardown residue (GC of a
-    // heavy query, stream cleanup — measured up to ~5× base next to the
-    // store-lifecycle queries, with the recorded medians still matching
-    // their BenchOne-isolated costs), visible in the `canary` map but not
-    // a reason to distrust the median; SUSTAINED elevation across the
-    // window is.
+    // predecessor — and the probe after it), over [[CanaryLocalLimit]] —
+    // NOT the 2× drift limit: both-sides elevation in the 2-3.5× band is
+    // reproducibly the JVM's own co-tenants next to consecutive heavy
+    // gates (see the constant's doc), visible in the `canary` map but
+    // not a reason to distrust the median; a both-sides reading past 5×
+    // is the r10-style sustained external regime.
     val canaryFlaggedQs = {
       val seq = canaries.toSeq
       seq.zipWithIndex.collect {
         case ((k, post), i)
             if math.min(
               if (i > 0) seq(i - 1)._2 else canaryBase,
-              post) > CanaryDriftLimit * canaryBase => k
+              post) > CanaryLocalLimit * canaryBase => k
       }
     }
     // query-LOCAL contamination the adjacent canaries can miss (the r13
@@ -285,7 +309,7 @@ object Bench {
     val cqs = contaminatedQs.map(jstr).mkString("[", ",", "]")
     val sqs = spreadFlaggedQs.map(jstr).mkString("[", ",", "]")
     val srs = singleRun.map(jstr).mkString("[", ",", "]")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"heavy_cutoff":$HeavyCutoff,"queries_single_run":$srs,"n_gates":${names.size},"queries":$qs,"queries_min":$mins,"queries_max":$maxs,"errors":$es,"failed":${errors.size},"canary_base":$canaryBase,"canary_max":$canaryMax,"canary_spike":$canarySpike,"canary_drift":$canaryDrift,"canary_contaminated":${canaryDrift > CanaryDriftLimit},"queries_contaminated":$cqs,"queries_spread_flagged":$sqs,"spread_limit":$SpreadLimit,"canary":$cs,"sf":${jstr(sfDir)}}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"heavy_cutoff":$HeavyCutoff,"queries_single_run":$srs,"n_gates":${names.size},"queries":$qs,"queries_min":$mins,"queries_max":$maxs,"errors":$es,"failed":${errors.size},"canary_base":$canaryBase,"canary_max":$canaryMax,"canary_spike":$canarySpike,"canary_drift":$canaryDrift,"canary_contaminated":${canaryDrift > CanaryDriftLimit},"queries_contaminated":$cqs,"queries_spread_flagged":$sqs,"spread_limit":$SpreadLimit,"canary_local_limit":$CanaryLocalLimit,"canary":$cs,"sf":${jstr(sfDir)}}"""
     println(fullJson)
     // Durable copy of the full record: the driver's stdout tail capture is
     // bounded (the r10/r11 artifacts recorded only whichever map happened
