@@ -17,20 +17,30 @@ object Verify {
     // still score every per-query dir written so far — partial rows instead
     // of an empty artifact (the r14 failure mode).
     writeOracleJson(outDir)
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val todo = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }.toSeq
+    var done = 0
+    var failed = 0
+    todo.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      done += 1
+      // per-query progress on stdout (the Bench r14 lesson applied here
+      // too): a bounded tail capture of a killed run names the query that
+      // was running and how far through the sweep it got
+      println(f"""{"metric":"vq","i":$done,"n":${todo.size},"name":"$name","secs":${(System.nanoTime() - t0) / 1e9}%.2f}""")
       // operators that persist (Dedup/Similarity) can't unpersist their own
       // lazy frames; drop them here so 20+ queries don't accumulate caches,
       // and drain streaming leftovers (q23's memory sink + checkpoint dir)
       spark.catalog.clearCache()
       SparkEntry.cleanupStreamArtifacts(spark)
     }
+    println(s"""{"metric":"verify","n":$done,"failed":$failed}""")
     spark.stop()
   }
 
