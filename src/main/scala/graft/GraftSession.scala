@@ -37,7 +37,26 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // coalescePartitions.parallelismFirst stays at its DEFAULT (true).
+      // A/B-measured this round (BenchOne medians, r15): false (= coalesce
+      // small shuffles down to advisoryPartitionSizeInBytes) cuts the
+      // store-lifecycle gates' scheduling overhead ~5-10% (q159 10.5s →
+      // 9.6s) but regresses the CPU-dense, byte-sparse stages +35% (q92
+      // image dedup 2.6s → 3.5s: kilobyte shuffles whose per-row compute
+      // NEEDS the parallelism bytes-based sizing takes away). Per-query
+      // medians are the driver's contract, so the trade is refused; the
+      // store verbs win back their overhead via Par overlap instead.
       .config("spark.sql.session.timeZone", "UTC")
+      // Partition discovery: the default threshold (32 paths) sends every
+      // read of a cell/bucket-partitioned store (≤4096 cells by the
+      // maxCentroids cap, 16-64 buckets typical) through a DISTRIBUTED
+      // listing job — measured in ProfileOne as five 50-task listing jobs
+      // per IVF lifecycle gate, each 0.1-0.3s, pure scheduling overhead
+      // against a local FS. 128 keeps the common store reads on the
+      // driver (a 128-dir listing is trivial on any FS) while genuinely
+      // wide layouts — a 100 TB store's thousands of partitions on an
+      // object store — still get the parallel job. (guide §6/§7.3)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
       // saveAsTable target for bucketed tables (kept out of the repo tree)
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse")

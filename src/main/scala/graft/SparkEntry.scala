@@ -2478,8 +2478,12 @@ object SparkEntry {
       // between the builds leaves a PENDING manifest Composite.audit
       // flags, where both per-store fscks would pass (CompositeSpec)
       Composite.build(s, rootT, Composite.ragMembers(rootT, rootV)) {
-        TextAnalysis.buildTextIndex(docs, "doc_id", "text", rootT)
-        Similarity.buildIvfPqIndexAdaptive(e, "vec_id", "embedding", rootV)
+        // the two member stores are independent (disjoint dirs, different
+        // inputs) — overlap their builds (Par §2.6; r15)
+        graft.operators.Par.run(
+          () => TextAnalysis.buildTextIndex(docs, "doc_id", "text", rootT),
+          () => Similarity.buildIvfPqIndexAdaptive(e, "vec_id", "embedding",
+            rootV))
       }
       val wb = Window.orderBy(col("bm25_micro").desc, col("doc_id").asc)
       val bm = TextAnalysis.searchTextIndexFiltered(s, rootT,
@@ -2529,8 +2533,11 @@ object SparkEntry {
       e.filter(col("vec_id") === 0).select("vec_id", "embedding")
         .write.mode("overwrite").parquet(s"$rootV/queries")
       s.sql(s"SELECT * FROM graft_composite_begin('$rootT', '$rootT', '$rootV')").collect()
-      s.sql(s"SELECT * FROM graft_text_index_build('$rootT', 'q221_docs', 'doc_id', 'text')").collect()
-      s.sql(s"SELECT * FROM graft_ivfpq_build('$rootV', 'q221_vecs', 'vec_id', 'embedding', 8, 16, 0, 7)").collect()
+      // the two member-build TVFs are independent — overlap them
+      // (Par §2.6; r15), mirroring q220's parallel scala builds
+      graft.operators.Par.run(
+        () => { s.sql(s"SELECT * FROM graft_text_index_build('$rootT', 'q221_docs', 'doc_id', 'text')").collect(); () },
+        () => { s.sql(s"SELECT * FROM graft_ivfpq_build('$rootV', 'q221_vecs', 'vec_id', 'embedding', 8, 16, 0, 7)").collect(); () })
       s.sql(s"SELECT * FROM graft_composite_commit('$rootT')").collect()
       s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW q221_bm AS
                |SELECT doc_id,
@@ -2569,8 +2576,12 @@ object SparkEntry {
         .createTempDirectory("graft-comp-vec").toString
       SnapshotDirs.add(rootV)
       Composite.build(s, rootT, Composite.ragMembers(rootT, rootV)) {
-        TextAnalysis.buildTextIndex(docs, "doc_id", "text", rootT)
-        Similarity.buildIvfPqIndexAdaptive(e, "vec_id", "embedding", rootV)
+        // the two member stores are independent (disjoint dirs, different
+        // inputs) — overlap their builds (Par §2.6; r15)
+        graft.operators.Par.run(
+          () => TextAnalysis.buildTextIndex(docs, "doc_id", "text", rootT),
+          () => Similarity.buildIvfPqIndexAdaptive(e, "vec_id", "embedding",
+            rootV))
       }
       Composite.audit(s, rootT)
         .select("member", "n_components", "n_present", "present", "state",
@@ -2594,8 +2605,10 @@ object SparkEntry {
       docs.createOrReplaceTempView("q223_docs")
       e.createOrReplaceTempView("q223_vecs")
       s.sql(s"SELECT * FROM graft_composite_begin('$rootT', '$rootT', '$rootV')").collect()
-      s.sql(s"SELECT * FROM graft_text_index_build('$rootT', 'q223_docs', 'doc_id', 'text')").collect()
-      s.sql(s"SELECT * FROM graft_ivfpq_build('$rootV', 'q223_vecs', 'vec_id', 'embedding', 8, 16, 0, 7)").collect()
+      // independent member-build TVFs — overlapped (Par §2.6; r15)
+      graft.operators.Par.run(
+        () => { s.sql(s"SELECT * FROM graft_text_index_build('$rootT', 'q223_docs', 'doc_id', 'text')").collect(); () },
+        () => { s.sql(s"SELECT * FROM graft_ivfpq_build('$rootV', 'q223_vecs', 'vec_id', 'embedding', 8, 16, 0, 7)").collect(); () })
       s.sql(s"SELECT * FROM graft_composite_commit('$rootT')").collect()
       s.sql(s"""SELECT member, n_components, n_present, present, state, healthy
                |FROM graft_rag_audit('$rootT') ORDER BY member""".stripMargin)
@@ -4150,8 +4163,10 @@ object SparkEntry {
         s"vectors|$rootV|centroids,pq_codebook,pq_meta,postings;" +
         s"export|$rootE|_export_manifest"
       s.sql(s"SELECT * FROM graft_composite_begin('$rootT', '$spec')").collect()
-      s.sql(s"SELECT * FROM graft_text_index_build('$rootT', 'q234_docs', 'doc_id', 'text', 16)").collect()
-      s.sql(s"SELECT * FROM graft_ivfpq_build('$rootV', 'q234_vecs', 'vec_id', 'embedding', 8, 16, 0, 7)").collect()
+      // independent member-build TVFs — overlapped (Par §2.6; r15)
+      graft.operators.Par.run(
+        () => { s.sql(s"SELECT * FROM graft_text_index_build('$rootT', 'q234_docs', 'doc_id', 'text', 16)").collect(); () },
+        () => { s.sql(s"SELECT * FROM graft_ivfpq_build('$rootV', 'q234_vecs', 'vec_id', 'embedding', 8, 16, 0, 7)").collect(); () })
       graft.sinks.Sinks.writeShuffled(docs.select("doc_id", "text"),
         "doc_id", numShards = 8, seed = 5L, path = rootE)
       s.sql(s"SELECT * FROM graft_export_manifest('$rootE', 'shard', 'doc_id')").collect()
@@ -4330,12 +4345,13 @@ object SparkEntry {
       graft.functions.GraftTableFunctions.ensureRegistered(s)
       s.sql(s"SELECT * FROM graft_export_delta('$exp', '$root', 1, 3, " +
         "'doc_id', 'text', 8, 5)").collect()
-      Seq("adds", "removes").foreach { side =>
+      // independent side audits — overlapped (Par §2.6; r15)
+      graft.operators.Par.run(Seq("adds", "removes").map { side => () => {
         val a = graft.sinks.Sinks.exportAudit(s, s"$exp/$side",
           Seq("shard"), "doc_id")
         require(a.select("healthy").head.getBoolean(0),
           s"delta export $side audit unhealthy")
-      }
+      }}: _*)
       val adds = s.read.parquet(s"$exp/adds")
         .groupBy(col("shard").cast("long").as("shard"))
         .agg(count(lit(1)).as("n_rows"),
@@ -4386,10 +4402,14 @@ object SparkEntry {
           col("doc_id") % 13 =!= 1).select("doc_id"),
         idCol = "doc_id")
       graft.functions.GraftTableFunctions.ensureRegistered(s)
-      s.sql(s"SELECT * FROM graft_export_snapshot('$exp/copy1', " +
-        s"'$root', 1, 'doc_id', 8, 5)").collect()
-      s.sql(s"SELECT * FROM graft_export_delta('$exp/delta', '$root', " +
-        "1, 3, 'doc_id', 'text', 8, 5)").collect()
+      // the v1 full ship and the (1,3] delta export are independent
+      // reads of the same store — overlapped (Par §2.6; r15); the apply
+      // below needs both
+      graft.operators.Par.run(
+        () => { s.sql(s"SELECT * FROM graft_export_snapshot('$exp/copy1', " +
+          s"'$root', 1, 'doc_id', 8, 5)").collect(); () },
+        () => { s.sql(s"SELECT * FROM graft_export_delta('$exp/delta', '$root', " +
+          "1, 3, 'doc_id', 'text', 8, 5)").collect(); () })
       s.sql(s"SELECT * FROM graft_export_apply('$exp/copy3', " +
         s"'$exp/copy1', '$exp/delta', 'doc_id', 8, 5)").collect()
       // (no extra audit here: the checksum groupBy below IS the content

@@ -459,7 +459,9 @@ object Curation {
   private[graft] def writeSnapshotUnlocked(df: DataFrame, rootDir: String,
                                            version: Long): Unit = {
     require(version >= 0, s"version must be >= 0: $version")
-    df.write.mode("errorifexists").parquet(s"$rootDir/version=$version")
+    Par.described(df.sparkSession, s"snapshot write v$version $rootDir") {
+      df.write.mode("errorifexists").parquet(s"$rootDir/version=$version")
+    }
   }
 
   /** The versions present under `rootDir`, ascending — `ls-versions`.
@@ -586,23 +588,41 @@ object Curation {
                          upserts: DataFrame, deleteIds: DataFrame,
                          idCol: String): Unit =
       StoreLock.withWriteLock(rootDir) {
+        Par.described(spark, s"snapshot delta v$version $rootDir") {
     require(version >= 1, s"delta version must be >= 1: $version")
-    val clash = upserts.select(col(idCol))
-      .join(deleteIds.select(col(idCol)), idCol).limit(1).count()
-    require(clash == 0,
+    // BOTH write-time invariants in ONE job (was two — a join-count for
+    // upsert∩delete clashes plus a groupBy-count for duplicate upsert
+    // ids, each re-scanning the upsert frame): tag the two id streams,
+    // group once, and read both violation flags off a single aggregate.
+    // The validation now costs one pass over the churn instead of two —
+    // the r15 job-count diet for every delta-chain writer.
+    //  - dup upsert ids would tie on the reconstruction window's
+    //    (_v, _op) key and pick an arbitrary winner;
+    //  - an id upserted AND deleted in one delta has no defined merge.
+    val viol = upserts.select(col(idCol).as("_id"))
+      .withColumn("_src", lit(1))
+      .unionByName(deleteIds.select(col(idCol).as("_id"))
+        .withColumn("_src", lit(0)))
+      .groupBy("_id")
+      .agg(sum("_src").as("_nu"), count(lit(1)).as("_nt"))
+      .agg(
+        coalesce(max(when(col("_nu") >= 1 && col("_nt") > col("_nu"),
+          1).otherwise(0)), lit(0)).as("clash"),
+        coalesce(max(when(col("_nu") > 1, 1).otherwise(0)), lit(0))
+          .as("dup"))
+      .head()
+    require(viol.getAs[Int]("clash") == 0,
       s"version $version upserts and deletes share ids — ambiguous merge")
-    // duplicate ids WITHIN one delta's upserts would tie on the
-    // reconstruction window's (_v, _op) key and pick an arbitrary winner
-    // — reject at write, where the mistake is fixable
-    val dup = upserts.groupBy(col(idCol)).count()
-      .filter(col("count") > 1).limit(1).count()
-    require(dup == 0,
+    require(viol.getAs[Int]("dup") == 0,
       s"version $version upserts contain duplicate ids — ambiguous merge")
-    upserts.write.mode("errorifexists")
-      .parquet(s"$rootDir/_delta/version=$version/upserts")
-    deleteIds.select(col(idCol)).write.mode("errorifexists")
-      .parquet(s"$rootDir/_delta/version=$version/deletes")
-  }
+    // the two component writes are independent (different directories) —
+    // overlap them (Par contract: nothing shared, caches not involved)
+    Par.run(
+      () => upserts.write.mode("errorifexists")
+        .parquet(s"$rootDir/_delta/version=$version/upserts"),
+      () => deleteIds.select(col(idCol)).write.mode("errorifexists")
+        .parquet(s"$rootDir/_delta/version=$version/deletes"))
+  }}
 
   /** Delta versions present under the store, ascending. */
   def deltaVersions(rootDir: String,
@@ -654,6 +674,14 @@ object Curation {
         "left_semi"))
     val baseDf = spark.read.parquet(s"$rootDir/version=$base")
     val dataCols = baseDf.columns.toSeq
+    // reconstruction AT a compaction point folds nothing: the answer IS
+    // the (scoped, partition-pruned) base scan. Skipping the fold also
+    // skips the last-writer-wins window's full shuffle+sort of the data
+    // rows — at 100 TB, time travel to a full snapshot becomes a pruned
+    // read instead of a corpus shuffle (r15; ids are unique per version
+    // by the store contract, so the window was an identity there anyway)
+    if (deltas.isEmpty)
+      return scoped(baseDf).select(dataCols.map(col): _*)
     val baseTagged = scoped(baseDf)
       .withColumn("_v", lit(base)).withColumn("_op", lit("u"))
     val chain = deltas.foldLeft(baseTagged) { (acc, v) =>

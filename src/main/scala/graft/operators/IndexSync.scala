@@ -247,8 +247,10 @@ object IndexSync {
     CacheScope.withCaches {
       val diff = CacheScope.persisted(Curation.diffSnapshotsAt(
         spark, storeDir, oldVersion, newVersion, idCol, contentCol))
-      val counts = diff.groupBy("status").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val counts = Par.described(spark, s"$verb: churn diff") {
+        diff.groupBy("status").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
       val nAdded = counts.getOrElse("added", 0L)
       val nChanged = counts.getOrElse("changed", 0L)
       val nRemoved = counts.getOrElse("removed", 0L)
@@ -260,19 +262,29 @@ object IndexSync {
         val toAppend = diff.filter(col("status").isin("added", "changed"))
           .select(col("id").as(idCol))
         // drain tombstones iff one would shadow a (re-)appended id —
-        // the smallest sufficient verb, StoreMaintenance's rule
-        val shadowed = StoreFs
-          .tombstoneIds(spark, s"$indexDir/tombstones", tombstoneIdCol)
-          .exists(t => !toAppend
-            .join(t.select(col(tombstoneIdCol).as(idCol)), Seq(idCol),
-              "left_semi")
-            .isEmpty)
+        // the smallest sufficient verb, StoreMaintenance's rule. A
+        // `changed` id is ALWAYS shadowed (step 2 just tombstoned it, or
+        // an earlier sync already had), so the semi-join probe only runs
+        // for the pure-addition case, where a re-birth could still hit an
+        // old tombstone (r15: skips the probe's two jobs on every
+        // churn-with-changes sync)
+        val shadowed = nChanged > 0 ||
+          Par.described(spark, s"$verb: shadow probe") {
+            StoreFs
+              .tombstoneIds(spark, s"$indexDir/tombstones", tombstoneIdCol)
+              .exists(t => !toAppend
+                .join(t.select(col(tombstoneIdCol).as(idCol)), Seq(idCol),
+                  "left_semi")
+                .isEmpty)
+          }
         if (shadowed) {
           compactFn()
           compacted = true
         }
-        appendFn(Curation.readSnapshotAt(spark, storeDir, newVersion,
-          idCol, scope = toAppend))
+        Par.described(spark, s"$verb: scoped append") {
+          appendFn(Curation.readSnapshotAt(spark, storeDir, newVersion,
+            idCol, scope = toAppend))
+        }
       }
       StoreLock.withWriteLock(syncLockDir(indexDir)) {
         StoreFs.writeFile(spark, appliedPath(indexDir), newVersion.toString)

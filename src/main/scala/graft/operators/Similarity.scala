@@ -409,17 +409,22 @@ object Similarity {
                     dir: String, centStep: Int = 25,
                     maxCentroids: Int = 4096): Unit =
       StoreLock.withWriteLock(dir) {
+        Par.described(df.sparkSession, s"ivf build $dir") {
     val cents = sampleCentroids(df, idCol, vecCol, centStep, maxCentroids)
     val sp = df.sparkSession
     import sp.implicits._
-    cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
-      .coalesce(1) // bounded by maxCentroids — one small model file
-      .write.mode("overwrite").parquet(s"$dir/centroids")
     // a rebuild returns to the classic layout: no stale segment manifest
     StoreSegments.reset(sp, dir, "postings")
-    ivfAssign(df, idCol, vecCol, cents)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
-  }
+    // both writes depend only on the driver-side codebook — independent
+    // directories, overlap them (§2.6; r15)
+    Par.run(
+      () => cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
+        .coalesce(1) // bounded by maxCentroids — one small model file
+        .write.mode("overwrite").parquet(s"$dir/centroids"),
+      () => ivfAssign(df, idCol, vecCol, cents)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/postings"))
+  }}
 
   /** INCREMENTAL index maintenance: assign a new `batch` to an EXISTING
     * [[buildIvfIndex]] index's centroids and append its postings — the
@@ -441,13 +446,14 @@ object Similarity {
   def appendIvfIndex(spark: SparkSession, dir: String, batch: DataFrame,
                      idCol: String, vecCol: String): Unit =
       StoreLock.withWriteLock(dir) {
+        Par.described(spark, s"ivf append $dir") {
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy("cid").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
     require(cents.nonEmpty, s"no centroids at $dir/centroids — build first")
     StoreSegments.append(spark, dir, "postings", "cell",
       ivfAssign(batch, idCol, vecCol, cents))
-  }
+  }}
 
   /** DELETION from a [[buildIvfIndex]] index — [[
     * graft.operators.TextAnalysis.deleteFromTextIndex]]'s contract for
@@ -469,6 +475,7 @@ object Similarity {
   def deleteFromIvfIndex(spark: SparkSession, dir: String, ids: DataFrame,
                          idCol: String): Unit =
       StoreLock.withWriteLock(dir) {
+        Par.described(spark, s"ivf delete $dir") {
     val del0 = ids.select(col(idCol).cast("long").as("id")).distinct()
     val del =
       if (graft.operators.StoreFs.exists(spark, s"$dir/tombstones"))
@@ -481,7 +488,7 @@ object Similarity {
       .select(col("id"), col("cell").cast("long").as("cell"))
     if (!delPost.isEmpty)
       delPost.write.mode("append").parquet(s"$dir/tombstones")
-  }
+  }}
 
   /** COMPACTION of a tombstoned [[buildIvfIndex]] index: physically
     * rewrite ONLY the cell partitions the tombstones name (a bounded
@@ -493,6 +500,7 @@ object Similarity {
     */
   def compactIvfIndex(spark: SparkSession, dir: String): Unit =
       StoreLock.withWriteLock(dir) {
+        Par.described(spark, s"ivf compact $dir") {
     import graft.operators.StoreFs
     if (StoreFs.exists(spark, s"$dir/tombstones")) {
       val tomb = spark.read.parquet(s"$dir/tombstones")
@@ -513,7 +521,7 @@ object Similarity {
         StoreFs.delete(spark, s"$dir/tombstones")
       }
     }
-  }
+  }}
 
   /** VACUUM — the vector stores' MAJOR compaction: drain any tombstones
     * ([[compactIvfIndex]]'s affected-cell rewrite) and then consolidate
@@ -1775,6 +1783,7 @@ object Similarity {
                       ivfStep: Int = 25, pqStep: Int = 7,
                       maxCentroids: Int = 4096): Unit =
       StoreLock.withWriteLock(dir) {
+        Par.described(df.sparkSession, s"ivfpq build $dir") {
     require(ksub >= 1 && ksub <= 16, s"ksub must be in [1,16]: $ksub")
     require(m >= 1 && m <= 15, s"m must be in [1,15]: $m")
     val sp = df.sparkSession
@@ -1785,18 +1794,23 @@ object Similarity {
     val dim = full.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     import sp.implicits._
-    cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    full.zipWithIndex.map { case (cv, j) => (j, cv.toSeq) }.toDF("j", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_codebook")
-    Seq((m, ksub, dim)).toDF("m", "ksub", "dim")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_meta")
     // a rebuild returns to the classic layout: no stale segment manifest
     StoreSegments.reset(sp, dir, "postings")
-    withRes.select(col("id"), pqCodeWord(col("r"), full, m).as("code_word"),
-        col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
-  }
+    // all four component writes depend only on the two driver-side
+    // codebooks — independent directories, overlap them (§2.6; r15)
+    Par.run(
+      () => cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids"),
+      () => full.zipWithIndex.map { case (cv, j) => (j, cv.toSeq) }
+        .toDF("j", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_codebook"),
+      () => Seq((m, ksub, dim)).toDF("m", "ksub", "dim")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_meta"),
+      () => withRes.select(col("id"),
+          pqCodeWord(col("r"), full, m).as("code_word"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/postings"))
+  }}
 
   /** Both frozen models + the build shape off disk — the bounded driver
     * reads every IVF-PQ maintenance/search call starts with.
@@ -1827,12 +1841,13 @@ object Similarity {
   def appendIvfPqIndex(spark: SparkSession, dir: String, batch: DataFrame,
                        idCol: String, vecCol: String): Unit =
       StoreLock.withWriteLock(dir) {
+        Par.described(spark, s"ivfpq append $dir") {
     val (cents, full, m) = readIvfPqModel(spark, dir)
     StoreSegments.append(spark, dir, "postings", "cell",
       ivfResiduals(batch, idCol, vecCol, cents)
         .select(col("id"), pqCodeWord(col("r"), full, m).as("code_word"),
           col("cell")))
-  }
+  }}
 
   /** DELETION from a [[buildIvfPqIndex]] store — the takedown verb for
     * the COMPRESSED index, so a removal request against the store a

@@ -656,6 +656,7 @@ object TextAnalysis {
                      dir: String, buckets: Int = 64,
                      withPositions: Boolean = false): Unit =
       StoreLock.withWriteLock(dir) {
+        Par.described(df.sparkSession, s"text-index build $dir") {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     if (withPositions) writePositions(df, idCol, textCol, dir, buckets,
       mode = "overwrite")
@@ -676,23 +677,34 @@ object TextAnalysis {
     // a rebuild returns to the classic layout: no stale segment manifests
     Seq("postings", "terms", "stats", "docs")
       .foreach(c => StoreSegments.reset(df.sparkSession, dir, c))
-    postings.write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$dir/postings")
-    postings.groupBy("term", "bucket").agg(count(lit(1)).as("df"))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
-    // corpus constants as RAW TOTALS (n_docs, sum_dl), not a precomputed
-    // avgdl: totals are mergeable — [[appendTextIndex]] adds a row per
-    // segment and search re-derives avgdl from the exact Long sums, so an
-    // appended index keeps bit-identical IDF/TF arithmetic
-    dl.agg(count(lit(1)).cast("long").as("n_docs"),
-        sum("dl").cast("long").as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
-    dl.select(col("doc_id"), col("dl"))
-      .withColumn("dbucket", termBucket(col("doc_id").cast("string"), buckets))
-      .repartition(col("dbucket"))
-      .write.mode("overwrite").partitionBy("dbucket").parquet(s"$dir/docs")
-  }
+    // materialize the shared caches ONCE (computing postings evaluates dl
+    // too), then overlap the four component writes — they are independent
+    // (different directories) and each now reads the cache, so the wall
+    // is one compute + the slowest write instead of four sequential
+    // write+commit latencies (Par's §2.6 overlap; r15)
+    postings.count()
+    Par.run(
+      () => postings.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$dir/postings"),
+      () => postings.groupBy("term", "bucket").agg(count(lit(1)).as("df"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$dir/terms"),
+      // corpus constants as RAW TOTALS (n_docs, sum_dl), not a
+      // precomputed avgdl: totals are mergeable — [[appendTextIndex]]
+      // adds a row per segment and search re-derives avgdl from the
+      // exact Long sums, so an appended index keeps bit-identical
+      // IDF/TF arithmetic
+      () => dl.agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("dl").cast("long").as("sum_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats"),
+      () => dl.select(col("doc_id"), col("dl"))
+        .withColumn("dbucket",
+          termBucket(col("doc_id").cast("string"), buckets))
+        .repartition(col("dbucket"))
+        .write.mode("overwrite").partitionBy("dbucket")
+        .parquet(s"$dir/docs"))
+  }}
 
   /** INCREMENTAL text-index maintenance — [[Similarity.appendIvfIndex]]'s
     * contract for the inverted index: a crawl increment appends its
@@ -709,6 +721,7 @@ object TextAnalysis {
                       buckets: Int = 64,
                       withPositions: Boolean = false): Unit =
       StoreLock.withWriteLock(dir) {
+        Par.described(spark, s"text-index append $dir") {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     if (withPositions) writePositions(batch, idCol, textCol, dir, buckets,
       mode = "append")
@@ -721,19 +734,26 @@ object TextAnalysis {
         .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("cnt"))
         .withColumn("bucket", termBucket(col("term"), buckets))
         .repartition(col("bucket")))
-    StoreSegments.append(spark, dir, "postings", "bucket", postings)
-    StoreSegments.append(spark, dir, "terms", "bucket",
-      postings.groupBy("term", "bucket").agg(count(lit(1)).as("df"))
-        .repartition(col("bucket")))
-    StoreSegments.appendPlain(spark, dir, "stats",
-      dl.agg(count(lit(1)).cast("long").as("n_docs"),
-          sum("dl").cast("long").as("sum_dl"))
-        .coalesce(1))
-    StoreSegments.append(spark, dir, "docs", "dbucket",
-      dl.select(col("doc_id"), col("dl"))
-        .withColumn("dbucket", termBucket(col("doc_id").cast("string"), buckets))
-        .repartition(col("dbucket")))
-  }
+    // same overlap as the build: one materialization of the shared
+    // caches, then the four independent component appends concurrently
+    // (per-component manifests — no shared state across the forks)
+    postings.count()
+    Par.run(
+      () => StoreSegments.append(spark, dir, "postings", "bucket",
+        postings),
+      () => StoreSegments.append(spark, dir, "terms", "bucket",
+        postings.groupBy("term", "bucket").agg(count(lit(1)).as("df"))
+          .repartition(col("bucket"))),
+      () => StoreSegments.appendPlain(spark, dir, "stats",
+        dl.agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("dl").cast("long").as("sum_dl"))
+          .coalesce(1)),
+      () => StoreSegments.append(spark, dir, "docs", "dbucket",
+        dl.select(col("doc_id"), col("dl"))
+          .withColumn("dbucket",
+            termBucket(col("doc_id").cast("string"), buckets))
+          .repartition(col("dbucket"))))
+  }}
 
   /** DELETION from a [[buildTextIndex]] index — the storage verb a crawl
     * pipeline cannot live without (takedowns, robots revocations,
@@ -765,6 +785,7 @@ object TextAnalysis {
                           dir: String, ids: DataFrame, idCol: String,
                           buckets: Int = 64): Unit =
       StoreLock.withWriteLock(dir) {
+        Par.described(spark, s"text-index delete $dir") {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val del0 = ids.select(col(idCol).as("doc_id")).distinct()
     val del =
@@ -785,26 +806,34 @@ object TextAnalysis {
         .join(broadcast(del), "doc_id")
         .select(col("doc_id"), col("dl")))
     if (deleted.isEmpty) return // ids absent from the index entirely
-    StoreSegments.appendPlain(spark, dir, "stats",
-      deleted.agg((lit(0L) - count(lit(1))).cast("long").as("n_docs"),
-          (lit(0L) - coalesce(sum("dl"), lit(0L))).cast("long").as("sum_dl"))
-        .coalesce(1))
     val delPost = CacheScope.persisted(
       StoreSegments.read(spark, dir, "postings", "bucket")
         .join(broadcast(deleted.select("doc_id")), "doc_id"))
-    StoreSegments.append(spark, dir, "terms", "bucket",
-      delPost.groupBy("term", "bucket")
-        .agg((lit(0L) - count(lit(1))).cast("long").as("df"))
-        .repartition(col("bucket")))
-    // tombstones carry the touched postings buckets (compaction's work
-    // list); a postings-less doc tombstones with bucket = -1
-    delPost.select(col("doc_id"), col("bucket").cast("int").as("bucket"))
-      .distinct()
-      .unionByName(deleted.select("doc_id")
-        .join(delPost.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-        .withColumn("bucket", lit(-1)))
-      .write.mode("append").parquet(s"$dir/tombstones")
-  }
+    // materialize delPost once (its broadcast side fully populates the
+    // `deleted` cache too), then overlap the three independent appends —
+    // stats, negative-df terms and the tombstone list share no output
+    // and read only the two caches (§2.6 overlap; r15)
+    delPost.count()
+    Par.run(
+      () => StoreSegments.appendPlain(spark, dir, "stats",
+        deleted.agg((lit(0L) - count(lit(1))).cast("long").as("n_docs"),
+            (lit(0L) - coalesce(sum("dl"), lit(0L))).cast("long")
+              .as("sum_dl"))
+          .coalesce(1)),
+      () => StoreSegments.append(spark, dir, "terms", "bucket",
+        delPost.groupBy("term", "bucket")
+          .agg((lit(0L) - count(lit(1))).cast("long").as("df"))
+          .repartition(col("bucket"))),
+      // tombstones carry the touched postings buckets (compaction's work
+      // list); a postings-less doc tombstones with bucket = -1
+      () => delPost.select(col("doc_id"), col("bucket").cast("int").as("bucket"))
+        .distinct()
+        .unionByName(deleted.select("doc_id")
+          .join(delPost.select("doc_id").distinct(), Seq("doc_id"),
+            "left_anti")
+          .withColumn("bucket", lit(-1)))
+        .write.mode("append").parquet(s"$dir/tombstones"))
+  }}
 
   /** COMPACTION of a tombstoned [[buildTextIndex]] index: physically
     * rewrite ONLY the postings/terms buckets (and docs/ dbuckets) the
@@ -839,32 +868,41 @@ object TextAnalysis {
                       dir: String, buckets: Int = 64): Unit = {
     compactTextIndex(spark, dir, buckets)
     StoreLock.withWriteLock(dir) {
+      Par.described(spark, s"text-index vacuum $dir") {
+      // the five component consolidations are independent (disjoint
+      // directories, per-component manifests) — overlap them (§2.6; r15)
+      val work = scala.collection.mutable.ArrayBuffer[() => Unit]()
       // terms carry mergeable (possibly negative) df rows — consolidate
       // through the same merge the search runs, not a raw row copy
       if (StoreSegments.entries(spark, dir, "terms").isDefined) {
-        val merged = StoreSegments.read(spark, dir, "terms", "bucket")
-          .groupBy("term", "bucket").agg(sum("df").cast("long").as("df"))
-          .filter(col("df") > 0)
-          .repartition(col("bucket"))
-        StoreSegments.vacuumWith(spark, dir, "terms", "bucket", merged)
+        work += (() => {
+          val merged = StoreSegments.read(spark, dir, "terms", "bucket")
+            .groupBy("term", "bucket").agg(sum("df").cast("long").as("df"))
+            .filter(col("df") > 0)
+            .repartition(col("bucket"))
+          StoreSegments.vacuumWith(spark, dir, "terms", "bucket", merged)
+        })
       }
       Seq("postings" -> "bucket", "positions" -> "bucket",
           "docs" -> "dbucket").foreach { case (comp, key) =>
         if (StoreFs.exists(spark, s"$dir/$comp"))
-          StoreSegments.vacuum(spark, dir, comp, key)
+          work += (() => StoreSegments.vacuum(spark, dir, comp, key))
       }
       if (StoreSegments.entries(spark, dir, "stats").isDefined)
-        StoreSegments.replaceAll(spark, dir, "stats",
+        work += (() => StoreSegments.replaceAll(spark, dir, "stats",
           StoreSegments.read(spark, dir, "stats", "")
             .agg(sum("n_docs").cast("long").as("n_docs"),
               sum("sum_dl").cast("long").as("sum_dl"))
-            .coalesce(1))
+            .coalesce(1)))
+      Par.run(work.toSeq: _*)
+      }
     }
   }
 
   private def compactTextIndexLocked(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String, buckets: Int): Unit = {
+      dir: String, buckets: Int): Unit =
+      Par.described(spark, s"text-index compact $dir") {
     val tomb = spark.read.parquet(s"$dir/tombstones")
     val tombIds = CacheScope.persisted(tomb.select("doc_id").distinct())
     val affected = tomb.filter(col("bucket") >= 0)
@@ -882,39 +920,46 @@ object TextAnalysis {
     // immutable segments, each component flips its manifest atomically —
     // no live bucket directory is swapped, so a concurrent search
     // holding either manifest version sees a complete index
+    // the per-component rewrites are independent (per-component segment
+    // manifests, disjoint directories; the shared tombIds cache is fully
+    // materialized by the affectedD collect above) — overlap them, then
+    // clear the tombstones only after EVERY component has flipped
+    // (§2.6 overlap; r15)
+    val work = scala.collection.mutable.ArrayBuffer[() => Unit]()
     if (affected.nonEmpty) {
-      StoreSegments.compact(spark, dir, "postings", "bucket",
+      work += (() => StoreSegments.compact(spark, dir, "postings", "bucket",
         affected.map(_.toLong),
         StoreSegments.read(spark, dir, "postings", "bucket")
           .filter(col("bucket").isin(affected: _*))
-          .join(tombIds, Seq("doc_id"), "left_anti"))
-      StoreSegments.compact(spark, dir, "terms", "bucket",
+          .join(tombIds, Seq("doc_id"), "left_anti")))
+      work += (() => StoreSegments.compact(spark, dir, "terms", "bucket",
         affected.map(_.toLong),
         StoreSegments.read(spark, dir, "terms", "bucket")
           .filter(col("bucket").isin(affected: _*))
           .groupBy("term", "bucket").agg(sum("df").cast("long").as("df"))
-          .filter(col("df") > 0))
+          .filter(col("df") > 0)))
     }
     if (affectedP.nonEmpty) {
-      StoreSegments.compact(spark, dir, "positions", "bucket",
+      work += (() => StoreSegments.compact(spark, dir, "positions", "bucket",
         affectedP.map(_.toLong),
         StoreSegments.read(spark, dir, "positions", "bucket")
           .filter(col("bucket").isin(affectedP: _*))
-          .join(tombIds, Seq("doc_id"), "left_anti"))
+          .join(tombIds, Seq("doc_id"), "left_anti")))
     }
-    StoreSegments.compact(spark, dir, "docs", "dbucket",
+    work += (() => StoreSegments.compact(spark, dir, "docs", "dbucket",
       affectedD.map(_.toLong),
       StoreSegments.read(spark, dir, "docs", "dbucket")
         .filter(col("dbucket").isin(affectedD: _*))
-        .join(tombIds, Seq("doc_id"), "left_anti"))
+        .join(tombIds, Seq("doc_id"), "left_anti")))
     // stats: collapse every segment row (build + appends + negative
     // delete rows) to ONE exact total row — whole-component replace,
     // same manifest flip
-    StoreSegments.replaceAll(spark, dir, "stats",
+    work += (() => StoreSegments.replaceAll(spark, dir, "stats",
       StoreSegments.read(spark, dir, "stats", "")
         .agg(sum("n_docs").cast("long").as("n_docs"),
           sum("sum_dl").cast("long").as("sum_dl"))
-        .coalesce(1))
+        .coalesce(1)))
+    Par.run(work.toSeq: _*)
     StoreFs.delete(spark, s"$dir/tombstones")
     tombIds.unpersist()
   }

@@ -212,7 +212,12 @@ object Sinks {
         counts.getOrElse("changed", 0L)
       val nRemoves = counts.getOrElse("removed", 0L) +
         counts.getOrElse("changed", 0L)
-      if (nAdds > 0) {
+      // the two delivery legs are independent (disjoint directories; the
+      // shared diff frame is cached and materialized by the counts
+      // collect above) — overlap them; each leg stays internally ordered
+      // (its manifest reads the files its write just produced)
+      val legs = scala.collection.mutable.ArrayBuffer[() => Unit]()
+      if (nAdds > 0) legs += (() => {
         writeShuffled(
           graft.operators.Curation.readSnapshotAt(spark, storeDir,
             newVersion, idCol,
@@ -220,14 +225,15 @@ object Sinks {
               .select(col("id").as(idCol))),
           idCol, numShards, seed, s"$exportDir/adds")
         exportManifest(spark, s"$exportDir/adds", Seq("shard"), idCol)
-      }
-      if (nRemoves > 0) {
+      })
+      if (nRemoves > 0) legs += (() => {
         writeShuffled(
           diff.filter(col("status").isin("removed", "changed"))
             .select(col("id").as(idCol)),
           idCol, numShards, seed, s"$exportDir/removes")
         exportManifest(spark, s"$exportDir/removes", Seq("shard"), idCol)
-      }
+      })
+      graft.operators.Par.run(legs.toSeq: _*)
       graft.operators.StoreFs.writeFile(spark, s"$exportDir/_delta_range",
         s"$oldVersion\t$newVersion\t$nAdds\t$nRemoves")
       val sp = spark
@@ -323,14 +329,18 @@ object Sinks {
           s"covers ($oldV, $newV] — apply the ($stamp, …] delta first " +
           "(a gapped or replayed delta silently diverges)")
     }
-    Seq("adds" -> nAdds, "removes" -> nRemoves).foreach {
-      case (side, n) if n > 0 =>
-        val a = exportAudit(spark, s"$deltaDir/$side", Seq("shard"), idCol)
-        require(a.select("healthy").head.getBoolean(0),
-          s"applyDelta refuses an unhealthy delivery: $deltaDir/$side " +
-            "fails its integrity audit — re-export the delta")
-      case _ => ()
-    }
+    // the two side audits are independent reads — overlap them
+    // (Par §2.6; r15); both must pass before anything is written
+    graft.operators.Par.run(
+      Seq("adds" -> nAdds, "removes" -> nRemoves).collect {
+        case (side, n) if n > 0 => () => {
+          val a = exportAudit(spark, s"$deltaDir/$side", Seq("shard"),
+            idCol)
+          require(a.select("healthy").head.getBoolean(0),
+            s"applyDelta refuses an unhealthy delivery: $deltaDir/$side " +
+              "fails its integrity audit — re-export the delta")
+        }
+      }: _*)
     val copy = spark.read.parquet(copyDir).drop("shard")
     val removed =
       if (nRemoves > 0)
