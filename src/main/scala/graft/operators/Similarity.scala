@@ -421,7 +421,14 @@ object Similarity {
       () => cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
         .coalesce(1) // bounded by maxCentroids — one small model file
         .write.mode("overwrite").parquet(s"$dir/centroids"),
+      // CLUSTER by cell before the partitioned write (the text index's
+      // documented partitionBy discipline): without it the scan's task
+      // layout writes the postings — at the fixture that is ONE task
+      // serially creating ~50 cell files (ProfileOne: a 1.7s single-task
+      // job); at scale it is every scan task writing a sliver into every
+      // cell dir. Clustered, each cell is one writer's contiguous output.
       () => ivfAssign(df, idCol, vecCol, cents)
+        .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$dir/postings"))
   }}
@@ -1806,8 +1813,10 @@ object Similarity {
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_codebook"),
       () => Seq((m, ksub, dim)).toDF("m", "ksub", "dim")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_meta"),
+      // same cell-clustering discipline as buildIvfIndex (r15)
       () => withRes.select(col("id"),
           pqCodeWord(col("r"), full, m).as("code_word"), col("cell"))
+        .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$dir/postings"))
   }}

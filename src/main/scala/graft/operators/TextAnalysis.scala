@@ -1306,7 +1306,14 @@ object TextAnalysis {
     require(passes >= 1, s"passes must be >= 1: $passes")
     val spark = df.sparkSession
     import spark.implicits._
-    val x = CacheScope.persisted(hashingVectors(df, idCol, textCol, dims))
+    // cache the features PRE-PARTITIONED on doc_id: every pass joins x
+    // twice on doc_id (z-sum side and gradient side), and the cached
+    // frame's hashingVectors partitioning is (doc_id, dim_idx) — wrong
+    // key, so each pass re-shuffled x twice. A cached InMemoryRelation
+    // preserves outputPartitioning, so one repartition here removes two
+    // exchanges per pass at every scale (guide §2.4). (r15)
+    val x = CacheScope.persisted(
+      hashingVectors(df, idCol, textCol, dims).repartition(col("doc_id")))
     val y = df.select(col(idCol).as("doc_id"), label.cast("long").as("y"))
     // The weight vector is the MODEL — `dims` rows, collected to the
     // driver each pass and re-emitted as a literal frame (the
