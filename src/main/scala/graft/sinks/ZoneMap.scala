@@ -100,7 +100,12 @@ object ZoneMap {
           raise_error(lit(s"ZoneMap: null $keyCol cannot be zone-mapped")))
           .otherwise(
             zoneOf(col(keyCol).cast("long"), lit(minK), lit(maxK), zones)))
-    zoned.write.mode("overwrite").partitionBy("zone")
+    // CLUSTER by zone before the partitioned write (the store-wide
+    // partitionBy discipline, r15): unclustered, every scan task writes
+    // a sliver into every zone dir (tasks x zones small files; at the
+    // fixture a single task serially creating every zone's file)
+    zoned.repartition(col("zone"))
+      .write.mode("overwrite").partitionBy("zone")
       .parquet(s"$path/data")
     // sidecar from the WRITTEN files, not a recompute of the input: a
     // non-deterministic source frame could otherwise disagree with what
@@ -155,7 +160,8 @@ object ZoneMap {
             zones)))
       .persist()
     try {
-      zoned.write.mode("append").partitionBy("zone").parquet(s"$path/data")
+      zoned.repartition(col("zone")) // same clustering as the build (r15)
+        .write.mode("append").partitionBy("zone").parquet(s"$path/data")
       val batchStats = zoned.groupBy("zone")
         .agg(min(col(keyCol)).cast("long").as("min_key"),
           max(col(keyCol)).cast("long").as("max_key"),
