@@ -422,13 +422,15 @@ object Similarity {
         .coalesce(1) // bounded by maxCentroids — one small model file
         .write.mode("overwrite").parquet(s"$dir/centroids"),
       // CLUSTER by cell before the partitioned write (the text index's
-      // documented partitionBy discipline): without it the scan's task
-      // layout writes the postings — at the fixture that is ONE task
-      // serially creating ~50 cell files (ProfileOne: a 1.7s single-task
-      // job); at scale it is every scan task writing a sliver into every
-      // cell dir. Clustered, each cell is one writer's contiguous output.
+      // documented partitionBy discipline) with an EXPLICIT partition
+      // count: the count-less repartition(col) form gets AQE-coalesced
+      // to ~2 partitions at the fixture, so one task still serially
+      // opens ~25 parquet writers (the per-file writer init is the cost,
+      // ~20ms each — A/B-measured, r15). min(cells, parallelism) keeps
+      // every writer busy with 1-2 files at any scale.
       () => ivfAssign(df, idCol, vecCol, cents)
-        .repartition(col("cell"))
+        .repartition(math.min(cents.size,
+          sp.sparkContext.defaultParallelism), col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$dir/postings"))
   }}
@@ -459,7 +461,9 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
     require(cents.nonEmpty, s"no centroids at $dir/centroids — build first")
     StoreSegments.append(spark, dir, "postings", "cell",
-      ivfAssign(batch, idCol, vecCol, cents))
+      ivfAssign(batch, idCol, vecCol, cents)
+        .repartition(math.min(cents.size,
+          spark.sparkContext.defaultParallelism), col("cell")))
   }}
 
   /** DELETION from a [[buildIvfIndex]] index — [[
@@ -1813,10 +1817,11 @@ object Similarity {
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_codebook"),
       () => Seq((m, ksub, dim)).toDF("m", "ksub", "dim")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_meta"),
-      // same cell-clustering discipline as buildIvfIndex (r15)
+      // same explicit-count cell clustering as buildIvfIndex (r15)
       () => withRes.select(col("id"),
           pqCodeWord(col("r"), full, m).as("code_word"), col("cell"))
-        .repartition(col("cell"))
+        .repartition(math.min(cents.size,
+          sp.sparkContext.defaultParallelism), col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$dir/postings"))
   }}
@@ -1855,7 +1860,9 @@ object Similarity {
     StoreSegments.append(spark, dir, "postings", "cell",
       ivfResiduals(batch, idCol, vecCol, cents)
         .select(col("id"), pqCodeWord(col("r"), full, m).as("code_word"),
-          col("cell")))
+          col("cell"))
+        .repartition(math.min(cents.size,
+          spark.sparkContext.defaultParallelism), col("cell")))
   }}
 
   /** DELETION from a [[buildIvfPqIndex]] store — the takedown verb for

@@ -279,14 +279,7 @@ private[graft] object StoreSegments {
              keyCol: String, batch: DataFrame): Unit =
     entries(spark, dir, comp) match {
       case None =>
-        // cluster by the partition key before the partitioned write —
-        // callers that already repartitioned are unchanged (Catalyst
-        // collapses adjacent repartitions); un-clustered batches (the
-        // IVF assigns) otherwise write from the scan's task layout (a
-        // single task serially creating one file per cell — ProfileOne
-        // measured 2.0s single-task appends) (r15)
-        batch.repartition(col(keyCol))
-          .write.mode("append").partitionBy(keyCol)
+        batch.write.mode("append").partitionBy(keyCol)
           .parquet(s"$dir/$comp")
       case Some(es) =>
         val seg = newSegment(spark, dir, comp, keyCol, batch)
@@ -333,7 +326,12 @@ private[graft] object StoreSegments {
     try {
       if (cached.isEmpty) None
       else {
-        cached.repartition(col(keyCol)).write.partitionBy(keyCol)
+        // explicit partition count (r15): the count-less repartition gets
+        // AQE-coalesced to 1-2 partitions for small survivor frames, and
+        // the write then serializes one parquet-writer init per key dir
+        cached.repartition(spark.sparkContext.defaultParallelism,
+            col(keyCol))
+          .write.partitionBy(keyCol)
           .parquet(s"$dir/$rel")
         Some(rel)
       }

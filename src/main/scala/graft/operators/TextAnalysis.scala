@@ -672,8 +672,13 @@ object TextAnalysis {
         // every shuffle partition writes a sliver into every bucket dir
         // (partitions × buckets small files — the classic partitionBy
         // mistake); clustered, each bucket is one writer's contiguous
-        // output, which is also the layout a pruned read wants
-        .repartition(col("bucket")))
+        // output, which is also the layout a pruned read wants. The
+        // partition count is EXPLICIT (r15): the count-less form gets
+        // AQE-coalesced to 1-2 partitions at small inputs, serializing
+        // the per-file parquet-writer inits that dominate these writes.
+        .repartition(math.min(buckets,
+          df.sparkSession.sparkContext.defaultParallelism),
+          col("bucket")))
     // a rebuild returns to the classic layout: no stale segment manifests
     Seq("postings", "terms", "stats", "docs")
       .foreach(c => StoreSegments.reset(df.sparkSession, dir, c))
@@ -687,7 +692,8 @@ object TextAnalysis {
       () => postings.write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$dir/postings"),
       () => postings.groupBy("term", "bucket").agg(count(lit(1)).as("df"))
-        .repartition(col("bucket"))
+        .repartition(math.min(buckets,
+          df.sparkSession.sparkContext.defaultParallelism), col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$dir/terms"),
       // corpus constants as RAW TOTALS (n_docs, sum_dl), not a
@@ -701,7 +707,8 @@ object TextAnalysis {
       () => dl.select(col("doc_id"), col("dl"))
         .withColumn("dbucket",
           termBucket(col("doc_id").cast("string"), buckets))
-        .repartition(col("dbucket"))
+        .repartition(math.min(buckets,
+          df.sparkSession.sparkContext.defaultParallelism), col("dbucket"))
         .write.mode("overwrite").partitionBy("dbucket")
         .parquet(s"$dir/docs"))
   }}
@@ -733,7 +740,8 @@ object TextAnalysis {
         .filter(col("term") =!= "")
         .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("cnt"))
         .withColumn("bucket", termBucket(col("term"), buckets))
-        .repartition(col("bucket")))
+        .repartition(math.min(buckets,
+          spark.sparkContext.defaultParallelism), col("bucket")))
     // same overlap as the build: one materialization of the shared
     // caches, then the four independent component appends concurrently
     // (per-component manifests — no shared state across the forks)
@@ -743,7 +751,8 @@ object TextAnalysis {
         postings),
       () => StoreSegments.append(spark, dir, "terms", "bucket",
         postings.groupBy("term", "bucket").agg(count(lit(1)).as("df"))
-          .repartition(col("bucket"))),
+          .repartition(math.min(buckets,
+            spark.sparkContext.defaultParallelism), col("bucket"))),
       () => StoreSegments.appendPlain(spark, dir, "stats",
         dl.agg(count(lit(1)).cast("long").as("n_docs"),
             sum("dl").cast("long").as("sum_dl"))
@@ -752,7 +761,8 @@ object TextAnalysis {
         dl.select(col("doc_id"), col("dl"))
           .withColumn("dbucket",
             termBucket(col("doc_id").cast("string"), buckets))
-          .repartition(col("dbucket"))))
+          .repartition(math.min(buckets,
+            spark.sparkContext.defaultParallelism), col("dbucket"))))
   }}
 
   /** DELETION from a [[buildTextIndex]] index — the storage verb a crawl
@@ -823,7 +833,8 @@ object TextAnalysis {
       () => StoreSegments.append(spark, dir, "terms", "bucket",
         delPost.groupBy("term", "bucket")
           .agg((lit(0L) - count(lit(1))).cast("long").as("df"))
-          .repartition(col("bucket"))),
+          .repartition(math.min(buckets,
+            spark.sparkContext.defaultParallelism), col("bucket"))),
       // tombstones carry the touched postings buckets (compaction's work
       // list); a postings-less doc tombstones with bucket = -1
       () => delPost.select(col("doc_id"), col("bucket").cast("int").as("bucket"))
@@ -879,7 +890,8 @@ object TextAnalysis {
           val merged = StoreSegments.read(spark, dir, "terms", "bucket")
             .groupBy("term", "bucket").agg(sum("df").cast("long").as("df"))
             .filter(col("df") > 0)
-            .repartition(col("bucket"))
+            .repartition(math.min(buckets,
+              spark.sparkContext.defaultParallelism), col("bucket"))
           StoreSegments.vacuumWith(spark, dir, "terms", "bucket", merged)
         })
       }
@@ -981,7 +993,8 @@ object TextAnalysis {
       .groupBy("doc_id", "term")
       .agg(sort_array(collect_list(col("pos").cast("long"))).as("poss"))
       .withColumn("bucket", termBucket(col("term"), buckets))
-      .repartition(col("bucket"))
+      .repartition(math.min(buckets,
+        df.sparkSession.sparkContext.defaultParallelism), col("bucket"))
     if (mode == "overwrite") {
       StoreSegments.reset(df.sparkSession, dir, "positions")
       rows.write.mode("overwrite").partitionBy("bucket")

@@ -104,7 +104,8 @@ object ZoneMap {
     // partitionBy discipline, r15): unclustered, every scan task writes
     // a sliver into every zone dir (tasks x zones small files; at the
     // fixture a single task serially creating every zone's file)
-    zoned.repartition(col("zone"))
+    zoned.repartition(math.min(zones,
+        df.sparkSession.sparkContext.defaultParallelism), col("zone"))
       .write.mode("overwrite").partitionBy("zone")
       .parquet(s"$path/data")
     // sidecar from the WRITTEN files, not a recompute of the input: a
@@ -160,7 +161,8 @@ object ZoneMap {
             zones)))
       .persist()
     try {
-      zoned.repartition(col("zone")) // same clustering as the build (r15)
+      zoned.repartition(math.min(zones,
+          spark.sparkContext.defaultParallelism), col("zone"))
         .write.mode("append").partitionBy("zone").parquet(s"$path/data")
       val batchStats = zoned.groupBy("zone")
         .agg(min(col(keyCol)).cast("long").as("min_key"),
