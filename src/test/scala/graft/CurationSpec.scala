@@ -462,6 +462,32 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("reconstruction AT a compaction point plans as the pruned base " +
+      "scan — no fold window, no shuffle (r15)") {
+    val root = java.nio.file.Files.createTempDirectory("snap-nofold").toString
+    Curation.writeSnapshot(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"), root, version = 1)
+    Curation.writeSnapshotDelta(spark, root, version = 2,
+      upserts = Seq((3L, "c")).toDF("doc_id", "text"),
+      deleteIds = Seq(Tuple1(1L)).toDF("doc_id"), idCol = "doc_id")
+    // at v1 (a full snapshot) nothing folds: the last-writer-wins window
+    // is an identity there, and the r15 shortcut removes it — at 100 TB
+    // that is a pruned read instead of a corpus shuffle
+    val atFull = Curation.readSnapshotAt(spark, root, 1, "doc_id")
+    val planFull = atFull.queryExecution.executedPlan.toString()
+    assert(!planFull.contains("Window"),
+      s"v1 reconstruction should not fold:\n$planFull")
+    assert(!planFull.contains("Exchange"),
+      s"v1 reconstruction should not shuffle:\n$planFull")
+    assert(atFull.orderBy("doc_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L))
+    // at v2 (delta-defined) the fold window must still run
+    val atDelta = Curation.readSnapshotAt(spark, root, 2, "doc_id")
+    assert(atDelta.queryExecution.executedPlan.toString().contains("Window"))
+    assert(atDelta.orderBy("doc_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(2L, 3L))
+  }
+
   test("snapshot delta chain: a later FULL snapshot becomes the new base (compaction point)") {
     val root = java.nio.file.Files.createTempDirectory("snap-delta2").toString
     Curation.writeSnapshot(Seq((1L, "a")).toDF("doc_id", "text"), root, 1)
