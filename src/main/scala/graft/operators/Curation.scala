@@ -743,17 +743,36 @@ object Curation {
         .select(col(idCol).as("id")).withColumn("_v", lit(v))
       (ups, dels)
     }
-    val (clash, dup) =
-      if (perDelta.isEmpty) (0L, 0L)
-      else {
-        val allUps = perDelta.map(_._1).reduce(_ unionByName _)
-        val allDels = perDelta.map(_._2).reduce(_ unionByName _)
-        (allUps.join(allDels, Seq("id", "_v")).count(),
-          allUps.groupBy("id", "_v").agg(count(lit(1)).as("n"))
-            .filter(col("n") > 1).count())
-      }
+    // ONE pass over the tagged churn union yields both invariants (the
+    // writeSnapshotDelta one-pass validation shape, r15): clash_rows is
+    // the matching (up-row, del-row) pair count = Σ n_up·n_del per
+    // (id, version); dup_upsert_ids counts groups with n_up > 1. Was a
+    // join-count plus a separate groupBy-count — two churn scans.
+    var clash = 0L
+    var dup = 0L
     val newest = (fulls ++ deltas).max
-    val nLive = readSnapshotAt(spark, rootDir, newest, idCol).count()
+    var nLive = 0L
+    val invariants: () => Unit =
+      if (perDelta.isEmpty) () => ()
+      else { () =>
+        val tagged = perDelta.map(_._1.withColumn("_t", lit("u")))
+          .reduce(_ unionByName _)
+          .unionByName(perDelta.map(_._2.withColumn("_t", lit("d")))
+            .reduce(_ unionByName _))
+        val row = tagged.groupBy("id", "_v")
+          .agg(sum(when(col("_t") === "u", 1L).otherwise(0L)).as("nu"),
+            sum(when(col("_t") === "d", 1L).otherwise(0L)).as("nd"))
+          .agg(coalesce(sum(col("nu") * col("nd")), lit(0L)).as("clash"),
+            coalesce(sum(when(col("nu") > 1, 1L).otherwise(0L)), lit(0L))
+              .as("dup"))
+          .head()
+        clash = row.getLong(0)
+        dup = row.getLong(1)
+      }
+    // the invariant scan and the live-count reconstruction share nothing
+    // — overlap them (§2.6)
+    Par.run(invariants,
+      () => nLive = readSnapshotAt(spark, rootDir, newest, idCol).count())
     val sp = spark
     import sp.implicits._
     Seq((fulls.size.toLong, deltas.size.toLong, unreachable.toLong,

@@ -324,8 +324,12 @@ object Sampling {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
     val weightOf =
       if (alpha == 0.5) sqrt(col("n")) else pow(col("n"), lit(alpha))
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
-      .withColumn("weight_micro", floor(weightOf * 1e6).cast("long"))
+    // counts appears TWICE in the quotas plan (directly and under the
+    // total-weight agg) — persist so its corpus scan runs once (r15; the
+    // frame itself is group-cardinality-sized)
+    val counts = CacheScope.persisted(
+      df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+        .withColumn("weight_micro", floor(weightOf * 1e6).cast("long")))
     // corpus-wide weight total as a broadcast 1-row frame (the q57
     // pattern), never a driver scalar or a global window
     // budget × weight_micro in DECIMAL(38,0): at the corpus scale this

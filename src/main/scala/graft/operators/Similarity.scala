@@ -494,11 +494,17 @@ object Similarity {
           spark.read.parquet(s"$dir/tombstones").select("id").distinct(),
           Seq("id"), "left_anti")
       else del0
+    // single evaluation (the StoreSegments.appendPlain discipline): the
+    // emptiness probe and the write otherwise each run the postings scan
+    // + delete-set join — persist so the probe's work feeds the write
     val delPost = StoreSegments.read(spark, dir, "postings", "cell")
       .join(broadcast(del), "id")
       .select(col("id"), col("cell").cast("long").as("cell"))
-    if (!delPost.isEmpty)
-      delPost.write.mode("append").parquet(s"$dir/tombstones")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!delPost.isEmpty)
+        delPost.write.mode("append").parquet(s"$dir/tombstones")
+    } finally delPost.unpersist(blocking = false)
   }}
 
   /** COMPACTION of a tombstoned [[buildIvfIndex]] index: physically
@@ -582,21 +588,29 @@ object Similarity {
       .tombstoneIds(spark, s"$dir/tombstones", "id")
       .getOrElse(spark.range(0).select(col("id")))
     val nTomb = tombIds.count()
-    val postings = StoreSegments.read(spark, dir, "postings", "cell")
-      .join(broadcast(tombIds), Seq("id"), "left_anti")
+    // postings feeds both the per-id inventory and the cell census of
+    // the one returned plan — persist so the single audit action scans
+    // the postings once (r15; release owned by the caller's clearCache /
+    // withCaches scope, the CacheScope idiom)
+    val postings = CacheScope.persisted(
+      StoreSegments.read(spark, dir, "postings", "cell")
+        .join(broadcast(tombIds), Seq("id"), "left_anti"))
     val cents = spark.read.parquet(s"$dir/centroids").select(col("cid"))
     val perId = postings.groupBy("id").agg(count(lit(1)).as("n"))
     val inv = perId.agg(count(lit(1)).cast("long").as("n_ids"),
       coalesce(sum("n"), lit(0L)).cast("long").as("n_vectors"),
       coalesce(sum(when(col("n") > 1, 1L).otherwise(0L)), lit(0L))
         .cast("long").as("n_dup_ids"))
+    // ONE pass over the distinct cells yields both the used-cell count
+    // and the orphan count (was an agg + a separate anti-join agg, r15):
+    // a cell is an orphan iff the codebook outer join leaves cid null
     val cells = postings.select(col("cell").cast("long").as("cell")).distinct()
-    val orphans = cells.join(broadcast(cents),
-        cells("cell") === cents("cid"), "left_anti")
-      .agg(count(lit(1)).cast("long").as("n_orphan_cells"))
-    val nCells = cells.agg(count(lit(1)).cast("long").as("n_cells_used"))
+      .join(broadcast(cents), col("cell") === col("cid"), "left_outer")
+      .agg(count(lit(1)).cast("long").as("n_cells_used"),
+        coalesce(sum(when(col("cid").isNull, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_orphan_cells"))
     val nCents = cents.agg(count(lit(1)).cast("long").as("n_centroids"))
-    inv.crossJoin(nCents).crossJoin(nCells).crossJoin(orphans)
+    inv.crossJoin(nCents).crossJoin(cells)
       .select(col("n_vectors"), col("n_dup_ids"), col("n_centroids"),
         col("n_cells_used"), col("n_orphan_cells"),
         lit(nTomb).cast("long").as("n_tombstones"))

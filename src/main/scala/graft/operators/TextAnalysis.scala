@@ -1082,19 +1082,30 @@ object TextAnalysis {
         .getOrElse(spark.emptyDataFrame
           .withColumn("doc_id", lit(null).cast("long")).limit(0))
     val nTomb = tombIds.count()
-    val postings = StoreSegments.read(spark, dir, "postings", "bucket")
-      .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
-    val docs = StoreSegments.read(spark, dir, "docs", "dbucket")
-      .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
+    // the postings and docs subtrees each feed TWO branches of the one
+    // returned plan (df inventory + orphan check resp. live totals +
+    // orphan check) — persist so the single audit action scans each
+    // component once, not twice (r15; the CacheScope idiom: the caller's
+    // clearCache / withCaches scope owns the release)
+    val postings = CacheScope.persisted(
+      StoreSegments.read(spark, dir, "postings", "bucket")
+        .join(broadcast(tombIds), Seq("doc_id"), "left_anti"))
+    val docs = CacheScope.persisted(
+      StoreSegments.read(spark, dir, "docs", "dbucket")
+        .join(broadcast(tombIds), Seq("doc_id"), "left_anti"))
     val dfStored = StoreSegments.read(spark, dir, "terms", "bucket")
       .groupBy("term").agg(sum("df").cast("long").as("df_stored"))
       .filter(col("df_stored") =!= 0)
     val dfLive = postings.groupBy("term")
       .agg(count(lit(1)).cast("long").as("df_live"))
-    val mismatch = dfStored.join(dfLive, Seq("term"), "full_outer")
-      .filter(coalesce(col("df_stored"), lit(0L)) =!=
-        coalesce(col("df_live"), lit(0L)))
-      .agg(count(lit(1)).cast("long").as("n_df_mismatch"))
+    // ONE pass over the stored-vs-live join yields both the term count
+    // and the mismatch count (was two separate aggregations, r15): a row
+    // carries a non-null df_live iff it is one of dfLive's terms
+    val terms = dfStored.join(dfLive, Seq("term"), "full_outer")
+      .agg(count(col("df_live")).cast("long").as("n_terms"),
+        coalesce(sum(when(coalesce(col("df_stored"), lit(0L)) =!=
+          coalesce(col("df_live"), lit(0L)), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_df_mismatch"))
     val live = docs.agg(count(lit(1)).cast("long").as("n_docs"),
       coalesce(sum("dl"), lit(0L)).cast("long").as("sum_dl"))
     val stats = StoreSegments.read(spark, dir, "stats", "")
@@ -1103,8 +1114,8 @@ object TextAnalysis {
     val orphans = postings.select("doc_id").distinct()
       .join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
       .agg(count(lit(1)).cast("long").as("n_orphan_postings"))
-    dfLive.agg(count(lit(1)).cast("long").as("n_terms"))
-      .crossJoin(mismatch).crossJoin(live).crossJoin(stats).crossJoin(orphans)
+    terms
+      .crossJoin(live).crossJoin(stats).crossJoin(orphans)
       .select(col("n_terms"), col("n_df_mismatch"),
         col("n_docs"), col("sum_dl"),
         (col("stats_docs") === col("n_docs")).as("stats_docs_match"),
